@@ -1,0 +1,69 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import graft.core.BloomFilter
+
+/** One input row of the per-group Bloom build: the key to insert plus the
+  * group's filter geometry. Geometry rides on every row (joined in from
+  * the sizing pass) because an [[Aggregator]] has no channel for per-group
+  * parameters — SURVEY.md §7.4.1.
+  */
+case class BloomInput(key: String, m: Int, k: Int)
+
+/** Mutable aggregation buffer. `m < 0` marks the zero buffer (geometry not
+  * yet known); the bit array is allocated lazily from the first row. */
+case class BloomBuf(var m: Int, var k: Int, var bits: Array[Byte])
+
+/** Per-group Bloom-filter build as a typed aggregate:
+  * `groupBy(rating).agg(bloom_build(key, m, k))` → packed filter bytes.
+  *
+  * This fuses the reference's P2 (hash-indexes projection,
+  * `bloomfilters_util.py:60-79`), A2 (per-key index-list concat,
+  * `bloomfilters_builder.py:44-54` — O(k·n) intermediate state) and A3
+  * (bit-set fold, `bloomfilters_builder.py:24-41`,
+  * `builder/BloomFilterReducer.java:46-94`) into one operator whose
+  * partial-aggregation state is a single m-bit array per (partition,
+  * group). At 100 TB that is the difference between shuffling O(k)
+  * integers per input row and shuffling ≤ (#partitions × #groups)
+  * fixed-size filters: map-side combine reduces the shuffle to the merge
+  * of a few thousand byte arrays regardless of row count.
+  *
+  * Merge is bitwise OR — commutative/associative/idempotent (tested in
+  * BloomFilterSpec), so partial aggregation is lawful.
+  */
+object BloomBuildAggregator extends Aggregator[BloomInput, BloomBuf, Array[Byte]] {
+
+  override def zero: BloomBuf = BloomBuf(-1, -1, null)
+
+  override def reduce(b: BloomBuf, in: BloomInput): BloomBuf = {
+    if (b.m < 0) {
+      b.m = in.m
+      b.k = in.k
+      b.bits = new Array[Byte](BloomFilter.numBytes(in.m))
+    }
+    if (in.key != null) {
+      BloomFilter.putBytesInto(b.bits, b.m, b.k, in.key.getBytes(StandardCharsets.UTF_8))
+    }
+    b
+  }
+
+  override def merge(a: BloomBuf, b: BloomBuf): BloomBuf = {
+    if (a.m < 0) b
+    else if (b.m < 0) a
+    else {
+      BloomFilter.orInto(a.bits, b.bits)
+      a
+    }
+  }
+
+  override def finish(b: BloomBuf): Array[Byte] =
+    if (b.m < 0) Array.emptyByteArray else b.bits
+
+  override def bufferEncoder: Encoder[BloomBuf] = Encoders.product[BloomBuf]
+
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}

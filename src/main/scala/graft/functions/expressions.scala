@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{BloomFilter, Murmur3}
+
+/** `mmh3(key, seed)` — seeded MurmurHash3 x86_32 over the UTF-8 bytes of a
+  * string (or raw bytes of a binary), the engine's deterministic hash
+  * family (SURVEY.md §1.5: the reference's Spark engine hashes with
+  * `mmh3.hash(movie_id, i)`, reference
+  * `spark-bloom-filter/bloomfilters_util.py:79`).
+  *
+  * A native expression rather than a UDF so it inlines into whole-stage
+  * codegen: the generated code is a single static call, no boxing, no
+  * closure dispatch. Spark's own `hash()` is murmur3 with seed fixed at 42
+  * and a non-standard byte-tail mix, hence this expression.
+  */
+case class Mmh3(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!left.dataType.isInstanceOf[StringType] && left.dataType != BinaryType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"mmh3 key must be STRING or BINARY, got ${left.dataType.sql}")
+    } else if (right.dataType != IntegerType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"mmh3 seed must be INT, got ${right.dataType.sql}")
+    } else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "mmh3"
+
+  override protected def nullSafeEval(key: Any, seed: Any): Any = key match {
+    case s: UTF8String  => Murmur3.hashBytes(s.getBytes, seed.asInstanceOf[Int])
+    case b: Array[Byte] => Murmur3.hashBytes(b, seed.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytes = left.dataType match {
+      case StringType => (v: String) => s"$v.getBytes()"
+      case _          => (v: String) => v
+    }
+    nullSafeCodeGen(ctx, ev, (key, seed) =>
+      s"${ev.value} = graft.core.Murmur3.hashBytes(${bytes(key)}, $seed);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Mmh3 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `bloom_might_contain(bits, m, k, key)` — true iff all `k` murmur3-seeded
+  * bit positions of `key` are set in the packed filter `bits` of `m` bits.
+  *
+  * This is the probe kernel of the reference tester (reference
+  * `spark-bloom-filter/bloomfilters_tester.py:27-42`
+  * `check_false_positive`; Hadoop `tester/ReducerTester.java:78-98`),
+  * reshaped as a scalar expression so the tester becomes
+  * `test JOIN filters ON rating` + this predicate — Catalyst then gets to
+  * pick broadcast vs shuffle join, and the expression stays inside
+  * whole-stage codegen on the probe (big) side.
+  */
+case class BloomMightContain(
+    first: Expression,   // bits BINARY
+    second: Expression,  // m INT
+    third: Expression,   // k INT
+    fourth: Expression)  // key STRING or BINARY
+    extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (first.dataType != BinaryType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain bits must be BINARY, got ${first.dataType.sql}")
+    } else if (second.dataType != IntegerType || third.dataType != IntegerType) {
+      TypeCheckResult.TypeCheckFailure("bloom_might_contain m and k must be INT")
+    } else if (!fourth.dataType.isInstanceOf[StringType] && fourth.dataType != BinaryType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain key must be STRING or BINARY, got ${fourth.dataType.sql}")
+    } else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = BooleanType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(bits: Any, m: Any, k: Any, key: Any): Any = {
+    val keyBytes = key match {
+      case s: UTF8String  => s.getBytes
+      case b: Array[Byte] => b
+    }
+    BloomFilter.mightContainBytes(
+      bits.asInstanceOf[Array[Byte]],
+      m.asInstanceOf[Int], k.asInstanceOf[Int], keyBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytes = fourth.dataType match {
+      case StringType => (v: String) => s"$v.getBytes()"
+      case _          => (v: String) => v
+    }
+    nullSafeCodeGen(ctx, ev, (bits, m, k, key) =>
+      s"${ev.value} = graft.core.BloomFilter.mightContainBytes($bits, $m, $k, ${bytes(key)});")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): BloomMightContain =
+    copy(first = f, second = s, third = t, fourth = q)
+}

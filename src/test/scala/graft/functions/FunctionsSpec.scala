@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.core.{BloomFilter, Murmur3}
+import graft.functions.{mmh3 => gmmh3, _}
+
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("mmh3 expression matches core Murmur3 (codegen path)") {
+    val keys = Seq("tt0000001", "", "héllo", "日本語", "a", "abcd", "abcde")
+    val df = keys.toDF("key")
+    for (seed <- Seq(0, 1, 7)) {
+      val got = df.select($"key", gmmh3($"key", seed).as("h")).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      keys.foreach { k =>
+        assert(got(k) === Murmur3.hashString(k, seed), s"key=$k seed=$seed")
+      }
+    }
+  }
+
+  test("mmh3 via SQL registration") {
+    val r = spark.sql("SELECT mmh3('hello', 0) AS h").head().getInt(0)
+    assert(r === 0x248bfa47)
+  }
+
+  test("mmh3 null propagation") {
+    val r = Seq[Option[String]](Some("x"), None).toDF("key")
+      .select(gmmh3($"key", 0).as("h")).collect()
+    assert(!r(0).isNullAt(0))
+    assert(r(1).isNullAt(0))
+  }
+
+  test("bloom_build aggregator + bloom_might_contain probe round-trip") {
+    val p = 0.1
+    val k = BloomFilter.numHashes(p)
+    val n = 500
+    val m = BloomFilter.numBits(n, p)
+    val train = (0 until n).map(i => (s"key-$i", i % 3)).toDF("key", "grp")
+      .withColumn("m", lit(m)).withColumn("k", lit(k))
+
+    val filters = train.groupBy($"grp")
+      .agg(bloom_build($"key", $"m", $"k").as("bits"), count("*").as("n"))
+      .withColumn("m", lit(m)).withColumn("k", lit(k))
+
+    // every trained key must be found in its own group's filter (no FN)
+    val joined = train.drop("m", "k").join(filters, "grp")
+      .select($"key", $"grp", bloom_might_contain($"bits", $"m", $"k", $"key").as("hit"))
+    assert(joined.filter(!$"hit").count() === 0)
+
+    // disjoint probes: FP rate near p, certainly below 3p at these sizes
+    val probes = (0 until 3000).map(i => (s"probe-$i", i % 3)).toDF("key", "grp")
+    val fp = probes.join(filters, "grp")
+      .filter(bloom_might_contain($"bits", $"m", $"k", $"key")).count()
+    val rate = fp.toDouble / 3000
+    assert(rate < 3 * p, s"fp rate $rate vs p=$p")
+  }
+
+  test("bloom_might_contain agrees with core kernel bit-for-bit") {
+    val bf = BloomFilter.create(100, 0.05)
+    (0 until 100).foreach(i => bf.put(s"k$i"))
+    val probes = (0 until 300).map(i => s"k$i")
+    val df = probes.toDF("key")
+      .withColumn("bits", lit(bf.toBytes))
+      .withColumn("m", lit(bf.m)).withColumn("k", lit(bf.k))
+    val got = df.select($"key", bloom_might_contain($"bits", $"m", $"k", $"key").as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    probes.foreach { p =>
+      assert(got(p) === bf.mightContain(p), s"probe $p")
+    }
+  }
+
+  test("empty group (no rows) never happens; zero-length key ok") {
+    val df = Seq(("", 0)).toDF("key", "grp")
+      .withColumn("m", lit(64)).withColumn("k", lit(3))
+    val filters = df.groupBy($"grp").agg(bloom_build($"key", $"m", $"k").as("bits"))
+    val bits = filters.head().getAs[Array[Byte]]("bits")
+    assert(bits.length === 8)
+    assert(BloomFilter.mightContainBytes(bits, 64, 3, Array.emptyByteArray))
+  }
+}
