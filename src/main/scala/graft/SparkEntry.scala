@@ -1,13 +1,201 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.BloomFilter
+import graft.functions.bloom_might_contain
+import graft.operators.{BloomPipeline, Ratings, Tables}
+
+/** Driver contract (see the build brief + SURVEY.md §7).
+  *
+  * Query names carry the SURVEY.md §2 operator ids they demonstrate
+  * (p1 = parse-project, a1 = count-per-key, j1 = broadcast join, ...).
+  * Every SQL-expressible query has a DuckDB oracle in [[oracleSql]]; the
+  * hash/bit-valued bloom queries are covered by the cross-engine
+  * *invariant* oracle (`bloom_zero_fn` must be exactly 0 in any engine)
+  * plus ScalaTest/golden specs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Default false-positive probability (the reference scripts' p=0.2 is
+    * the CLI default; its experiments use 0.01/0.05/0.1 — we standardize
+    * on 0.05 for the flagship). */
+  val defaultP = 0.05
+
+  private def bitsPerKey(p: Double): Double =
+    -math.log(p) / (math.log(2) * math.log(2))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Full reference pipeline in one plan: parse -> split -> sizing agg ->
+    * per-group bloom build -> broadcast probe join -> FP stats. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    BloomPipeline.endToEnd(
+      Ratings.trainFromLineitem(spark, dir),
+      Ratings.testFromLineitem(spark, dir),
+      defaultP
+    ).orderBy("rating")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // --- S/P: scans, projections, filters, limits, splits (SURVEY §2.1-2.2)
+    "p1_parse_project" -> ((s, dir) =>
+      Ratings.fromLineitem(s, dir).orderBy("movieId")),
+    "p1_events_project" -> ((s, dir) =>
+      Ratings.fromEvents(s, dir).orderBy("movieId")),
+    "p5_filter" -> ((s, dir) =>
+      Ratings.fromLineitem(s, dir)
+        .where(col("rating").between(3, 8)).orderBy("movieId")),
+    "p7_limit" -> ((s, dir) =>
+      Ratings.fromLineitem(s, dir).orderBy("movieId").limit(10)),
+    "p8_split_train" -> ((s, dir) =>
+      Ratings.trainFromLineitem(s, dir).orderBy("movieId")),
+    "p8_split_test" -> ((s, dir) =>
+      Ratings.testFromLineitem(s, dir).orderBy("movieId")),
+
+    // --- A: aggregations (SURVEY §2.4)
+    "a1_linecount" -> ((s, dir) =>
+      BloomPipeline.linecount(Ratings.fromLineitem(s, dir)).orderBy("rating")),
+    "a4_group_stats" -> ((s, dir) =>
+      Tables(s, dir, "events").groupBy("event_type").agg(
+        count("*").as("total"),
+        round(sum("value"), 2).as("sum_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value")).orderBy("event_type")),
+
+    // --- J: joins (SURVEY §2.3)
+    "j1_broadcast_join" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(
+          count("*").as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")),
+    "j2_shuffle_join" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(
+          count("*").as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")),
+    "j3_union_tag" -> ((s, dir) =>
+      Ratings.fromLineitem(s, dir).withColumn("tag", lit("li"))
+        .unionByName(Ratings.fromEvents(s, dir).withColumn("tag", lit("ev")))
+        .groupBy("tag", "rating").agg(count("*").as("n"))
+        .orderBy("tag", "rating")),
+
+    // --- W: window functions (beyond the reference; SURVEY §2.7 gap)
+    "w1_window_share" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      BloomPipeline.linecount(Ratings.fromLineitem(s, dir))
+        .withColumn("share", round(col("n") / sum("n").over(Window.partitionBy()), 6))
+        .orderBy("rating")
+    }),
+    "w2_topn_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // --- Bloom pipeline (SURVEY §2.4 A2/A3, §2.3 J1/J2, §2.2 P3/P4)
+    "bloom_geometry" -> ((s, dir) =>
+      BloomPipeline.sized(
+        BloomPipeline.linecount(Ratings.trainFromLineitem(s, dir)), defaultP)
+        .orderBy("rating")),
+    "bloom_filters" -> ((s, dir) =>
+      BloomPipeline.buildFilters(Ratings.trainFromLineitem(s, dir), defaultP)
+        .orderBy("rating")),
+    "bloom_fpstats" -> ((s, dir) =>
+      BloomPipeline.endToEnd(
+        Ratings.trainFromLineitem(s, dir),
+        Ratings.testFromLineitem(s, dir), defaultP).orderBy("rating")),
+    "bloom_probe_totals" -> ((s, dir) => {
+      val train = Ratings.trainFromLineitem(s, dir)
+      val filters = BloomPipeline.buildFilters(train, defaultP)
+      Ratings.testFromLineitem(s, dir)
+        .join(broadcast(filters.select("rating")), Seq("rating"), "left_semi")
+        .groupBy("rating").agg(count("*").as("total")).orderBy("rating")
+    }),
+    "bloom_zero_fn" -> ((s, dir) => {
+      // The hard invariant, as a cross-engine oracle: probing every train
+      // key against its own group's filter can NEVER miss.
+      val train = Ratings.trainFromLineitem(s, dir)
+      val filters = BloomPipeline.buildFilters(train, defaultP)
+      train.join(broadcast(filters.select("rating", "m", "k", "bits")), "rating")
+        .select(bloom_might_contain(col("bits"), col("m"), col("k"), col("movieId")).as("hit"))
+        .agg(sum(when(col("hit"), 0L).otherwise(1L)).as("false_negatives"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val li = Ratings.fromLineitemSql
+    val ev = Ratings.fromEventsSql
+    val train = Ratings.splitSql("<")
+    val test = Ratings.splitSql(">=")
+    val bpk = f"${bitsPerKey(defaultP)}%.17g"
+    ListMap(
+      "p1_parse_project" -> s"SELECT * FROM ($li) ORDER BY movieId",
+      "p1_events_project" -> s"SELECT * FROM ($ev) ORDER BY movieId",
+      "p5_filter" ->
+        s"SELECT * FROM ($li) WHERE rating BETWEEN 3 AND 8 ORDER BY movieId",
+      "p7_limit" -> s"SELECT * FROM ($li) ORDER BY movieId LIMIT 10",
+      "p8_split_train" -> s"SELECT * FROM ($train) ORDER BY movieId",
+      "p8_split_test" -> s"SELECT * FROM ($test) ORDER BY movieId",
+      "a1_linecount" ->
+        s"SELECT rating, count(*) AS n FROM ($li) GROUP BY rating ORDER BY rating",
+      "a4_group_stats" ->
+        """SELECT event_type, count(*) AS total, round(sum(value), 2) AS sum_value,
+          |       min(value) AS min_value, max(value) AS max_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "j1_broadcast_join" ->
+        """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "j2_shuffle_join" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "j3_union_tag" ->
+        s"""SELECT tag, rating, count(*) AS n FROM (
+           |  SELECT movieId, rating, 'li' AS tag FROM ($li)
+           |  UNION ALL
+           |  SELECT movieId, rating, 'ev' AS tag FROM ($ev)
+           |) GROUP BY tag, rating ORDER BY tag, rating""".stripMargin,
+      "w1_window_share" ->
+        s"""SELECT rating, n, round(n / sum(n) OVER (), 6) AS share
+           |FROM (SELECT rating, count(*) AS n FROM ($li) GROUP BY rating)
+           |ORDER BY rating""".stripMargin,
+      "w2_topn_per_group" ->
+        """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+          |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_orderpriority
+          |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders)
+          |WHERE rn <= 2 ORDER BY o_orderpriority, rn""".stripMargin,
+      "bloom_geometry" ->
+        s"""SELECT rating, n, CAST(greatest(1, ceil(n * $bpk)) AS INT) AS m,
+           |       ${BloomFilter.numHashes(defaultP)} AS k
+           |FROM (SELECT rating, count(*) AS n FROM ($train) GROUP BY rating)
+           |ORDER BY rating""".stripMargin,
+      "bloom_probe_totals" ->
+        s"""SELECT rating, count(*) AS total FROM ($test)
+           |WHERE rating IN (SELECT DISTINCT rating FROM ($train))
+           |GROUP BY rating ORDER BY rating""".stripMargin,
+      "bloom_zero_fn" -> "SELECT CAST(0 AS BIGINT) AS false_negatives"
+      // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible
+      // (SURVEY.md §7.4.3) -> driver rows-only check; invariants covered by
+      // bloom_zero_fn above + PipelineSpec/statistical e2e.
+    )
+  }
 }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity TSV ingest (S1): the IMDb ratings file shape
+  * `(movieId, averageRating, numVotes)` with a header row (reference
+  * `util/split-dataset.py:29-33`, `bloomfilters_util.py:96-98`).
+  *
+  * Malformed-row policy (SURVEY.md §2.6 decision): PERMISSIVE parse →
+  * unparseable fields become null → dropped, with the dropped count
+  * observable via [[readRatingsTsvWithCorrupt]]. (The Hadoop reference
+  * logged-and-skipped; the Python reference crashed.)
+  */
+object Ingest {
+
+  val ratingsSchema: StructType = StructType(Seq(
+    StructField("movieId", StringType, nullable = true),
+    StructField("averageRating", DoubleType, nullable = true),
+    StructField("numVotes", IntegerType, nullable = true)))
+
+  /** Clean rows only: movieId + round-half-up integer rating. */
+  def readRatingsTsv(spark: SparkSession, path: String): DataFrame =
+    readRatingsTsvWithCorrupt(spark, path)
+      .where(col("movieId").isNotNull && col("averageRating").isNotNull)
+      .select(
+        col("movieId"),
+        floor(col("averageRating") + 0.5).cast("int").as("rating"))
+
+  /** Full parse including nulls for malformed fields, for callers that
+    * want the drop-with-metric accounting. */
+  def readRatingsTsvWithCorrupt(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema(ratingsSchema)
+      .csv(path)
+}
