@@ -120,11 +120,21 @@ object SparkEntry {
         Ratings.trainFromLineitem(s, dir),
         Ratings.testFromLineitem(s, dir), defaultP).orderBy("rating")),
     "bloom_probe_totals" -> ((s, dir) => {
+      // A REAL probe with an exact oracle: probe the train keys against
+      // their own filters. Zero-false-negatives guarantees hits == total,
+      // so DuckDB can predict both columns from plain group counts — while
+      // the Spark plan still executes the full build + bloom_might_contain
+      // probe path (the `hits` column forces it; nothing prunes away).
       val train = Ratings.trainFromLineitem(s, dir)
       val filters = BloomPipeline.buildFilters(train, defaultP)
-      Ratings.testFromLineitem(s, dir)
-        .join(broadcast(filters.select("rating")), Seq("rating"), "left_semi")
-        .groupBy("rating").agg(count("*").as("total")).orderBy("rating")
+      train
+        .join(broadcast(filters.select("rating", "m", "k", "bits")), "rating")
+        .select(col("rating"),
+          bloom_might_contain(col("bits"), col("m"), col("k"), col("movieId")).as("hit"))
+        .groupBy("rating").agg(
+          count("*").as("total"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+        .orderBy("rating")
     }),
     "bloom_zero_fn" -> ((s, dir) => {
       // The hard invariant, as a cross-engine oracle: probing every train
@@ -184,13 +194,13 @@ object SparkEntry {
           |  FROM orders)
           |WHERE rn <= 2 ORDER BY o_orderpriority, rn""".stripMargin,
       "bloom_geometry" ->
-        s"""SELECT rating, n, CAST(greatest(1, ceil(n * $bpk)) AS INT) AS m,
+        s"""SELECT rating, n,
+           |       CAST(least(${Int.MaxValue.toLong - 8}, greatest(1, ceil(n * $bpk))) AS INT) AS m,
            |       ${BloomFilter.numHashes(defaultP)} AS k
            |FROM (SELECT rating, count(*) AS n FROM ($train) GROUP BY rating)
            |ORDER BY rating""".stripMargin,
       "bloom_probe_totals" ->
-        s"""SELECT rating, count(*) AS total FROM ($test)
-           |WHERE rating IN (SELECT DISTINCT rating FROM ($train))
+        s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
            |GROUP BY rating ORDER BY rating""".stripMargin,
       "bloom_zero_fn" -> "SELECT CAST(0 AS BIGINT) AS false_negatives"
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible

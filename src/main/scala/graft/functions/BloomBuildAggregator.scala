@@ -44,6 +44,12 @@ object BloomBuildAggregator extends Aggregator[BloomInput, BloomBuf, Array[Byte]
       b.m = in.m
       b.k = in.k
       b.bits = new Array[Byte](BloomFilter.numBytes(in.m))
+    } else {
+      // Geometry must be constant within a group; hashing keys with the
+      // wrong (m, k) would corrupt the filter silently (false negatives).
+      require(in.m == b.m && in.k == b.k,
+        s"bloom_build: non-constant geometry within a group: " +
+          s"buffer (m=${b.m},k=${b.k}) vs row (m=${in.m},k=${in.k})")
     }
     if (in.key != null) {
       BloomFilter.putBytesInto(b.bits, b.m, b.k, in.key.getBytes(StandardCharsets.UTF_8))

@@ -30,11 +30,25 @@ package object functions {
   /** Register the SQL surface (`SELECT mmh3(c, 3)`, `bloom_build(...)`,
     * `bloom_might_contain(...)`) on a session. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mmh3", exprs => Mmh3(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_might_contain",
-      exprs => BloomMightContain(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    def arity(name: String, n: Int)(
+        build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression) =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        exprs => {
+          if (exprs.length != n) {
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> name, "expectedNum" -> n.toString,
+                "actualNum" -> exprs.length.toString, "legacyNum" -> n.toString))
+          }
+          build(exprs)
+        },
+        "built-in")
+    arity("mmh3", 2)(exprs => Mmh3(exprs(0), exprs(1)))
+    arity("bloom_might_contain", 4)(exprs =>
+      BloomMightContain(exprs(0), exprs(1), exprs(2), exprs(3)))
     spark.udf.register("bloom_build", bloom_build)
   }
 }

@@ -32,11 +32,16 @@ object BloomPipeline {
   /** Per-group geometry from counts: m = ceil(-n ln p / ln^2 2), constant
     * k = ceil(-ln p / ln 2) — identical arithmetic to
     * [[graft.core.BloomFilter.numBits]] so driver-side and SQL-side sizing
-    * agree bit-for-bit. */
+    * agree bit-for-bit, including the Int.MaxValue-8 upper clamp (without
+    * it the cast overflows under ANSI for groups of ~>496M keys at p=0.05;
+    * groups that large should use [[shardedFilters]] instead, which has no
+    * per-slab limit). */
   def sized(counts: DataFrame, p: Double): DataFrame = {
     val bitsPerKey = -math.log(p) / (math.log(2) * math.log(2))
     counts
-      .withColumn("m", greatest(lit(1L), ceil(col("n") * bitsPerKey)).cast("int"))
+      .withColumn("m",
+        least(lit(Int.MaxValue.toLong - 8),
+          greatest(lit(1L), ceil(col("n") * bitsPerKey))).cast("int"))
       .withColumn("k", lit(BloomFilter.numHashes(p)))
   }
 
