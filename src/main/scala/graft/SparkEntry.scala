@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{BloomPipeline, Ratings, Tables}
+import graft.operators.{BloomPipeline, Dedup, DedupSql, Ratings, Similarity, SimilaritySql, Tables, TextAnalysis, TextAnalysisSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -27,6 +27,15 @@ object SparkEntry {
 
   private def bitsPerKey(p: Double): Double =
     -math.log(p) / (math.log(2) * math.log(2))
+
+  /** Cross-batch dedup split: "old" corpus batch A vs "new" batch B, by
+    * source id (src0..src9 vs src10..src19). */
+  private val batchASources = (0 to 9).map(i => s"src$i")
+  private val batchAPredSql = batchASources.map(s => s"'$s'").mkString("source IN (", ", ", ")")
+
+  /** Similarity query set: every 50th vector. */
+  private val simQueryPredSql = "vec_id % 50 = 0"
+  private val simK = 5
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full reference pipeline in one plan: parse -> split -> sizing agg ->
@@ -144,7 +153,43 @@ object SparkEntry {
       train.join(broadcast(filters.select("rating", "m", "k", "bits")), "rating")
         .select(bloom_might_contain(col("bits"), col("m"), col("k"), col("movieId")).as("hit"))
         .agg(sum(when(col("hit"), 0L).otherwise(1L)).as("false_negatives"))
-    })
+    }),
+
+    // --- T: text analysis over documents (LLM-pipeline layer)
+    "t1_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t2_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t3_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t4_shingle_fp" -> ((s, dir) => // mmh3-valued -> rows-only check
+      TextAnalysis.shingleFingerprint(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    // --- D: deduplication (LLM-pipeline layer)
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactKeepers(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "dedup_bloom_xbatch" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.bloomNewDocs(
+        docs.where(col("source").isin(batchASources: _*)),
+        docs.where(!col("source").isin(batchASources: _*)), defaultP)
+        .orderBy("doc_id")
+    }),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, dir) => // simhash-valued -> rows-only check
+      Dedup.simhashPairs(Tables(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+    "dedup_embedding_cos" -> ((s, dir) =>
+      Similarity.bruteForcePairs(Tables(s, dir, "embeddings"), 0.4)
+        .orderBy("vec_a", "vec_b")),
+
+    // --- V: similarity search over embeddings (LLM-pipeline layer)
+    "sim_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")),
+    "sim_ann_lsh" -> ((s, dir) => // approximate by design -> rows-only check
+      Similarity.annTopK(Tables(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank"))
   )
 
   def oracleSql: Map[String, String] = {
@@ -202,10 +247,22 @@ object SparkEntry {
       "bloom_probe_totals" ->
         s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
            |GROUP BY rating ORDER BY rating""".stripMargin,
-      "bloom_zero_fn" -> "SELECT CAST(0 AS BIGINT) AS false_negatives"
+      "bloom_zero_fn" -> "SELECT CAST(0 AS BIGINT) AS false_negatives",
+      "t1_token_stats" -> s"${TextAnalysisSql.tokenStats} ORDER BY doc_id",
+      "t2_quality" -> s"${TextAnalysisSql.qualityScore} ORDER BY doc_id",
+      "t3_langid" -> s"${TextAnalysisSql.langId} ORDER BY doc_id",
+      "dedup_exact" -> s"${DedupSql.exactKeepers} ORDER BY doc_id",
+      "dedup_bloom_xbatch" ->
+        DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),
+      "dedup_minhash_lsh" -> DedupSql.minhashLshPairs(0.8, 3),
+      "dedup_embedding_cos" -> SimilaritySql.bruteForcePairs(0.4),
+      "sim_topk" -> SimilaritySql.bruteForceTopK(simQueryPredSql, simK)
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible
       // (SURVEY.md §7.4.3) -> driver rows-only check; invariants covered by
       // bloom_zero_fn above + PipelineSpec/statistical e2e.
+      // t4_shingle_fp / dedup_simhash: mmh3/simhash-valued -> rows-only +
+      // ScalaTest (TextDedupSpec). sim_ann_lsh: approximate by design ->
+      // rows-only + recall bound in SimilaritySpec.
     )
   }
 }

@@ -23,6 +23,22 @@ package object functions {
   def bloom_might_contain(bits: Column, m: Column, k: Column, key: Column): Column =
     col(BloomMightContain(expr(bits), expr(m), expr(k), expr(key)))
 
+  /** Cosine similarity of two ARRAY<FLOAT|DOUBLE> embedding columns. */
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
+
+  /** 64-bit SimHash of an ARRAY<STRING> token column. */
+  def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
+
+  /** MinHash signature (ARRAY<INT>, length numHashes) of an ARRAY<STRING>
+    * shingle column. */
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    col(MinHashSig(expr(shingles), numHashes))
+
+  /** Signed-random-projection LSH signature (LONG, low `bits` bits) of an
+    * ARRAY<FLOAT|DOUBLE> embedding column. */
+  def srp_sig(vec: Column, bits: Int, seed: Int = 0): Column =
+    col(SrpSig(expr(vec), bits, seed))
+
   /** Per-group Bloom build aggregate: `bloom_build(key, m, k)` → BINARY. */
   val bloom_build: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(BloomBuildAggregator, Encoders.product[BloomInput])
@@ -49,6 +65,14 @@ package object functions {
     arity("mmh3", 2)(exprs => Mmh3(exprs(0), exprs(1)))
     arity("bloom_might_contain", 4)(exprs =>
       BloomMightContain(exprs(0), exprs(1), exprs(2), exprs(3)))
+    arity("cosine_sim", 2)(exprs => CosineSim(exprs(0), exprs(1)))
+    arity("simhash64", 1)(exprs => SimHash64(exprs(0)))
+    arity("minhash_sig", 2) {
+      case Seq(sh, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+          org.apache.spark.sql.types.IntegerType)) => MinHashSig(sh, n)
+      case _ => throw new IllegalArgumentException(
+        "minhash_sig(shingles, numHashes): numHashes must be an INT literal")
+    }
     spark.udf.register("bloom_build", bloom_build)
   }
 }

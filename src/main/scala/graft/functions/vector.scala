@@ -1,0 +1,293 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.core.Murmur3
+
+/** Static kernels for the vector/text expressions below. Kept as plain
+  * static methods so whole-stage-generated code can call them without
+  * closure objects (same pattern as [[graft.core.BloomFilter]]'s kernels).
+  */
+object VectorKernels {
+
+  /** Cosine similarity of two equal-length float vectors, accumulated in
+    * double in index order (one pass, three accumulators). The DuckDB
+    * oracle mirrors this exact association:
+    * `dot / (sqrt(na) * sqrt(nb))`. Zero-norm input → 0.0. */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"cosine_sim: length mismatch ${n} vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"cosine_sim: length mismatch ${n} vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** MinHash signature kernel: one murmur3 per (shingle, seed), min-folded
+    * in place; returns a primitive int array (no boxing on either path).
+    * Null shingles are skipped. */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val sig = new Array[Int](numHashes)
+    java.util.Arrays.fill(sig, Int.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val bytes = shingles.getUTF8String(i).getBytes
+        var s = 0
+        while (s < numHashes) {
+          val h = Murmur3.hashBytes(bytes, s)
+          if (h < sig(s)) sig(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  // (bits, dims, seed) -> Rademacher hyperplanes; regenerated identically
+  // on every executor from murmur3, so no broadcast or shipping needed.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def planes(bits: Int, dims: Int, seed: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, dims, seed), { key =>
+      val (b, d, s) = key
+      Array.tabulate(b, d) { (bi, di) =>
+        val h = Murmur3.hashBytes(s"$s:$bi:$di".getBytes("UTF-8"), 0)
+        if ((h & 1) == 1) 1.0 else -1.0
+      }
+    })
+
+  /** Signed-random-projection signature kernel (see [[SrpSig]]). */
+  def srpSig(vec: ArrayData, bits: Int, seed: Int, isFloat: Boolean): Long = {
+    val dims = vec.numElements()
+    val ps = planes(bits, dims, seed)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val p = ps(b)
+      var dot = 0.0
+      var d = 0
+      while (d < dims) {
+        val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+        dot += p(d) * x
+        d += 1
+      }
+      if (dot > 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over a token array: each token contributes a 64-bit
+    * hash (two seeded murmur3_x86_32 halves, seeds 0x5131 / 0x7353); the
+    * signature bit is the sign of the per-bit vote sum. Near-duplicate
+    * documents differ in few bits (compare with `bit_count(a ^ b)`).
+    * Null tokens are skipped. */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val bytes = tokens.getUTF8String(t).getBytes
+        val lo = Murmur3.hashBytes(bytes, 0x5131)
+        val hi = Murmur3.hashBytes(bytes, 0x7353)
+        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** `minhash_sig(shingles, numHashes)` — MinHash signature of an
+  * `ARRAY<STRING>` shingle column: `sig[s] = min over shingles of
+  * mmh3(shingle, s)` for seeds `0..numHashes-1`. A native kernel because
+  * the built-in composition `transform(sequence(0,H-1), s ->
+  * array_min(transform(sh, x -> mmh3(x, s))))` routes H×|shingles| hash
+  * calls through interpreted lambdas. Empty input → all-Int.MaxValue
+  * signature (deterministic; such docs should be filtered upstream).
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes > 0, s"minhash_sig: numHashes must be positive, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig argument must be ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(shingles: Any): Any =
+    VectorKernels.minhashSig(shingles.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sh =>
+      s"${ev.value} = graft.functions.VectorKernels.minhashSig($sh, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `cosine_sim(a, b)` — cosine similarity of two `ARRAY<FLOAT|DOUBLE>`
+  * embedding columns as one codegen'd kernel call.
+  *
+  * Why a native expression: the built-in composition
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` routes every element through
+  * interpreted `HigherOrderFunction` lambdas — at a 25M-pair similarity
+  * self-join that is ~1.6B boxed lambda invocations. This kernel is a tight
+  * primitive loop inside whole-stage codegen.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim arguments must both be ARRAY<FLOAT> or ARRAY<DOUBLE>, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "cosine_sim"
+
+  private def kernel: String = elemType(left) match {
+    case Some(FloatType) => "cosineFloat"
+    case _               => "cosineDouble"
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (elemType(left).contains(FloatType)) VectorKernels.cosineFloat(x, y)
+    else VectorKernels.cosineDouble(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.$kernel($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `srp_sig(vec, bits, seed)` — signed-random-projection (hyperplane) LSH
+  * signature of an `ARRAY<FLOAT|DOUBLE>` embedding: bit `b` is set iff the
+  * dot product with pseudo-random Rademacher (±1) hyperplane `b` is
+  * positive. Collision probability of two vectors on one bit is
+  * `1 − θ/π` (Charikar), so near-parallel vectors share most bits — the
+  * bucketing key for ANN at scale. Hyperplanes are derived deterministically
+  * from `(seed, bit, dim)` via murmur3 and cached per (bits, dims, seed),
+  * so executors regenerate identical planes with no broadcast.
+  */
+case class SrpSig(child: Expression, bits: Int, seed: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 64, s"srp_sig: bits must be in 1..64, got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"srp_sig argument must be ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "srp_sig"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(vec: Any): Any =
+    VectorKernels.srpSig(vec.asInstanceOf[ArrayData], bits, seed, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernels.srpSig($v, $bits, $seed, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSig =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)` — 64-bit SimHash signature of an `ARRAY<STRING>`
+  * token column (Charikar's similarity-preserving hash; near-duplicate
+  * detection via Hamming distance `bit_count(a ^ b)` on the result).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 argument must be ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorKernels.simhash(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.VectorKernels.simhash($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

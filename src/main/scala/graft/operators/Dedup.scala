@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{bloom_build, bloom_might_contain, minhash_sig, simhash64}
+import graft.operators.TextAnalysis.{normalized, shingles, tokens}
+
+/** Deduplication operators over the `documents` table — the core of an
+  * LLM-training-data pipeline. Five strategies, each the idiomatic Spark
+  * shape for its scale class:
+  *
+  *  - [[exactKeepers]]     exact dedup via hash-bucketed shuffle group
+  *  - [[bloomNewDocs]]     cross-batch dedup with a Bloom prefilter (the
+  *                         engine's own filters as a dedup accelerator)
+  *  - [[minhashLshPairs]]  near-dup pairs via MinHash + banded LSH — the
+  *                         100 TB path: candidates come from bucket joins,
+  *                         never an all-pairs product
+  *  - [[simhashPairs]]     near-dup pairs via 64-bit SimHash + band blocking
+  *  - embedding-cosine near-dup lives in [[Similarity.bruteForcePairs]]
+  *
+  * Every exact-output operator has a DuckDB twin in [[DedupSql]]; the
+  * hash-valued internals (minhash/simhash signatures) never leak into a
+  * checked result — candidates are verified on exact token shingles, so
+  * LSH output equals the all-pairs oracle whenever recall is 1 (with 128
+  * hashes in 32 bands of 4 the miss probability of a Jaccard-0.8 pair is
+  * (1-0.8^4)^32 ≈ 4e-8; the planted near-dups in the testdata are ≥0.9,
+  * miss ≈ 1.5e-15).
+  */
+object Dedup {
+
+  /** Exact dedup: `(doc_id, is_keeper)` for every document; the keeper of
+    * a duplicate group is the minimum doc_id. Grouping key is the 64-bit
+    * content fingerprint *plus* the normalized text — the hash bounds the
+    * comparator work and the text guards against hash collisions, so the
+    * result is exact at any scale. One shuffle, window over tiny groups.
+    */
+  def exactKeepers(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = normalized(col("text"))
+    val w = Window.partitionBy(col("fp"), col("norm"))
+    docs
+      .select(col("doc_id"), xxhash64(norm).as("fp"), norm.as("norm"))
+      .withColumn("is_keeper", col("doc_id") === min("doc_id").over(w))
+      .select(col("doc_id"), col("is_keeper"))
+  }
+
+  /** Cross-batch dedup with a Bloom prefilter: `(doc_id, is_new)` for
+    * every document of `batchB`, where `is_new` ⇔ its normalized text does
+    * not occur in `batchA`. Exact semantics; the filter only prunes.
+    *
+    * Scale shape: batch A is folded into ONE Bloom filter (a single
+    * `bloom_build` aggregate, sized from a count pass); every B row probes
+    * the broadcast filter inside codegen, and only the bloom-positive
+    * sliver (true dups + ~p·|B| false positives) reaches the exact
+    * semi-join — the expensive shuffle join runs on a fraction of B, which
+    * at 100 TB is the difference between joining everything and joining
+    * almost nothing. Zero false negatives ⇒ no dup can slip past.
+    */
+  def bloomNewDocs(batchA: DataFrame, batchB: DataFrame, p: Double): DataFrame = {
+    val aKeys = batchA.select(normalized(col("text")).as("key")).withColumn("g", lit(1))
+    val geometry = BloomPipeline.sized(aKeys.groupBy("g").agg(count("*").as("n")), p)
+    val filter = aKeys
+      .join(broadcast(geometry), "g")
+      .groupBy("g", "m", "k")
+      .agg(bloom_build(col("key"), col("m"), col("k")).as("bits"))
+
+    val b = batchB
+      .select(col("doc_id"), normalized(col("text")).as("key"))
+      .join(broadcast(filter.select("m", "k", "bits")))
+      .withColumn("candidate", bloom_might_contain(col("bits"), col("m"), col("k"), col("key")))
+
+    val confirmed = b.where(col("candidate"))
+      .join(batchA.select(normalized(col("text")).as("key")).distinct(), Seq("key"), "left_semi")
+      .select(col("doc_id"))
+
+    b.select(col("doc_id")).except(confirmed).withColumn("is_new", lit(true))
+      .unionByName(confirmed.withColumn("is_new", lit(false)))
+  }
+
+  /** Shingle sets for near-dup detection: distinct word `n`-gram shingles
+    * of documents with at least one token (empty docs are excluded — they
+    * are all trivially identical and belong to [[exactKeepers]]). */
+  def shingleSets(docs: DataFrame, shingleN: Int): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .where(size(t) > 0)
+      .select(col("doc_id"), array_distinct(shingles(t, shingleN)).as("sh"))
+  }
+
+  /** All ordered document pairs `(doc_a < doc_b)` whose exact shingle
+    * Jaccard ≥ `threshold`, found via MinHash + banded LSH:
+    *
+    *   signature (numHashes seeded-murmur minima, native kernel)
+    *   → `bands` bucket keys per doc (xxhash64 of each signature slice)
+    *   → shuffle on (band, key): only co-bucketed docs ever meet
+    *   → pair expansion inside buckets, distinct
+    *   → exact Jaccard verify on the two shingle sets
+    *
+    * Nothing here is quadratic in the corpus: the bucket shuffle carries
+    * one row per (doc, band), and the verify join is linear in candidate
+    * pairs. Pathologically hot buckets (> `maxBucket` docs) are dropped —
+    * at that size the docs are exact-dup-like and belong to
+    * [[exactKeepers]]; the cap bounds worst-case pair expansion.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleN: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+
+    val base = shingleSets(docs, shingleN)
+    val sigs = base.select(col("doc_id"), minhash_sig(col("sh"), numHashes).as("sig"))
+
+    // band count is a plan-time constant, so the band keys are a literal
+    // array of codegen'd expressions — no interpreted lambda in the path
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(array(
+        (0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .toDF("doc_id", "band", "key")
+
+    val candidates = buckets
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(pairsOf(col("ids"))).as("pair"))
+      .select(col("pair._1").as("doc_a"), col("pair._2").as("doc_b"))
+      .distinct()
+
+    val verified = candidates
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+
+    verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** All ordered pairs from a sorted id array: [a,b,c] → [(a,b),(a,c),(b,c)].
+    * Bucket cardinality is capped upstream, so the quadratic expansion is
+    * bounded per bucket, never per corpus. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(sequence(lit(1), size(ids) - 1),
+      i => transform(sequence(i + 1, size(ids)),
+        j => struct(element_at(ids, i).as("_1"), element_at(ids, j).as("_2")))))
+
+  /** Near-dup pairs via 64-bit SimHash: `(doc_a, doc_b, hamming)` with
+    * Hamming distance ≤ `maxHamming`. Blocking: the 64-bit signature is
+    * cut into `maxHamming + 1` bands — by pigeonhole any pair within the
+    * distance budget agrees exactly on ≥1 band, so candidates come from
+    * equality bucket joins (same scale shape as LSH), and the final
+    * distance check is one xor+popcount. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val t = tokens(col("text"))
+    val sigs = docs
+      .where(size(t) > 0)
+      .select(col("doc_id"), simhash64(t).as("sig"))
+
+    val buckets = sigs.select(col("doc_id"), col("sig"), posexplode(array(
+      (0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*))).toDF("doc_id", "sig", "band", "key")
+
+    buckets
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
+      .where(size(col("members")) > 1)
+      .select(explode(pairsOf(col("members"))).as("p"))
+      .select(
+        col("p._1.doc_id").as("doc_a"), col("p._2.doc_id").as("doc_b"),
+        bit_count(col("p._1.sig").bitwiseXOR(col("p._2.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}
+
+/** DuckDB twins of the exact-output [[Dedup]] operators. */
+object DedupSql {
+  import TextAnalysisSql.toks
+
+  val norm = s"array_to_string($toks, ' ')"
+
+  val exactKeepers: String =
+    s"""SELECT doc_id,
+       |       doc_id = min(doc_id) OVER (PARTITION BY $norm) AS is_keeper
+       |FROM documents""".stripMargin
+
+  /** Shingle-set expression for a `documents`-shaped relation. */
+  def shinglesSql(n: Int): String =
+    s"""CASE WHEN len($toks) >= $n
+       |  THEN list_distinct(list_transform(range(1, len($toks) - ${n - 2}),
+       |         i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))
+       |  ELSE [array_to_string($toks, ' ')] END""".stripMargin
+
+  def minhashLshPairs(threshold: Double, shingleN: Int): String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, ${shinglesSql(shingleN)} AS sh
+       |  FROM documents WHERE len($toks) > 0)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** `is_new` twin for [[Dedup.bloomNewDocs]] with batches split by a SQL
+    * predicate over `documents`. */
+  def bloomNewDocs(aPred: String, bPred: String): String =
+    s"""SELECT b.doc_id, a.key IS NULL AS is_new
+       |FROM (SELECT doc_id, $norm AS key FROM documents WHERE $bPred) b
+       |LEFT JOIN (SELECT DISTINCT $norm AS key FROM documents WHERE $aPred) a
+       |  USING (key)
+       |ORDER BY doc_id""".stripMargin
+}

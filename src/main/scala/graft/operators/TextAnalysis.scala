@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the first layer of
+  * the LLM-training-data pipeline (tokenize → quality-score → language-ID →
+  * fingerprint), feeding the dedup operators in [[Dedup]].
+  *
+  * Everything here is built from codegen'd built-in expressions (no UDFs);
+  * each derivation has a DuckDB-SQL twin in [[TextAnalysisSql]] so the
+  * whole layer is oracle-checked end to end.
+  *
+  * Scale notes: every operator is a narrow per-row projection — no shuffle,
+  * no state — so it scales linearly and stays inside whole-stage codegen.
+  * Shingle/minhash arrays are bounded by tokens-per-doc, never by corpus
+  * size.
+  */
+object TextAnalysis {
+
+  /** Word tokens: lower-cased maximal `[a-z0-9]+` runs. A deliberately
+    * deterministic, cross-engine-reproducible tokenizer (a BPE vocabulary
+    * is model-specific; the regex family is what C4/Gopher-style corpus
+    * pipelines use for stats and dedup keys). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Normalized form used for exact-dup keys: tokens re-joined with single
+    * spaces (case/punct/whitespace-insensitive). */
+  def normalized(text: Column): Column = concat_ws(" ", tokens(text))
+
+  /** Word `n`-gram shingles of the token array; documents shorter than `n`
+    * tokens contribute their whole normalized text as one shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  // --- stopword profiles (tiny, deterministic; the language-ID heuristic
+  // scores tokens against each profile and takes the arg-max) ---
+  val stopEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+  val stopDe: Seq[String] = Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den")
+  val stopFr: Seq[String] = Seq("le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que")
+  val stopEs: Seq[String] = Seq("el", "los", "de", "que", "y", "en", "un", "es", "una", "por")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Per-document token statistics: `(doc_id, n_tokens, n_distinct,
+    * total_token_chars)`. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      length(concat_ws("", t)).as("total_token_chars"))
+  }
+
+  /** Heuristic quality score in [0,1] from length, lexical diversity and
+    * stopword density — the C4/Gopher-style cheap filters. All ratios are
+    * double divisions of exact ints, so the oracle matches bit-for-bit. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(t))
+      .withColumn("n_distinct", size(array_distinct(t)))
+      .withColumn("n_stop", countIn(t, stopEn))
+      .withColumn("alnum_chars", length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+          .otherwise(0.0).as("distinct_ratio"),
+        when(col("n_tokens") > 0,
+          round(col("n_stop").cast("double") / col("n_tokens"), 6))
+          .otherwise(0.0).as("stop_ratio"),
+        when(length(col("text")) > 0,
+          round(col("alnum_chars").cast("double") / length(col("text")), 6))
+          .otherwise(0.0).as("alnum_ratio"),
+        when(col("n_tokens") > 0,
+          round(
+            least(lit(1.0), col("n_tokens").cast("double") / 64.0) * 0.4
+              + (col("n_distinct").cast("double") / col("n_tokens")) * 0.3
+              + (col("n_stop").cast("double") / col("n_tokens")) * 0.3, 6))
+          .otherwise(0.0).as("quality"))
+  }
+
+  /** N-gram stopword-profile language ID with a deterministic tie-break
+    * (en > de > es > fr > und). Honest heuristic: on synthetic text it
+    * mostly answers 'en' or 'und'; the point is the operator + oracle. */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .withColumn("s_en", countIn(t, stopEn))
+      .withColumn("s_de", countIn(t, stopDe))
+      .withColumn("s_fr", countIn(t, stopFr))
+      .withColumn("s_es", countIn(t, stopEs))
+      .select(
+        col("doc_id"),
+        when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "und")
+          .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr").as("lang_pred"))
+  }
+
+  /** 64-bit content fingerprint of the normalized text (exact-dup key).
+    * xxhash64 is Spark-built-in and codegen'd; dedup correctness never
+    * depends on it being collision-free because [[Dedup]] verifies
+    * candidates on the text itself. */
+  def fingerprint(text: Column): Column = xxhash64(normalized(text))
+
+  /** Winnowing-style rolling fingerprint: min/max seeded-murmur over the
+    * document's word 3-gram shingles (SURVEY.md operator family F4 reused
+    * as a text kernel). Two extremes rather than a full winnow window keep
+    * it SQL-expressible; min-hash generalizes it in [[Dedup.minhashSignature]]. */
+  def shingleFingerprint(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(tokens(col("text")), n)
+    docs.select(
+      col("doc_id"),
+      size(array_distinct(sh)).as("n_shingles"),
+      array_min(transform(sh, s => graft.functions.mmh3(s, 0))).as("min_hash"),
+      array_max(transform(sh, s => graft.functions.mmh3(s, 0))).as("max_hash"))
+  }
+}
+
+/** DuckDB twins of [[TextAnalysis]] for the driver oracle. Kept adjacent to
+  * the Scala derivations so the two stay in lock-step; every constant is
+  * shared. (mmh3-valued columns have no DuckDB twin — those queries are
+  * registered rows-only.)
+  */
+object TextAnalysisSql {
+
+  val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private def nStop(words: Seq[String]): String =
+    s"len(list_filter($toks, t -> t IN (${inList(words)})))"
+
+  val tokenStats: String =
+    s"""SELECT doc_id,
+       |       len($toks) AS n_tokens,
+       |       len(list_distinct($toks)) AS n_distinct,
+       |       length(array_to_string($toks, '')) AS total_token_chars
+       |FROM documents""".stripMargin
+
+  val qualityScore: String =
+    s"""SELECT doc_id, n_tokens,
+       |  CASE WHEN n_tokens > 0 THEN round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS distinct_ratio,
+       |  CASE WHEN n_tokens > 0 THEN round(CAST(n_stop AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN length(text) > 0 THEN round(CAST(alnum_chars AS DOUBLE) / length(text), 6) ELSE 0.0 END AS alnum_ratio,
+       |  CASE WHEN n_tokens > 0 THEN round(
+       |    least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) * 0.4
+       |      + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+       |      + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3, 6) ELSE 0.0 END AS quality
+       |FROM (
+       |  SELECT doc_id, text,
+       |         len($toks) AS n_tokens,
+       |         len(list_distinct($toks)) AS n_distinct,
+       |         ${nStop(TextAnalysis.stopEn)} AS n_stop,
+       |         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_chars
+       |  FROM documents)""".stripMargin
+
+  val langId: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+       |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id,
+       |         ${nStop(TextAnalysis.stopEn)} AS s_en,
+       |         ${nStop(TextAnalysis.stopDe)} AS s_de,
+       |         ${nStop(TextAnalysis.stopFr)} AS s_fr,
+       |         ${nStop(TextAnalysis.stopEs)} AS s_es
+       |  FROM documents)""".stripMargin
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.{cosine_sim, srp_sig}
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vecDf(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine_sim matches a reference computation on float arrays") {
+    val a = Seq(1.0f, 2.0f, 3.0f)
+    val b = Seq(-1.0f, 0.5f, 2.0f)
+    val got = vecDf((1L, a)).withColumn("b", lit(b.toArray))
+      .select(cosine_sim($"embedding", $"b")).head().getDouble(0)
+    def ref(x: Seq[Float], y: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      x.indices.foreach { i =>
+        val (xi, yi) = (x(i).toDouble, y(i).toDouble)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(got === ref(a, b))
+  }
+
+  test("cosine_sim: orthogonal -> 0, parallel -> 1, zero vector -> 0") {
+    val rows = vecDf((1L, Seq(1f, 0f))).select(
+      cosine_sim($"embedding", lit(Array(0f, 1f))),
+      cosine_sim($"embedding", lit(Array(2f, 0f))),
+      cosine_sim($"embedding", lit(Array(0f, 0f)))).head()
+    assert(rows.getDouble(0) === 0.0)
+    assert(rows.getDouble(1) === 1.0)
+    assert(rows.getDouble(2) === 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val e = vecDf(
+      (0L, Seq(1f, 0f)),   // query
+      (1L, Seq(1f, 0.1f)), // closest
+      (2L, Seq(1f, 0.5f)),
+      (3L, Seq(0f, 1f)),   // orthogonal
+      (4L, Seq(-1f, 0f)))  // opposite
+    val got = Similarity.bruteForceTopK(e, $"vec_id" === 0, k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("bruteForcePairs finds exactly the >= threshold pairs") {
+    val e = vecDf(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0.01f)), // ~1.0
+      (3L, Seq(0f, 1f)), (4L, Seq(0.01f, 1f)), // ~1.0
+      (5L, Seq(0.7f, 0.7f)))                   // ~0.7 to both axes
+    val got = Similarity.bruteForcePairs(e, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("srp_sig: deterministic, and near-identical vectors mostly agree") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val df = vecDf((1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq))
+      .select($"vec_id", srp_sig($"embedding", 16, 0).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = vecDf((1L, base.toSeq))
+      .select(srp_sig($"embedding", 16, 0)).head().getLong(0)
+    assert(sigs(1L) === again)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) <= 2, "tiny perturbation flips few bits")
+    assert(ham(sigs(1L), sigs(3L)) >= 3, "unrelated vectors differ more")
+  }
+
+  test("annTopK: high recall@1 on clustered data") {
+    // 20 tight clusters of 10 vectors each; query one member per cluster,
+    // its true top-1 is another member of the same cluster
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextGaussian()))
+    val rows = for {
+      c <- 0 until 20
+      i <- 0 until 10
+    } yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.03).toFloat)
+      ((c * 10 + i).toLong, v.toSeq)
+    }
+    val e = vecDf(rows: _*)
+    val queryPred = col("vec_id") % 10 === 0
+
+    val exact = Similarity.bruteForceTopK(e, queryPred, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val approx = Similarity.annTopK(e, queryPred, 1, sigBits = 16, bands = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@1 = $recall")
+    // and every approx neighbor must at least be from the right cluster
+    approx.foreach { case (q, n) => assert(n / 10 === q / 10, s"query $q -> $n") }
+  }
+}

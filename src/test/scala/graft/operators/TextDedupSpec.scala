@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.{simhash64, minhash_sig}
+import graft.operators.TextAnalysis.tokens
+
+class TextDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("tokens: lowercase alnum runs; punctuation and unicode stripped") {
+    val got = docs((1L, "Hello, WORLD!  x2 -- naïve"))
+      .select(tokens($"text")).head().getSeq[String](0)
+    assert(got === Seq("hello", "world", "x2", "na", "ve"))
+  }
+
+  test("shingles: short docs fall back to whole normalized text") {
+    val sh2 = docs((1L, "only two"))
+      .select(TextAnalysis.shingles(tokens($"text"), 3)).head().getSeq[String](0)
+    assert(sh2 === Seq("only two"))
+    val sh4 = docs((1L, "one two three four"))
+      .select(TextAnalysis.shingles(tokens($"text"), 3)).head().getSeq[String](0)
+    assert(sh4 === Seq("one two three", "two three four"))
+  }
+
+  test("exactKeepers: min doc_id survives; normalization folds case/punct") {
+    val d = docs(
+      (10L, "The quick brown fox"),
+      (7L, "the QUICK brown fox!!"),   // same normalized text -> same group
+      (3L, "a different document"))
+    val got = Dedup.exactKeepers(d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(7L -> true, 10L -> false, 3L -> true))
+  }
+
+  test("bloomNewDocs: exact cross-batch dedup despite bloom false positives") {
+    // aggressive p so FPs certainly occur -> proves the exact verify join
+    val a = docs((1 to 200).map(i => (i.toLong, s"batch a doc number $i")): _*)
+    val dupTexts = (1 to 50).map(i => (1000L + i, s"batch a doc number $i"))
+    val fresh = (1 to 150).map(i => (2000L + i, s"completely new doc $i"))
+    val b = docs(dupTexts ++ fresh: _*)
+    val got = Dedup.bloomNewDocs(a, b, p = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size === 200)
+    dupTexts.foreach { case (id, _) => assert(!got(id), s"doc $id must be dup") }
+    fresh.foreach { case (id, _) => assert(got(id), s"doc $id must be new") }
+  }
+
+  private val baseWords =
+    (1 to 60).map(i => s"w$i")
+
+  test("minhashLshPairs finds exactly the all-pairs Jaccard matches") {
+    // 3 near-dup pairs (small edits on 60-token docs) + unrelated docs
+    val d = docs(
+      (1L, baseWords.mkString(" ")),
+      (2L, (baseWords.take(58) :+ "changed").mkString(" ")),       // ~0.95 sim
+      (3L, baseWords.map(w => s"x$w").mkString(" ")),
+      (4L, (baseWords.map(w => s"x$w").take(59) :+ "y").mkString(" ")),
+      (5L, (1 to 60).map(i => s"z$i").mkString(" ")),
+      (6L, "tiny doc"))
+    val got = Dedup.minhashLshPairs(d, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    // brute-force truth from the same shingle sets
+    val sets = Dedup.shingleSets(d, 3)
+    val truth = sets.toDF("a", "sa").crossJoin(sets.toDF("b", "sb"))
+      .where($"a" < $"b")
+      .withColumn("j", size(array_intersect($"sa", $"sb")).cast("double")
+        / size(array_union($"sa", $"sb")))
+      .where($"j" >= 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+
+    assert(truth.nonEmpty, "test must plant at least one near-dup pair")
+    assert(got === truth)
+  }
+
+  test("minhashLshPairs: jaccard values are exact int ratios") {
+    val d = docs(
+      (1L, baseWords.mkString(" ")),
+      (2L, (baseWords.take(58) :+ "changed").mkString(" ")))
+    val rows = Dedup.minhashLshPairs(d, threshold = 0.5).collect()
+    assert(rows.length === 1)
+    val j = rows.head.getAs[Double]("jaccard")
+    // doc1: 58 shingles (60 tokens), doc2: 57 (59 tokens); the 56 shingles
+    // inside w1..w58 are shared -> union 59
+    assert(j === 56.0 / 59.0)
+  }
+
+  test("simhash: identical token streams collide; near docs are close") {
+    val d = docs(
+      (1L, baseWords.mkString(" ")),
+      (2L, baseWords.mkString(" ") + "."),          // same tokens
+      (3L, (baseWords.take(57) ++ Seq("a", "b", "c")).mkString(" ")),
+      (4L, (1 to 60).map(i => s"q$i").mkString(" ")))
+    val sigs = d.select($"doc_id", simhash64(tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) <= 16, "5% token edit must stay close")
+    assert(ham(sigs(1L), sigs(4L)) > 16, "unrelated docs must be far")
+
+    val pairs = Dedup.simhashPairs(d, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash_sig: min-fold over seeded murmur, deterministic") {
+    val sig1 = docs((1L, baseWords.mkString(" ")))
+      .select(minhash_sig(TextAnalysis.shingles(tokens($"text"), 3), 16))
+      .head().getSeq[Int](0)
+    val sig2 = docs((1L, baseWords.mkString(" ")))
+      .select(minhash_sig(TextAnalysis.shingles(tokens($"text"), 3), 16))
+      .head().getSeq[Int](0)
+    assert(sig1 === sig2)
+    assert(sig1.length === 16)
+    // cross-check one lane against the core hash
+    val shingles = (1 to 58).map(i => s"w$i w${i + 1} w${i + 2}")
+    val expected0 = shingles.map(s => graft.core.Murmur3.hashString(s, 0)).min
+    assert(sig1.head === expected0)
+  }
+
+  test("langId: picks the profile with most stopword hits") {
+    val d = docs(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der Hund und die Katze ist nicht hier"),
+      (3L, "xyzzy plugh quux"))
+    val got = Dedup.exactKeepers(d) // warm no-op to keep session hot
+    val langs = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs === Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+}
