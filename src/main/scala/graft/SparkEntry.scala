@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{BloomPipeline, Dedup, DedupSql, Ratings, Similarity, SimilaritySql, Tables, TextAnalysis, TextAnalysisSql}
+import graft.operators.{BloomPipeline, Dedup, DedupSql, FilterStore, Ingest, Ratings, Similarity, SimilaritySql, Tables, TextAnalysis, TextAnalysisSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -36,6 +36,16 @@ object SparkEntry {
   /** Similarity query set: every 50th vector. */
   private val simQueryPredSql = "vec_id % 50 = 0"
   private val simK = 5
+
+  /** Slab size for the sharded-bloom queries: small enough that sf0.01
+    * groups (~10k keys, ~50k bits) split into ~4 shards. */
+  private val shardedSlabBits = 16384L
+
+  /** Scratch dir for queries that demonstrate sink → re-scan round trips
+    * (filter artifacts, text output, TSV fixtures). Deterministic per
+    * (input dir, name) so repeated runs overwrite rather than accumulate. */
+  private def tmpPath(dir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_${math.abs(dir.hashCode)}"
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Full reference pipeline in one plan: parse -> split -> sizing agg ->
@@ -155,6 +165,91 @@ object SparkEntry {
         .agg(sum(when(col("hit"), 0L).otherwise(1L)).as("false_negatives"))
     }),
 
+    // --- A2/K/S leftovers: reference-shaped build equivalence, filter
+    // persist+reload round-trip, text sink round-trip, TSV ingest
+    "a2_indexed_equiv" -> ((s, dir) => {
+      // Cross-formulation invariant: the reference-shaped explicit-index
+      // build must produce byte-identical filters to the fused aggregator.
+      val train = Ratings.trainFromLineitem(s, dir)
+      val fused = BloomPipeline.buildFilters(train, defaultP)
+        .select(col("rating"), col("bits").as("bits_fused"))
+      val indexed = BloomPipeline.buildFiltersIndexed(train, defaultP)
+        .select(col("rating"), col("bits").as("bits_indexed"))
+      fused.join(indexed, "rating")
+        .agg(sum(when(col("bits_fused") === col("bits_indexed"), 0L).otherwise(1L))
+          .as("mismatched"))
+    }),
+    "bloom_reload_probe" -> ((s, dir) => {
+      // Reference lifecycle S3/S4+K2/K3: build -> persist artifact ->
+      // reload -> probe. hits == total by zero-FN, so fully oracle-checked.
+      val train = Ratings.trainFromLineitem(s, dir)
+      val path = tmpPath(dir, "filters")
+      FilterStore.save(BloomPipeline.buildFilters(train, defaultP), path)
+      val filters = FilterStore.load(s, path)
+      train
+        .join(broadcast(filters.select("rating", "m", "k", "bits")), "rating")
+        .select(col("rating"),
+          bloom_might_contain(col("bits"), col("m"), col("k"), col("movieId")).as("hit"))
+        .groupBy("rating").agg(
+          count("*").as("total"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+        .orderBy("rating")
+    }),
+    "k1_text_roundtrip" -> ((s, dir) => {
+      // K1 text sink + K4 single-file merge + P6 format-project + re-scan:
+      // linecount formatted as "rating\tn" text lines (the reference's
+      // count-number-of-keys.py:37 output shape), merged to one file,
+      // read back and re-parsed.
+      val path = tmpPath(dir, "linecount_txt")
+      BloomPipeline.linecount(Ratings.fromLineitem(s, dir))
+        .select(format_string("%d\t%d", col("rating"), col("n")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(split(col("value"), "\t").as("f"))
+        .select(col("f").getItem(0).cast("int").as("rating"),
+          col("f").getItem(1).cast("bigint").as("n"))
+        .orderBy("rating")
+    }),
+    "s1_tsv_ingest" -> ((s, dir) => {
+      // S1 TSV scan + F1/F2/F3 parse/cast/round: materialize the ratings
+      // TSV shape (movieId, averageRating, numVotes) from lineitem, then
+      // ingest it through the reference-parity reader.
+      val path = tmpPath(dir, "ratings_tsv")
+      Tables(s, dir, "lineitem")
+        .where(col("l_quantity") >= 2.5)
+        .select(
+          concat(lit("it"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("movieId"),
+          (col("l_quantity") / 5.0).as("averageRating"),
+          lit(1).as("numVotes"))
+        .write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
+      Ingest.readRatingsTsv(s, path).orderBy("movieId")
+    }),
+
+    // --- Sharded bloom (the 100 TB shape; slab size forced small here so
+    // even sf0.01 groups split into multiple shards and the routing is
+    // genuinely exercised)
+    "bloom_sharded_geometry" -> ((s, dir) =>
+      BloomPipeline.shardedSized(
+        BloomPipeline.linecount(Ratings.trainFromLineitem(s, dir)),
+        defaultP, maxSlabBits = shardedSlabBits).orderBy("rating")),
+    "bloom_sharded_zero_fn" -> ((s, dir) => {
+      val train = Ratings.trainFromLineitem(s, dir)
+      val filters = BloomPipeline.buildShardedFilters(train, defaultP, shardedSlabBits)
+      val geometry = filters.select("rating", "s", "m", "k").distinct()
+      train.join(broadcast(geometry), "rating")
+        .withColumn("shard",
+          pmod(graft.functions.mmh3(col("movieId"), BloomPipeline.routeSeed), col("s")))
+        .join(filters.select("rating", "shard", "bits"), Seq("rating", "shard"))
+        .select(bloom_might_contain(col("bits"), col("m"), col("k"), col("movieId")).as("hit"))
+        .agg(sum(when(col("hit"), 0L).otherwise(1L)).as("false_negatives"))
+    }),
+    "bloom_sharded_fpstats" -> ((s, dir) => // bit-valued internals -> rows-only
+      BloomPipeline.fpStatsSharded(
+        Ratings.testFromLineitem(s, dir),
+        BloomPipeline.buildShardedFilters(
+          Ratings.trainFromLineitem(s, dir), defaultP, shardedSlabBits))
+        .orderBy("rating")),
+
     // --- T: text analysis over documents (LLM-pipeline layer)
     "t1_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables(s, dir, "documents")).orderBy("doc_id")),
@@ -248,6 +343,23 @@ object SparkEntry {
         s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
            |GROUP BY rating ORDER BY rating""".stripMargin,
       "bloom_zero_fn" -> "SELECT CAST(0 AS BIGINT) AS false_negatives",
+      "bloom_sharded_geometry" ->
+        s"""SELECT rating, n, s,
+           |       CAST(least(${Int.MaxValue.toLong - 8}, greatest(1,
+           |         ceil(ceil(n / CAST(s AS DOUBLE)) * $bpk))) AS INT) AS m,
+           |       ${BloomFilter.numHashes(defaultP)} AS k
+           |FROM (SELECT rating, n,
+           |        CAST(greatest(1, ceil(ceil(n * $bpk) / $shardedSlabBits.0)) AS INT) AS s
+           |      FROM (SELECT rating, count(*) AS n FROM ($train) GROUP BY rating))
+           |ORDER BY rating""".stripMargin,
+      "bloom_sharded_zero_fn" -> "SELECT CAST(0 AS BIGINT) AS false_negatives",
+      "a2_indexed_equiv" -> "SELECT CAST(0 AS BIGINT) AS mismatched",
+      "bloom_reload_probe" ->
+        s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
+           |GROUP BY rating ORDER BY rating""".stripMargin,
+      "k1_text_roundtrip" ->
+        s"SELECT rating, count(*) AS n FROM ($li) GROUP BY rating ORDER BY rating",
+      "s1_tsv_ingest" -> s"SELECT * FROM ($li) ORDER BY movieId",
       "t1_token_stats" -> s"${TextAnalysisSql.tokenStats} ORDER BY doc_id",
       "t2_quality" -> s"${TextAnalysisSql.qualityScore} ORDER BY doc_id",
       "t3_langid" -> s"${TextAnalysisSql.langId} ORDER BY doc_id",

@@ -43,6 +43,11 @@ package object functions {
   val bloom_build: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(BloomBuildAggregator, Encoders.product[BloomInput])
 
+  /** Reference-shaped build from explicit hash indexes:
+    * `bloom_build_indexed(idx, m, k)` → BINARY (SURVEY.md §7.2.5b). */
+  val bloom_build_indexed: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(BloomIndexAggregator, Encoders.product[BloomIndexInput])
+
   /** Register the SQL surface (`SELECT mmh3(c, 3)`, `bloom_build(...)`,
     * `bloom_might_contain(...)`) on a session. */
   def registerAll(spark: SparkSession): Unit = {

@@ -80,4 +80,89 @@ object BloomPipeline {
   /** Flagship: full build -> probe round trip (SURVEY.md §7.5). */
   def endToEnd(train: DataFrame, test: DataFrame, p: Double): DataFrame =
     fpStats(test, buildFilters(train, p))
+
+  /** Reference-shaped build (SURVEY.md §7.2.5b): the explicit
+    * hash-indexes column of the reference Spark engine —
+    * `transform(sequence(0, k-1), i -> pmod(mmh3(key, i), m))`
+    * (`bloomfilters_builder.py:44-54` via `bloomfilters_util.py:60-79`) —
+    * exploded and bit-OR-aggregated. Byte-identical output to
+    * [[buildFilters]] (the fused production path); exists for
+    * explainability and as a cross-formulation invariant. */
+  def buildFiltersIndexed(train: DataFrame, p: Double): DataFrame = {
+    val geometry = sized(linecount(train), p)
+    train
+      .join(broadcast(geometry), "rating")
+      .withColumn("idx", explode(transform(sequence(lit(0), col("k") - 1),
+        i => pmod(graft.functions.mmh3(col("movieId"), i.cast("int")), col("m")))))
+      .groupBy("rating", "n", "m", "k")
+      .agg(graft.functions.bloom_build_indexed(col("idx"), col("m"), col("k")).as("bits"))
+  }
+
+  // -------------------------------------------------------------------
+  // Sharded filters — the 100 TB shape.
+  //
+  // One row per group is a scale-killer twice over: a single group of
+  // ~3.4e8 keys at p=0.05 hits the Int.MaxValue bit clamp (silently worse
+  // FPP), and broadcasting rows of up to 268 MB of BINARY blows the
+  // broadcast and driver memory. Sharding fixes both: each group's filter
+  // becomes ceil(m_total / maxSlabBits) independent slabs keyed
+  // (group, shard), each sized for its expected key share. A key routes to
+  // exactly one slab — shard = pmod(mmh3(key, routeSeed), S) — at build
+  // AND probe, so the zero-false-negative invariant is untouched, and the
+  // per-probe FPP is the slab's own ~p. Row size is bounded by
+  // maxSlabBits/8, the slab join key (group, shard) has no skew cliff, and
+  // no clamp ever engages.
+  // -------------------------------------------------------------------
+
+  /** Routing seed. Disjoint from the bit seeds 0..k-1 so slab choice and
+    * bit positions are independent hash draws. */
+  val routeSeed = 1000003
+
+  /** Sharded geometry from counts: shard count `s`, per-slab `m` (sized
+    * for the slab's expected share of keys), constant `k`. */
+  def shardedSized(counts: DataFrame, p: Double, maxSlabBits: Long): DataFrame = {
+    require(maxSlabBits > 0, s"maxSlabBits must be positive, got $maxSlabBits")
+    val bitsPerKey = -math.log(p) / (math.log(2) * math.log(2))
+    counts
+      .withColumn("s",
+        greatest(lit(1L), ceil(ceil(col("n") * bitsPerKey) / maxSlabBits.toDouble))
+          .cast("int"))
+      .withColumn("m",
+        least(lit(Int.MaxValue.toLong - 8),
+          greatest(lit(1L), ceil(ceil(col("n") / col("s").cast("double")) * bitsPerKey)))
+          .cast("int"))
+      .withColumn("k", lit(BloomFilter.numHashes(p)))
+  }
+
+  /** Sharded build: one row per (rating, shard): `(rating, s, m, k, shard,
+    * bits)`. Same single-shuffle shape as [[buildFilters]]; the shuffle
+    * now carries S bounded slabs per group instead of one unbounded row. */
+  def buildShardedFilters(train: DataFrame, p: Double,
+      maxSlabBits: Long = 1L << 26): DataFrame = {
+    val geometry = shardedSized(linecount(train), p, maxSlabBits)
+    train
+      .join(broadcast(geometry), "rating")
+      .withColumn("shard", pmod(graft.functions.mmh3(col("movieId"), routeSeed), col("s")))
+      .groupBy("rating", "s", "m", "k", "shard")
+      .agg(bloom_build(col("movieId"), col("m"), col("k")).as("bits"))
+  }
+
+  /** Sharded probe: route each test key to its slab, then join on
+    * (rating, shard). The slab side is hinted broadcast only when small —
+    * at scale Catalyst/AQE picks a shuffle join whose key space
+    * (#groups × S) is skew-free by construction. */
+  def fpStatsSharded(test: DataFrame, filters: DataFrame): DataFrame = {
+    val geometry = filters.select("rating", "s", "m", "k").distinct()
+    test
+      .join(broadcast(geometry), "rating")
+      .withColumn("shard", pmod(graft.functions.mmh3(col("movieId"), routeSeed), col("s")))
+      .join(filters.select("rating", "shard", "bits"), Seq("rating", "shard"))
+      .select(col("rating"),
+        bloom_might_contain(col("bits"), col("m"), col("k"), col("movieId")).as("hit"))
+      .groupBy("rating")
+      .agg(
+        sum(when(col("hit"), 1L).otherwise(0L)).as("falsePositives"),
+        count("*").as("total"))
+      .withColumn("fpRate", col("falsePositives") / col("total"))
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomPipeline, Ratings}
+
+/** Statistical end-to-end validation — the reference's own test method
+  * (SURVEY.md §5.1: the Tester application IS the harness; report
+  * pp. 29-30 check observed FPP ≈ requested p for p ∈ {0.01, 0.05, 0.1}).
+  *
+  * Bound: with n disjoint probes per group, observed FPP is ~Binomial;
+  * we allow 25% model bias (the ceil'd m/k land slightly off optimal) plus
+  * five binomial standard deviations — far outside either, something is
+  * actually broken.
+  */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val groups = 4
+  private val trainPerGroup = 8000
+  private val probesPerGroup = 8000
+
+  private lazy val train =
+    (0 until groups * trainPerGroup).map(i => (s"train-$i", i % groups))
+      .toDF("movieId", "rating")
+  private lazy val probes =
+    (0 until groups * probesPerGroup).map(i => (s"probe-$i", i % groups))
+      .toDF("movieId", "rating")
+
+  for (p <- Seq(0.01, 0.05, 0.1)) {
+    test(s"observed FPP within binomial bounds of p=$p, per group") {
+      val stats = BloomPipeline.endToEnd(train, probes, p).collect()
+      assert(stats.length === groups)
+      val tol = 0.25 * p + 5 * math.sqrt(p * (1 - p) / probesPerGroup)
+      stats.foreach { r =>
+        val rate = r.getAs[Double]("fpRate")
+        assert(math.abs(rate - p) < tol,
+          s"group ${r.get(0)}: observed $rate vs p=$p (tol $tol)")
+        assert(r.getAs[Long]("total") === probesPerGroup)
+      }
+    }
+  }
+
+  test("zero false negatives end-to-end (the hard invariant)") {
+    // probing the train set itself: every probe must hit
+    val stats = BloomPipeline.endToEnd(train, train, 0.05).collect()
+    stats.foreach { r =>
+      assert(r.getAs[Long]("falsePositives") === r.getAs[Long]("total"))
+    }
+  }
+
+  test("reference-shaped indexed build == fused build, byte for byte") {
+    val fused = BloomPipeline.buildFilters(train, 0.05)
+      .select($"rating", $"bits").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val indexed = BloomPipeline.buildFiltersIndexed(train, 0.05)
+      .select($"rating", $"bits").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(indexed === fused)
+  }
+
+  test("flagship entry() runs end to end with sane per-group stats") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("fpRate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("total") > 0L)
+    }
+  }
+
+  test("randomSplit (P8 reference parity): disjoint, complete, ~60/40") {
+    val df = (0 until 20000).map(i => (s"id-$i", i % 10)).toDF("movieId", "rating")
+    val Array(tr, te) = Ratings.randomSplit(df, seed = 42L)
+    val (nTr, nTe) = (tr.count(), te.count())
+    assert(nTr + nTe === 20000L)
+    assert(tr.join(te, "movieId").count() === 0L, "splits must be disjoint")
+    val frac = nTr.toDouble / 20000
+    assert(frac > 0.55 && frac < 0.65, s"train fraction $frac")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.BloomFilter
+import graft.functions.bloom_might_contain
+
+/** Filter persist → reload round-trip (reference S3/S4 + K2/K3) and
+  * artifact byte-stability. */
+class FilterStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val p = 0.05
+
+  test("save/load round-trip: reloaded filters probe identically") {
+    val train = (0 until 2000).map(i => (s"key-$i", i % 4)).toDF("movieId", "rating")
+    val filters = BloomPipeline.buildFilters(train, p)
+    val path = Files.createTempDirectory("graft_filters").toString
+
+    FilterStore.save(filters, path)
+    val reloaded = FilterStore.load(spark, path)
+
+    // schema and content identical
+    assert(reloaded.columns.sorted === filters.columns.sorted)
+    val a = filters.select("rating", "m", "k", "bits").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq)).toSet
+    val b = reloaded.select("rating", "m", "k", "bits").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq)).toSet
+    assert(a === b)
+
+    // zero FN through the reloaded artifact
+    val fn = train.join(broadcast(reloaded.select("rating", "m", "k", "bits")), "rating")
+      .where(!bloom_might_contain($"bits", $"m", $"k", $"movieId"))
+      .count()
+    assert(fn === 0L)
+  }
+
+  test("filter bytes are a stable golden artifact (deterministic build)") {
+    // tiny fixed corpus -> the packed filter bytes must never change
+    // across engine versions (hash family, seeds, layout are the contract)
+    val train = (1 to 20).map(i => (s"tt$i", 1)).toDF("movieId", "rating")
+    val bits = BloomPipeline.buildFilters(train, 0.1).head().getAs[Array[Byte]]("bits")
+    val sha = MessageDigest.getInstance("SHA-256").digest(bits)
+      .map("%02x".format(_)).mkString
+
+    // independently derived from the core kernel — the golden value
+    val m = BloomFilter.numBits(20, 0.1)
+    val bf = BloomFilter.empty(m, BloomFilter.numHashes(0.1))
+    (1 to 20).foreach(i => bf.put(s"tt$i"))
+    val expected = MessageDigest.getInstance("SHA-256").digest(bf.toBytes)
+      .map("%02x".format(_)).mkString
+
+    assert(sha === expected)
+    // pinned literal: fails loudly if hash family / layout ever drifts
+    assert(sha === "32734819004abd9609b3babd40ffea73399b563b8a5db31d377db072b210704b")
+  }
+
+  test("sharded artifact round-trips and probes with zero FN") {
+    val train = (0 until 3000).map(i => (s"key-$i", i % 2)).toDF("movieId", "rating")
+    val filters = BloomPipeline.buildShardedFilters(train, p, maxSlabBits = 2048)
+    val path = Files.createTempDirectory("graft_filters_sharded").toString
+    FilterStore.save(filters, path)
+    val stats = BloomPipeline.fpStatsSharded(train, FilterStore.load(spark, path))
+    // probing train itself: every hit is a true member, zero misses
+    val rows = stats.collect()
+    assert(rows.map(_.getAs[Long]("falsePositives")).sum ===
+      rows.map(_.getAs[Long]("total")).sum)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Reference-parity TSV ingest (S1) + the SURVEY §2.6 malformed-row
+  * decision: PERMISSIVE parse, drop-with-metric. */
+class IngestSpec extends SparkSuite {
+
+  private def writeFixture(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft_ingest")
+    Files.write(dir.resolve("part-0.tsv"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    dir.toString
+  }
+
+  private val fixture = Seq(
+    "movieId\taverageRating\tnumVotes",
+    "tt0000001\t5.7\t1882",     // clean
+    "tt0000002\t6.0\t250",      // clean
+    "tt0000003\t6.5\t98",       // clean, .5 rounds UP (half-up parity)
+    "tt0000004\tnot_a_number\t5", // malformed rating -> dropped with metric
+    "tt0000005\t7.2",           // missing column -> rating ok, votes null
+    "\t\t",                     // all-empty row: skipped by the reader itself
+    "tt0000007\t4.49\t12")      // rounds down
+
+  test("clean rows parse with round-half-up ratings; malformed are dropped") {
+    val path = writeFixture(fixture)
+    val got = Ingest.readRatingsTsv(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map(
+      "tt0000001" -> 6, // 5.7 + .5 -> floor 6
+      "tt0000002" -> 6,
+      "tt0000003" -> 7, // 6.5 half rounds up, Java Math.round parity
+      "tt0000005" -> 7, // 7.2 parses even with votes missing
+      "tt0000007" -> 4))
+  }
+
+  test("drop-with-metric: the corrupt count is observable, not silent") {
+    val path = writeFixture(fixture)
+    val full = Ingest.readRatingsTsvWithCorrupt(spark, path)
+    val dropped = full
+      .where(col("movieId").isNull || col("averageRating").isNull)
+      .count()
+    assert(dropped === 1) // the not_a_number row (all-empty rows never
+    assert(full.count() === 6) // even reach the parser — reader skips them)
+  }
+
+  test("reading a TSV written by the engine round-trips (S1+K1 parity)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ingest_rt").toString
+    Seq(("m1", 4.2, 10), ("m2", 9.5, 3))
+      .toDF("movieId", "averageRating", "numVotes")
+      .write.mode("overwrite").option("sep", "\t").option("header", "true").csv(dir)
+    val got = Ingest.readRatingsTsv(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("m1" -> 4, "m2" -> 10))
+  }
+}
