@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{BloomPipeline, Dedup, DedupSql, FilterStore, Ingest, Ratings, Similarity, SimilaritySql, Tables, TextAnalysis, TextAnalysisSql}
+import graft.operators.{BloomPipeline, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, Ratings, Similarity, SimilaritySql, Tables, TextAnalysis, TextAnalysisSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -278,6 +278,32 @@ object SparkEntry {
       Similarity.bruteForcePairs(Tables(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
 
+    // --- M: multimodal binary-column plumbing (LLM-pipeline layer;
+    // decode is a deterministic stub, the byte plumbing is real)
+    "mm1_meta" -> ((s, dir) =>
+      Multimodal.attachMeta(Multimodal.fromDocuments(Tables(s, dir, "documents")))
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.channels").as("channels"))
+        .orderBy("media_id")),
+    "mm2_frame_stats" -> ((s, dir) =>
+      Multimodal.frameStats(Multimodal.fromDocuments(Tables(s, dir, "documents")))
+        .orderBy("modality")),
+    "mm3_decode_batch" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.fromDocuments(Tables(s, dir, "documents"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeBatch(media)
+        .groupBy("modality").agg(
+          count("*").as("n"),
+          sum(col("meta.width")).as("width_sum"),
+          sum(col("meta.height")).as("height_sum"))
+        .orderBy("modality")
+    }),
+    "mm4_features" -> ((s, dir) => // hash-derived fake features -> rows-only
+      Multimodal.featurize(Multimodal.fromDocuments(Tables(s, dir, "documents")))
+        .orderBy("media_id")),
+
     // --- V: similarity search over embeddings (LLM-pipeline layer)
     "sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables(s, dir, "embeddings"),
@@ -367,6 +393,9 @@ object SparkEntry {
       "dedup_bloom_xbatch" ->
         DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),
       "dedup_minhash_lsh" -> DedupSql.minhashLshPairs(0.8, 3),
+      "mm1_meta" -> MultimodalSql.attachMeta,
+      "mm2_frame_stats" -> MultimodalSql.frameStats,
+      "mm3_decode_batch" -> MultimodalSql.decodeBatch,
       "dedup_embedding_cos" -> SimilaritySql.bruteForcePairs(0.4),
       "sim_topk" -> SimilaritySql.bruteForceTopK(simQueryPredSql, simK)
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible

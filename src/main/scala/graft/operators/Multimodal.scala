@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `BINARY`
+  * payloads with typed metadata, plus the decode / feature-extract /
+  * resize / frame-sample operator family of a training-data pipeline.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[decodeStub]]) — everything around
+  * it is real and tested: the schema, the binary slicing, the
+  * partition-batched imperative path ([[decodeBatch]], the Scala analog of
+  * a `mapInPandas` decode), and the aggregation shapes. Swapping
+  * [[decodeStub]] for a real codec changes no plan shape.
+  *
+  * Scale notes: payloads never shuffle — every operator here is a narrow
+  * projection; the only shuffle is the final small per-modality aggregate.
+  * [[repartitionForDecode]] documents the one knob that matters at 100 TB:
+  * decode is CPU-bound, so partitions are sized by row count, not bytes.
+  */
+object Multimodal {
+
+  val frameSize = 64
+  val maxFrames = 8
+
+  /** A media record: opaque payload + modality tag. */
+  final case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte])
+
+  /** Typed decode output (what a real codec would yield). */
+  final case class MediaMeta(width: Int, height: Int, channels: Int)
+
+  final case class DecodedRecord(
+      media_id: Long, modality: String, n_bytes: Int, meta: MediaMeta)
+
+  /** Derive a media table from `documents`: the UTF-8 payload is the
+    * opaque blob, modality cycles by doc id. This stands in for a real
+    * (id, blob) source table; byte lengths and contents are real. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decode (deliberately codec-free): metadata derived from the
+    * payload length by fixed arithmetic, so the oracle can verify the
+    * plumbing end-to-end. A real implementation parses the header bytes
+    * instead; same signature, same plan. */
+  def decodeStub(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    MediaMeta(
+      width = 1 + (n * 31) % 1024,
+      height = 1 + (n * 17) % 1024,
+      channels = 1 + n % 4)
+  }
+
+  /** Column-level twin of [[decodeStub]] (keeps the declarative path in
+    * whole-stage codegen; the typed path below demonstrates the
+    * batch-imperative shape). */
+  def metaColumns(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(
+      (lit(1) + pmod(octet_length(payload) * 31, lit(1024))).as("width"),
+      (lit(1) + pmod(octet_length(payload) * 17, lit(1024))).as("height"),
+      (lit(1) + pmod(octet_length(payload), lit(4))).as("channels"))
+
+  /** Decode-as-projection: `(media_id, modality, n_bytes, meta struct)`. */
+  def attachMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("modality"),
+      octet_length(col("payload")).as("n_bytes"),
+      metaColumns(col("payload")).as("meta"))
+
+  /** Partition-batched imperative decode — the Scala analog of a
+    * `mapInPandas` decode stage: one function invocation per batch
+    * (partition), rows streamed through it, typed output. This is where a
+    * real codec (JNI, native lib) would amortize per-batch init cost. */
+  def decodeBatch(media: Dataset[MediaRecord]): Dataset[DecodedRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // per-batch init of the (stub) codec would go here
+      batch.map { r =>
+        DecodedRecord(r.media_id, r.modality, r.payload.length, decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** Decode is CPU-bound per row, not per byte: partition by row count so
+    * a 1000-executor cluster balances decode work even when blob sizes
+    * skew. (With file sources prefer
+    * `spark.sql.files.maxPartitionBytes` tuned to blob size.) */
+  def repartitionForDecode(media: DataFrame, rowsPerPartition: Int): DataFrame = {
+    val n = math.max(1, (media.count() / math.max(1, rowsPerPartition)).toInt)
+    media.repartition(n)
+  }
+
+  /** Frame sampling: up to [[maxFrames]] fixed-size byte slices per
+    * payload (real binary slicing via `substring`; for video this is the
+    * frame-stride sample, for audio the window sample). */
+  def frames(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0),
+        least(lit(maxFrames - 1),
+          greatest(lit(0), // empty payload -> one empty frame, not a
+            floor((octet_length(payload) - 1) / frameSize)).cast("int"))), // descending sequence
+      i => substring(payload, (i * frameSize + 1).cast("int"), lit(frameSize)))
+
+  /** Crop-resize stub: truncate the payload to `nBytes` (a real resize
+    * re-encodes; the byte-level plumbing — bounded output rows — is what
+    * matters to the plan). */
+  def resizeCrop(payload: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+    substring(payload, 1, nBytes)
+
+  /** Per-modality frame statistics over REAL slices:
+    * `(modality, n_media, n_frames, sampled_bytes)` — the oracle predicts
+    * these numbers from pure length arithmetic, so any slicing bug
+    * (off-by-one, short last frame) surfaces as a value mismatch. */
+  def frameStats(media: DataFrame): DataFrame =
+    media
+      .select(col("modality"), frames(col("payload")).as("fr"))
+      .select(col("modality"), size(col("fr")).as("nf"),
+        aggregate(col("fr"), lit(0), (acc, f) => acc + octet_length(f)).as("fb"))
+      .groupBy("modality")
+      .agg(count("*").as("n_media"),
+        sum("nf").as("n_frames"),
+        sum("fb").as("sampled_bytes"))
+
+  /** Deterministic fake feature vector (`dim` floats in [-1, 1]) from
+    * frame-level murmur hashes — rows-only checked; connects the binary
+    * pipeline to the [[Similarity]] operators. A real extractor replaces
+    * the per-frame expression, not the plan. */
+  def featurize(media: DataFrame, dim: Int = 16): DataFrame =
+    media.select(
+      col("media_id"), col("modality"),
+      array((0 until dim).map(d =>
+        (graft.functions.mmh3(sha2(col("payload"), 256), d).cast("double")
+          / Int.MaxValue.toDouble).cast("float")): _*).as("features"))
+}
+
+/** DuckDB twins for the oracle-checkable [[Multimodal]] queries. */
+object MultimodalSql {
+
+  private val payloadLen = "octet_length(encode(text))"
+  private val modality =
+    "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
+
+  /** Flattened (the driver compare hashes scalar columns). */
+  val attachMeta: String =
+    s"""SELECT doc_id AS media_id, $modality AS modality,
+       |       $payloadLen AS n_bytes,
+       |       1 + ($payloadLen * 31) % 1024 AS width,
+       |       1 + ($payloadLen * 17) % 1024 AS height,
+       |       1 + $payloadLen % 4 AS channels
+       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Frame stats from pure length arithmetic (what correct slicing must
+    * produce): nf = min(maxFrames, floor((len-1)/frameSize)+1), sampled
+    * bytes = min(len, nf*frameSize) truncated to the sampled window. */
+  val frameStats: String = {
+    val fs = Multimodal.frameSize
+    val mf = Multimodal.maxFrames
+    s"""SELECT modality, count(*) AS n_media, sum(nf) AS n_frames,
+       |       sum(least(len, nf * $fs)) AS sampled_bytes
+       |FROM (SELECT $modality AS modality, $payloadLen AS len,
+       |             least($mf, greatest(0,
+       |               CAST(floor(($payloadLen - 1) / $fs) AS INT)) + 1) AS nf
+       |      FROM documents)
+       |GROUP BY modality ORDER BY modality""".stripMargin
+  }
+
+  /** Typed mapPartitions decode twin (same stub arithmetic). */
+  val decodeBatch: String =
+    s"""SELECT $modality AS modality, count(*) AS n,
+       |       sum(1 + ($payloadLen * 31) % 1024) AS width_sum,
+       |       sum(1 + ($payloadLen * 17) % 1024) AS height_sum
+       |FROM documents
+       |GROUP BY modality ORDER BY modality""".stripMargin
+}

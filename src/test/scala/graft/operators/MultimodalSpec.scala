@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.operators.Multimodal.{MediaRecord, frameSize, maxFrames}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def media(rows: (Long, String, Array[Byte])*) =
+    rows.toDF("media_id", "modality", "payload")
+
+  private def bytes(n: Int): Array[Byte] = Array.tabulate(n)(_.toByte)
+
+  test("frames: exact slicing incl. short last frame and the caps") {
+    val df = media(
+      (1L, "image", bytes(10)),                    // 1 short frame
+      (2L, "image", bytes(frameSize)),             // exactly 1 full frame
+      (3L, "image", bytes(frameSize + 1)),         // full + 1-byte frame
+      (4L, "video", bytes(frameSize * maxFrames + 99)), // capped at maxFrames
+      (5L, "audio", Array.emptyByteArray))         // one empty frame
+    val got = df.select($"media_id", Multimodal.frames($"payload").as("fr"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1)).toMap
+    assert(got(1L).map(_.length) === Seq(10))
+    assert(got(1L).head === bytes(10))
+    assert(got(2L).map(_.length) === Seq(frameSize))
+    assert(got(3L).map(_.length) === Seq(frameSize, 1))
+    assert(got(3L)(1) === Array(frameSize.toByte))
+    assert(got(4L).map(_.length) === Seq.fill(maxFrames)(frameSize))
+    assert(got(5L).map(_.length) === Seq(0))
+  }
+
+  test("decodeBatch (mapPartitions path) agrees with the column path") {
+    val df = media(
+      (1L, "image", bytes(100)), (2L, "audio", bytes(257)), (3L, "video", bytes(3)))
+    val typed = Multimodal.decodeBatch(df.as[MediaRecord])
+      .select($"media_id", $"meta.width", $"meta.height", $"meta.channels")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val cols = Multimodal.attachMeta(df)
+      .select($"media_id", $"meta.width", $"meta.height", $"meta.channels")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(typed === cols)
+    assert(typed.contains((1L, 1 + 100 * 31 % 1024, 1 + 100 * 17 % 1024, 1)))
+  }
+
+  test("resizeCrop bounds payloads; featurize emits fixed-dim unit-range floats") {
+    val df = media((1L, "image", bytes(500)), (2L, "image", bytes(8)))
+    val cropped = df.select(octet_length(Multimodal.resizeCrop($"payload", 64)))
+      .as[Int].collect().toSet
+    assert(cropped === Set(64, 8))
+    val feats = Multimodal.featurize(df, dim = 16)
+      .select($"features").as[Seq[Float]].collect()
+    assert(feats.forall(_.length === 16))
+    assert(feats.forall(_.forall(f => f >= -1.0f && f <= 1.0f)))
+    // deterministic
+    val again = Multimodal.featurize(df, dim = 16)
+      .select($"features").as[Seq[Float]].collect()
+    assert(feats.map(_.toList).toSet === again.map(_.toList).toSet)
+  }
+
+  test("repartitionForDecode sizes partitions by row count") {
+    val df = media((1 to 100).map(i => (i.toLong, "image", bytes(i))): _*)
+    val rp = Multimodal.repartitionForDecode(df, rowsPerPartition = 10)
+    assert(rp.rdd.getNumPartitions === 10)
+  }
+}
