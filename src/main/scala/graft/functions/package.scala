@@ -39,6 +39,12 @@ package object functions {
   def srp_sig(vec: Column, bits: Int, seed: Int = 0): Column =
     col(SrpSig(expr(vec), bits, seed))
 
+  /** Word n-gram shingles of an ARRAY<STRING> token column. */
+  def word_ngrams(tokens: Column, n: Int): Column = col(WordNgrams(expr(tokens), n))
+
+  /** Element-wise seeded murmur3 of an ARRAY<STRING> column. */
+  def hash_array(arr: Column, seed: Int): Column = col(HashArray(expr(arr), seed))
+
   /** Per-group Bloom build aggregate: `bloom_build(key, m, k)` → BINARY. */
   val bloom_build: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(BloomBuildAggregator, Encoders.product[BloomInput])

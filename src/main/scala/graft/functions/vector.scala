@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.Murmur3
 
@@ -46,6 +47,41 @@ object VectorKernels {
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Word n-gram kernel (see [[WordNgrams]]). Null tokens render as empty
+    * strings inside a shingle (they cannot occur from the tokenizer). */
+  def wordNgrams(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    def str(i: Int): UTF8String =
+      if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
+    val sep = UTF8String.fromString(" ")
+    if (len < n) {
+      val whole = UTF8String.concatWs(sep, Array.tabulate(len)(str): _*)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](whole))
+    } else {
+      val out = new Array[Any](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        out(i) = UTF8String.concatWs(sep, Array.tabulate(n)(j => str(i + j)): _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  /** Element-wise seeded murmur3 (see [[HashArray]]); nulls hash as empty. */
+  def hashArray(arr: ArrayData, seed: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val bytes =
+        if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
+      out(i) = Murmur3.hashBytes(bytes, seed)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** MinHash signature kernel: one murmur3 per (shingle, seed), min-folded
@@ -137,6 +173,69 @@ object VectorKernels {
     }
     sig
   }
+}
+
+/** `word_ngrams(tokens, n)` — word n-gram shingles of an `ARRAY<STRING>`
+  * token column: `["a","b","c","d"]` with n=3 → `["a b c", "b c d"]`;
+  * inputs shorter than `n` yield one shingle of all tokens joined (so no
+  * document silently drops out of the dedup universe). A native kernel
+  * because the built-in `transform(sequence(...), i -> concat_ws(" ",
+  * slice(tokens, i, n)))` pays an interpreted lambda + array copy per
+  * shingle — the dominant cost of corpus-scale MinHash pipelines.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"word_ngrams: n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams argument must be ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorKernels.wordNgrams(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.VectorKernels.wordNgrams($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** `hash_array(arr, seed)` — element-wise seeded murmur3 of an
+  * `ARRAY<STRING>`: the vectorized sibling of [[Mmh3]] (native loop
+  * instead of an interpreted `transform` lambda per element).
+  */
+case class HashArray(child: Expression, seed: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hash_array argument must be ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "hash_array"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    VectorKernels.hashArray(arr.asInstanceOf[ArrayData], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.hashArray($a, $seed);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashArray =
+    copy(child = newChild)
 }
 
 /** `minhash_sig(shingles, numHashes)` — MinHash signature of an

@@ -113,7 +113,14 @@ object Dedup {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
 
+    // The shingle sets feed three plan branches (signatures + both sides
+    // of the verify join); without persistence Spark re-tokenizes and
+    // re-shingles the corpus once per branch. At cluster scale this is the
+    // stage you materialize (persist or checkpoint to parquet) — same
+    // decision, bigger numbers. MEMORY_AND_DISK so eviction degrades to
+    // recompute rather than OOM.
     val base = shingleSets(docs, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base.select(col("doc_id"), minhash_sig(col("sh"), numHashes).as("sig"))
 
     // band count is a plan-time constant, so the band keys are a literal

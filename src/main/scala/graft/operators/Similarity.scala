@@ -36,7 +36,8 @@ object Similarity {
     val q = emb.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    emb.repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosRounded(col("q_emb"), col("embedding")).as("cos"))
@@ -51,7 +52,10 @@ object Similarity {
     * materializes the quadratic product. Use [[annTopK]]'s bucketing when
     * the corpus outgrows a broadcast side. */
   def bruteForcePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    // spread the stream side: a small parquet corpus arrives as one input
+    // partition, which would run the O(n^2) loop single-threaded
+    val spread = emb.repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
+    val a = spread.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     // threshold compares the ROUNDED cosine so the boundary decision is
     // identical to the oracle's (which also filters on the rounded value)

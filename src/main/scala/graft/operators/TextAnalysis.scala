@@ -30,12 +30,12 @@ object TextAnalysis {
   def normalized(text: Column): Column = concat_ws(" ", tokens(text))
 
   /** Word `n`-gram shingles of the token array; documents shorter than `n`
-    * tokens contribute their whole normalized text as one shingle. */
+    * tokens contribute their whole normalized text as one shingle.
+    * Native kernel ([[graft.functions.WordNgrams]]) — the equivalent
+    * `transform(sequence(...), i -> concat_ws(" ", slice(toks, i, n)))`
+    * pays an interpreted lambda per shingle. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
+    graft.functions.word_ngrams(toks, n)
 
   // --- stopword profiles (tiny, deterministic; the language-ID heuristic
   // scores tokens against each profile and takes the arg-max) ---
@@ -118,12 +118,12 @@ object TextAnalysis {
     * as a text kernel). Two extremes rather than a full winnow window keep
     * it SQL-expressible; min-hash generalizes it in [[Dedup.minhashSignature]]. */
   def shingleFingerprint(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(tokens(col("text")), n)
+    val hashes = graft.functions.hash_array(shingles(tokens(col("text")), n), 0)
     docs.select(
       col("doc_id"),
-      size(array_distinct(sh)).as("n_shingles"),
-      array_min(transform(sh, s => graft.functions.mmh3(s, 0))).as("min_hash"),
-      array_max(transform(sh, s => graft.functions.mmh3(s, 0))).as("max_hash"))
+      size(array_distinct(shingles(tokens(col("text")), n))).as("n_shingles"),
+      array_min(hashes).as("min_hash"),
+      array_max(hashes).as("max_hash"))
   }
 }
 
