@@ -54,35 +54,59 @@ package object functions {
   val bloom_build_indexed: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(BloomIndexAggregator, Encoders.product[BloomIndexInput])
 
-  /** Register the SQL surface (`SELECT mmh3(c, 3)`, `bloom_build(...)`,
-    * `bloom_might_contain(...)`) on a session. */
-  def registerAll(spark: SparkSession): Unit = {
-    def arity(name: String, n: Int)(
-        build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-          org.apache.spark.sql.catalyst.expressions.Expression) =
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name,
-        exprs => {
-          if (exprs.length != n) {
-            throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              messageParameters = Map(
-                "functionName" -> name, "expectedNum" -> n.toString,
-                "actualNum" -> exprs.length.toString, "legacyNum" -> n.toString))
-          }
-          build(exprs)
-        },
-        "built-in")
-    arity("mmh3", 2)(exprs => Mmh3(exprs(0), exprs(1)))
-    arity("bloom_might_contain", 4)(exprs =>
-      BloomMightContain(exprs(0), exprs(1), exprs(2), exprs(3)))
-    arity("cosine_sim", 2)(exprs => CosineSim(exprs(0), exprs(1)))
-    arity("simhash64", 1)(exprs => SimHash64(exprs(0)))
-    arity("minhash_sig", 2) {
+  /** Native TypedImperativeAggregate bloom build (the production path:
+    * no per-row encoder, hashes UTF8String bytes in place). Byte-identical
+    * output to [[bloom_build]]. */
+  def bloom_build_native(key: Column, m: Column, k: Column): Column =
+    col(BloomBuildAgg(expr(key), expr(m), expr(k))
+      .toAggregateExpression(isDistinct = false))
+
+  /** The SQL-function surface: (name, arity, builder). Shared between
+    * session-local registration ([[registerAll]]) and extension-based
+    * injection ([[graft.GraftExtensions]]). */
+  private[graft] val sqlBuilders: Seq[(String, Int,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    ("mmh3", 2, exprs => Mmh3(exprs(0), exprs(1))),
+    ("bloom_might_contain", 4, exprs =>
+      BloomMightContain(exprs(0), exprs(1), exprs(2), exprs(3))),
+    ("cosine_sim", 2, exprs => CosineSim(exprs(0), exprs(1))),
+    ("simhash64", 1, exprs => SimHash64(exprs(0))),
+    ("bloom_build_native", 3, exprs =>
+      BloomBuildAgg(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(isDistinct = false)),
+    ("minhash_sig", 2, {
       case Seq(sh, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
           org.apache.spark.sql.types.IntegerType)) => MinHashSig(sh, n)
       case _ => throw new IllegalArgumentException(
         "minhash_sig(shingles, numHashes): numHashes must be an INT literal")
+    }))
+
+  /** Arity-checked wrapper around a raw builder. */
+  private[graft] def checkedBuilder(name: String, n: Int,
+      build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      if (exprs.length != n) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> exprs.length.toString, "legacyNum" -> n.toString))
+      }
+      build(exprs)
+    }
+
+  /** Register the SQL surface (`SELECT mmh3(c, 3)`, `bloom_build(...)`,
+    * `bloom_might_contain(...)`) on an existing session. Sessions built
+    * with `spark.sql.extensions=graft.GraftExtensions` get the expression
+    * functions without this call; the udaf still needs it. */
+  def registerAll(spark: SparkSession): Unit = {
+    sqlBuilders.foreach { case (name, n, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, checkedBuilder(name, n, build), "built-in")
     }
     spark.udf.register("bloom_build", bloom_build)
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
-import graft.functions.{bloom_build, bloom_might_contain}
+import graft.functions.{bloom_build_native, bloom_might_contain}
 
 /** The reference's 4-stage pipeline (SURVEY.md §0) re-expressed as three
   * composable DataFrame functions (the split lives in [[Ratings]]):
@@ -54,7 +54,7 @@ object BloomPipeline {
     train
       .join(broadcast(geometry), "rating")
       .groupBy("rating", "n", "m", "k") // n/m/k functionally determined by rating
-      .agg(bloom_build(col("movieId"), col("m"), col("k")).as("bits"))
+      .agg(bloom_build_native(col("movieId"), col("m"), col("k")).as("bits"))
   }
 
   /** Stage 3 — reference tester (`bloomfilters_tester.py:94-112`,
@@ -144,7 +144,7 @@ object BloomPipeline {
       .join(broadcast(geometry), "rating")
       .withColumn("shard", pmod(graft.functions.mmh3(col("movieId"), routeSeed), col("s")))
       .groupBy("rating", "s", "m", "k", "shard")
-      .agg(bloom_build(col("movieId"), col("m"), col("k")).as("bits"))
+      .agg(bloom_build_native(col("movieId"), col("m"), col("k")).as("bits"))
   }
 
   /** Sharded probe: route each test key to its slab, then join on

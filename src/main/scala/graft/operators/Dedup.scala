@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{bloom_build, bloom_might_contain, minhash_sig, simhash64}
+import graft.functions.{bloom_build_native, bloom_might_contain, minhash_sig, simhash64}
 import graft.operators.TextAnalysis.{normalized, shingles, tokens}
 
 /** Deduplication operators over the `documents` table — the core of an
@@ -63,7 +63,7 @@ object Dedup {
     val filter = aKeys
       .join(broadcast(geometry), "g")
       .groupBy("g", "m", "k")
-      .agg(bloom_build(col("key"), col("m"), col("k")).as("bits"))
+      .agg(bloom_build_native(col("key"), col("m"), col("k")).as("bits"))
 
     val b = batchB
       .select(col("doc_id"), normalized(col("text")).as("key"))

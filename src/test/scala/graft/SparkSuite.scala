@@ -14,9 +14,12 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the SQL surface arrives via extension injection, so every SQL-path
+      // test below exercises GraftExtensions end to end
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    graft.functions.registerAll(s)
+    s.udf.register("bloom_build", graft.functions.bloom_build)
     s
   }
 }

@@ -20,9 +20,23 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
-  test("mmh3 via SQL registration") {
+  test("mmh3 via SQL (injected by GraftExtensions)") {
     val r = spark.sql("SELECT mmh3('hello', 0) AS h").head().getInt(0)
     assert(r === 0x248bfa47)
+  }
+
+  test("registerAll covers a session without the extension") {
+    val fresh = spark.newSession()
+    graft.functions.registerAll(fresh)
+    val r = fresh.sql("SELECT mmh3('hello', 0) AS h").head().getInt(0)
+    assert(r === 0x248bfa47)
+    // wrong arity fails with a named analysis error (wrapped differently
+    // depending on whether the temp function or the injected catalog
+    // function resolves first)
+    val err = intercept[Exception] {
+      fresh.sql("SELECT mmh3('one-arg')").collect()
+    }
+    assert(err.getMessage.contains("mmh3"))
   }
 
   test("mmh3 null propagation") {
@@ -69,6 +83,35 @@ class FunctionsSpec extends SparkSuite {
     probes.foreach { p =>
       assert(got(p) === bf.mightContain(p), s"probe $p")
     }
+  }
+
+  test("bloom_build_native == bloom_build (udaf) byte for byte, incl. SQL path") {
+    val train = (0 until 4000).map(i => (s"key-$i", i % 5)).toDF("key", "grp")
+      .withColumn("m", lit(2048)).withColumn("k", lit(4))
+    def bitsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val viaUdaf = bitsOf(train.groupBy($"grp")
+      .agg(bloom_build($"key", $"m", $"k").as("bits")))
+    val viaNative = bitsOf(train.groupBy($"grp")
+      .agg(bloom_build_native($"key", $"m", $"k").as("bits")))
+    assert(viaNative === viaUdaf)
+
+    train.createOrReplaceTempView("bbn_input")
+    val viaSql = bitsOf(spark.sql(
+      "SELECT grp, bloom_build_native(key, m, k) AS bits FROM bbn_input GROUP BY grp"))
+    assert(viaSql === viaUdaf)
+  }
+
+  test("bloom_build_native skips null keys and serializes across partials") {
+    val rows = (0 until 1000).map(i => (if (i % 7 == 0) null else s"k$i", 1)) :+ (null, 1)
+    val df = rows.toDF("key", "grp").repartition(8) // force partial merges
+      .withColumn("m", lit(1024)).withColumn("k", lit(3))
+    val bits = df.groupBy($"grp")
+      .agg(bloom_build_native($"key", $"m", $"k").as("bits"))
+      .head().getAs[Array[Byte]]("bits")
+    val expected = BloomFilter.empty(1024, 3)
+    rows.foreach { case (k, _) => if (k != null) expected.put(k) }
+    assert(bits.toSeq === expected.toBytes.toSeq)
   }
 
   test("empty group (no rows) never happens; zero-length key ok") {
