@@ -108,6 +108,42 @@ object SparkEntry {
         .groupBy("tag", "rating").agg(count("*").as("n"))
         .orderBy("tag", "rating")),
 
+    // --- G/U/D: grouping sets, set ops, distinct aggregation (SURVEY
+    // §2.7 explicit absences in the reference — covered here as bonus
+    // surface; null grouping keys coalesced to 'ALL' for stable compare)
+    "g1_rollup" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count("*").as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("revenue"))
+        .orderBy("priority", "status")),
+    "g2_cube" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count("*").as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"))
+        .orderBy("rf", "ls")),
+    "u1_intersect" -> ((s, dir) =>
+      Ratings.fromLineitem(s, dir).select("rating").distinct()
+        .intersect(Ratings.fromEvents(s, dir).select("rating").distinct())
+        .orderBy("rating")),
+    "u2_except" -> ((s, dir) =>
+      Ratings.fromLineitem(s, dir).select("rating").distinct()
+        .except(Ratings.fromEvents(s, dir).select("rating").distinct())
+        .orderBy("rating")),
+    "d1_distinct_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          count("*").as("n_rows"))
+        .orderBy("l_returnflag")),
+
     // --- W: window functions (beyond the reference; SURVEY §2.7 gap)
     "w1_window_share" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -348,6 +384,27 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT movieId, rating, 'ev' AS tag FROM ($ev)
            |) GROUP BY tag, rating ORDER BY tag, rating""".stripMargin,
+      "g1_rollup" ->
+        """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+          |       coalesce(o_orderstatus, 'ALL') AS status,
+          |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+          |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+          |ORDER BY priority, status""".stripMargin,
+      "g2_cube" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |       coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY rf, ls""".stripMargin,
+      "u1_intersect" ->
+        s"""SELECT DISTINCT rating FROM ($li)
+           |INTERSECT SELECT DISTINCT rating FROM ($ev) ORDER BY rating""".stripMargin,
+      "u2_except" ->
+        s"""SELECT DISTINCT rating FROM ($li)
+           |EXCEPT SELECT DISTINCT rating FROM ($ev) ORDER BY rating""".stripMargin,
+      "d1_distinct_agg" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+          |       count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "w1_window_share" ->
         s"""SELECT rating, n, round(n / sum(n) OVER (), 6) AS share
            |FROM (SELECT rating, count(*) AS n FROM ($li) GROUP BY rating)

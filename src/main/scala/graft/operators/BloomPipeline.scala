@@ -45,6 +45,34 @@ object BloomPipeline {
       .withColumn("k", lit(BloomFilter.numHashes(p)))
   }
 
+  /** Sizing from an HLL sketch instead of exact counts (the substitution
+    * SURVEY.md §2.4 flags: the reference's linecount is an exact
+    * cardinality pass used exactly where `approx_count_distinct` fits).
+    * At 100 TB the exact pass shuffles nothing either way (partial aggs),
+    * but the approx pass also dedupes keys — sizing by *distinct* keys,
+    * which is what a Bloom filter actually holds — at fixed sketch memory.
+    * `headroom` compensates the sketch's relative standard deviation so
+    * undersizing (FPP above p) is improbable; zero-FN is unaffected by
+    * sizing either way. */
+  def sizedApprox(train: DataFrame, p: Double, rsd: Double = 0.05): DataFrame = {
+    val headroom = 1.0 + 2.0 * rsd
+    val counts = train.groupBy("rating")
+      .agg(approx_count_distinct(col("movieId"), rsd).as("n_est"))
+      .withColumn("n", ceil(col("n_est") * headroom).cast("bigint"))
+      .drop("n_est")
+    sized(counts, p)
+  }
+
+  /** [[buildFilters]] with approx sizing — one pass fewer of exact-count
+    * state, same zero-FN contract, FPP ≤ ~p with high probability. */
+  def buildFiltersApprox(train: DataFrame, p: Double, rsd: Double = 0.05): DataFrame = {
+    val geometry = sizedApprox(train, p, rsd)
+    train
+      .join(broadcast(geometry), "rating")
+      .groupBy("rating", "n", "m", "k")
+      .agg(bloom_build_native(col("movieId"), col("m"), col("k")).as("bits"))
+  }
+
   /** Stage 2 — reference builder (`bloomfilters_builder.py:87-100`,
     * `builder/BloomFilterReducer.java:46-94`). Output one row per group:
     * (rating, n, m, k, bits).

@@ -59,6 +59,26 @@ class PipelineSpec extends SparkSuite {
     assert(indexed === fused)
   }
 
+  test("approx sizing: geometry near exact, zero FN, FPP still bounded") {
+    val p = 0.05
+    val exact = BloomPipeline.sized(BloomPipeline.linecount(train), p)
+      .select($"rating", $"m").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val approx = BloomPipeline.sizedApprox(train, p)
+      .select($"rating", $"m").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    approx.foreach { case (g, m) =>
+      // headroom-inflated sketch estimate stays within ~25% of exact
+      assert(math.abs(m.toDouble / exact(g) - 1.0) < 0.25, s"group $g: $m vs ${exact(g)}")
+    }
+    val filters = BloomPipeline.buildFiltersApprox(train, p)
+    val stats = BloomPipeline.fpStats(train, filters).collect()
+    stats.foreach(r => assert(r.getAs[Long]("falsePositives") === r.getAs[Long]("total")))
+    val fpp = BloomPipeline.fpStats(probes, filters).collect()
+    fpp.foreach { r =>
+      assert(r.getAs[Double]("fpRate") < 2 * p,
+        s"group ${r.get(0)}: ${r.getAs[Double]("fpRate")}")
+    }
+  }
+
   test("flagship entry() runs end to end with sane per-group stats") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty)
