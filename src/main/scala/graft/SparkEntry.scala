@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{BloomPipeline, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, Ratings, Similarity, SimilaritySql, Tables, TextAnalysis, TextAnalysisSql}
+import graft.operators.{BloomPipeline, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, Ratings, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -143,6 +143,27 @@ object SparkEntry {
         .agg(countDistinct("l_partkey").as("n_parts"),
           count("*").as("n_rows"))
         .orderBy("l_returnflag")),
+
+    // --- X: skew-salted join (scale technique; oracle is the UNSALTED
+    // join, proving the rewrite is semantics-preserving)
+    "x1_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(
+        Tables(s, dir, "lineitem").withColumnRenamed("l_orderkey", "orderkey"),
+        Tables(s, dir, "orders").withColumnRenamed("o_orderkey", "orderkey"),
+        key = "orderkey", saltFactor = 8,
+        bigSaltSource = Seq("orderkey", "l_linenumber"))
+        .groupBy("o_orderpriority").agg(
+          count("*").as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")),
+    // --- E: event-time / date functions over events (SURVEY §2.5 absence)
+    "e1_event_hourly" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(date_format(timestamp_micros((col("ts") / 1000).cast("long")),
+          "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
+        .groupBy("hour", "event_type").agg(count("*").as("n"))
+        .orderBy("hour", "event_type")),
 
     // --- W: window functions (beyond the reference; SURVEY §2.7 gap)
     "w1_window_share" -> ((s, dir) => {
@@ -384,6 +405,15 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT movieId, rating, 'ev' AS tag FROM ($ev)
            |) GROUP BY tag, rating ORDER BY tag, rating""".stripMargin,
+      "x1_salted_join" -> // the UNSALTED join: salting must not change results
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "e1_event_hourly" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+          |       event_type, count(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
       "g1_rollup" ->
         """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
           |       coalesce(o_orderstatus, 'ALL') AS status,
