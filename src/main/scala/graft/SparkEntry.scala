@@ -367,6 +367,9 @@ object SparkEntry {
         col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")),
     "sim_ann_lsh" -> ((s, dir) => // approximate by design -> rows-only check
       Similarity.annTopK(Tables(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")),
+    "sim_ann_ivf" -> ((s, dir) => // approximate by design -> rows-only check
+      Similarity.ivfTopK(Tables(s, dir, "embeddings"),
         col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank"))
   )
 

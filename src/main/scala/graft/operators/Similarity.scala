@@ -110,6 +110,65 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+  /** Approximate top-k via an IVF (inverted-file) coarse quantizer:
+    *
+    *   1. `nCentroids` deterministic sample vectors act as the coarse
+    *      codebook (k-means initialization without refinement iterations —
+    *      honest about being sample-based; swap in trained centroids for
+    *      production recall).
+    *   2. every corpus vector is assigned to its nearest centroid (one
+    *      broadcast of the tiny codebook, `max_by` per vector);
+    *   3. each query probes its `nProbe` nearest centroids' inverted
+    *      lists only — candidates shuffle on `centroid_id`, per-query work
+    *      is the probed lists, not the corpus.
+    *
+    * The other classic ANN shape next to [[annTopK]]'s LSH: IVF adapts to
+    * the data distribution (lists follow density), LSH is data-oblivious.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Int = 42): DataFrame = {
+    require(nProbe <= nCentroids, s"nProbe ($nProbe) must be <= nCentroids ($nCentroids)")
+
+    // deterministic pseudo-random codebook: first nCentroids by hash order
+    val centroids = emb
+      .orderBy(xxhash64(col("vec_id"), lit(seed)))
+      .limit(nCentroids)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col("embedding").as("c_emb"))
+
+    def assign(df: DataFrame, idCol: String, embCol: String, lists: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("centroid_id"))
+      df.join(broadcast(centroids))
+        .select(col(idCol), col(embCol), col("centroid_id"),
+          cosine_sim(col(embCol), col("c_emb")).as("c_cos"))
+        .withColumn("c_rank", row_number().over(w))
+        .where(col("c_rank") <= lists)
+        .drop("c_cos", "c_rank")
+    }
+
+    val corpus = assign(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      "neighbor_id", "embedding", lists = 1) // each vector lives in ONE list
+    val queries = assign(
+      emb.where(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", lists = nProbe)   // each query probes nProbe lists
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    queries.join(corpus, Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosRounded(col("q_emb"), col("embedding")).as("cos"))
+      .distinct() // a pair can meet through several probed lists
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 }
 
 /** DuckDB twins for the exact [[Similarity]] operators. The cosine mirrors

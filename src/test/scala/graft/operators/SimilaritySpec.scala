@@ -99,5 +99,12 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall@1 = $recall")
     // and every approx neighbor must at least be from the right cluster
     approx.foreach { case (q, n) => assert(n / 10 === q / 10, s"query $q -> $n") }
+
+    // IVF with a generous probe budget on the same clustered data
+    val ivf = Similarity.ivfTopK(e, queryPred, 1, nCentroids = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivfRecall = exact.count { case (q, n) => ivf.get(q).contains(n) }.toDouble / exact.size
+    assert(ivfRecall >= 0.6, s"IVF recall@1 = $ivfRecall")
+    assert(ivf.keySet === exact.keySet, "every query must return a neighbor")
   }
 }
