@@ -60,22 +60,30 @@ object Dedup {
   def bloomNewDocs(batchA: DataFrame, batchB: DataFrame, p: Double): DataFrame = {
     val aKeys = batchA.select(normalized(col("text")).as("key")).withColumn("g", lit(1))
     val geometry = BloomPipeline.sized(aKeys.groupBy("g").agg(count("*").as("n")), p)
+    // one-row result, but its subtree is a full pass over batch A — persist
+    // so the two output branches below don't build the filter twice
     val filter = aKeys
       .join(broadcast(geometry), "g")
       .groupBy("g", "m", "k")
       .agg(bloom_build_native(col("key"), col("m"), col("k")).as("bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val b = batchB
       .select(col("doc_id"), normalized(col("text")).as("key"))
       .join(broadcast(filter.select("m", "k", "bits")))
       .withColumn("candidate", bloom_might_contain(col("bits"), col("m"), col("k"), col("key")))
 
-    val confirmed = b.where(col("candidate"))
-      .join(batchA.select(normalized(col("text")).as("key")).distinct(), Seq("key"), "left_semi")
-      .select(col("doc_id"))
-
-    b.select(col("doc_id")).except(confirmed).withColumn("is_new", lit(true))
-      .unionByName(confirmed.withColumn("is_new", lit(false)))
+    // Two branches, no set-op: bloom-negative rows are new by zero-FN and
+    // never touch the join; only candidates (true dups + ~p·|B| FPs) meet
+    // the exact verify join. A-distinct is corpus-sized, so the join is
+    // deliberately unhinted — sort-merge is the right plan at scale.
+    val aDistinct = batchA.select(normalized(col("text")).as("key")).distinct()
+    val verified = b.where(col("candidate"))
+      .join(aDistinct.withColumn("in_a", lit(true)), Seq("key"), "left_outer")
+      .select(col("doc_id"), col("in_a").isNull.as("is_new"))
+    val fastPath = b.where(!col("candidate"))
+      .select(col("doc_id"), lit(true).as("is_new"))
+    verified.unionByName(fastPath)
   }
 
   /** Shingle sets for near-dup detection: distinct word `n`-gram shingles
