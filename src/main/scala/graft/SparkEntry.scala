@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{BloomPipeline, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, Ratings, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
+import graft.operators.{BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, Ratings, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -157,6 +157,26 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy("o_orderpriority")),
+    // --- B: bucketed co-located join (write-time pre-shuffle; the plan
+    // has NO exchange on either join side — asserted in BucketingSpec)
+    "b1_bucketed_join" -> ((s, dir) => {
+      val suffix = math.abs(dir.hashCode).toString
+      val li = Bucketing.ensureBucketed(s,
+        Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"graft_li_$suffix", "l_orderkey")
+      val od = Bucketing.ensureBucketed(s,
+        Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        s"graft_od_$suffix", "o_orderkey")
+      s.table(li)
+        .join(s.table(od), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(
+          count("*").as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // --- E: event-time / date functions over events (SURVEY §2.5 absence)
     "e1_event_hourly" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -408,6 +428,11 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT movieId, rating, 'ev' AS tag FROM ($ev)
            |) GROUP BY tag, rating ORDER BY tag, rating""".stripMargin,
+      "b1_bucketed_join" -> // bucketing must not change results
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "x1_salted_join" -> // the UNSALTED join: salting must not change results
         """SELECT o_orderpriority, count(*) AS n_items,
           |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

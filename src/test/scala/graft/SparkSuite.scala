@@ -14,6 +14,8 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_test_warehouse")
       // the SQL surface arrives via extension injection, so every SQL-path
       // test below exercises GraftExtensions end to end
       .config("spark.sql.extensions", "graft.GraftExtensions")
