@@ -105,6 +105,20 @@ object StreamingBloom {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("group", "key")
 
+  /** Stream-static probe — the streaming twin of the batch tester: a
+    * stream of keyed records joins the (static, e.g. [[graft.operators
+    * .FilterStore]]-reloaded) filter relation on `group` and tests
+    * membership inside codegen. The static side broadcasts; the stream
+    * never shuffles. Returns the input rows + `hit` flag (downstream can
+    * window-aggregate FP counts). */
+  def streamingProbe(stream: DataFrame, filters: DataFrame): DataFrame =
+    stream
+      .join(org.apache.spark.sql.functions.broadcast(
+        filters.select(col("group"), col("m"), col("k"), col("bits"))), Seq("group"))
+      .withColumn("hit",
+        graft.functions.bloom_might_contain(col("bits"), col("m"), col("k"), col("key")))
+      .drop("m", "k", "bits")
+
   /** Watermarked event-time windowed linecount — the streaming twin of the
     * batch sizing pass (A1): counts per (window, group) with late data
     * bounded by the watermark. */

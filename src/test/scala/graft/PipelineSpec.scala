@@ -89,6 +89,16 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("edge policy §2.6: test ratings with no built filter are skipped, not crashed") {
+    // (the reference Spark engine crashed with KeyError here; Hadoop
+    // logged-and-dropped — we standardize on skip-via-inner-join)
+    val trainSmall = Seq(("a", 1), ("b", 1), ("c", 2)).toDF("movieId", "rating")
+    val testWider = Seq(("x", 1), ("y", 2), ("z", 3), ("w", 9)).toDF("movieId", "rating")
+    val stats = BloomPipeline.endToEnd(trainSmall, testWider, 0.05)
+    val groups = stats.select("rating").as[Int].collect().toSet
+    assert(groups === Set(1, 2), "ratings 3 and 9 have no filter and are skipped")
+  }
+
   test("randomSplit (P8 reference parity): disjoint, complete, ~60/40") {
     val df = (0 until 20000).map(i => (s"id-$i", i % 10)).toDF("movieId", "rating")
     val Array(tr, te) = Ratings.randomSplit(df, seed = 42L)

@@ -84,6 +84,33 @@ class StreamingBloomSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingProbe: stream-static join probes reloaded filters, zero FN") {
+    implicit val sqlCtx = spark.sqlContext
+    // static side: batch-built filters, round-tripped through parquet
+    val train = (0 until 500).map(i => (s"key-$i", i % 2))
+      .toDF("movieId", "rating")
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_filters").toString
+    graft.operators.FilterStore.save(
+      graft.operators.BloomPipeline.buildFilters(train, 0.05), path)
+    val filters = graft.operators.FilterStore.load(spark, path)
+      .withColumnRenamed("rating", "group")
+
+    val in = MemoryStream[KeyedRecord]
+    val q = StreamingBloom.streamingProbe(in.toDF(), filters)
+      .writeStream.format("memory").queryName("probe_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        KeyedRecord(0, "key-0"), KeyedRecord(1, "key-1"),   // trained -> must hit
+        KeyedRecord(0, "nope-a"), KeyedRecord(1, "nope-b")) // untrained
+      drain(q)
+      val got = spark.table("probe_out").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[Boolean]("hit")).toMap
+      assert(got("key-0") && got("key-1"), "zero FN on the stream side")
+      assert(got.size === 4)
+    } finally q.stop()
+  }
+
   test("windowedLinecount aggregates per event-time window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Int, String)]
