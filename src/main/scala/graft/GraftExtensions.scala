@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name),
         graft.functions.checkedBuilder(name, n, build)))
     }
+    // opt-in runtime bloom pre-filter under big joins
+    // (spark.graft.runtimeBloom.enabled=true)
+    ext.injectPreCBORule(graft.plans.InjectBloomRuntimeFilter.apply)
   }
 }
