@@ -354,6 +354,9 @@ object SparkEntry {
     "dedup_embedding_cos" -> ((s, dir) =>
       Similarity.bruteForcePairs(Tables(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
+    "pipe1_clean_corpus" -> ((s, dir) => // composed: quality filter -> dedup
+      Dedup.cleanCorpus(Tables(s, dir, "documents"), minQuality = 0.5)
+        .orderBy("doc_id")),
 
     // --- M: multimodal binary-column plumbing (LLM-pipeline layer;
     // decode is a deterministic stub, the byte plumbing is real)
@@ -508,6 +511,7 @@ object SparkEntry {
       "dedup_bloom_xbatch" ->
         DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),
       "dedup_minhash_lsh" -> DedupSql.minhashLshPairs(0.8, 3),
+      "pipe1_clean_corpus" -> DedupSql.cleanCorpus(0.5),
       "mm1_meta" -> MultimodalSql.attachMeta,
       "mm2_frame_stats" -> MultimodalSql.frameStats,
       "mm3_decode_batch" -> MultimodalSql.decodeBatch,

@@ -166,6 +166,24 @@ object Dedup {
       i => transform(sequence(i + 1, size(ids)),
         j => struct(element_at(ids, i).as("_1"), element_at(ids, j).as("_2")))))
 
+  /** End-to-end corpus cleaning — the composed LLM-data pipeline in one
+    * plan: quality-filter (cheap per-row scores) → exact dedup (keep the
+    * lowest doc_id per normalized text) → surviving doc ids. The shape a
+    * 100 TB pretraining-corpus pass takes: one narrow projection pass,
+    * one keyed shuffle, nothing quadratic. */
+  def cleanCorpus(docs: DataFrame, minQuality: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+    val kept = docs.join(scored, "doc_id").where(col("quality") >= minQuality)
+    val norm = normalized(col("text"))
+    val w = Window.partitionBy(col("norm"))
+    kept
+      .select(col("doc_id"), norm.as("norm"), col("quality"))
+      .withColumn("keeper", min("doc_id").over(w))
+      .where(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("quality"))
+  }
+
   /** Near-dup pairs via 64-bit SimHash: `(doc_a, doc_b, hamming)` with
     * Hamming distance ≤ `maxHamming`. Blocking: the 64-bit signature is
     * cut into `maxHamming + 1` bands — by pigeonhole any pair within the
@@ -227,6 +245,17 @@ object DedupSql {
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Twin of [[Dedup.cleanCorpus]]: quality subquery reuses
+    * [[TextAnalysisSql.qualityScore]]. */
+  def cleanCorpus(minQuality: Double): String =
+    s"""SELECT doc_id, quality FROM (
+       |  SELECT d.doc_id, q.quality,
+       |         min(d.doc_id) OVER (PARTITION BY $norm) AS keeper
+       |  FROM documents d
+       |  JOIN (${TextAnalysisSql.qualityScore}) q USING (doc_id)
+       |  WHERE q.quality >= $minQuality)
+       |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
 
   /** `is_new` twin for [[Dedup.bloomNewDocs]] with batches split by a SQL
     * predicate over `documents`. */
