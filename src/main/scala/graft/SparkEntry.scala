@@ -177,6 +177,35 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // --- F: JSON + map scalar functions (SURVEY §2.5 absences) — the
+    // to_json -> from_json/get_json_object round trip must reproduce the
+    // source columns exactly, so the oracle is the identity projection
+    "f2_json_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      Tables(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("j"))
+        .select(from_json(col("j"), schema).as("p"),
+          get_json_object(col("j"), "$.lang").as("lang_path"))
+        .select(col("p.doc_id").as("doc_id"), col("p.lang").as("lang"),
+          col("p.n_chars").as("n_chars"), col("lang_path"))
+        .orderBy("doc_id")
+    }),
+    "f3_map_ops" -> ((s, dir) =>
+      // map construction + lookup + size; identity-checkable projection
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          map_from_arrays(
+            array(lit("lang"), lit("source")),
+            array(col("lang"), col("source"))).as("m"))
+        .select(col("doc_id"),
+          element_at(col("m"), "lang").as("lang"),
+          element_at(col("m"), "source").as("source"),
+          size(col("m")).as("n_keys"))
+        .orderBy("doc_id")),
+
     // --- E: event-time / date functions over events (SURVEY §2.5 absence)
     "e1_event_hourly" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -441,6 +470,12 @@ object SparkEntry {
           |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "f2_json_roundtrip" ->
+        """SELECT doc_id, lang, n_chars, lang AS lang_path
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "f3_map_ops" ->
+        """SELECT doc_id, lang, source, 2 AS n_keys
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "e1_event_hourly" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
           |       event_type, count(*) AS n

@@ -37,4 +37,24 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .schema(ratingsSchema)
       .csv(path)
+
+  /** Drop-with-metric done the idiomatic Spark way: clean rows come back,
+    * and the dropped-row count rides the SAME job as an observed metric
+    * (`Observation.get("corrupt_rows")`) — no second pass, no
+    * accumulator races (observe metrics are exactly-once per action,
+    * unlike accumulators under task retries). This is the §2.6 policy the
+    * Hadoop reference approximated with log-and-skip counters. */
+  def readRatingsTsvObserved(
+      spark: SparkSession, path: String,
+      observation: org.apache.spark.sql.Observation): DataFrame = {
+    val corrupt = col("movieId").isNull || col("averageRating").isNull
+    readRatingsTsvWithCorrupt(spark, path)
+      .observe(observation,
+        sum(when(corrupt, 1L).otherwise(0L)).as("corrupt_rows"),
+        count(lit(1)).as("total_rows"))
+      .where(!corrupt)
+      .select(
+        col("movieId"),
+        floor(col("averageRating") + 0.5).cast("int").as("rating"))
+  }
 }

@@ -50,6 +50,15 @@ class IngestSpec extends SparkSuite {
     assert(full.count() === 6) // even reach the parser — reader skips them)
   }
 
+  test("observed drop-with-metric: corrupt count rides the same job") {
+    val path = writeFixture(fixture)
+    val obs = new org.apache.spark.sql.Observation("ingest")
+    val clean = Ingest.readRatingsTsvObserved(spark, path, obs)
+    assert(clean.count() === 5) // action triggers the observation
+    assert(obs.get("corrupt_rows") === 1L)
+    assert(obs.get("total_rows") === 6L)
+  }
+
   test("reading a TSV written by the engine round-trips (S1+K1 parity)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ingest_rt").toString
