@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.core.Murmur3
+
+/** ScalaCheck laws for the native text/vector kernels, checked against
+  * naive reference implementations (kernel-level — no Spark jobs, so the
+  * full 100-case sweep runs in milliseconds). */
+object VectorKernelsPropSpec extends Properties("VectorKernels") {
+
+  private val tokenGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val tokensGen = Gen.listOf(tokenGen)
+  private val nGen = Gen.choose(1, 5)
+
+  private def arr(tokens: Seq[String]): GenericArrayData =
+    new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  private def strings(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+
+  property("wordNgrams == naive sliding window") = forAll(tokensGen, nGen) { (toks, n) =>
+    val got = strings(VectorKernels.wordNgrams(arr(toks), n))
+    val expected =
+      if (toks.length < n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    got == expected
+  }
+
+  property("hashArray == element-wise mmh3") = forAll(tokensGen, Gen.choose(0, 100)) {
+    (toks, seed) =>
+      val got = VectorKernels.hashArray(arr(toks), seed)
+      (0 until got.numElements()).forall { i =>
+        got.getInt(i) == Murmur3.hashString(toks(i), seed)
+      } && got.numElements() == toks.length
+  }
+
+  property("minhashSig == per-seed minimum of element hashes") =
+    forAll(Gen.nonEmptyListOf(tokenGen), Gen.choose(1, 32)) { (toks, h) =>
+      val got = VectorKernels.minhashSig(arr(toks), h)
+      (0 until h).forall { s =>
+        got.getInt(s) == toks.map(t => Murmur3.hashString(t, s)).min
+      }
+    }
+
+  property("simhash is permutation- and duplication-sensitive only via counts") =
+    forAll(Gen.nonEmptyListOf(tokenGen)) { toks =>
+      // order never matters (vote sums commute)
+      VectorKernels.simhash(arr(toks)) ==
+        VectorKernels.simhash(arr(scala.util.Random.shuffle(toks)))
+    }
+
+  property("identical shingle sets => identical minhash signature") =
+    forAll(Gen.nonEmptyListOf(tokenGen)) { toks =>
+      val a = VectorKernels.minhashSig(arr(toks), 16)
+      val b = VectorKernels.minhashSig(arr(scala.util.Random.shuffle(toks)), 16)
+      (0 until 16).forall(i => a.getInt(i) == b.getInt(i))
+    }
+}
