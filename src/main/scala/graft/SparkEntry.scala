@@ -316,6 +316,20 @@ object SparkEntry {
           col("f").getItem(1).cast("bigint").as("n"))
         .orderBy("rating")
     }),
+    "s2_jsonl_ingest" -> ((s, dir) => {
+      // JSONL sink + scan round trip — the fourth corpus format next to
+      // parquet (Tables), TSV (s1) and text (k1); schema-explicit read so
+      // no inference pass at scale
+      import org.apache.spark.sql.types._
+      val path = tmpPath(dir, "docs_jsonl")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(path).orderBy("doc_id")
+    }),
     "s1_tsv_ingest" -> ((s, dir) => {
       // S1 TSV scan + F1/F2/F3 parse/cast/round: materialize the ratings
       // TSV shape (movieId, averageRating, numVotes) from lineitem, then
@@ -539,6 +553,8 @@ object SparkEntry {
       "k1_text_roundtrip" ->
         s"SELECT rating, count(*) AS n FROM ($li) GROUP BY rating ORDER BY rating",
       "s1_tsv_ingest" -> s"SELECT * FROM ($li) ORDER BY movieId",
+      "s2_jsonl_ingest" ->
+        "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
       "t1_token_stats" -> s"${TextAnalysisSql.tokenStats} ORDER BY doc_id",
       "t2_quality" -> s"${TextAnalysisSql.qualityScore} ORDER BY doc_id",
       "t3_langid" -> s"${TextAnalysisSql.langId} ORDER BY doc_id",
