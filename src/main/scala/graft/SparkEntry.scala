@@ -379,6 +379,8 @@ object SparkEntry {
       TextAnalysis.langId(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t4_shingle_fp" -> ((s, dir) => // mmh3-valued -> rows-only check
       TextAnalysis.shingleFingerprint(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t5_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables(s, dir, "documents"), topK = 50)),
 
     // --- D: deduplication (LLM-pipeline layer)
     "dedup_exact" -> ((s, dir) =>
@@ -558,6 +560,7 @@ object SparkEntry {
       "t1_token_stats" -> s"${TextAnalysisSql.tokenStats} ORDER BY doc_id",
       "t2_quality" -> s"${TextAnalysisSql.qualityScore} ORDER BY doc_id",
       "t3_langid" -> s"${TextAnalysisSql.langId} ORDER BY doc_id",
+      "t5_vocab" -> TextAnalysisSql.vocabulary(50),
       "dedup_exact" -> s"${DedupSql.exactKeepers} ORDER BY doc_id",
       "dedup_bloom_xbatch" ->
         DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),

@@ -107,6 +107,18 @@ object TextAnalysis {
           .otherwise("fr").as("lang_pred"))
   }
 
+  /** Corpus vocabulary: token → (document frequency, total count), top-k
+    * by count with deterministic tie-break. The classic vocabulary/BPE
+    * pre-pass: one explode (narrow), one partial+final hash aggregate —
+    * shuffle carries (token, partial counts), never documents. */
+  def vocabulary(docs: DataFrame, topK: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count("*").as("n"), countDistinct("doc_id").as("doc_freq"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+
   /** 64-bit content fingerprint of the normalized text (exact-dup key).
     * xxhash64 is Spark-built-in and codegen'd; dedup correctness never
     * depends on it being collision-free because [[Dedup]] verifies
@@ -165,6 +177,11 @@ object TextAnalysisSql {
        |         ${nStop(TextAnalysis.stopEn)} AS n_stop,
        |         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_chars
        |  FROM documents)""".stripMargin
+
+  def vocabulary(topK: Int): String =
+    s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+       |FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+       |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
 
   val langId: String =
     s"""SELECT doc_id,
