@@ -426,7 +426,18 @@ object SparkEntry {
         .orderBy("modality")
     }),
     "mm4_features" -> ((s, dir) => // hash-derived fake features -> rows-only
+      // Scalar reductions of the feature vector, not the raw array: the
+      // driver's compare bridge can't sort/hash array-typed columns, so the
+      // registered surface is (norm, mean, min, max) — which still forces
+      // the full featurize plan to execute.
       Multimodal.featurize(Multimodal.fromDocuments(Tables(s, dir, "documents")))
+        .select(col("media_id"), col("modality"), size(col("features")).as("dim"),
+          round(sqrt(aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x * x)), 6).as("f_norm"),
+          round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x)
+            / size(col("features")), 6).as("f_mean"),
+          round(array_min(col("features")), 6).as("f_min"),
+          round(array_max(col("features")), 6).as("f_max"))
         .orderBy("media_id")),
 
     // --- V: similarity search over embeddings (LLM-pipeline layer)

@@ -155,12 +155,16 @@ object MultimodalSql {
 
   /** Frame stats from pure length arithmetic (what correct slicing must
     * produce): nf = min(maxFrames, floor((len-1)/frameSize)+1), sampled
-    * bytes = min(len, nf*frameSize) truncated to the sampled window. */
+    * bytes = min(len, nf*frameSize) truncated to the sampled window.
+    * Sums are CAST to BIGINT: DuckDB's sum(INTEGER) yields HUGEINT, which
+    * the driver's pandas bridge turns into float64 — hash-mismatching the
+    * int64 Spark emits even when every value is identical. */
   val frameStats: String = {
     val fs = Multimodal.frameSize
     val mf = Multimodal.maxFrames
-    s"""SELECT modality, count(*) AS n_media, sum(nf) AS n_frames,
-       |       sum(least(len, nf * $fs)) AS sampled_bytes
+    s"""SELECT modality, count(*) AS n_media,
+       |       CAST(sum(nf) AS BIGINT) AS n_frames,
+       |       CAST(sum(least(len, nf * $fs)) AS BIGINT) AS sampled_bytes
        |FROM (SELECT $modality AS modality, $payloadLen AS len,
        |             least($mf, greatest(0,
        |               CAST(floor(($payloadLen - 1) / $fs) AS INT)) + 1) AS nf
@@ -168,11 +172,12 @@ object MultimodalSql {
        |GROUP BY modality ORDER BY modality""".stripMargin
   }
 
-  /** Typed mapPartitions decode twin (same stub arithmetic). */
+  /** Typed mapPartitions decode twin (same stub arithmetic; BIGINT casts
+    * for the same HUGEINT reason as [[frameStats]]). */
   val decodeBatch: String =
     s"""SELECT $modality AS modality, count(*) AS n,
-       |       sum(1 + ($payloadLen * 31) % 1024) AS width_sum,
-       |       sum(1 + ($payloadLen * 17) % 1024) AS height_sum
+       |       CAST(sum(1 + ($payloadLen * 31) % 1024) AS BIGINT) AS width_sum,
+       |       CAST(sum(1 + ($payloadLen * 17) % 1024) AS BIGINT) AS height_sum
        |FROM documents
        |GROUP BY modality ORDER BY modality""".stripMargin
 }
