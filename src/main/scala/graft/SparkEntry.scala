@@ -369,6 +369,26 @@ object SparkEntry {
         BloomPipeline.buildShardedFilters(
           Ratings.trainFromLineitem(s, dir), defaultP, shardedSlabBits))
         .orderBy("rating")),
+    // FP-rate bound gates: the observed per-group FPP of a filter sized for
+    // p must stay under 2p (the test splits are key-disjoint from train, so
+    // every hit is a false positive; at sf0.01 group sizes the binomial
+    // 6-sigma band around p=0.05 is ±0.03, well inside the 2x margin).
+    // Group count is a real oracle value; violations is the invariant.
+    "bloom_fp_bound" -> ((s, dir) =>
+      BloomPipeline.endToEnd(
+        Ratings.trainFromLineitem(s, dir),
+        Ratings.testFromLineitem(s, dir), defaultP)
+        .agg(count("*").as("groups"),
+          sum(when(col("fpRate") > defaultP * 2, 1L).otherwise(0L))
+            .as("violations"))),
+    "bloom_sharded_fp_bound" -> ((s, dir) =>
+      BloomPipeline.fpStatsSharded(
+        Ratings.testFromLineitem(s, dir),
+        BloomPipeline.buildShardedFilters(
+          Ratings.trainFromLineitem(s, dir), defaultP, shardedSlabBits))
+        .agg(count("*").as("groups"),
+          sum(when(col("fpRate") > defaultP * 2, 1L).otherwise(0L))
+            .as("violations"))),
 
     // --- T: text analysis over documents (LLM-pipeline layer)
     "t1_token_stats" -> ((s, dir) =>
@@ -381,6 +401,8 @@ object SparkEntry {
       TextAnalysis.shingleFingerprint(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t5_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables(s, dir, "documents"), topK = 50)),
+    "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
+      TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     // --- D: deduplication (LLM-pipeline layer)
     "dedup_exact" -> ((s, dir) =>
@@ -396,6 +418,13 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables(s, dir, "documents")).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, dir) => // simhash-valued -> rows-only check
       Dedup.simhashPairs(Tables(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+    "dedup_simhash_verify" -> ((s, dir) => // cross-engine zero-miss gate
+      Dedup.simhashExactDupCheck(Tables(s, dir, "documents"))),
+    "dedup_jaccard_exact" -> ((s, dir) => // prefix-filtered exact join, θ
+      // below the LSH banding sweet spot on purpose — this path is exact
+      // at any threshold
+      Dedup.jaccardPairsExact(Tables(s, dir, "documents"), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
     "dedup_embedding_cos" -> ((s, dir) =>
       Similarity.bruteForcePairs(Tables(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
@@ -449,7 +478,43 @@ object SparkEntry {
         col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")),
     "sim_ann_ivf" -> ((s, dir) => // approximate by design -> rows-only check
       Similarity.ivfTopK(Tables(s, dir, "embeddings"),
-        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank"))
+        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")),
+    // Recall gates for the ANN paths: counts are real oracle values,
+    // recall_ok the cross-engine invariant (seed-deterministic recall on
+    // the random-unit-vector testdata measures 0.46/0.48; floor 0.25).
+    "sim_ann_lsh_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.recallVsExact(emb,
+        Similarity.annTopK(emb, col("vec_id") % 50 === 0, simK),
+        col("vec_id") % 50 === 0, simK, floor = 0.25)
+    }),
+    "sim_ann_ivf_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.recallVsExact(emb,
+        Similarity.ivfTopK(emb, col("vec_id") % 50 === 0, simK),
+        col("vec_id") % 50 === 0, simK, floor = 0.25)
+    }),
+
+    // --- ST: Structured Streaming drained to a deterministic result —
+    // the incremental engine must reproduce the batch answer exactly
+    "st1_stream_hourly" -> ((s, dir) =>
+      graft.streaming.StreamingQueries.eventHourly(s, dir)),
+
+    // --- O/MM extras: ORC source+sink round trip; resize-crop projection
+    "o1_orc_roundtrip" -> ((s, dir) => {
+      val path = tmpPath(dir, "docs_orc")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy("doc_id")
+    }),
+    "mm5_resize" -> ((s, dir) =>
+      Multimodal.fromDocuments(Tables(s, dir, "documents"))
+        .select(col("media_id"), col("modality"),
+          octet_length(col("payload")).as("n_bytes"),
+          octet_length(Multimodal.resizeCrop(col("payload"), 128))
+            .as("resized_bytes"))
+        .orderBy("media_id"))
   )
 
   def oracleSql: Map[String, String] = {
@@ -581,7 +646,25 @@ object SparkEntry {
       "mm2_frame_stats" -> MultimodalSql.frameStats,
       "mm3_decode_batch" -> MultimodalSql.decodeBatch,
       "dedup_embedding_cos" -> SimilaritySql.bruteForcePairs(0.4),
-      "sim_topk" -> SimilaritySql.bruteForceTopK(simQueryPredSql, simK)
+      "sim_topk" -> SimilaritySql.bruteForceTopK(simQueryPredSql, simK),
+      "t6_shingle_stats" -> s"${TextAnalysisSql.shingleStats(3)} ORDER BY doc_id",
+      "dedup_simhash_verify" -> DedupSql.simhashExactDupCheck,
+      "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),
+      "bloom_fp_bound" ->
+        s"""SELECT CAST(count(DISTINCT rating) AS BIGINT) AS groups,
+           |       CAST(0 AS BIGINT) AS violations FROM ($test)""".stripMargin,
+      "bloom_sharded_fp_bound" ->
+        s"""SELECT CAST(count(DISTINCT rating) AS BIGINT) AS groups,
+           |       CAST(0 AS BIGINT) AS violations FROM ($test)""".stripMargin,
+      "sim_ann_lsh_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
+      "sim_ann_ivf_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
+      "st1_stream_hourly" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+          |       event_type, count(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "o1_orc_roundtrip" ->
+        "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+      "mm5_resize" -> MultimodalSql.resize(128)
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible
       // (SURVEY.md §7.4.3) -> driver rows-only check; invariants covered by
       // bloom_zero_fn above + PipelineSpec/statistical e2e.

@@ -166,6 +166,87 @@ object Dedup {
       i => transform(sequence(i + 1, size(ids)),
         j => struct(element_at(ids, i).as("_1"), element_at(ids, j).as("_2")))))
 
+  /** All ordered document pairs `(doc_a < doc_b)` whose exact shingle
+    * Jaccard ≥ `threshold`, found EXACTLY (no LSH approximation) via a
+    * prefix-filtered inverted-index join — the PPJoin-family shape:
+    *
+    *   1. global canonical shingle order: ascending document frequency
+    *      (rarest first), shingle text as tie-break;
+    *   2. each document indexes only its first `|sh| − ⌈θ·|sh|⌉ + 1`
+    *      shingles in that order — by the prefix-filter theorem any pair
+    *      with Jaccard ≥ θ shares at least one *prefix* shingle, so the
+    *      index is lossless while shrinking toward nothing as θ → 1;
+    *   3. candidates come from the equality join on indexed shingles with
+    *      the length filter `θ·|a| ≤ |b| ∧ θ·|b| ≤ |a|`;
+    *   4. exact Jaccard verifies each candidate on the full shingle sets.
+    *
+    * Complements [[minhashLshPairs]]: LSH recall degrades below its banding
+    * sweet spot (at θ=0.5 with 32×4 bands it misses ~13% of pairs); this
+    * operator is exact at ANY threshold, and the prefix index keeps the
+    * candidate join sub-quadratic. Nothing here is all-pairs: the frequency
+    * pass, window rank, and candidate join all shuffle on keys.
+    */
+  def jaccardPairsExact(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+
+    val base = shingleSets(docs, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = base.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val freq = inv.groupBy("shingle").agg(count("*").as("df"))
+
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = inv.join(freq, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id"), col("sz"), col("shingle"))
+
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id")
+          && col("a.sz") * threshold <= col("b.sz")
+          && col("b.sz") * threshold <= col("a.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    candidates
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Cross-checkable SimHash invariant: every EXACT duplicate pair (same
+    * normalized text, both docs tokenizable) has SimHash Hamming distance
+    * 0, so [[simhashPairs]] must surface it. Output is one row
+    * `(n_exact_pairs, n_missed)` — the pair count is a real DuckDB oracle
+    * value and `n_missed` must be 0 in any engine, giving the
+    * murmur-valued SimHash path the same style of cross-engine gate as
+    * `bloom_zero_fn`. */
+  def simhashExactDupCheck(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val t = tokens(col("text"))
+    val keyed = docs.where(size(t) > 0)
+      .select(col("doc_id"), normalized(col("text")).as("norm"))
+    val exactPairs = keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.norm") === col("y.norm") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    exactPairs
+      .join(simhashPairs(docs, maxHamming), Seq("doc_a", "doc_b"), "left_outer")
+      .agg(
+        count("*").as("n_exact_pairs"),
+        coalesce(sum(when(col("hamming").isNull || col("hamming") =!= 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_missed"))
+  }
+
   /** End-to-end corpus cleaning — the composed LLM-data pipeline in one
     * plan: quality-filter (cheap per-row scores) → exact dedup (keep the
     * lowest doc_id per normalized text) → surviving doc ids. The shape a
@@ -233,6 +314,21 @@ object DedupSql {
        |  THEN list_distinct(list_transform(range(1, len($toks) - ${n - 2}),
        |         i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))
        |  ELSE [array_to_string($toks, ' ')] END""".stripMargin
+
+  /** Generic all-pairs exact-Jaccard twin — the oracle for BOTH
+    * [[Dedup.minhashLshPairs]] (recall 1 at its banding sweet spot) and
+    * [[Dedup.jaccardPairsExact]] (exact at any threshold). All-pairs is
+    * fine for the oracle's sf; the Spark sides are the scale paths. */
+  def jaccardAllPairs(threshold: Double, shingleN: Int): String =
+    minhashLshPairs(threshold, shingleN)
+
+  /** Twin of [[Dedup.simhashExactDupCheck]]: the exact-dup pair count is
+    * real SQL; `n_missed` is the cross-engine zero invariant. */
+  val simhashExactDupCheck: String =
+    s"""SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_missed
+       |FROM (SELECT doc_id, $norm AS nrm FROM documents WHERE len($toks) > 0) a
+       |JOIN (SELECT doc_id, $norm AS nrm FROM documents WHERE len($toks) > 0) b
+       |  ON a.nrm = b.nrm AND a.doc_id < b.doc_id""".stripMargin
 
   def minhashLshPairs(threshold: Double, shingleN: Int): String =
     s"""WITH sets AS (

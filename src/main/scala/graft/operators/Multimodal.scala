@@ -172,6 +172,14 @@ object MultimodalSql {
        |GROUP BY modality ORDER BY modality""".stripMargin
   }
 
+  /** Twin of the resize-crop projection: the output byte count is pure
+    * length arithmetic (`min(len, nBytes)`). */
+  def resize(nBytes: Int): String =
+    s"""SELECT doc_id AS media_id, $modality AS modality,
+       |       $payloadLen AS n_bytes,
+       |       least($payloadLen, $nBytes) AS resized_bytes
+       |FROM documents ORDER BY media_id""".stripMargin
+
   /** Typed mapPartitions decode twin (same stub arithmetic; BIGINT casts
     * for the same HUGEINT reason as [[frameStats]]). */
   val decodeBatch: String =

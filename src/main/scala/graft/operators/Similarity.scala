@@ -110,6 +110,31 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+  /** Recall gate for an approximate top-k result against the exact
+    * [[bruteForceTopK]] baseline: one row `(n_queries, n_exact,
+    * recall_ok)`. The counts are real DuckDB-oracle values; `recall_ok`
+    * is the cross-engine invariant (ANN output is seed-deterministic, so
+    * its recall on a fixed dataset is a constant — the floor is chosen
+    * well under the measured value). This is how the approximate-by-design
+    * queries get a checked row instead of a rows-only shrug. */
+  def recallVsExact(
+      emb: DataFrame,
+      ann: DataFrame,
+      queryPred: Column,
+      k: Int,
+      floor: Double): DataFrame = {
+    val exact = bruteForceTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ann.select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(hits, Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(
+        countDistinct("query_id").as("n_queries"),
+        count("*").as("n_exact"),
+        (coalesce(sum("hit"), lit(0L)).cast("double") / count("*") >= floor)
+          .as("recall_ok"))
+  }
+
   /** Approximate top-k via an IVF (inverted-file) coarse quantizer:
     *
     *   1. `nCentroids` deterministic sample vectors act as the coarse
@@ -193,6 +218,15 @@ object SimilaritySql {
        |                               ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM c)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Twin of [[Similarity.recallVsExact]]: the query/exact-row counts are
+    * real SQL (every query has ≥ k neighbors at any tested sf); recall_ok
+    * is the cross-engine invariant. */
+  def recallGate(queryPredSql: String, k: Int): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(count(*) * $k AS BIGINT) AS n_exact,
+       |       TRUE AS recall_ok
+       |FROM embeddings WHERE $queryPredSql""".stripMargin
 
   def bruteForcePairs(threshold: Double): String =
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

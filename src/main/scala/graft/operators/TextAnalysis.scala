@@ -125,6 +125,22 @@ object TextAnalysis {
     * candidates on the text itself. */
   def fingerprint(text: Column): Column = xxhash64(normalized(text))
 
+  /** Per-document shingle statistics — the oracle-checkable face of the
+    * shingling kernel that [[shingleFingerprint]], [[Dedup.minhashLshPairs]]
+    * and [[Dedup.jaccardPairsExact]] all build on: `(doc_id, n_tokens,
+    * n_shingles, n_distinct_shingles)`. Only the murmur-valued fingerprint
+    * columns lack a DuckDB twin; the shingle construction itself is checked
+    * here value-for-value. */
+  def shingleStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    val t = tokens(col("text"))
+    val sh = shingles(t, n)
+    docs.where(size(t) > 0).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(sh).as("n_shingles"),
+      size(array_distinct(sh)).as("n_distinct_shingles"))
+  }
+
   /** Winnowing-style rolling fingerprint: min/max seeded-murmur over the
     * document's word 3-gram shingles (SURVEY.md operator family F4 reused
     * as a text kernel). Two extremes rather than a full winnow window keep
@@ -182,6 +198,16 @@ object TextAnalysisSql {
     s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
        |FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
        |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
+
+  /** Twin of [[TextAnalysis.shingleStats]]: total shingles is
+    * `max(len - n + 1, 1)` (short docs yield one whole-text shingle);
+    * distinct reuses [[DedupSql.shinglesSql]]. */
+  def shingleStats(n: Int): String =
+    s"""SELECT doc_id,
+       |       len($toks) AS n_tokens,
+       |       greatest(len($toks) - ${n - 1}, 1) AS n_shingles,
+       |       len(${DedupSql.shinglesSql(n)}) AS n_distinct_shingles
+       |FROM documents WHERE len($toks) > 0""".stripMargin
 
   val langId: String =
     s"""SELECT doc_id,

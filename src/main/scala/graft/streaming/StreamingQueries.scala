@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Batch-equivalent streaming queries: the same transformations the batch
+  * engine registers, executed through Structured Streaming's incremental
+  * engine and drained to a deterministic result — which makes streaming
+  * itself oracle-checkable (the DuckDB twin of the batch query must match).
+  *
+  * Scale notes: the file source at 100 TB is the same parquet scan split
+  * by `maxFilesPerTrigger`; the aggregation state is keyed by
+  * (window, event_type) — bounded by time × cardinality, not by input
+  * rows. The memory sink is test-scale plumbing only; a cluster deployment
+  * swaps it for a parquet/Kafka sink in append mode with the watermark
+  * bounding state eviction.
+  */
+object StreamingQueries {
+
+  /** Event-time hourly counts over the `events` table, as a stream:
+    * file-source parquet scan → event-time tumbling window (with
+    * watermark) → count per (window, event_type) → memory sink, drained
+    * with `Trigger.AvailableNow` so the result is the complete, final
+    * answer — identical to the batch `e1_event_hourly` query and checked
+    * against the same oracle.
+    */
+  def eventHourly(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // file streams need an explicit schema; one footer read supplies it
+    val schema = spark.read.parquet(path).schema
+    val name = "st1_events_hourly_" + math.abs(dir.hashCode)
+
+    // the file source requires a directory: stream the table dir with a
+    // glob filter (the testdata table is a single parquet file)
+    val counts = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(timestamp_micros((col("ts") / 1000).cast("long")).as("event_time"),
+        col("event_type"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"))
+
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("hour", "event_type")
+  }
+}

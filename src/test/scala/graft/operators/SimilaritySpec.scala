@@ -107,4 +107,25 @@ class SimilaritySpec extends SparkSuite {
     assert(ivfRecall >= 0.6, s"IVF recall@1 = $ivfRecall")
     assert(ivf.keySet === exact.keySet, "every query must return a neighbor")
   }
+
+  test("recallVsExact: counts and gate, both directions") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(32)(rnd.nextGaussian()))
+    val rows = for { c <- 0 until 10; i <- 0 until 8 } yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.03).toFloat)
+      ((c * 8 + i).toLong, v.toSeq)
+    }
+    val e = vecDf(rows: _*)
+    val pred = col("vec_id") % 8 === 0
+    val ann = Similarity.annTopK(e, pred, 2, sigBits = 16, bands = 4)
+
+    val ok = Similarity.recallVsExact(e, ann, pred, 2, floor = 0.5).head()
+    assert(ok.getAs[Long]("n_queries") === 10L)
+    assert(ok.getAs[Long]("n_exact") === 20L)
+    assert(ok.getAs[Boolean]("recall_ok"))
+
+    // an impossible floor must flip the gate, proving it actually measures
+    val bad = Similarity.recallVsExact(e, ann.limit(0), pred, 2, floor = 0.5).head()
+    assert(!bad.getAs[Boolean]("recall_ok"))
+  }
 }

@@ -125,6 +125,67 @@ class TextDedupSpec extends SparkSuite {
     assert(sig1.head === expected0)
   }
 
+  test("jaccardPairsExact equals all-pairs truth at a threshold LSH can miss") {
+    // mixed sizes + a mid-similarity pair (θ=0.5) that banded LSH is not
+    // guaranteed to surface; the prefix-filter join must be EXACT
+    val d = docs(
+      (1L, baseWords.mkString(" ")),
+      (2L, (baseWords.take(58) :+ "changed").mkString(" ")),      // ~0.95
+      (3L, (baseWords.take(40) ++ (1 to 20).map(i => s"m$i")).mkString(" ")), // ~0.5
+      (4L, baseWords.map(w => s"x$w").mkString(" ")),
+      (5L, (1 to 30).map(i => s"z$i").mkString(" ")),             // shorter doc
+      (6L, ((1 to 30).map(i => s"z$i") ++ Seq("tail")).mkString(" ")),
+      (7L, "tiny doc"))
+    for (threshold <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardPairsExact(d, threshold)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val sets = Dedup.shingleSets(d, 3)
+      val truth = sets.toDF("a", "sa").crossJoin(sets.toDF("b", "sb"))
+        .where($"a" < $"b")
+        .withColumn("j", size(array_intersect($"sa", $"sb")).cast("double")
+          / size(array_union($"sa", $"sb")))
+        .where($"j" >= threshold)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got === truth, s"threshold $threshold")
+    }
+  }
+
+  test("jaccardPairsExact: exact dups found even at threshold 1.0") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "ALPHA beta, gamma delta epsilon!"),  // same normalized tokens
+      (3L, "something else entirely here now"))
+    val got = Dedup.jaccardPairsExact(d, 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 1.0)))
+  }
+
+  test("simhashExactDupCheck: counts exact-dup pairs, misses none") {
+    val d = docs(
+      (1L, baseWords.mkString(" ")),
+      (2L, baseWords.mkString(" ") + "."),   // dup of 1 (same tokens)
+      (3L, baseWords.mkString(" ") + ", "),  // dup of 1 and 2
+      (4L, (1 to 60).map(i => s"q$i").mkString(" ")),
+      (5L, ""))                              // tokenless: excluded
+    val row = Dedup.simhashExactDupCheck(d).head()
+    assert(row.getAs[Long]("n_exact_pairs") === 3L) // (1,2) (1,3) (2,3)
+    assert(row.getAs[Long]("n_missed") === 0L)
+  }
+
+  test("shingleStats: totals and distincts; short docs collapse to one") {
+    val d = docs(
+      (1L, "one two three four"),   // 4 tokens -> 2 shingles
+      (2L, "a b"),                  // short -> 1 whole-text shingle
+      (3L, "w w w w w"),            // 5 tokens, 3 identical shingles
+      (4L, "..."))                  // no tokens -> excluded
+    val got = TextAnalysis.shingleStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got === Map(
+      1L -> ((4, 2, 2)),
+      2L -> ((2, 1, 1)),
+      3L -> ((5, 3, 1))))
+  }
+
   test("langId: picks the profile with most stopword hits") {
     val d = docs(
       (1L, "the cat and the dog of the house"),

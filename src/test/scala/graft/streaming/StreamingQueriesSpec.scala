@@ -1,0 +1,23 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.operators.Tables
+
+class StreamingQueriesSpec extends SparkSuite {
+
+  test("eventHourly stream reproduces the batch answer exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.eventHourly(spark, dir).collect()
+    assert(streamed.nonEmpty)
+
+    import org.apache.spark.sql.functions._
+    val batch = Tables(spark, dir, "events")
+      .select(date_format(timestamp_micros((col("ts") / 1000).cast("long")),
+        "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
+      .groupBy("hour", "event_type").agg(count("*").as("n"))
+      .orderBy("hour", "event_type")
+      .collect()
+
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+}
