@@ -78,6 +78,10 @@ object BloomPipeline {
     * (rating, n, m, k, bits).
     */
   def buildFilters(train: DataFrame, p: Double): DataFrame = {
+    // the build is a double pass over train (sizing agg, then the filter
+    // agg) and most callers probe the same DataFrame again — cache the
+    // shared subtree once instead of re-running its parse per pass
+    train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val geometry = sized(linecount(train), p)
     train
       .join(broadcast(geometry), "rating")
@@ -167,6 +171,8 @@ object BloomPipeline {
     * now carries S bounded slabs per group instead of one unbounded row. */
   def buildShardedFilters(train: DataFrame, p: Double,
       maxSlabBits: Long = 1L << 26): DataFrame = {
+    // double pass over train (sizing, then build) — see buildFilters
+    train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val geometry = shardedSized(linecount(train), p, maxSlabBits)
     train
       .join(broadcast(geometry), "rating")

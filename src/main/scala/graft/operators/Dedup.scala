@@ -203,14 +203,28 @@ object Dedup {
     val prefix = inv.join(freq, "shingle")
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("doc_id"), col("sz"), col("shingle"))
+      // the candidate join keys on the shingle's 64-bit hash, not the
+      // string: narrower exchange, long compares. A collision can only ADD
+      // a candidate (verify rejects it); the canonical ORDER above stays on
+      // (df, shingle text), which total-orders the real shingle universe.
+      .select(col("doc_id"), col("sz"), col("pos"),
+        xxhash64(col("shingle")).as("sh_key"))
 
+    // positional filter (PPJoin): a qualifying pair needs overlap
+    // α = ⌈θ/(1+θ)·(|a|+|b|)⌉, and a match at positions (pa, pb) caps the
+    // achievable overlap at min(|a|−pa, |b|−pb)+1 — their FIRST common
+    // element always passes this, so the pruning is lossless. On hot-
+    // shingle corpora this cuts candidates severalfold before the
+    // expensive verify join.
+    val alphaFrac = threshold / (1.0 + threshold)
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle")
+        col("a.sh_key") === col("b.sh_key")
           && col("a.doc_id") < col("b.doc_id")
           && col("a.sz") * threshold <= col("b.sz")
-          && col("b.sz") * threshold <= col("a.sz"))
+          && col("b.sz") * threshold <= col("a.sz")
+          && least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + 1
+            >= ceil((col("a.sz") + col("b.sz")) * alphaFrac))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
