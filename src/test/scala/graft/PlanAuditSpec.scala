@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape audit: locks in the physical-plan properties the 100 TB
+  * design depends on, so a regression (a lost broadcast hint, a pruned
+  * column creeping back, a limit degenerating into a global sort) fails
+  * CI instead of surfacing as a cluster bill. Plans are built at sf0.001;
+  * nothing here executes a job except plan construction.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("j1: dimension side broadcasts; no sort-merge join") {
+    val p = plan("j1_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dimension join must not shuffle-sort")
+  }
+
+  test("p7: order+limit plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("p7_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("t1: documents scan prunes to (doc_id, text)") {
+    val p = plan("t1_token_stats")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"unused columns must not reach the scan: $read")
+  }
+
+  test("mm1: media metadata is a narrow projection, no shuffle") {
+    val p = plan("mm1_meta")
+    // orderBy for the oracle adds one exchange for the sort, but the
+    // metadata derivation itself must not aggregate or join
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("sim_topk: query side broadcasts into a nested-loop probe") {
+    val p = plan("sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bloom_probe_totals: probe runs the native predicate after a broadcast join") {
+    val p = plan("bloom_probe_totals")
+    assert(p.contains("bloom_might_contain"), "probe expression must survive planning")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("p5: the scan-level predicate reaches the parquet reader") {
+    val p = plan("p5_filter")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_quantity"), s"expected a pushed filter: $pushed")
+  }
+
+  test("bloom probe executes inside whole-stage codegen") {
+    // the native-expression claim, checked on the EXECUTED plan (AQE only
+    // finalizes codegen spans at runtime): star-prefixed nodes are
+    // whole-stage-compiled, and the probe projection must be one of them
+    val df = SparkEntry.queries("bloom_probe_totals")(spark, dir)
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val rendered = executed.toString
+    assert(rendered.contains("*("), s"no whole-stage codegen span:\n$rendered")
+    assert(rendered.linesIterator.exists(l =>
+      l.contains("bloom_might_contain") && l.contains("*(")),
+      s"probe expression not in a codegen span:\n$rendered")
+  }
+}
