@@ -499,6 +499,10 @@ object SparkEntry {
     // the incremental engine must reproduce the batch answer exactly
     "st1_stream_hourly" -> ((s, dir) =>
       graft.streaming.StreamingQueries.eventHourly(s, dir)),
+    "st2_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingQueries.dedupState(s, dir)),
+    "st3_stream_bloom_probe" -> ((s, dir) =>
+      graft.streaming.StreamingQueries.bloomProbe(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -662,6 +666,14 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
           |       event_type, count(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "st2_stream_dedup" ->
+        s"""SELECT count(*) AS n_docs,
+           |       count(DISTINCT array_to_string(${TextAnalysisSql.toks}, ' '))
+           |         AS n_distinct
+           |FROM documents""".stripMargin,
+      "st3_stream_bloom_probe" -> // zero-FN: hits == total per group
+        s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
+           |GROUP BY rating ORDER BY rating""".stripMargin,
       "o1_orc_roundtrip" ->
         "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
       "mm5_resize" -> MultimodalSql.resize(128)

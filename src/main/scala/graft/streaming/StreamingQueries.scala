@@ -51,4 +51,61 @@ object StreamingQueries {
     q.awaitTermination()
     spark.table(name).orderBy("hour", "event_type")
   }
+
+  /** Streaming dedup state over the documents corpus: keyed aggregation on
+    * the normalized text (the exact-dup key), drained and summarized to
+    * `(n_docs, n_distinct)`. The state is exactly what an always-on
+    * ingestion dedup holds — one row per distinct key — and the summary is
+    * fully oracle-checkable against batch SQL. */
+  def dedupState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val name = "st2_dedup_" + math.abs(dir.hashCode)
+    val counts = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(graft.operators.TextAnalysis.normalized(col("text")).as("norm"))
+      .groupBy("norm").agg(cnt("*").as("n"))
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .agg(sum("n").as("n_docs"), count("*").as("n_distinct"))
+  }
+
+  /** Stream-static bloom probe: the static side builds the per-group
+    * filters in batch; the stream probes each arriving train row against
+    * its own group's filter. Zero false negatives makes the drained result
+    * exactly oracle-checkable: hits == total per group. */
+  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val filters = graft.operators.BloomPipeline.buildFilters(
+      graft.operators.Ratings.trainFromLineitem(spark, dir), graft.SparkEntry.defaultP)
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val name = "st3_bloom_probe_" + math.abs(dir.hashCode)
+
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      .where(col("l_quantity") >= 2.5
+        && (col("l_orderkey") * 7 + col("l_linenumber")) % 10 < 6)
+      .select(
+        concat(lit("it"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("movieId"),
+        floor(col("l_quantity") / 5.0 + 0.5).cast("int").as("rating"))
+      .join(broadcast(filters.select("rating", "m", "k", "bits")), "rating")
+      .select(col("rating"),
+        graft.functions.bloom_might_contain(
+          col("bits"), col("m"), col("k"), col("movieId")).as("hit"))
+      .groupBy("rating")
+      .agg(count("*").as("total"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("rating")
+  }
 }

@@ -20,4 +20,22 @@ class StreamingQueriesSpec extends SparkSuite {
 
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
+
+  test("dedupState stream matches the batch distinct count") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val row = StreamingQueries.dedupState(spark, dir).head()
+    val batch = Tables(spark, dir, "documents")
+      .agg(count("*"),
+        countDistinct(graft.operators.TextAnalysis.normalized(col("text")))).head()
+    assert(row.getLong(0) === batch.getLong(0))
+    assert(row.getLong(1) === batch.getLong(1))
+  }
+
+  test("bloomProbe stream: zero false negatives -> hits == total per group") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = StreamingQueries.bloomProbe(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("hits") === r.getAs[Long]("total"), r))
+  }
 }
