@@ -150,6 +150,32 @@ class TextDedupSpec extends SparkSuite {
     }
   }
 
+  test("jaccardPairsExact == all-pairs truth on randomized hot-shingle corpora") {
+    // tiny vocab forces hot shingles (the regime where prefix+positional
+    // filtering actually prunes); randomized doc lengths exercise the
+    // length-filter boundary arithmetic
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 3) {
+      val d = docs((1 to 25).map { i =>
+        val len = 3 + rnd.nextInt(20)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }: _*)
+      for (threshold <- Seq(0.4, 0.7)) {
+        val got = Dedup.jaccardPairsExact(d, threshold)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        val sets = Dedup.shingleSets(d, 3)
+        val truth = sets.toDF("a", "sa").crossJoin(sets.toDF("b", "sb"))
+          .where($"a" < $"b")
+          .withColumn("j", size(array_intersect($"sa", $"sb")).cast("double")
+            / size(array_union($"sa", $"sb")))
+          .where($"j" >= threshold)
+          .select("a", "b").as[(Long, Long)].collect().toSet
+        assert(got === truth, s"trial $trial threshold $threshold")
+      }
+    }
+  }
+
   test("jaccardPairsExact: exact dups found even at threshold 1.0") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon"),
