@@ -157,6 +157,41 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy("o_orderpriority")),
+    // --- X2: the runtime bloom-filter optimizer rule, driver-checked —
+    // the rule injects bloom_might_contain(scalar-subquery(build)) under
+    // the probe side so non-joinable rows die before the shuffle; zero
+    // false negatives make the rewrite semantics-preserving, so the
+    // oracle is the PLAIN join. Scoped to this query via
+    // experimental.extraOptimizations (the rule's idempotency guard makes
+    // the fixed-point batch safe); executed inside the scope so the
+    // restored session state cannot un-inject it, then returned as a
+    // local relation (the result is a handful of grouped rows).
+    "x2_runtime_bloom" -> ((s, dir) => {
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ graft.plans.InjectBloomRuntimeFilter(s)
+      s.conf.set("spark.graft.runtimeBloom.enabled", "true")
+      s.conf.set("spark.graft.runtimeBloom.minProbeBytes", "1")
+      try {
+        val big = Tables(s, dir, "lineitem")
+          .select(concat(lit("p"), col("l_partkey")).as("pk"), col("l_quantity"))
+        val small = Tables(s, dir, "part").where(col("p_size") <= 5)
+          .select(concat(lit("p"), col("p_partkey")).as("pk"), col("p_size"))
+        val df = big.join(small, "pk")
+          .groupBy("p_size").agg(
+            count("*").as("n_items"),
+            round(sum("l_quantity"), 2).as("total_qty"))
+          .orderBy("p_size")
+        require(df.queryExecution.optimizedPlan.toString.contains("bloom_might_contain"),
+          "runtime bloom filter was not injected")
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.set("spark.graft.runtimeBloom.enabled", "false")
+        s.conf.unset("spark.graft.runtimeBloom.minProbeBytes")
+      }
+    }),
+
     // --- B: bucketed co-located join (write-time pre-shuffle; the plan
     // has NO exchange on either join side — asserted in BucketingSpec)
     "b1_bucketed_join" -> ((s, dir) => {
@@ -561,6 +596,12 @@ object SparkEntry {
           |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "x2_runtime_bloom" -> // the rule must not change results: plain join
+        """SELECT p_size, count(*) AS n_items,
+          |       round(sum(l_quantity), 2) AS total_qty
+          |FROM lineitem JOIN part ON concat('p', l_partkey) = concat('p', p_partkey)
+          |WHERE p_size <= 5
+          |GROUP BY p_size ORDER BY p_size""".stripMargin,
       "x1_salted_join" -> // the UNSALTED join: salting must not change results
         """SELECT o_orderpriority, count(*) AS n_items,
           |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -57,7 +57,8 @@ case class InjectBloomRuntimeFilter(spark: SparkSession) extends Rule[LogicalPla
 
     plan.transformUp {
       case j @ Join(left, right, joinType, Some(cond), _)
-          if joinType.isInstanceOf[InnerLike] || joinType == LeftSemi =>
+          if (joinType.isInstanceOf[InnerLike] || joinType == LeftSemi)
+            && !alreadyFiltered(left) && !alreadyFiltered(right) =>
         extractEquiKeys(cond, left, right) match {
           case Some((leftKey, rightKey)) =>
             val leftSize = left.stats.sizeInBytes
@@ -71,6 +72,15 @@ case class InjectBloomRuntimeFilter(spark: SparkSession) extends Rule[LogicalPla
           case None => j
         }
     }
+  }
+
+  /** Idempotency guard: a join side already carrying an injected probe is
+    * left alone. Makes the rule a no-op on its own output, so it is safe
+    * in fixed-point batches (`spark.experimental.extraOptimizations`) as
+    * well as the run-once preCBO slot it is normally registered in. */
+  private def alreadyFiltered(side: LogicalPlan): Boolean = side match {
+    case Filter(cond, _) => cond.exists(_.isInstanceOf[BloomMightContain])
+    case _ => false
   }
 
   /** One (bigKey = smallKey) equality whose sides resolve to STRING
