@@ -438,6 +438,8 @@ object SparkEntry {
       TextAnalysis.vocabulary(Tables(s, dir, "documents"), topK = 50)),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
+      TextAnalysis.tokenCounts(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     // --- D: deduplication (LLM-pipeline layer)
     "dedup_exact" -> ((s, dir) =>
@@ -693,6 +695,7 @@ object SparkEntry {
       "dedup_embedding_cos" -> SimilaritySql.bruteForcePairs(0.4),
       "sim_topk" -> SimilaritySql.bruteForceTopK(simQueryPredSql, simK),
       "t6_shingle_stats" -> s"${TextAnalysisSql.shingleStats(3)} ORDER BY doc_id",
+      "t7_token_counts" -> s"${TextAnalysisSql.tokenCounts} ORDER BY doc_id",
       "dedup_simhash_verify" -> DedupSql.simhashExactDupCheck,
       "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),
       "bloom_fp_bound" ->

@@ -125,6 +125,26 @@ object TextAnalysis {
     * candidates on the text itself. */
   def fingerprint(text: Column): Column = xxhash64(normalized(text))
 
+  /** GPT-2-family pre-tokenizer pattern, restricted to the RE2-safe subset
+    * (no lookahead) so the Spark (Java regex) and DuckDB (RE2) sides agree:
+    * contractions | optionally-space-prefixed letter runs | digit runs |
+    * punctuation runs | whitespace runs. Applied to lowercased text. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+
+  /** Token counting the way a training-data pipeline sizes a corpus:
+    * whitespace tokens (the cheap estimate) next to BPE-style pre-tokens
+    * (what the model actually pays for): `(doc_id, n_ws_tokens,
+    * n_bpe_tokens, n_bpe_distinct)`. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val bpe = regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0))
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_ws_tokens"),
+      size(bpe).as("n_bpe_tokens"),
+      size(array_distinct(bpe)).as("n_bpe_distinct"))
+  }
+
   /** Per-document shingle statistics — the oracle-checkable face of the
     * shingling kernel that [[shingleFingerprint]], [[Dedup.minhashLshPairs]]
     * and [[Dedup.jaccardPairsExact]] all build on: `(doc_id, n_tokens,
@@ -198,6 +218,19 @@ object TextAnalysisSql {
     s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
        |FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
        |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
+
+  /** Twin of [[TextAnalysis.tokenCounts]] (same RE2-safe pattern; DuckDB
+    * standard strings keep backslashes literal, so only quotes need
+    * doubling). */
+  val tokenCounts: String = {
+    val pat = TextAnalysis.bpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       |       len(regexp_extract_all(lower(text), '$pat')) AS n_bpe_tokens,
+       |       len(list_distinct(regexp_extract_all(lower(text), '$pat')))
+       |         AS n_bpe_distinct
+       |FROM documents""".stripMargin
+  }
 
   /** Twin of [[TextAnalysis.shingleStats]]: total shingles is
     * `max(len - n + 1, 1)` (short docs yield one whole-text shingle);

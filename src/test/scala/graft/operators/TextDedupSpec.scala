@@ -212,6 +212,17 @@ class TextDedupSpec extends SparkSuite {
       3L -> ((5, 3, 1))))
   }
 
+  test("tokenCounts: BPE pre-tokens split contractions, attach leading spaces") {
+    val d = docs((1L, "It's 42 cats, isn't it?!"))
+    val toks = d.select(regexp_extract_all(lower($"text"),
+      lit(TextAnalysis.bpePattern), lit(0))).head().getSeq[String](0)
+    assert(toks === Seq("it", "'s", " 42", " cats", ",", " isn", "'t", " it", "?!"))
+    val row = TextAnalysis.tokenCounts(d).head()
+    assert(row.getAs[Int]("n_ws_tokens") === 5)
+    assert(row.getAs[Int]("n_bpe_tokens") === 9)
+    assert(row.getAs[Int]("n_bpe_distinct") === 9)
+  }
+
   test("langId: picks the profile with most stopword hits") {
     val d = docs(
       (1L, "the cat and the dog of the house"),
