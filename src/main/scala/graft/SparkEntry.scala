@@ -440,6 +440,9 @@ object SparkEntry {
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
       TextAnalysis.tokenCounts(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t8_pack_sequences" -> ((s, dir) => // fixed-token-budget packing
+      TextAnalysis.packSequences(Tables(s, dir, "documents"), budget = 512)
+        .orderBy("doc_id")),
 
     // --- D: deduplication (LLM-pipeline layer)
     "dedup_exact" -> ((s, dir) =>
@@ -696,6 +699,8 @@ object SparkEntry {
       "sim_topk" -> SimilaritySql.bruteForceTopK(simQueryPredSql, simK),
       "t6_shingle_stats" -> s"${TextAnalysisSql.shingleStats(3)} ORDER BY doc_id",
       "t7_token_counts" -> s"${TextAnalysisSql.tokenCounts} ORDER BY doc_id",
+      "t8_pack_sequences" ->
+        s"${TextAnalysisSql.packSequences(512)} ORDER BY doc_id",
       "dedup_simhash_verify" -> DedupSql.simhashExactDupCheck,
       "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),
       "bloom_fp_bound" ->

@@ -119,6 +119,34 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
 
+  /** Sequence packing — assign documents to fixed-token-budget training
+    * sequences: `(doc_id, n_tokens, seq_id, seq_offset)` where `seq_id`
+    * is the running-total bin `floor(cumsum_before / budget)` over the
+    * deterministic doc_id order and `seq_offset` the document's start
+    * inside its bin's token stream. The streaming-friendly packing rule
+    * (documents may straddle a boundary; the trainer truncates/continues),
+    * chosen over first-fit-decreasing because it is one window pass — no
+    * global sort by size, no driver state — and therefore scales like any
+    * window: one shuffle on the (empty) partition key.
+    *
+    * At 100 TB a single unpartitioned window is the wrong plan — real
+    * deployments partition the window by a corpus shard key (e.g.
+    * `source`), which keeps the same semantics per shard; the registered
+    * query uses the global window so the oracle is a plain SQL twin. */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), size(t).cast("bigint").as("n_tokens"))
+      .withColumn("cum_after", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        floor((col("cum_after") - col("n_tokens")) / budget).as("seq_id"),
+        ((col("cum_after") - col("n_tokens")) % budget).as("seq_offset"))
+  }
+
   /** 64-bit content fingerprint of the normalized text (exact-dup key).
     * xxhash64 is Spark-built-in and codegen'd; dedup correctness never
     * depends on it being collision-free because [[Dedup]] verifies
@@ -241,6 +269,17 @@ object TextAnalysisSql {
        |       greatest(len($toks) - ${n - 1}, 1) AS n_shingles,
        |       len(${DedupSql.shinglesSql(n)}) AS n_distinct_shingles
        |FROM documents WHERE len($toks) > 0""".stripMargin
+
+  /** Twin of [[TextAnalysis.packSequences]]. */
+  def packSequences(budget: Int): String =
+    s"""SELECT doc_id, n_tokens,
+       |       CAST(floor((cum_after - n_tokens) / $budget) AS BIGINT) AS seq_id,
+       |       CAST((cum_after - n_tokens) % $budget AS BIGINT) AS seq_offset
+       |FROM (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |         sum(CAST(len($toks) AS BIGINT)) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after
+       |  FROM documents)""".stripMargin
 
   val langId: String =
     s"""SELECT doc_id,

@@ -223,6 +223,23 @@ class TextDedupSpec extends SparkSuite {
     assert(row.getAs[Int]("n_bpe_distinct") === 9)
   }
 
+  test("packSequences: running-total bins with correct offsets") {
+    val d = docs(
+      (1L, "a b c"),        // 3 tokens, cum 3  -> seq 0 offset 0
+      (2L, "d e f g"),      // 4 tokens, cum 7  -> seq 0 offset 3
+      (3L, "h i"),          // 2 tokens, cum 9  -> seq 0 offset 7
+      (4L, "j k l m n"),    // 5 tokens, cum 14 -> seq 1 offset 1
+      (5L, ""))             // 0 tokens, cum 14 -> seq 1 offset 6
+    val got = TextAnalysis.packSequences(d, budget = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 0L, 0L)),
+      2L -> ((4L, 0L, 3L)),
+      3L -> ((2L, 0L, 7L)),
+      4L -> ((5L, 1L, 1L)),
+      5L -> ((0L, 1L, 6L))))
+  }
+
   test("langId: picks the profile with most stopword hits") {
     val d = docs(
       (1L, "the cat and the dog of the house"),
