@@ -129,6 +129,26 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"))
         .orderBy("rf", "ls")),
+    "g3_pivot" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")),
+    "j4_semi_anti" -> ((s, dir) => {
+      // left-semi + left-anti as one tagged result: customers with and
+      // without orders
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("tag"))
+        .unionByName(
+          c.join(o, Seq("c_custkey"), "left_anti")
+            .select(col("c_custkey"), lit("no_orders").as("tag")))
+        .groupBy("tag").agg(count("*").as("n"))
+        .orderBy("tag")
+    }),
     "u1_intersect" -> ((s, dir) =>
       Ratings.fromLineitem(s, dir).select("rating").distinct()
         .intersect(Ratings.fromEvents(s, dir).select("rating").distinct())
@@ -633,6 +653,19 @@ object SparkEntry {
           |       coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
           |ORDER BY rf, ls""".stripMargin,
+      "g3_pivot" ->
+        """SELECT o_orderpriority,
+          |       count(*) FILTER (o_orderstatus = 'F') AS "F",
+          |       count(*) FILTER (o_orderstatus = 'O') AS "O",
+          |       count(*) FILTER (o_orderstatus = 'P') AS "P"
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "j4_semi_anti" ->
+        """SELECT tag, count(*) AS n FROM (
+          |  SELECT c_custkey, CASE WHEN EXISTS (SELECT 1 FROM orders
+          |           WHERE o_custkey = c_custkey)
+          |         THEN 'has_orders' ELSE 'no_orders' END AS tag
+          |  FROM customer)
+          |GROUP BY tag ORDER BY tag""".stripMargin,
       "u1_intersect" ->
         s"""SELECT DISTINCT rating FROM ($li)
            |INTERSECT SELECT DISTINCT rating FROM ($ev) ORDER BY rating""".stripMargin,
