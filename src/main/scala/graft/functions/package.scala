@@ -80,6 +80,27 @@ package object functions {
           org.apache.spark.sql.types.IntegerType)) => MinHashSig(sh, n)
       case _ => throw new IllegalArgumentException(
         "minhash_sig(shingles, numHashes): numHashes must be an INT literal")
+    }),
+    ("word_ngrams", 2, {
+      case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+          org.apache.spark.sql.types.IntegerType)) => WordNgrams(toks, n)
+      case _ => throw new IllegalArgumentException(
+        "word_ngrams(tokens, n): n must be an INT literal")
+    }),
+    ("hash_array", 2, {
+      case Seq(arr, org.apache.spark.sql.catalyst.expressions.Literal(s: Int,
+          org.apache.spark.sql.types.IntegerType)) => HashArray(arr, s)
+      case _ => throw new IllegalArgumentException(
+        "hash_array(strings, seed): seed must be an INT literal")
+    }),
+    ("srp_sig", 3, {
+      case Seq(emb,
+          org.apache.spark.sql.catalyst.expressions.Literal(b: Int,
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.catalyst.expressions.Literal(s: Int,
+            org.apache.spark.sql.types.IntegerType)) => SrpSig(emb, b, s)
+      case _ => throw new IllegalArgumentException(
+        "srp_sig(embedding, bits, seed): bits and seed must be INT literals")
     }))
 
   /** Arity-checked wrapper around a raw builder. */

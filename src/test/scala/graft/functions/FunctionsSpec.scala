@@ -25,6 +25,21 @@ class FunctionsSpec extends SparkSuite {
     assert(r === 0x248bfa47)
   }
 
+  test("text/vector kernels resolve from SQL too") {
+    val ng = spark.sql(
+      "SELECT word_ngrams(array('a','b','c','d'), 3) AS s").head().getSeq[String](0)
+    assert(ng === Seq("a b c", "b c d"))
+    val h = spark.sql(
+      "SELECT hash_array(array('hello'), 0) AS h").head().getSeq[Int](0)
+    assert(h === Seq(0x248bfa47))
+    val s1 = spark.sql(
+      "SELECT srp_sig(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 16, 0) AS s")
+      .head().getLong(0)
+    val s2 = Seq((1L, Seq(1.0f, -2.0f))).toDF("id", "emb")
+      .select(graft.functions.srp_sig($"emb", 16, 0)).head().getLong(0)
+    assert(s1 === s2)
+  }
+
   test("registerAll covers a session without the extension") {
     val fresh = spark.newSession()
     graft.functions.registerAll(fresh)
