@@ -85,6 +85,30 @@ object SparkEntry {
         min("value").as("min_value"),
         max("value").as("max_value")).orderBy("event_type")),
 
+    "a6_percentiles" -> ((s, dir) =>
+      // exact percentiles (SQL `percentile`, not the approx sketch) so the
+      // oracle matches bit-for-bit; the approx path is a7
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+        .orderBy("l_returnflag")),
+    "a7_approx_distinct" -> ((s, dir) => {
+      // HLL sketch vs exact: the exact count is the oracle value, the
+      // sketch landing within its rsd envelope is the invariant (rsd=0.05,
+      // 6 sigma => 30% — far outside anything a healthy sketch produces)
+      val d = Tables(s, dir, "lineitem")
+        .agg(
+          countDistinct("l_partkey").as("exact_parts"),
+          approx_count_distinct("l_partkey", 0.05).as("approx_parts"))
+      d.select(
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          / col("exact_parts") <= 0.3).as("approx_ok"))
+    }),
+
     // --- J: joins (SURVEY §2.3)
     "j1_broadcast_join" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -385,6 +409,21 @@ object SparkEntry {
         StructField("n_chars", LongType)))
       s.read.schema(schema).json(path).orderBy("doc_id")
     }),
+    "k2_partitioned_sink" -> ((s, dir) => {
+      // Hive-style partitioned layout — the training-shard sink: one
+      // directory per lang, rows sorted by doc_id inside each file so
+      // shard readers stream in key order. Read back through partition
+      // discovery; partition pruning on lang is now free for consumers.
+      val path = tmpPath(dir, "docs_by_lang")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(col("lang"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .groupBy("lang").agg(count("*").as("n"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
     "s1_tsv_ingest" -> ((s, dir) => {
       // S1 TSV scan + F1/F2/F3 parse/cast/round: materialize the ratings
       // TSV shape (movieId, averageRating, numVotes) from lineitem, then
@@ -601,6 +640,19 @@ object SparkEntry {
         """SELECT event_type, count(*) AS total, round(sum(value), 2) AS sum_value,
           |       min(value) AS min_value, max(value) AS max_value
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "a6_percentiles" ->
+        """SELECT l_returnflag,
+          |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+          |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+          |       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "a7_approx_distinct" ->
+        """SELECT count(DISTINCT l_partkey) AS exact_parts,
+          |       TRUE AS approx_ok FROM lineitem""".stripMargin,
+      "k2_partitioned_sink" ->
+        """SELECT lang, count(*) AS n,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       "j1_broadcast_join" ->
         """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
           |FROM orders JOIN customer ON o_custkey = c_custkey
