@@ -524,6 +524,8 @@ object SparkEntry {
       // at any threshold
       Dedup.jaccardPairsExact(Tables(s, dir, "documents"), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
+    "dedup_clusters" -> ((s, dir) => // connected components over near-dups
+      Dedup.nearDupClusters(Tables(s, dir, "documents")).orderBy("doc_id")),
     "dedup_embedding_cos" -> ((s, dir) =>
       Similarity.bruteForcePairs(Tables(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
@@ -776,6 +778,7 @@ object SparkEntry {
       "dedup_bloom_xbatch" ->
         DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),
       "dedup_minhash_lsh" -> DedupSql.minhashLshPairs(0.8, 3),
+      "dedup_clusters" -> DedupSql.nearDupClusters(0.8, 3),
       "pipe1_clean_corpus" -> DedupSql.cleanCorpus(0.5),
       "mm1_meta" -> MultimodalSql.attachMeta,
       "mm2_frame_stats" -> MultimodalSql.frameStats,

@@ -261,6 +261,52 @@ object Dedup {
           .otherwise(0L)), lit(0L)).as("n_missed"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the near-dup pair
+    * graph, labeled by the minimum doc_id of each component — the step a
+    * real corpus dedup needs after pair finding (pairs are transitive in
+    * effect: keep one doc per component, not one per pair).
+    *
+    * Pregel-style min-label propagation: each round every vertex takes the
+    * minimum label among itself and its neighbors; rounds until fixpoint.
+    * Round count is bounded by component diameter — near-dup components
+    * are tiny dense cliques, so 2-3 rounds in practice, O(log n) worst
+    * case with doubling. The driver-side loop condition is a single
+    * aggregate per round (the standard shape for iterative graph passes;
+    * at cluster scale add localCheckpoint() per round to truncate
+    * lineage). Output: `(doc_id, cluster)` for every doc in ≥1 pair.
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      shingleN: Int = 3): DataFrame = {
+    val pairs = minhashLshPairs(docs, threshold, shingleN = shingleN)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    var converged = false
+    while (!converged) {
+      val fromNbrs = edges
+        .join(labels.select(col("v").as("src"), col("label").as("nl")), "src")
+        .groupBy(col("dst").as("v")).agg(min("nl").as("nbr"))
+      val next = labels.join(fromNbrs, Seq("v"), "left_outer")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = labels.select(col("v"), col("label").as("old"))
+        .join(next, "v")
+        .where(col("old") =!= col("label")).count()
+      labels = next
+      converged = changed == 0L
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster"))
+  }
+
   /** End-to-end corpus cleaning — the composed LLM-data pipeline in one
     * plan: quality-filter (cheap per-row scores) → exact dedup (keep the
     * lowest doc_id per normalized text) → surviving doc ids. The shape a
@@ -343,6 +389,28 @@ object DedupSql {
        |FROM (SELECT doc_id, $norm AS nrm FROM documents WHERE len($toks) > 0) a
        |JOIN (SELECT doc_id, $norm AS nrm FROM documents WHERE len($toks) > 0) b
        |  ON a.nrm = b.nrm AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Twin of [[Dedup.nearDupClusters]]: transitive closure by recursive
+    * CTE over the all-pairs near-dup edges, min reachable id per vertex. */
+  def nearDupClusters(threshold: Double, shingleN: Int): String =
+    s"""WITH RECURSIVE
+       |sets AS (
+       |  SELECT doc_id, ${shinglesSql(shingleN)} AS sh
+       |  FROM documents WHERE len($toks) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v)
+       |SELECT v AS doc_id, min(l) AS cluster
+       |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
 
   def minhashLshPairs(threshold: Double, shingleN: Int): String =
     s"""WITH sets AS (

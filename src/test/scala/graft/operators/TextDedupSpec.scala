@@ -223,6 +223,24 @@ class TextDedupSpec extends SparkSuite {
     assert(row.getAs[Int]("n_bpe_distinct") === 9)
   }
 
+  test("nearDupClusters: transitive chain collapses to one component") {
+    // 1~2, 2~3 near-dup (J >= 0.8) but 1~3 only via transitivity; 8~9 a
+    // separate component; 5 unrelated (appears in no cluster)
+    val chain0 = baseWords
+    val chain1 = baseWords.take(59) :+ "edit1"
+    val chain2 = baseWords.take(58) ++ Seq("edit1", "edit2")
+    val d = docs(
+      (1L, chain0.mkString(" ")),
+      (2L, chain1.mkString(" ")),
+      (3L, chain2.mkString(" ")),
+      (5L, (1 to 60).map(i => s"z$i").mkString(" ")),
+      (8L, (1 to 60).map(i => s"y$i").mkString(" ")),
+      (9L, ((1 to 59).map(i => s"y$i") :+ "tail").mkString(" ")))
+    val got = Dedup.nearDupClusters(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("packSequences: running-total bins with correct offsets") {
     val d = docs(
       (1L, "a b c"),        // 3 tokens, cum 3  -> seq 0 offset 0
