@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, Ratings, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, Ratings, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -160,6 +160,27 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("o_orderpriority")),
+    "j5_asof_join" -> ((s, dir) => {
+      // As-of join (operator Spark lacks; AsOf composes it from a union +
+      // keyed window — one shuffle, one sort). Probes = every 10th event;
+      // quotes = the rest, deduped to one row per (type, microsecond).
+      // Times compare at µs (integer `div`, no double rounding); the
+      // no-match case is coalesced to sentinels because the compare
+      // bridge floats nullable int columns.
+      val ev = Tables(s, dir, "events")
+      val probes = ev.where(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000").as("p_us"))
+      val quotes = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+        .groupBy(col("event_type"), expr("ts div 1000").as("q_us"))
+        .agg(round(max("value"), 6).as("q_value"))
+      AsOf.asofJoin(probes, quotes, "event_type", "p_us", "q_us",
+        Seq("q_us", "q_value"))
+        .select(col("event_id"), col("event_type"), col("p_us"),
+          coalesce(col("asof.q_us"), lit(-1L)).as("q_us"),
+          coalesce(col("asof.q_value"), lit(0.0d)).as("q_value"))
+        .orderBy("event_id")
+    }),
     "j4_semi_anti" -> ((s, dir) => {
       // left-semi + left-anti as one tagged result: customers with and
       // without orders
@@ -713,6 +734,20 @@ object SparkEntry {
           |       count(*) FILTER (o_orderstatus = 'O') AS "O",
           |       count(*) FILTER (o_orderstatus = 'P') AS "P"
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "j5_asof_join" -> // DuckDB's native ASOF JOIN is the oracle
+        """WITH probes AS (
+          |  SELECT event_id, event_type, epoch_us(ts) AS p_us
+          |  FROM events WHERE event_id % 10 = 0),
+          |quotes AS (
+          |  SELECT event_type, epoch_us(ts) AS q_us, round(max(value), 6) AS q_value
+          |  FROM events WHERE event_id % 10 <> 0
+          |  GROUP BY event_type, epoch_us(ts))
+          |SELECT p.event_id, p.event_type, p.p_us,
+          |       coalesce(q.q_us, -1) AS q_us,
+          |       coalesce(q.q_value, 0.0) AS q_value
+          |FROM probes p ASOF LEFT JOIN quotes q
+          |  ON p.event_type = q.event_type AND q.q_us <= p.p_us
+          |ORDER BY event_id""".stripMargin,
       "j4_semi_anti" ->
         """SELECT tag, count(*) AS n FROM (
           |  SELECT c_custkey, CASE WHEN EXISTS (SELECT 1 FROM orders

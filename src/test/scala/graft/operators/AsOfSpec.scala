@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class AsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("asofJoin: inclusive latest-preceding match per key; null when none") {
+    val probes = Seq(
+      ("a", 10L, 1L), ("a", 20L, 2L), ("a", 5L, 3L),   // t=5 precedes all quotes
+      ("b", 15L, 4L))
+      .toDF("k", "t", "probe_id")
+    val quotes = Seq(
+      ("a", 10L, 1.0), ("a", 18L, 2.0),                 // t=10 matches probe t=10 inclusively
+      ("b", 1L, 9.0), ("b", 15L, 8.0))
+      .toDF("k", "qt", "qv")
+
+    val got = AsOf.asofJoin(probes, quotes, "k", "t", "qt", Seq("qt", "qv"))
+      .select($"probe_id", $"asof.qt".as("qt"), $"asof.qv".as("qv"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+
+    assert(got === Map(
+      1L -> Some((10L, 1.0)),   // equal time: quote visible (inclusive)
+      2L -> Some((18L, 2.0)),   // latest preceding, not just any
+      3L -> None,               // nothing at or before t=5
+      4L -> Some((15L, 8.0)))) // inclusive at t=15, supersedes t=1
+  }
+}
