@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, Ratings, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, RangeJoin, Ratings, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -180,6 +180,23 @@ object SparkEntry {
           coalesce(col("asof.q_us"), lit(-1L)).as("q_us"),
           coalesce(col("asof.q_value"), lit(0.0d)).as("q_value"))
         .orderBy("event_id")
+    }),
+    "j6_range_join" -> ((s, dir) => {
+      // Range join via bin bucketing (never a nested loop — asserted in
+      // PlanAuditSpec): price bands from every 10th part, lineitem prices
+      // matched into overlapping bands, aggregated per band.
+      val bands = Tables(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(10)) === 0)
+        .select(col("p_partkey").as("band_id"),
+          (col("p_retailprice") - 50.0).as("lo"),
+          (col("p_retailprice") + 50.0).as("hi"))
+      RangeJoin.bucketed(
+        Tables(s, dir, "lineitem").select(col("l_extendedprice")),
+        bands, "l_extendedprice", "lo", "hi", binWidth = 100.0)
+        .groupBy("band_id")
+        .agg(count("*").as("n"),
+          round(sum("l_extendedprice"), 2).as("total_price"))
+        .orderBy("band_id")
     }),
     "j4_semi_anti" -> ((s, dir) => {
       // left-semi + left-anti as one tagged result: customers with and
@@ -748,6 +765,13 @@ object SparkEntry {
           |FROM probes p ASOF LEFT JOIN quotes q
           |  ON p.event_type = q.event_type AND q.q_us <= p.p_us
           |ORDER BY event_id""".stripMargin,
+      "j6_range_join" -> // plain BETWEEN join (DuckDB plans IEJoin)
+        """SELECT p_partkey AS band_id, count(*) AS n,
+          |       round(sum(l_extendedprice), 2) AS total_price
+          |FROM lineitem JOIN part
+          |  ON l_extendedprice BETWEEN p_retailprice - 50.0 AND p_retailprice + 50.0
+          |WHERE p_partkey % 10 = 0
+          |GROUP BY p_partkey ORDER BY band_id""".stripMargin,
       "j4_semi_anti" ->
         """SELECT tag, count(*) AS n FROM (
           |  SELECT c_custkey, CASE WHEN EXISTS (SELECT 1 FROM orders

@@ -56,6 +56,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("j6: bucketed range join is an equi-join, not a nested loop") {
+    val p = plan("j6_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not fall back to a per-pair plan:\n$p")
+  }
+
   test("p5: the scan-level predicate reaches the parquet reader") {
     val p = plan("p5_filter")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
