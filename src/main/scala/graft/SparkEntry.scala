@@ -250,6 +250,8 @@ object SparkEntry {
     // local relation (the result is a handful of grouped rows).
     "x2_runtime_bloom" -> ((s, dir) => {
       val prev = s.experimental.extraOptimizations
+      val prevEnabled = s.conf.getOption("spark.graft.runtimeBloom.enabled")
+      val prevMinProbe = s.conf.getOption("spark.graft.runtimeBloom.minProbeBytes")
       s.experimental.extraOptimizations = prev :+ graft.plans.InjectBloomRuntimeFilter(s)
       s.conf.set("spark.graft.runtimeBloom.enabled", "true")
       s.conf.set("spark.graft.runtimeBloom.minProbeBytes", "1")
@@ -268,9 +270,17 @@ object SparkEntry {
         import scala.jdk.CollectionConverters._
         s.createDataFrame(df.collect().toSeq.asJava, df.schema)
       } finally {
+        // restore, don't hardcode: a session deliberately running with the
+        // rule enabled must keep it after this query
         s.experimental.extraOptimizations = prev
-        s.conf.set("spark.graft.runtimeBloom.enabled", "false")
-        s.conf.unset("spark.graft.runtimeBloom.minProbeBytes")
+        prevEnabled match {
+          case Some(v) => s.conf.set("spark.graft.runtimeBloom.enabled", v)
+          case None => s.conf.unset("spark.graft.runtimeBloom.enabled")
+        }
+        prevMinProbe match {
+          case Some(v) => s.conf.set("spark.graft.runtimeBloom.minProbeBytes", v)
+          case None => s.conf.unset("spark.graft.runtimeBloom.minProbeBytes")
+        }
       }
     }),
 
@@ -326,7 +336,9 @@ object SparkEntry {
     // --- E: event-time / date functions over events (SURVEY §2.5 absence)
     "e1_event_hourly" -> ((s, dir) =>
       Tables(s, dir, "events")
-        .select(date_format(timestamp_micros((col("ts") / 1000).cast("long")),
+        // integer `div`: double division of ~1.7e18 nanos loses the last
+        // ~8 bits and can misplace hour-boundary events vs the oracle
+        .select(date_format(timestamp_micros(expr("ts div 1000")),
           "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
         .groupBy("hour", "event_type").agg(count("*").as("n"))
         .orderBy("hour", "event_type")),
@@ -850,12 +862,17 @@ object SparkEntry {
         s"${TextAnalysisSql.packSequences(512)} ORDER BY doc_id",
       "dedup_simhash_verify" -> DedupSql.simhashExactDupCheck,
       "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),
+      // groups = test ratings that ALSO have a train-built filter (the
+      // probe inner-joins on rating, so a test-only rating contributes no
+      // group; the intersect keeps the gate scale-robust)
       "bloom_fp_bound" ->
         s"""SELECT CAST(count(DISTINCT rating) AS BIGINT) AS groups,
-           |       CAST(0 AS BIGINT) AS violations FROM ($test)""".stripMargin,
+           |       CAST(0 AS BIGINT) AS violations FROM ($test)
+           |WHERE rating IN (SELECT rating FROM ($train))""".stripMargin,
       "bloom_sharded_fp_bound" ->
         s"""SELECT CAST(count(DISTINCT rating) AS BIGINT) AS groups,
-           |       CAST(0 AS BIGINT) AS violations FROM ($test)""".stripMargin,
+           |       CAST(0 AS BIGINT) AS violations FROM ($test)
+           |WHERE rating IN (SELECT rating FROM ($train))""".stripMargin,
       "sim_ann_lsh_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "sim_ann_ivf_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "st1_stream_hourly" ->

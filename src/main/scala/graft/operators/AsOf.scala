@@ -39,7 +39,9 @@ object AsOf {
       rightValues: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val r = right.select(
+    // a null right time must match nothing — unguarded it would sort
+    // NULLS FIRST and its payload would precede every left row
+    val r = right.where(col(rightTime).isNotNull).select(
       col(key),
       col(rightTime).cast("long").as("__t"),
       struct(rightValues.map(col): _*).as("__rv"))

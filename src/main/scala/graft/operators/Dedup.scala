@@ -199,10 +199,19 @@ object Dedup {
       explode(col("sh")).as("shingle"))
     val freq = inv.groupBy("shingle").agg(count("*").as("df"))
 
+    // All pruning bounds below bias toward KEEPING candidates at float
+    // boundaries: ceil(x*θ) computed in doubles can land one integer too
+    // high when x*θ is exactly integral (e.g. 7*0.2857.. = 2.0000000000000004),
+    // which would shrink a prefix / inflate a required overlap and drop a
+    // pair whose Jaccard is exactly θ. The epsilon (≪ any true fractional
+    // part at realistic set sizes) makes every bound err on the safe side;
+    // the exact verify join removes whatever the looser pruning lets through.
+    val eps = 1e-9
+
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     val prefix = inv.join(freq, "shingle")
       .withColumn("pos", row_number().over(w))
-      .where(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .where(col("pos") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
       // the candidate join keys on the shingle's 64-bit hash, not the
       // string: narrower exchange, long compares. A collision can only ADD
       // a candidate (verify rejects it); the canonical ORDER above stays on
@@ -221,10 +230,10 @@ object Dedup {
       .join(prefix.as("b"),
         col("a.sh_key") === col("b.sh_key")
           && col("a.doc_id") < col("b.doc_id")
-          && col("a.sz") * threshold <= col("b.sz")
-          && col("b.sz") * threshold <= col("a.sz")
+          && col("a.sz") * threshold <= col("b.sz") + eps
+          && col("b.sz") * threshold <= col("a.sz") + eps
           && least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + 1
-            >= ceil((col("a.sz") + col("b.sz")) * alphaFrac))
+            >= ceil((col("a.sz") + col("b.sz")) * alphaFrac - eps))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
@@ -289,6 +298,7 @@ object Dedup {
 
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
+    var persisted: Option[DataFrame] = None
     var converged = false
     while (!converged) {
       val fromNbrs = edges
@@ -300,10 +310,16 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = labels.select(col("v"), col("label").as("old"))
         .join(next, "v")
-        .where(col("old") =!= col("label")).count()
+        .where(col("old") =!= col("label")).count() // also materializes next
+      persisted.foreach(_.unpersist(false)) // superseded round, never read again
+      persisted = Some(next)
       labels = next
       converged = changed == 0L
     }
+    // the final labels are materialized; drop the scaffolding caches (the
+    // result only recomputes through them if its own cache is evicted)
+    edges.unpersist(false)
+    pairs.unpersist(false)
     labels.select(col("v").as("doc_id"), col("label").as("cluster"))
   }
 

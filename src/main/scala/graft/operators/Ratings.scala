@@ -51,12 +51,18 @@ object Ratings {
   def splitBucket: org.apache.spark.sql.Column =
     (col("l_orderkey") * 7 + col("l_linenumber")) % 10
 
-  def trainFromLineitem(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
+  /** The train-split parse over ANY lineitem-shaped relation (batch table
+    * or stream) — single definition so the batch and streaming sides of a
+    * probe can never desynchronize on the split/rating arithmetic. */
+  def trainProjection(lineitem: DataFrame): DataFrame =
+    lineitem
       .where(col("l_quantity") >= 2.5 && splitBucket < 6)
       .select(
         concat(lit("it"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("movieId"),
         floor(col("l_quantity") / 5.0 + 0.5).cast("int").as("rating"))
+
+  def trainFromLineitem(spark: SparkSession, dir: String): DataFrame =
+    trainProjection(Tables(spark, dir, "lineitem"))
 
   def testFromLineitem(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")

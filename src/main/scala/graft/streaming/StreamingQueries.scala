@@ -35,7 +35,10 @@ object StreamingQueries {
     // glob filter (the testdata table is a single parquet file)
     val counts = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(timestamp_micros((col("ts") / 1000).cast("long")).as("event_time"),
+      // integer `div`, not double division: nanos ~1.7e18 exceed double's
+      // 53-bit mantissa, so (ts/1000).cast(long) can misplace an event
+      // that sits within ~128ns of an hour boundary
+      .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
         col("event_type"))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -85,13 +88,9 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
     val name = "st3_bloom_probe_" + math.abs(dir.hashCode)
 
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
-      .where(col("l_quantity") >= 2.5
-        && (col("l_orderkey") * 7 + col("l_linenumber")) % 10 < 6)
-      .select(
-        concat(lit("it"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("movieId"),
-        floor(col("l_quantity") / 5.0 + 0.5).cast("int").as("rating"))
+    val stream = graft.operators.Ratings.trainProjection(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(dir))
       .join(broadcast(filters.select("rating", "m", "k", "bits")), "rating")
       .select(col("rating"),
         graft.functions.bloom_might_contain(

@@ -29,4 +29,11 @@ class AsOfSpec extends SparkSuite {
       3L -> None,               // nothing at or before t=5
       4L -> Some((15L, 8.0)))) // inclusive at t=15, supersedes t=1
   }
+
+  test("asofJoin: null right times match nothing") {
+    val probes = Seq(("a", 10L, 1L)).toDF("k", "t", "probe_id")
+    val quotes = Seq(("a", Option.empty[Long], 7.0)).toDF("k", "qt", "qv")
+    val row = AsOf.asofJoin(probes, quotes, "k", "t", "qt", Seq("qt", "qv")).head()
+    assert(row.getAs[Any]("asof") === null)
+  }
 }

@@ -12,7 +12,7 @@ class StreamingQueriesSpec extends SparkSuite {
 
     import org.apache.spark.sql.functions._
     val batch = Tables(spark, dir, "events")
-      .select(date_format(timestamp_micros((col("ts") / 1000).cast("long")),
+      .select(date_format(timestamp_micros(expr("ts div 1000")),
         "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
       .groupBy("hour", "event_type").agg(count("*").as("n"))
       .orderBy("hour", "event_type")
