@@ -552,6 +552,34 @@ object SparkEntry {
     "t8_pack_sequences" -> ((s, dir) => // fixed-token-budget packing
       TextAnalysis.packSequences(Tables(s, dir, "documents"), budget = 512)
         .orderBy("doc_id")),
+    "t9_winnow" -> ((s, dir) => // murmur-valued -> rows-only; gated below
+      TextAnalysis.winnowFingerprint(Tables(s, dir, "documents"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          element_at(col("fp"), 1).as("fp_first"),
+          element_at(col("fp"), -1).as("fp_last"))
+        .orderBy("doc_id")),
+    "t9_winnow_verify" -> ((s, dir) => {
+      // Cross-engine gate for the winnow kernel: fingerprints are
+      // position-subsets of their hash sequence, and exact-dup documents
+      // fingerprint identically. Counts are real oracle values.
+      val t = TextAnalysis.tokens(col("text"))
+      val keyed = Tables(s, dir, "documents").where(size(t) > 0)
+        .select(col("doc_id"), TextAnalysis.normalized(col("text")).as("norm"),
+          graft.functions.hash_array(
+            TextAnalysis.shingles(t, 3), 0).as("hashes"),
+          graft.functions.winnow(graft.functions.hash_array(
+            TextAnalysis.shingles(t, 3), 0), 4).as("fp"))
+      val subsetViolations = keyed
+        .where(size(array_except(col("fp"), col("hashes"))) > 0).count()
+      val pairs = keyed.select(col("doc_id"), col("norm"), col("fp"))
+      val dup = pairs.as("x").join(pairs.as("y"),
+        col("x.norm") === col("y.norm") && col("x.doc_id") < col("y.doc_id"))
+      val nPairs = dup.count()
+      val mismatches = dup.where(col("x.fp") =!= col("y.fp")).count()
+      import s.implicits._
+      Seq((keyed.count(), nPairs, subsetViolations, mismatches))
+        .toDF("n_docs", "n_exact_pairs", "n_subset_violations", "n_dup_mismatch")
+    }),
 
     // --- D: deduplication (LLM-pipeline layer)
     "dedup_exact" -> ((s, dir) =>
@@ -860,6 +888,17 @@ object SparkEntry {
       "t7_token_counts" -> s"${TextAnalysisSql.tokenCounts} ORDER BY doc_id",
       "t8_pack_sequences" ->
         s"${TextAnalysisSql.packSequences(512)} ORDER BY doc_id",
+      "t9_winnow_verify" ->
+        s"""SELECT (SELECT count(*) FROM documents
+           |        WHERE len(${TextAnalysisSql.toks}) > 0) AS n_docs,
+           |       (SELECT count(*)
+           |        FROM (SELECT doc_id, ${DedupSql.norm} AS nrm FROM documents
+           |              WHERE len(${TextAnalysisSql.toks}) > 0) a
+           |        JOIN (SELECT doc_id, ${DedupSql.norm} AS nrm FROM documents
+           |              WHERE len(${TextAnalysisSql.toks}) > 0) b
+           |          ON a.nrm = b.nrm AND a.doc_id < b.doc_id) AS n_exact_pairs,
+           |       CAST(0 AS BIGINT) AS n_subset_violations,
+           |       CAST(0 AS BIGINT) AS n_dup_mismatch""".stripMargin,
       "dedup_simhash_verify" -> DedupSql.simhashExactDupCheck,
       "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),
       // groups = test ratings that ALSO have a train-built filter (the

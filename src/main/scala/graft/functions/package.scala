@@ -45,6 +45,10 @@ package object functions {
   /** Element-wise seeded murmur3 of an ARRAY<STRING> column. */
   def hash_array(arr: Column, seed: Int): Column = col(HashArray(expr(arr), seed))
 
+  /** Winnowing fingerprint (window-`w` rolling minima, rightmost ties) of
+    * an ARRAY<INT> hash-sequence column. */
+  def winnow(hashes: Column, w: Int): Column = col(Winnow(expr(hashes), w))
+
   /** Per-group Bloom build aggregate: `bloom_build(key, m, k)` → BINARY. */
   val bloom_build: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(BloomBuildAggregator, Encoders.product[BloomInput])
@@ -92,6 +96,12 @@ package object functions {
           org.apache.spark.sql.types.IntegerType)) => HashArray(arr, s)
       case _ => throw new IllegalArgumentException(
         "hash_array(strings, seed): seed must be an INT literal")
+    }),
+    ("winnow", 2, {
+      case Seq(arr, org.apache.spark.sql.catalyst.expressions.Literal(w: Int,
+          org.apache.spark.sql.types.IntegerType)) => Winnow(arr, w)
+      case _ => throw new IllegalArgumentException(
+        "winnow(hashes, w): w must be an INT literal")
     }),
     ("srp_sig", 3, {
       case Seq(emb,

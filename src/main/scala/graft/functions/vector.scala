@@ -107,6 +107,48 @@ object VectorKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Winnowing fingerprint kernel (Schleimer/Wilkerson/Aiken, MOSS): from
+    * the k-gram hash SEQUENCE, select the minimum of every window of `w`
+    * consecutive hashes — rightmost occurrence on ties (robust
+    * winnowing) — recording each selected position once. O(n) via a
+    * monotone deque. Guarantees: every `w`-window contributes a selected
+    * hash (detection of any match ≥ w+k-1 grams), and the fingerprint is
+    * a position-subset of the input. Sequences shorter than `w` yield
+    * their single rightmost minimum. */
+  def winnow(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    def h(i: Int): Int = hashes.getInt(i)
+    if (n == 0) {
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyIntArray)
+    }
+    if (n <= w) {
+      var best = h(0); var i = 1
+      while (i < n) { if (h(i) <= best) best = h(i); i += 1 }
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array(best))
+    }
+    // deque of candidate indices with strictly increasing hash values;
+    // >= pop makes the front the RIGHTMOST minimum of the window
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    val selected = new Array[Int](n - w + 1)
+    var nSel = 0; var lastPos = -1
+    var i = 0
+    while (i < n) {
+      while (head < tail && deque(head) <= i - w) head += 1
+      while (head < tail && h(deque(tail - 1)) >= h(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (i >= w - 1) {
+        val m = deque(head)
+        if (m != lastPos) { selected(nSel) = h(m); nSel += 1; lastPos = m }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(selected, nSel))
+  }
+
   // (bits, dims, seed) -> Rademacher hyperplanes; regenerated identically
   // on every executor from murmur3, so no broadcast or shipping needed.
   private val planeCache =
@@ -235,6 +277,38 @@ case class HashArray(child: Expression, seed: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.VectorKernels.hashArray($a, $seed);")
 
   override protected def withNewChildInternal(newChild: Expression): HashArray =
+    copy(child = newChild)
+}
+
+/** `winnow(hashes, w)` — winnowing fingerprint of an `ARRAY<INT>` hash
+  * sequence (see [[VectorKernels.winnow]]). A native kernel because the
+  * sliding-window-minimum has no lambda-free composition of built-ins at
+  * all (a `transform(sequence(...))` formulation would be O(n·w) through
+  * interpreted lambdas and still need position-dedup).
+  */
+case class Winnow(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, s"winnow: window must be positive, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: IntegerType, false) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow argument must be ARRAY<INT> without nulls, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "winnow"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    VectorKernels.winnow(arr.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.winnow($a, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
     copy(child = newChild)
 }
 

@@ -189,6 +189,18 @@ object TextAnalysis {
       size(array_distinct(sh)).as("n_distinct_shingles"))
   }
 
+  /** TRUE winnowing fingerprint (MOSS): ordered shingle hash sequence →
+    * window-`w` rolling minima via the native [[graft.functions.Winnow]]
+    * kernel. `(doc_id, fp ARRAY<INT>)` for every tokenizable document;
+    * [[shingleFingerprint]] keeps the cheaper min/max variant. */
+  def winnowFingerprint(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val t = tokens(col("text"))
+    docs.where(size(t) > 0).select(
+      col("doc_id"),
+      graft.functions.winnow(
+        graft.functions.hash_array(shingles(t, n), 0), w).as("fp"))
+  }
+
   /** Winnowing-style rolling fingerprint: min/max seeded-murmur over the
     * document's word 3-gram shingles (SURVEY.md operator family F4 reused
     * as a text kernel). Two extremes rather than a full winnow window keep

@@ -53,6 +53,27 @@ object VectorKernelsPropSpec extends Properties("VectorKernels") {
         VectorKernels.simhash(arr(scala.util.Random.shuffle(toks)))
     }
 
+  property("winnow == naive per-window rightmost minima") = {
+    val hashesGen = Gen.listOf(Gen.choose(-20, 20)) // narrow range forces ties
+    val wGen = Gen.choose(1, 6)
+    def naive(h: Seq[Int], w: Int): Seq[Int] =
+      if (h.isEmpty) Seq.empty
+      else if (h.length <= w) Seq(h.zipWithIndex.minBy { case (v, i) => (v, -i) }._1)
+      else {
+        // rightmost min per window; selected positions are non-decreasing,
+        // so consecutive dedup == full dedup
+        val sel = (0 to h.length - w)
+          .map(i => (i until i + w).minBy(j => (h(j), -j)))
+        sel.distinct.map(h)
+      }
+    forAll(hashesGen, wGen) { (h, w) =>
+      val in = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(h.toArray)
+      val got = VectorKernels.winnow(in, w)
+      (0 until got.numElements()).map(got.getInt) == naive(h, w)
+    }
+  }
+
   property("identical shingle sets => identical minhash signature") =
     forAll(Gen.nonEmptyListOf(tokenGen)) { toks =>
       val a = VectorKernels.minhashSig(arr(toks), 16)
