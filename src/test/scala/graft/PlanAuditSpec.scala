@@ -56,6 +56,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("j5: as-of join contains no join operator at all") {
+    // the union + keyed-window formulation replaces the per-pair join
+    // entirely; a Join node appearing here means the rewrite regressed
+    val p = plan("j5_asof_join")
+    assert(!p.contains("Join"), s"as-of must stay join-free:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("j6: bucketed range join is an equi-join, not a nested loop") {
     val p = plan("j6_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

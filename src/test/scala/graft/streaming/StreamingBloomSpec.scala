@@ -111,6 +111,42 @@ class StreamingBloomSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("append mode: watermark finalizes windows, late data is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Int, String)]
+    val df = in.toDF().toDF("ts", "group", "key")
+    val q = StreamingBloom.windowedLinecount(df, "ts", "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_append")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def rows() = spark.table("win_append")
+        .selectExpr("date_format(window.start, 'HH:mm')", "group", "n").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+
+      in.addData(
+        (Timestamp.valueOf("2026-01-01 10:05:00"), 1, "a"),
+        (Timestamp.valueOf("2026-01-01 10:06:00"), 1, "b"))
+      drain(q)
+      assert(rows().isEmpty, "open window must not emit in append mode")
+
+      // advance the watermark past the 10:00 window's close (+10 min delay)
+      in.addData((Timestamp.valueOf("2026-01-01 12:00:00"), 1, "c"))
+      drain(q)
+      // the finalized window emits by the following batch at the latest
+      in.addData((Timestamp.valueOf("2026-01-01 12:01:00"), 1, "d"))
+      drain(q)
+      assert(rows() === Set(("10:00", 1, 2L)), rows().toString)
+
+      // an event behind the watermark must be dropped, not re-open 10:00
+      in.addData((Timestamp.valueOf("2026-01-01 10:07:00"), 1, "late"))
+      drain(q)
+      in.addData((Timestamp.valueOf("2026-01-01 12:30:00"), 1, "e"))
+      drain(q)
+      assert(rows() === Set(("10:00", 1, 2L)),
+        s"late event must not change finalized windows: ${rows()}")
+    } finally q.stop()
+  }
+
   test("windowedLinecount aggregates per event-time window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Int, String)]
