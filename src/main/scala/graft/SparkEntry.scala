@@ -552,6 +552,22 @@ object SparkEntry {
     "t8_pack_sequences" -> ((s, dir) => // fixed-token-budget packing
       TextAnalysis.packSequences(Tables(s, dir, "documents"), budget = 512)
         .orderBy("doc_id")),
+    "p9_stratified_sample" -> ((s, dir) => {
+      // Corpus curation: the top-quality documents per language stratum
+      // (deterministic tie-break on doc_id) — the shape of a curated
+      // fine-tuning subset. One shuffle on the stratum key.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")),
+          "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 20)
+        .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
+        .orderBy("lang", "rank")
+    }),
     "t9_winnow" -> ((s, dir) => // murmur-valued -> rows-only; gated below
       TextAnalysis.winnowFingerprint(Tables(s, dir, "documents"))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
@@ -888,6 +904,14 @@ object SparkEntry {
       "t7_token_counts" -> s"${TextAnalysisSql.tokenCounts} ORDER BY doc_id",
       "t8_pack_sequences" ->
         s"${TextAnalysisSql.packSequences(512)} ORDER BY doc_id",
+      "p9_stratified_sample" ->
+        s"""SELECT lang, rank, doc_id, quality FROM (
+           |  SELECT d.lang, q.doc_id, q.quality,
+           |         row_number() OVER (PARTITION BY d.lang
+           |                            ORDER BY q.quality DESC, q.doc_id) AS rank
+           |  FROM documents d JOIN (${TextAnalysisSql.qualityScore}) q
+           |    ON d.doc_id = q.doc_id)
+           |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
       "t9_winnow_verify" ->
         s"""SELECT (SELECT count(*) FROM documents
            |        WHERE len(${TextAnalysisSql.toks}) > 0) AS n_docs,
