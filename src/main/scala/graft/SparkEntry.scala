@@ -555,12 +555,13 @@ object SparkEntry {
     "p9_stratified_sample" -> ((s, dir) => {
       // Corpus curation: the top-quality documents per language stratum
       // (deterministic tie-break on doc_id) — the shape of a curated
-      // fine-tuning subset. One shuffle on the stratum key.
+      // fine-tuning subset. Quality is scored in the same scan that
+      // carries the stratum key, so the plan is one projection pass plus
+      // the window's shuffle on lang.
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables(s, dir, "documents")
-      val scored = docs.select(col("doc_id"), col("lang"))
-        .join(TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")),
-          "doc_id")
+      val scored = TextAnalysis
+        .qualityScore(Tables(s, dir, "documents"), keep = Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("quality"))
       val w = Window.partitionBy("lang")
         .orderBy(col("quality").desc, col("doc_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -577,24 +578,32 @@ object SparkEntry {
     "t9_winnow_verify" -> ((s, dir) => {
       // Cross-engine gate for the winnow kernel: fingerprints are
       // position-subsets of their hash sequence, and exact-dup documents
-      // fingerprint identically. Counts are real oracle values.
+      // fingerprint identically. Counts are real oracle values. One lazy
+      // plan (two single-row aggregates cross-joined) — no driver-side
+      // actions, and the winnow parameters come from the SAME constants
+      // as the t9 query it gates.
       val t = TextAnalysis.tokens(col("text"))
+      val hashes = graft.functions.hash_array(
+        TextAnalysis.shingles(t, TextAnalysis.winnowShingleN), 0)
       val keyed = Tables(s, dir, "documents").where(size(t) > 0)
         .select(col("doc_id"), TextAnalysis.normalized(col("text")).as("norm"),
-          graft.functions.hash_array(
-            TextAnalysis.shingles(t, 3), 0).as("hashes"),
-          graft.functions.winnow(graft.functions.hash_array(
-            TextAnalysis.shingles(t, 3), 0), 4).as("fp"))
-      val subsetViolations = keyed
-        .where(size(array_except(col("fp"), col("hashes"))) > 0).count()
-      val pairs = keyed.select(col("doc_id"), col("norm"), col("fp"))
-      val dup = pairs.as("x").join(pairs.as("y"),
-        col("x.norm") === col("y.norm") && col("x.doc_id") < col("y.doc_id"))
-      val nPairs = dup.count()
-      val mismatches = dup.where(col("x.fp") =!= col("y.fp")).count()
-      import s.implicits._
-      Seq((keyed.count(), nPairs, subsetViolations, mismatches))
-        .toDF("n_docs", "n_exact_pairs", "n_subset_violations", "n_dup_mismatch")
+          (size(array_except(
+            graft.functions.winnow(hashes, TextAnalysis.winnowWindow),
+            hashes)) > 0).as("not_subset"),
+          graft.functions.winnow(hashes, TextAnalysis.winnowWindow).as("fp"))
+      val docAgg = keyed.agg(
+        count("*").as("n_docs"),
+        sum(when(col("not_subset"), 1L).otherwise(0L)).as("n_subset_violations"))
+      val pairAgg = keyed.as("x")
+        .join(keyed.as("y"),
+          col("x.norm") === col("y.norm") && col("x.doc_id") < col("y.doc_id"))
+        .agg(
+          count("*").as("n_exact_pairs"),
+          coalesce(sum(when(col("x.fp") =!= col("y.fp"), 1L).otherwise(0L)),
+            lit(0L)).as("n_dup_mismatch"))
+      docAgg.crossJoin(pairAgg)
+        .select(col("n_docs"), col("n_exact_pairs"),
+          col("n_subset_violations"), col("n_dup_mismatch"))
     }),
 
     // --- D: deduplication (LLM-pipeline layer)

@@ -109,12 +109,15 @@ object VectorKernels {
 
   /** Winnowing fingerprint kernel (Schleimer/Wilkerson/Aiken, MOSS): from
     * the k-gram hash SEQUENCE, select the minimum of every window of `w`
-    * consecutive hashes — rightmost occurrence on ties (robust
-    * winnowing) — recording each selected position once. O(n) via a
-    * monotone deque. Guarantees: every `w`-window contributes a selected
-    * hash (detection of any match ≥ w+k-1 grams), and the fingerprint is
-    * a position-subset of the input. Sequences shorter than `w` yield
-    * their single rightmost minimum. */
+    * consecutive hashes — rightmost occurrence on ties — recording each
+    * selected position once. O(n) via a monotone deque. (This is standard
+    * winnowing with a deterministic tie rule; the paper's "robust" variant
+    * additionally prefers re-selecting the previous fingerprint on ties,
+    * yielding slightly sparser output on tie-heavy input.) Guarantees:
+    * every `w`-window contributes a selected hash (detection of any match
+    * ≥ w+k-1 grams), and the fingerprint is a position-subset of the
+    * input. Sequences shorter than `w` yield their single rightmost
+    * minimum. */
   def winnow(hashes: ArrayData, w: Int): ArrayData = {
     val n = hashes.numElements()
     def h(i: Int): Int = hashes.getInt(i)

@@ -61,14 +61,14 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1] from length, lexical diversity and
     * stopword density — the C4/Gopher-style cheap filters. All ratios are
     * double divisions of exact ints, so the oracle matches bit-for-bit. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val t = tokens(col("text"))
     docs
       .withColumn("n_tokens", size(t))
       .withColumn("n_distinct", size(array_distinct(t)))
       .withColumn("n_stop", countIn(t, stopEn))
       .withColumn("alnum_chars", length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
-      .select(
+      .select(keep.map(col) ++ Seq(
         col("doc_id"),
         col("n_tokens"),
         when(col("n_tokens") > 0,
@@ -85,7 +85,7 @@ object TextAnalysis {
             least(lit(1.0), col("n_tokens").cast("double") / 64.0) * 0.4
               + (col("n_distinct").cast("double") / col("n_tokens")) * 0.3
               + (col("n_stop").cast("double") / col("n_tokens")) * 0.3, 6))
-          .otherwise(0.0).as("quality"))
+          .otherwise(0.0).as("quality")): _*)
   }
 
   /** N-gram stopword-profile language ID with a deterministic tie-break
@@ -189,11 +189,17 @@ object TextAnalysis {
       size(array_distinct(sh)).as("n_distinct_shingles"))
   }
 
-  /** TRUE winnowing fingerprint (MOSS): ordered shingle hash sequence →
+  /** Default winnowing parameters — shared by [[winnowFingerprint]] and
+    * its cross-engine gate so the two can never drift apart. */
+  val winnowShingleN = 3
+  val winnowWindow = 4
+
+  /** Winnowing fingerprint (MOSS-style): ordered shingle hash sequence →
     * window-`w` rolling minima via the native [[graft.functions.Winnow]]
     * kernel. `(doc_id, fp ARRAY<INT>)` for every tokenizable document;
     * [[shingleFingerprint]] keeps the cheaper min/max variant. */
-  def winnowFingerprint(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+  def winnowFingerprint(docs: DataFrame,
+      n: Int = winnowShingleN, w: Int = winnowWindow): DataFrame = {
     val t = tokens(col("text"))
     docs.where(size(t) > 0).select(
       col("doc_id"),
