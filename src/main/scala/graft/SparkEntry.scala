@@ -474,6 +474,30 @@ object SparkEntry {
         .groupBy("lang").agg(count("*").as("n"), sum("n_chars").as("total_chars"))
         .orderBy("lang")
     }),
+    "s3_split_sizing" -> ((s, dir) => {
+      // S2 (NLine split sizing) made concrete: a line-based text source
+      // splits at byte boundaries, so shrinking maxPartitionBytes fans
+      // the scan out across tasks — the knob that balances 100 TB of
+      // text across executors. Executed inside the conf scope (restored
+      // after); oracle checks the row count and the >1-split invariant.
+      val path = tmpPath(dir, "split_tsv")
+      Tables(s, dir, "lineitem").where(col("l_quantity") >= 2.5)
+        .select(format_string("it%d-%d\t%s",
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity")).as("value"))
+        .write.mode("overwrite").text(path)
+      val prev = s.conf.getOption("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.files.maxPartitionBytes", (32 * 1024).toString)
+      try {
+        val agg = s.read.text(path)
+          .select(spark_partition_id().as("pid"))
+          .agg(count("*").as("n"), countDistinct("pid").as("p")).head()
+        import s.implicits._
+        Seq((agg.getLong(0), agg.getLong(1) > 1L)).toDF("n_rows", "multi_split")
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None => s.conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+    }),
     "s1_tsv_ingest" -> ((s, dir) => {
       // S1 TSV scan + F1/F2/F3 parse/cast/round: materialize the ratings
       // TSV shape (movieId, averageRating, numVotes) from lineitem, then
@@ -892,6 +916,9 @@ object SparkEntry {
       "k1_text_roundtrip" ->
         s"SELECT rating, count(*) AS n FROM ($li) GROUP BY rating ORDER BY rating",
       "s1_tsv_ingest" -> s"SELECT * FROM ($li) ORDER BY movieId",
+      "s3_split_sizing" ->
+        """SELECT count(*) AS n_rows, TRUE AS multi_split
+          |FROM lineitem WHERE l_quantity >= 2.5""".stripMargin,
       "s2_jsonl_ingest" ->
         "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
       "t1_token_stats" -> s"${TextAnalysisSql.tokenStats} ORDER BY doc_id",
