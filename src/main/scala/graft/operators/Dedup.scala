@@ -407,18 +407,21 @@ object DedupSql {
        |  ON a.nrm = b.nrm AND a.doc_id < b.doc_id""".stripMargin
 
   /** Twin of [[Dedup.nearDupClusters]]: transitive closure by recursive
-    * CTE over the all-pairs near-dup edges, min reachable id per vertex. */
+    * CTE over the all-pairs near-dup edges, min reachable id per vertex.
+    * The non-recursive CTEs are MATERIALIZED — without the hint DuckDB
+    * re-evaluates the all-pairs Jaccard on every recursion step, turning
+    * a seconds-long oracle into hours at larger scale factors. */
   def nearDupClusters(threshold: Double, shingleN: Int): String =
     s"""WITH RECURSIVE
-       |sets AS (
+       |sets AS MATERIALIZED (
        |  SELECT doc_id, ${shinglesSql(shingleN)} AS sh
        |  FROM documents WHERE len($toks) > 0),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |          / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
        |reach(v, l) AS (
