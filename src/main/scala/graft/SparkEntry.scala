@@ -459,6 +459,28 @@ object SparkEntry {
         StructField("n_chars", LongType)))
       s.read.schema(schema).json(path).orderBy("doc_id")
     }),
+    "k3_range_sink" -> ((s, dir) => {
+      // Range-partitioned sorted layout — globally ordered training
+      // shards: repartitionByRange gives disjoint key ranges per file,
+      // sortWithinPartitions orders inside each. The invariants (4
+      // files, disjoint [min,max] ranges, full row count) are checked
+      // from the files themselves via input_file_name().
+      import org.apache.spark.sql.expressions.Window
+      val path = tmpPath(dir, "docs_range")
+      Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(path)
+      val byFile = s.read.parquet(path)
+        .select(col("doc_id"), input_file_name().as("f"))
+        .groupBy("f").agg(count("*").as("n"),
+          min("doc_id").as("lo"), max("doc_id").as("hi"))
+      byFile
+        .withColumn("prev_hi", lag("hi", 1).over(Window.orderBy("lo")))
+        .agg(count("*").as("n_files"), sum("n").as("n_rows"),
+          sum(when(col("prev_hi") >= col("lo"), 1L).otherwise(0L))
+            .as("range_overlaps"))
+    }),
     "k2_partitioned_sink" -> ((s, dir) => {
       // Hive-style partitioned layout — the training-shard sink: one
       // directory per lang, rows sorted by doc_id inside each file so
@@ -592,6 +614,15 @@ object SparkEntry {
         .where(col("rank") <= 20)
         .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
         .orderBy("lang", "rank")
+    }),
+    "t10_pii_scrub" -> ((s, dir) => // PII redaction: counts + scrubbed length
+      TextAnalysis.piiScrub(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t11_contamination" -> ((s, dir) => {
+      // benchmark-contamination scan: every 100th doc stands in for the
+      // held-out benchmark; corpus docs sharing any 5-gram are flagged
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.contamination(docs, docs.where(col("doc_id") % 100 === 0))
+        .orderBy("doc_id")
     }),
     "t9_winnow" -> ((s, dir) => // murmur-valued -> rows-only; gated below
       TextAnalysis.winnowFingerprint(Tables(s, dir, "documents"))
@@ -948,6 +979,11 @@ object SparkEntry {
            |  FROM documents d JOIN (${TextAnalysisSql.qualityScore}) q
            |    ON d.doc_id = q.doc_id)
            |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+      "t10_pii_scrub" -> s"${TextAnalysisSql.piiScrub} ORDER BY doc_id",
+      "t11_contamination" -> TextAnalysisSql.contamination("doc_id % 100 = 0", 5),
+      "k3_range_sink" ->
+        """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
+          |       CAST(0 AS BIGINT) AS range_overlaps FROM documents""".stripMargin,
       "t9_winnow_verify" ->
         s"""SELECT (SELECT count(*) FROM documents
            |        WHERE len(${TextAnalysisSql.toks}) > 0) AS n_docs,

@@ -119,6 +119,53 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
 
+  /** PII patterns for corpus scrubbing — the RE2-safe (lookahead-free)
+    * email / phone-ish / IPv4 trio every pretraining pipeline redacts.
+    * Shared verbatim with the DuckDB twin. */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phoneRe = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+  val ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrub: per-document match counts plus the redacted text length
+    * (`[PII]` substitution). Counts and length are exact cross-engine
+    * values; the scrub itself is one codegen'd projection pass. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    def nMatches(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "[PII]"),
+        phoneRe, "[PII]"),
+      ipv4Re, "[PII]")
+    docs.select(
+      col("doc_id"),
+      nMatches(emailRe).as("n_email"),
+      nMatches(phoneRe).as("n_phone"),
+      nMatches(ipv4Re).as("n_ipv4"),
+      length(redacted).as("redacted_len"))
+  }
+
+  /** Benchmark-contamination scan: documents sharing at least one word
+    * `n`-gram with a benchmark corpus. The scale shape is an inverted
+    * semi-join on exploded benchmark shingles (benchmark side is tiny and
+    * broadcasts; the corpus side streams) — never a per-pair comparison.
+    * Output: `(doc_id, contaminated)` for every tokenizable doc. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+    val t = tokens(col("text"))
+    val benchShingles = benchmark
+      .select(explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
+      .distinct()
+    val docShingles = docs.where(size(t) > 0)
+      .select(col("doc_id"), explode(array_distinct(shingles(t, n))).as("sh"))
+    val hits = docShingles
+      .join(broadcast(benchShingles), "sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    docs.where(size(t) > 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Sequence packing — assign documents to fixed-token-budget training
     * sequences: `(doc_id, n_tokens, seq_id, seq_offset)` where `seq_id`
     * is the running-total bin `floor(cumsum_before / budget)` over the
@@ -287,6 +334,33 @@ object TextAnalysisSql {
        |       greatest(len($toks) - ${n - 1}, 1) AS n_shingles,
        |       len(${DedupSql.shinglesSql(n)}) AS n_distinct_shingles
        |FROM documents WHERE len($toks) > 0""".stripMargin
+
+  /** Twin of [[TextAnalysis.piiScrub]] — same regexes; DuckDB's
+    * regexp_replace needs the 'g' flag for replace-all (Spark's replaces
+    * all by default). */
+  val piiScrub: String = {
+    val (e, p, i) = (TextAnalysis.emailRe, TextAnalysis.phoneRe, TextAnalysis.ipv4Re)
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all(text, '$e')) AS n_email,
+       |       len(regexp_extract_all(text, '$p')) AS n_phone,
+       |       len(regexp_extract_all(text, '$i')) AS n_ipv4,
+       |       length(regexp_replace(regexp_replace(regexp_replace(text,
+       |         '$e', '[PII]', 'g'), '$p', '[PII]', 'g'), '$i', '[PII]', 'g'))
+       |         AS redacted_len
+       |FROM documents""".stripMargin
+  }
+
+  /** Twin of [[TextAnalysis.contamination]] with the benchmark set given
+    * as a SQL predicate over `documents`. */
+  def contamination(benchPredSql: String, n: Int): String =
+    s"""WITH bench AS MATERIALIZED (
+       |  SELECT list_distinct(flatten(list(${DedupSql.shinglesSql(n)}))) AS bsh
+       |  FROM documents WHERE ($benchPredSql) AND len($toks) > 0),
+       |docsh AS (
+       |  SELECT doc_id, ${DedupSql.shinglesSql(n)} AS sh
+       |  FROM documents WHERE len($toks) > 0)
+       |SELECT doc_id, len(list_intersect(sh, bsh)) > 0 AS contaminated
+       |FROM docsh, bench ORDER BY doc_id""".stripMargin
 
   /** Twin of [[TextAnalysis.packSequences]]. */
   def packSequences(budget: Int): String =

@@ -258,6 +258,28 @@ class TextDedupSpec extends SparkSuite {
       5L -> ((0L, 1L, 6L))))
   }
 
+  test("piiScrub: counts and redacts emails, phones, IPs") {
+    val d = docs((1L, "mail a.b@x.co or call +1-555-123-4567 from 10.0.0.1 twice 10.0.0.2"))
+    val r = TextAnalysis.piiScrub(d).head()
+    assert(r.getAs[Int]("n_email") === 1)
+    assert(r.getAs[Int]("n_phone") === 1)
+    assert(r.getAs[Int]("n_ipv4") === 2)
+    // redacted text replaces every match with the 5-char [PII] token
+    val orig = "mail a.b@x.co or call +1-555-123-4567 from 10.0.0.1 twice 10.0.0.2"
+    assert(r.getAs[Int]("redacted_len") < orig.length)
+  }
+
+  test("contamination: flags docs sharing a 5-gram with the benchmark") {
+    val leak = (1 to 10).map(i => s"b$i").mkString(" ")
+    val d = docs(
+      (1L, leak),                                    // the benchmark doc
+      (2L, s"prefix words here $leak and a tail"),   // contains the 5-gram
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ")))
+    val got = TextAnalysis.contamination(d, d.where($"doc_id" === 1), n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> false))
+  }
+
   test("langId: picks the profile with most stopword hits") {
     val d = docs(
       (1L, "the cat and the dog of the house"),
