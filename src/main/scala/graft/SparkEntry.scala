@@ -477,9 +477,13 @@ object SparkEntry {
           min("doc_id").as("lo"), max("doc_id").as("hi"))
       byFile
         .withColumn("prev_hi", lag("hi", 1).over(Window.orderBy("lo")))
-        .agg(count("*").as("n_files"), sum("n").as("n_rows"),
-          sum(when(col("prev_hi") >= col("lo"), 1L).otherwise(0L))
-            .as("range_overlaps"))
+        .agg(
+          // structural invariant: between 1 and 4 files (empty range
+          // partitions write no file, so exactly-4 is data-dependent)
+          (count("*").between(1, 4)).as("files_in_range"),
+          sum("n").as("n_rows"),
+          coalesce(sum(when(col("prev_hi") >= col("lo"), 1L).otherwise(0L)),
+            lit(0L)).as("range_overlaps"))
     }),
     "k2_partitioned_sink" -> ((s, dir) => {
       // Hive-style partitioned layout — the training-shard sink: one
@@ -648,7 +652,8 @@ object SparkEntry {
           graft.functions.winnow(hashes, TextAnalysis.winnowWindow).as("fp"))
       val docAgg = keyed.agg(
         count("*").as("n_docs"),
-        sum(when(col("not_subset"), 1L).otherwise(0L)).as("n_subset_violations"))
+        coalesce(sum(when(col("not_subset"), 1L).otherwise(0L)), lit(0L))
+          .as("n_subset_violations"))
       val pairAgg = keyed.as("x")
         .join(keyed.as("y"),
           col("x.norm") === col("y.norm") && col("x.doc_id") < col("y.doc_id"))
@@ -982,7 +987,7 @@ object SparkEntry {
       "t10_pii_scrub" -> s"${TextAnalysisSql.piiScrub} ORDER BY doc_id",
       "t11_contamination" -> TextAnalysisSql.contamination("doc_id % 100 = 0", 5),
       "k3_range_sink" ->
-        """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
+        """SELECT TRUE AS files_in_range, count(*) AS n_rows,
           |       CAST(0 AS BIGINT) AS range_overlaps FROM documents""".stripMargin,
       "t9_winnow_verify" ->
         s"""SELECT (SELECT count(*) FROM documents

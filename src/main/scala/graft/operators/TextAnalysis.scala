@@ -155,15 +155,14 @@ object TextAnalysis {
     val benchShingles = benchmark
       .select(explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
       .distinct()
-    val docShingles = docs.where(size(t) > 0)
+      .withColumn("hit", lit(true))
+    // one corpus scan: every tokenizable doc has >= 1 shingle (whole-text
+    // fallback), so folding the left-joined hits per doc_id loses nobody
+    docs.where(size(t) > 0)
       .select(col("doc_id"), explode(array_distinct(shingles(t, n))).as("sh"))
-    val hits = docShingles
-      .join(broadcast(benchShingles), "sh")
-      .select(col("doc_id")).distinct()
-      .withColumn("contaminated", lit(true))
-    docs.where(size(t) > 0).select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .join(broadcast(benchShingles), Seq("sh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(max(coalesce(col("hit"), lit(false))).as("contaminated"))
   }
 
   /** Sequence packing — assign documents to fixed-token-budget training

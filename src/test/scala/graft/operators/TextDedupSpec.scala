@@ -264,9 +264,11 @@ class TextDedupSpec extends SparkSuite {
     assert(r.getAs[Int]("n_email") === 1)
     assert(r.getAs[Int]("n_phone") === 1)
     assert(r.getAs[Int]("n_ipv4") === 2)
-    // redacted text replaces every match with the 5-char [PII] token
+    // exact redaction arithmetic: each match becomes the 5-char [PII]
+    // token — email 8->5, phone 15->5, two IPs 8->5 each
     val orig = "mail a.b@x.co or call +1-555-123-4567 from 10.0.0.1 twice 10.0.0.2"
-    assert(r.getAs[Int]("redacted_len") < orig.length)
+    assert(r.getAs[Int]("redacted_len") ===
+      orig.length - (8 - 5) - (15 - 5) - 2 * (8 - 5))
   }
 
   test("contamination: flags docs sharing a 5-gram with the benchmark") {
