@@ -57,7 +57,33 @@ object Bench {
     val oks = results.map { case (k, (_, ok)) => s"\"$k\":$ok" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"sf":"$sfDir"}"""
+
+    // The driver keeps only the LAST ~2000 bytes of stdout and json-parses
+    // line by line; the full-detail line above is ~5 KB and its head gets
+    // truncated out of that window. Emit a compact final line that is
+    // guaranteed to fit: times at 2 decimals, queries included slowest-first
+    // until a 1900-byte budget is reached, the rest summarized as "omitted".
+    val failed = results.collect { case (k, (_, false)) => s"\"$k\"" }
+    val sorted = results.toSeq.sortBy { case (_, (t, _)) => -t }
+      .map { case (k, (t, _)) => f""""$k":$t%.2f""" }
+    val tailLen = s""","omitted":0,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""".length + 8
+    val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"queries":{"""
+    val budget = 1900 - head.length - tailLen
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    sorted.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val compact = head + kept.mkString(",") +
+      s"""},"omitted":${sorted.size - kept.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+
     spark.stop()
+    // Last two stdout lines, after spark.stop() so no executor log can
+    // interleave: full detail (for human logs), then the parseable compact.
+    println(full)
+    println(compact)
+    System.out.flush()
   }
 }
