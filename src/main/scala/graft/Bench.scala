@@ -21,6 +21,10 @@ object Bench {
   private def runOne(spark: SparkSession, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       dir: String): (Double, Boolean) = {
+    // each query pays its own full cost: operators that persist shared
+    // subtrees (bloom builds, dedup stages) must not hand a warm cache to
+    // the next measured query
+    spark.catalog.clearCache()
     val t0 = System.nanoTime()
     val ok =
       try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }

@@ -248,40 +248,28 @@ object SparkEntry {
     // the fixed-point batch safe); executed inside the scope so the
     // restored session state cannot un-inject it, then returned as a
     // local relation (the result is a handful of grouped rows).
-    "x2_runtime_bloom" -> ((s, dir) => {
-      val prev = s.experimental.extraOptimizations
-      val prevEnabled = s.conf.getOption("spark.graft.runtimeBloom.enabled")
-      val prevMinProbe = s.conf.getOption("spark.graft.runtimeBloom.minProbeBytes")
-      s.experimental.extraOptimizations = prev :+ graft.plans.InjectBloomRuntimeFilter(s)
+    "x2_runtime_bloom" -> ((outer, dir) => {
+      // isolated session: extraOptimizations + confs live and die here, so
+      // nothing leaks into the shared session even under concurrent queries
+      val s = outer.newSession()
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.InjectBloomRuntimeFilter(s)
       s.conf.set("spark.graft.runtimeBloom.enabled", "true")
       s.conf.set("spark.graft.runtimeBloom.minProbeBytes", "1")
-      try {
-        val big = Tables(s, dir, "lineitem")
-          .select(concat(lit("p"), col("l_partkey")).as("pk"), col("l_quantity"))
-        val small = Tables(s, dir, "part").where(col("p_size") <= 5)
-          .select(concat(lit("p"), col("p_partkey")).as("pk"), col("p_size"))
-        val df = big.join(small, "pk")
-          .groupBy("p_size").agg(
-            count("*").as("n_items"),
-            round(sum("l_quantity"), 2).as("total_qty"))
-          .orderBy("p_size")
-        require(df.queryExecution.optimizedPlan.toString.contains("bloom_might_contain"),
-          "runtime bloom filter was not injected")
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(df.collect().toSeq.asJava, df.schema)
-      } finally {
-        // restore, don't hardcode: a session deliberately running with the
-        // rule enabled must keep it after this query
-        s.experimental.extraOptimizations = prev
-        prevEnabled match {
-          case Some(v) => s.conf.set("spark.graft.runtimeBloom.enabled", v)
-          case None => s.conf.unset("spark.graft.runtimeBloom.enabled")
-        }
-        prevMinProbe match {
-          case Some(v) => s.conf.set("spark.graft.runtimeBloom.minProbeBytes", v)
-          case None => s.conf.unset("spark.graft.runtimeBloom.minProbeBytes")
-        }
-      }
+      val big = Tables(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("pk"), col("l_quantity"))
+      val small = Tables(s, dir, "part").where(col("p_size") <= 5)
+        .select(concat(lit("p"), col("p_partkey")).as("pk"), col("p_size"))
+      val df = big.join(small, "pk")
+        .groupBy("p_size").agg(
+          count("*").as("n_items"),
+          round(sum("l_quantity"), 2).as("total_qty"))
+        .orderBy("p_size")
+      require(df.queryExecution.optimizedPlan.toString.contains("bloom_might_contain"),
+        "runtime bloom filter was not injected")
+      import scala.jdk.CollectionConverters._
+      // materialize under the isolated session, hand rows to the caller's
+      outer.createDataFrame(df.collect().toSeq.asJava, df.schema)
     }),
 
     // --- B: bucketed co-located join (write-time pre-shuffle; the plan
@@ -1019,9 +1007,11 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
           |       event_type, count(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
-      "st2_stream_dedup" ->
+      "st2_stream_dedup" -> // coalesce: Spark's concat_ws key maps NULL
+        // text to "" while count(DISTINCT) would skip a NULL outright
         s"""SELECT count(*) AS n_docs,
-           |       count(DISTINCT array_to_string(${TextAnalysisSql.toks}, ' '))
+           |       count(DISTINCT coalesce(
+           |         array_to_string(${TextAnalysisSql.toks}, ' '), ''))
            |         AS n_distinct
            |FROM documents""".stripMargin,
       "st3_stream_bloom_probe" -> // zero-FN: hits == total per group

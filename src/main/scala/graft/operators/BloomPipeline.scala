@@ -80,7 +80,10 @@ object BloomPipeline {
   def buildFilters(train: DataFrame, p: Double): DataFrame = {
     // the build is a double pass over train (sizing agg, then the filter
     // agg) and most callers probe the same DataFrame again — cache the
-    // shared subtree once instead of re-running its parse per pass
+    // shared subtree once instead of re-running its parse per pass.
+    // Cache-lifetime contract: the persist lives until the caller releases
+    // it (`train.unpersist()` / `spark.catalog.clearCache()`); Bench and
+    // Verify clear between queries so nothing is measured warm.
     train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val geometry = sized(linecount(train), p)
     train
@@ -171,7 +174,8 @@ object BloomPipeline {
     * now carries S bounded slabs per group instead of one unbounded row. */
   def buildShardedFilters(train: DataFrame, p: Double,
       maxSlabBits: Long = 1L << 26): DataFrame = {
-    // double pass over train (sizing, then build) — see buildFilters
+    // double pass over train (sizing, then build) — see buildFilters,
+    // including its cache-lifetime contract (caller releases)
     train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val geometry = shardedSized(linecount(train), p, maxSlabBits)
     train

@@ -220,13 +220,16 @@ object SimilaritySql {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Twin of [[Similarity.recallVsExact]]: the query/exact-row counts are
-    * real SQL (every query has ≥ k neighbors at any tested sf); recall_ok
-    * is the cross-engine invariant. */
+    * real SQL; recall_ok is the cross-engine invariant. n_exact is
+    * `sum(least(k, corpus - 1))` — each query has `corpus - 1` non-self
+    * candidates, so the twin stays correct at any sf or k instead of
+    * assuming every query has ≥ k neighbors. */
   def recallGate(queryPredSql: String, k: Int): String =
-    s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
-       |       CAST(count(*) * $k AS BIGINT) AS n_exact,
+    s"""WITH n AS MATERIALIZED (SELECT count(*) - 1 AS n_other FROM embeddings)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(sum(least($k, n_other)) AS BIGINT) AS n_exact,
        |       TRUE AS recall_ok
-       |FROM embeddings WHERE $queryPredSql""".stripMargin
+       |FROM embeddings, n WHERE $queryPredSql""".stripMargin
 
   def bruteForcePairs(threshold: Double): String =
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

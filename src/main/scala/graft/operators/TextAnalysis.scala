@@ -358,7 +358,8 @@ object TextAnalysisSql {
        |docsh AS (
        |  SELECT doc_id, ${DedupSql.shinglesSql(n)} AS sh
        |  FROM documents WHERE len($toks) > 0)
-       |SELECT doc_id, len(list_intersect(sh, bsh)) > 0 AS contaminated
+       |SELECT doc_id,
+       |       coalesce(len(list_intersect(sh, bsh)), 0) > 0 AS contaminated
        |FROM docsh, bench ORDER BY doc_id""".stripMargin
 
   /** Twin of [[TextAnalysis.packSequences]]. */

@@ -77,9 +77,25 @@ case class InjectBloomRuntimeFilter(spark: SparkSession) extends Rule[LogicalPla
   /** Idempotency guard: a join side already carrying an injected probe is
     * left alone. Makes the rule a no-op on its own output, so it is safe
     * in fixed-point batches (`spark.experimental.extraOptimizations`) as
-    * well as the run-once preCBO slot it is normally registered in. */
+    * well as the run-once preCBO slot it is normally registered in.
+    *
+    * Recognition is by the injected alias marker, walked through any
+    * Filter/Project chain — so a node interposed by another rule in the
+    * same fixed-point batch cannot defeat the guard, and a query that
+    * legitimately uses `bloom_might_contain` in its own predicates does
+    * NOT suppress injection (only OUR marker does). */
   private def alreadyFiltered(side: LogicalPlan): Boolean = side match {
-    case Filter(cond, _) => cond.exists(_.isInstanceOf[BloomMightContain])
+    case Filter(cond, child) =>
+      cond.exists {
+        case BloomMightContain(sub: ScalarSubquery, _, _, _) =>
+          sub.plan.expressions.exists {
+            case a: Alias => a.name == injectedAlias
+            case _ => false
+          }
+        case _ => false
+      } || alreadyFiltered(child)
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      alreadyFiltered(p.child)
     case _ => false
   }
 
@@ -105,6 +121,11 @@ case class InjectBloomRuntimeFilter(spark: SparkSession) extends Rule[LogicalPla
   /** Probe-side Filter over a scalar-subquery filter build on the small
     * side. Geometry from the small side's row estimate (bytes / 32 as a
     * conservative rows guess, doubled for safety). */
+  /** Alias marking a build aggregate as injected by THIS rule — the
+    * durable idempotency marker (plan-structural, survives any transform,
+    * unlike a TreeNodeTag which a node rewrite can drop). */
+  private val injectedAlias = "graft_rt_bloom"
+
   private def injectFilter(big: LogicalPlan, bigKey: AttributeReference,
       small: LogicalPlan, smallKey: AttributeReference, fpp: Double): LogicalPlan = {
     val estRows = math.max(64L, (small.stats.sizeInBytes / 32L).toLong * 2L)
@@ -114,7 +135,7 @@ case class InjectBloomRuntimeFilter(spark: SparkSession) extends Rule[LogicalPla
       Nil,
       Seq(Alias(
         BloomBuildAgg(smallKey, Literal(m), Literal(k))
-          .toAggregateExpression(isDistinct = false), "graft_rt_bloom")()),
+          .toAggregateExpression(isDistinct = false), injectedAlias)()),
       small)
     val probe = BloomMightContain(
       ScalarSubquery(buildAgg), Literal(m), Literal(k), bigKey)
