@@ -37,6 +37,11 @@ object SparkEntry {
   private val simQueryPredSql = "vec_id % 50 = 0"
   private val simK = 5
 
+  /** Retrieval-scoring constants shared by the queries and their twins. */
+  private val tfidfTopK = 5
+  private val bm25Query = Seq("hash", "join", "filter")
+  private val bm25TopK = 20
+
   /** Slab size for the sharded-bloom queries: small enough that sf0.01
     * groups (~10k keys, ~50k bits) split into ~4 shards. */
   private val shardedSlabBits = 16384L
@@ -160,6 +165,19 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("o_orderpriority")),
+    "g4_grouping_sets" -> ((s, dir) =>
+      // explicit GROUPING SETS (the general form rollup/cube specialize):
+      // two independent one-dimension aggregates in ONE scan + shuffle
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count("*").as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("revenue"))
+        .orderBy("priority", "status")),
     "j5_asof_join" -> ((s, dir) => {
       // As-of join (operator Spark lacks; AsOf composes it from a union +
       // keyed window — one shuffle, one sort). Probes = every 10th event;
@@ -330,6 +348,21 @@ object SparkEntry {
           "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
         .groupBy("hour", "event_type").agg(count("*").as("n"))
         .orderBy("hour", "event_type")),
+    "e2_sessionize" -> ((s, dir) => {
+      // session windows (30-min inactivity gap) per user — the classic
+      // event-stream sessionization, via the built-in session_window
+      // (state merges inside one shuffle on user_id; no self-join)
+      val ev = Tables(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+          col("user_id"))
+      ev.groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+        .agg(count("*").as("n"))
+        .groupBy("user_id")
+        .agg(count("*").as("n_sessions"),
+          sum("n").as("n_events"),
+          max("n").as("max_session_events"))
+        .orderBy("user_id")
+    }),
 
     // --- W: window functions (beyond the reference; SURVEY §2.7 gap)
     "w1_window_share" -> ((s, dir) => {
@@ -590,6 +623,12 @@ object SparkEntry {
     "t8_pack_sequences" -> ((s, dir) => // fixed-token-budget packing
       TextAnalysis.packSequences(Tables(s, dir, "documents"), budget = 512)
         .orderBy("doc_id")),
+    "t12_tfidf" -> ((s, dir) => // top terms per doc by tf-idf
+      TextAnalysis.tfidfTopTerms(Tables(s, dir, "documents"), topK = tfidfTopK)
+        .orderBy("doc_id", "rank")),
+    "t13_bm25" -> ((s, dir) => // Okapi BM25 retrieval over the corpus
+      TextAnalysis.bm25(Tables(s, dir, "documents"), bm25Query, topK = bm25TopK)
+        .orderBy("rank")),
     "p9_stratified_sample" -> ((s, dir) => {
       // Corpus curation: the top-quality documents per language stratum
       // (deterministic tie-break on doc_id) — the shape of a curated
@@ -755,6 +794,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.dedupState(s, dir)),
     "st3_stream_bloom_probe" -> ((s, dir) =>
       graft.streaming.StreamingQueries.bloomProbe(s, dir)),
+    "st4_stream_append" -> ((s, dir) => // append mode: finalized windows only
+      graft.streaming.StreamingQueries.eventHourlyAppend(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -864,6 +905,35 @@ object SparkEntry {
           |       count(*) FILTER (o_orderstatus = 'O') AS "O",
           |       count(*) FILTER (o_orderstatus = 'P') AS "P"
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "g4_grouping_sets" ->
+        """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+          |       coalesce(o_orderstatus, 'ALL') AS status,
+          |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+          |ORDER BY priority, status""".stripMargin,
+      "e2_sessionize" -> // lag/gap/cumsum replicates session_window exactly:
+        // an event starts a new session iff it is STRICTLY more than the
+        // gap after the previous one (an event at exactly last+gap merges
+        // — session_window's interval is closed; RetrievalSpec pins this)
+        """WITH o AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN prev IS NULL
+          |                OR ts - prev > INTERVAL 30 MINUTE THEN 1
+          |              ELSE 0 END AS new_s
+          |  FROM (SELECT user_id, ts,
+          |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          |        FROM events)),
+          |s AS (
+          |  SELECT user_id,
+          |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM o),
+          |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+          |       CAST(sum(n) AS BIGINT) AS n_events,
+          |       CAST(max(n) AS BIGINT) AS max_session_events
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
       "j5_asof_join" -> // DuckDB's native ASOF JOIN is the oracle
         """WITH probes AS (
           |  SELECT event_id, event_type, epoch_us(ts) AS p_us
@@ -964,6 +1034,8 @@ object SparkEntry {
       "t7_token_counts" -> s"${TextAnalysisSql.tokenCounts} ORDER BY doc_id",
       "t8_pack_sequences" ->
         s"${TextAnalysisSql.packSequences(512)} ORDER BY doc_id",
+      "t12_tfidf" -> TextAnalysisSql.tfidf(tfidfTopK),
+      "t13_bm25" -> TextAnalysisSql.bm25(bm25Query, bm25TopK),
       "p9_stratified_sample" ->
         s"""SELECT lang, rank, doc_id, quality FROM (
            |  SELECT d.lang, q.doc_id, q.quality,
@@ -1014,6 +1086,17 @@ object SparkEntry {
            |         array_to_string(${TextAnalysisSql.toks}, ' '), ''))
            |         AS n_distinct
            |FROM documents""".stripMargin,
+      "st4_stream_append" -> // append mode emits only watermark-finalized
+        // windows: window_end <= max event time (ms floor, Spark's
+        // watermark precision) - 1h delay. The trailing windows stay open.
+        """WITH m AS MATERIALIZED (
+          |  SELECT (epoch_ns(max(ts)) // 1000000) - 3600000 AS wm_ms
+          |  FROM events)
+          |SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, event_type,
+          |       CAST(count(*) AS BIGINT) AS n
+          |FROM (SELECT date_trunc('hour', ts) AS h, event_type FROM events), m
+          |WHERE epoch_ms(h + INTERVAL 1 HOUR) <= wm_ms
+          |GROUP BY h, event_type ORDER BY hour, event_type""".stripMargin,
       "st3_stream_bloom_probe" -> // zero-FN: hits == total per group
         s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
            |GROUP BY rating ORDER BY rating""".stripMargin,

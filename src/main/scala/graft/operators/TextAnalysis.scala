@@ -193,6 +193,76 @@ object TextAnalysis {
         ((col("cum_after") - col("n_tokens")) % budget).as("seq_offset"))
   }
 
+  /** TF-IDF top-`topK` terms per document: `(doc_id, rank, term, tf,
+    * tfidf)` with `idf = ln(N / df)` over the tokenizable corpus and the
+    * deterministic tie-break (tfidf desc, term asc) on the 6-digit-rounded
+    * score so cross-engine ranking is stable.
+    *
+    * Scale shape: one explode (narrow) feeds two partial+final hash
+    * aggregates — (doc, term) term frequencies and per-term document
+    * frequencies — joined back ON TERM. The df side is vocabulary-sized,
+    * which at 100 TB is far too big to broadcast, so the join is left to
+    * Catalyst/AQE (a shuffle join on `term` whose key space is the
+    * vocabulary — no skew cliff); only the one-row corpus count is
+    * broadcast. The final top-k is a per-doc window, shuffled by doc_id. */
+  def tfidfTopTerms(docs: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val tok = docs.where(size(t) > 0)
+      .select(col("doc_id"), explode(t).as("term"))
+    val n = tok.agg(countDistinct("doc_id").as("n_docs"))
+    val tf = tok.groupBy("doc_id", "term").agg(count("*").as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** BM25 retrieval scoring (Okapi, Lucene's idf variant): score every
+    * document against a fixed bag of query terms, return the top `topK`:
+    * `(rank, doc_id, score)`.
+    *
+    * {{{ score = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *     idf   = ln((N − df + 0.5)/(df + 0.5) + 1) }}}
+    *
+    * Scale shape: the term filter prunes the exploded stream to query-term
+    * rows only BEFORE any shuffle; per-term df is bounded by |query|, so
+    * that side broadcasts; corpus stats (N, avgdl) are one broadcast row.
+    * One aggregate per (doc, term), one per doc — no vocabulary-sized
+    * state anywhere, unlike [[tfidfTopTerms]]. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val base = docs.where(size(t) > 0).select(col("doc_id"), t.as("toks"))
+    val stats = base.agg(
+      count("*").as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count("*").as("tf"))
+    val df = tf.groupBy("term").agg(count("*").as("df")) // rows are unique (doc, term)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib", // association mirrors the SQL twin exactly
+        col("idf") * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
   /** 64-bit content fingerprint of the normalized text (exact-dup key).
     * xxhash64 is Spark-built-in and codegen'd; dedup correctness never
     * depends on it being collision-free because [[Dedup]] verifies
@@ -372,6 +442,53 @@ object TextAnalysisSql {
        |         sum(CAST(len($toks) AS BIGINT)) OVER (ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after
        |  FROM documents)""".stripMargin
+
+  /** Twin of [[TextAnalysis.tfidfTopTerms]]. The rounded score is computed
+    * once in a subquery so the rank and the output value can never use
+    * different roundings. */
+  def tfidf(topK: Int): String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest($toks) AS term
+       |  FROM documents WHERE len($toks) > 0),
+       |n AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM tok GROUP BY term)
+       |SELECT doc_id, rank, term, tf, tfidf FROM (
+       |  SELECT doc_id, term, tf, tfidf,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY tfidf DESC, term) AS rank
+       |  FROM (SELECT doc_id, term, tf,
+       |               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+       |        FROM tf JOIN df USING (term), n))
+       |WHERE rank <= $topK ORDER BY doc_id, rank""".stripMargin
+
+  /** Twin of [[TextAnalysis.bm25]] — identical formula, same constants. */
+  def bm25(queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, len($toks) AS dl, $toks AS tk
+       |  FROM documents WHERE len($toks) > 0),
+       |stats AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM base)
+       |  WHERE term IN (${inList(queryTerms)})
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+       |SELECT rank, doc_id, score FROM (
+       |  SELECT doc_id, score,
+       |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM (
+       |    SELECT doc_id,
+       |           round(sum(
+       |             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |               * (tf * ($k1 + 1.0))
+       |               / (tf + $k1 * (1.0 - $b + $b * dl / avgdl))), 6) AS score
+       |    FROM tf JOIN df USING (term), stats GROUP BY doc_id))
+       |WHERE rank <= $topK ORDER BY rank""".stripMargin
 
   val langId: String =
     s"""SELECT doc_id,

@@ -55,6 +55,38 @@ object StreamingQueries {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** [[eventHourly]] in APPEND output mode — the production shape: a row
+    * is emitted exactly once, when the watermark passes its window's end
+    * and the window's state is dropped. Drained with `Trigger.AvailableNow`
+    * the result is every *finalized* window: `window.end <= max event time
+    * − delay` (the trailing windows stay open and unemitted — that is the
+    * semantics, and the oracle applies the same cutoff). The final no-data
+    * micro-batch (`noDataMicroBatches`, on by default) is what advances
+    * the watermark past the last data batch and flushes those windows. */
+  def eventHourlyAppend(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val name = "st4_events_append_" + math.abs(dir.hashCode)
+
+    val counts = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+        col("event_type"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"))
+
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("hour", "event_type")
+  }
+
   /** Streaming dedup state over the documents corpus: keyed aggregation on
     * the normalized text (the exact-dup key), drained and summarized to
     * `(n_docs, n_distinct)`. The state is exactly what an always-on
