@@ -796,6 +796,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.bloomProbe(s, dir)),
     "st4_stream_append" -> ((s, dir) => // append mode: finalized windows only
       graft.streaming.StreamingQueries.eventHourlyAppend(s, dir)),
+    "st5_stream_stream_join" -> ((s, dir) => // watermarked two-stream join
+      graft.streaming.StreamingQueries.streamStreamJoin(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -1097,6 +1099,17 @@ object SparkEntry {
           |FROM (SELECT date_trunc('hour', ts) AS h, event_type FROM events), m
           |WHERE epoch_ms(h + INTERVAL 1 HOUR) <= wm_ms
           |GROUP BY h, event_type ORDER BY hour, event_type""".stripMargin,
+      "st5_stream_stream_join" -> // inner emission == batch join; µs
+        // precision on both sides (Spark casts ts div 1000 before joining)
+        """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS c_us
+          |           FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS p_us
+          |      FROM events WHERE event_type = 'purchase')
+          |SELECT strftime(make_timestamp(c_us), '%Y-%m-%d %H:00') AS hour,
+          |       CAST(count(*) AS BIGINT) AS n_conversions
+          |FROM c JOIN p ON c.user_id = p.user_id
+          |  AND p_us >= c_us AND p_us < c_us + 3600000000
+          |GROUP BY 1 ORDER BY hour""".stripMargin,
       "st3_stream_bloom_probe" -> // zero-FN: hits == total per group
         s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
            |GROUP BY rating ORDER BY rating""".stripMargin,

@@ -110,13 +110,59 @@ object StreamingQueries {
       .agg(sum("n").as("n_docs"), count("*").as("n_distinct"))
   }
 
+  /** Stream-stream inner join: `click` events joined to later `purchase`
+    * events of the same user within 1 hour — the funnel-attribution shape.
+    * Both sides are watermarked and the join carries a time-range
+    * condition, so each side's state is evicted once the other side's
+    * watermark passes (bounded state — THE requirement for an unbounded
+    * run). Inner-join emission does not wait for the watermark, so the
+    * drained result equals the batch join and is fully oracle-checkable.
+    * Output is the per-hour count of attributed conversions. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "st5_funnel_" + math.abs(dir.hashCode)
+    def side(tag: String) = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .where(col("event_type") === tag)
+      .select(col("user_id").as(s"${tag}_user"),
+        timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
+      .withWatermark(s"${tag}_time", "1 hour")
+
+    val joined = side("click").join(side("purchase"),
+      col("click_user") === col("purchase_user")
+        && col("purchase_time") >= col("click_time")
+        && col("purchase_time") < col("click_time") + expr("INTERVAL 1 HOUR"))
+
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(date_format(col("click_time"), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count("*").as("n_conversions"))
+      .orderBy("hour")
+  }
+
   /** Stream-static bloom probe: the static side builds the per-group
     * filters in batch; the stream probes each arriving train row against
     * its own group's filter. Zero false negatives makes the drained result
     * exactly oracle-checkable: hits == total per group. */
   def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
-    val filters = graft.operators.BloomPipeline.buildFilters(
+    // Materialize the filter artifact ONCE, driver-side, exactly like the
+    // reference tester reloading its persisted filter file: a streaming
+    // join re-plans (and would re-EXECUTE) a lazy batch subplan on every
+    // micro-batch, which benched at ~5x the whole query. The artifact is
+    // one bounded row per group (the broadcast contract), so the collect
+    // is the filter file, not a data pass.
+    val built = graft.operators.BloomPipeline.buildFilters(
       graft.operators.Ratings.trainFromLineitem(spark, dir), graft.SparkEntry.defaultP)
+      .select("rating", "m", "k", "bits")
+    val filters = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(built.collect().toSeq.asJava, built.schema)
+    }
     val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
     val name = "st3_bloom_probe_" + math.abs(dir.hashCode)
 
