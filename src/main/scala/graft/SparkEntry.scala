@@ -813,7 +813,10 @@ object SparkEntry {
           octet_length(col("payload")).as("n_bytes"),
           octet_length(Multimodal.resizeCrop(col("payload"), 128))
             .as("resized_bytes"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+    "mm6_quantize" -> ((s, dir) => // int8 embedding compression audit
+      Similarity.quantizeInt8Stats(Tables(s, dir, "embeddings"))
+        .orderBy("vec_id"))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1115,7 +1118,8 @@ object SparkEntry {
            |GROUP BY rating ORDER BY rating""".stripMargin,
       "o1_orc_roundtrip" ->
         "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
-      "mm5_resize" -> MultimodalSql.resize(128)
+      "mm5_resize" -> MultimodalSql.resize(128),
+      "mm6_quantize" -> SimilaritySql.quantizeInt8Stats
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible
       // (SURVEY.md §7.4.3) -> driver rows-only check; invariants covered by
       // bloom_zero_fn above + PipelineSpec/statistical e2e.

@@ -135,6 +135,27 @@ object Similarity {
           .as("recall_ok"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage
+    * compression every 100 TB vector corpus applies (4x smaller, ~1e-3
+    * reconstruction error): per-vector symmetric scale `max|x|/127`,
+    * `q = clamp(floor(x/scale + 0.5), ±127)`. Returns the audit row per
+    * vector `(vec_id, n_dims, qscale, max_abs_err)` — the whole
+    * quantize→dequantize→error pipeline in one narrow codegen'd
+    * projection (no shuffle, no state), oracle-checked value-for-value.
+    * The error bound `scale/2` is checked in SimilaritySpec. */
+  def quantizeInt8Stats(emb: DataFrame): DataFrame = {
+    val x = transform(col("embedding"), e => e.cast("double"))
+    val scale = array_max(transform(x, e => abs(e))) / 127.0
+    def err(s: Column) = array_max(transform(x, e =>
+      abs(e - greatest(lit(-127.0), least(lit(127.0),
+        floor(e / s + 0.5).cast("double"))) * s)))
+    emb.select(
+      col("vec_id"),
+      size(col("embedding")).as("n_dims"),
+      round(scale, 6).as("qscale"),
+      when(scale === 0.0, 0.0).otherwise(round(err(scale), 6)).as("max_abs_err"))
+  }
+
   /** Approximate top-k via an IVF (inverted-file) coarse quantizer:
     *
     *   1. `nCentroids` deterministic sample vectors act as the coarse
@@ -230,6 +251,24 @@ object SimilaritySql {
        |       CAST(sum(least($k, n_other)) AS BIGINT) AS n_exact,
        |       TRUE AS recall_ok
        |FROM embeddings, n WHERE $queryPredSql""".stripMargin
+
+  /** Twin of [[Similarity.quantizeInt8Stats]] — identical arithmetic and
+    * association; the lambda recomputes q inline (no list_zip) on both
+    * sides so the expressions are structurally the same. */
+  val quantizeInt8Stats: String =
+    s"""SELECT vec_id, n_dims, round(scale, 6) AS qscale,
+       |       CASE WHEN scale = 0.0 THEN 0.0
+       |            ELSE round(list_max(list_transform(x, v ->
+       |              abs(v - greatest(-127.0, least(127.0,
+       |                floor(v / scale + 0.5))) * scale))), 6)
+       |       END AS max_abs_err
+       |FROM (
+       |  SELECT vec_id, len(embedding) AS n_dims,
+       |         CAST(embedding AS DOUBLE[]) AS x,
+       |         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+       |           v -> abs(v))) / 127.0 AS scale
+       |  FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
 
   def bruteForcePairs(threshold: Double): String =
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -128,4 +128,20 @@ class SimilaritySpec extends SparkSuite {
     val bad = Similarity.recallVsExact(e, ann.limit(0), pred, 2, floor = 0.5).head()
     assert(!bad.getAs[Boolean]("recall_ok"))
   }
+
+  test("quantizeInt8Stats: error bounded by scale/2; zero vector safe") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 20L).map(i => (i, Seq.fill(32)(rnd.nextGaussian().toFloat))) :+
+      (99L, Seq.fill(32)(0.0f))
+    val out = Similarity.quantizeInt8Stats(vecDf(rows: _*))
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 21)
+    out.foreach { case (id, scale, err) =>
+      // rounding to the nearest int8 level can miss by at most half a level
+      // (+ rounding slack from the 6-digit output rounding)
+      assert(err <= scale / 2 + 1e-6, s"vec $id: err $err > scale/2 ${scale / 2}")
+    }
+    val zero = out.find(_._1 == 99L).get
+    assert(zero._2 === 0.0 && zero._3 === 0.0)
+  }
 }
