@@ -76,6 +76,42 @@ class PlanAuditSpec extends SparkSuite {
     assert(pushed.contains("l_quantity"), s"expected a pushed filter: $pushed")
   }
 
+  test("e2: session windows plan as MergingSessions, not a self-join") {
+    val p = plan("e2_sessionize")
+    assert(p.contains("MergingSessions"), p)
+    assert(!p.contains("Join"), s"sessionization must not self-join:\n$p")
+  }
+
+  test("t12: per-doc top-k is pruned map-side by WindowGroupLimit") {
+    val p = plan("t12_tfidf")
+    assert(p.contains("WindowGroupLimit"),
+      s"shuffle must carry only topK+ties rows per doc:\n$p")
+  }
+
+  test("t13: global rank plans as a top-k, not a full sort of scored docs") {
+    val p = plan("t13_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  // formatted explain renders each node in the tree AND a detail header
+  // "(n) NodeName" — count the headers for an exact node census
+  private def nodeCount(p: String, node: String): Int =
+    p.linesIterator.count(_.matches(s"""\\(\\d+\\) $node.*"""))
+
+  test("g4: grouping sets ride one scan and one Expand") {
+    val p = plan("g4_grouping_sets")
+    assert(nodeCount(p, "Scan parquet") === 1,
+      s"grouping sets must not rescan:\n$p")
+    assert(p.contains("Expand"), p)
+  }
+
+  test("mm6: quantization audit is one projection — no shuffle beyond the sort") {
+    val p = plan("mm6_quantize")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+    assert(nodeCount(p, "Exchange") === 1, // orderBy only
+      s"quantize must stay a narrow projection:\n$p")
+  }
+
   test("bloom probe executes inside whole-stage codegen") {
     // the native-expression claim, checked on the EXECUTED plan (AQE only
     // finalizes codegen spans at runtime): star-prefixed nodes are
