@@ -798,6 +798,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.eventHourlyAppend(s, dir)),
     "st5_stream_stream_join" -> ((s, dir) => // watermarked two-stream join
       graft.streaming.StreamingQueries.streamStreamJoin(s, dir)),
+    "st6_stream_state" -> ((s, dir) => // flatMapGroupsWithState counts
+      graft.streaming.StreamingQueries.statefulUserCounts(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -1113,6 +1115,9 @@ object SparkEntry {
           |FROM c JOIN p ON c.user_id = p.user_id
           |  AND p_us >= c_us AND p_us < c_us + 3600000000
           |GROUP BY 1 ORDER BY hour""".stripMargin,
+      "st6_stream_state" -> // delta emission sums to the batch count
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "st3_stream_bloom_probe" -> // zero-FN: hits == total per group
         s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
            |GROUP BY rating ORDER BY rating""".stripMargin,

@@ -160,6 +160,43 @@ object StreamingQueries {
       .orderBy("hour")
   }
 
+  /** Arbitrary stateful processing through the registered surface:
+    * per-user running event counts via `flatMapGroupsWithState`. The
+    * function emits each batch's DELTA and keeps the running total in
+    * `GroupState`, so the drained append-mode result summed per user is
+    * batch-count-invariant and equals the batch `groupBy.count` — the
+    * custom-state API (the `StreamingBloom` kernels use the same one)
+    * oracle-checked end to end. State is one long per user: bounded by
+    * key cardinality, never by input rows. */
+  def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "st6_state_" + math.abs(dir.hashCode)
+
+    val deltas = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = rows.size.toLong
+          state.update(state.getOption.getOrElse(0L) + n)
+          Iterator((uid, n))
+      }
+
+    val q = deltas.toDF("user_id", "delta").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("user_id").agg(sum("delta").as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Stream-static bloom probe: the static side builds the per-group
     * filters in batch; the stream probes each arriving train row against
     * its own group's filter. Zero false negatives makes the drained result
