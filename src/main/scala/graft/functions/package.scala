@@ -42,6 +42,9 @@ package object functions {
   /** Word n-gram shingles of an ARRAY<STRING> token column. */
   def word_ngrams(tokens: Column, n: Int): Column = col(WordNgrams(expr(tokens), n))
 
+  /** Native corpus tokenizer: lowercased maximal [a-z0-9]+ runs. */
+  def word_tokens(text: Column): Column = col(WordTokens(expr(text)))
+
   /** Element-wise seeded murmur3 of an ARRAY<STRING> column. */
   def hash_array(arr: Column, seed: Int): Column = col(HashArray(expr(arr), seed))
 
@@ -85,6 +88,7 @@ package object functions {
       case _ => throw new IllegalArgumentException(
         "minhash_sig(shingles, numHashes): numHashes must be an INT literal")
     }),
+    ("word_tokens", 1, exprs => WordTokens(exprs(0))),
     ("word_ngrams", 2, {
       case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
           org.apache.spark.sql.types.IntegerType)) => WordNgrams(toks, n)

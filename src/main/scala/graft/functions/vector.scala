@@ -70,6 +70,40 @@ object VectorKernels {
     }
   }
 
+  private def isTokenByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** Tokenizer kernel (see [[WordTokens]]): lowercase, then maximal
+    * `[a-z0-9]+` byte runs. Byte-for-byte equal to
+    * `regexp_extract_all(lower(text), '[a-z0-9]+', 0)` for EVERY input:
+    * the lowering is the same `UTF8String.toLowerCase` the built-in
+    * `lower` uses, and scanning the lowered UTF-8 bytes is exact because
+    * multi-byte code points never contain ASCII-range bytes. */
+  def wordTokens(text: UTF8String): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    while (i < n) { // first pass: count runs (no buffer growth/copies)
+      if (isTokenByte(bytes(i))) {
+        count += 1
+        while (i < n && isTokenByte(bytes(i))) i += 1
+      } else i += 1
+    }
+    val out = new Array[Any](count)
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (isTokenByte(bytes(i))) {
+        val start = i
+        while (i < n && isTokenByte(bytes(i))) i += 1
+        out(t) = UTF8String.fromBytes(bytes, start, i - start)
+        t += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Element-wise seeded murmur3 (see [[HashArray]]); nulls hash as empty. */
   def hashArray(arr: ArrayData, seed: Int): ArrayData = {
     val n = arr.numElements()
@@ -218,6 +252,40 @@ object VectorKernels {
     }
     sig
   }
+}
+
+/** `word_tokens(text)` — the corpus tokenizer as a native kernel:
+  * lowercased maximal `[a-z0-9]+` runs of a STRING column, exactly
+  * `regexp_extract_all(lower(text), '[a-z0-9]+', 0)` (the DuckDB oracles
+  * keep using the regex form — the parity is total, see
+  * [[VectorKernels.wordTokens]], and VectorKernelsPropSpec fuzzes it).
+  * Native because the regex engine walks a backtracking NFA per char
+  * while this is two branch tests per byte — tokenization fronts every
+  * text/dedup operator, so it is the single hottest scalar in the corpus
+  * pipeline. */
+case class WordTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_tokens argument must be STRING, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "word_tokens"
+
+  override protected def nullSafeEval(text: Any): Any =
+    VectorKernels.wordTokens(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.VectorKernels.wordTokens($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
 }
 
 /** `word_ngrams(tokens, n)` — word n-gram shingles of an `ARRAY<STRING>`

@@ -112,6 +112,24 @@ class PlanAuditSpec extends SparkSuite {
       s"quantize must stay a narrow projection:\n$p")
   }
 
+  test("partitioned sink read-back prunes partitions at the scan") {
+    // the point of the hive-layout training shards (k2): a lang predicate
+    // must become a PartitionFilter (directories skipped), never a row
+    // filter over the full corpus
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    operators.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    val read = spark.read.parquet(path).where(col("lang") === "en")
+    val p = read.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"lang predicate must prune partitions: $pf\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Filter") && l.contains("lang")
+        && !l.contains("PartitionFilters")),
+      s"lang must not survive as a row filter:\n$p")
+  }
+
   test("bloom probe executes inside whole-stage codegen") {
     // the native-expression claim, checked on the EXECUTED plan (AQE only
     // finalizes codegen spans at runtime): star-prefixed nodes are

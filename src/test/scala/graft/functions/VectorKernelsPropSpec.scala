@@ -74,6 +74,29 @@ object VectorKernelsPropSpec extends Properties("VectorKernels") {
     }
   }
 
+  property("wordTokens == regex tokenizer on arbitrary strings") = {
+    // mixed generator: plain unicode strings plus strings salted with the
+    // interesting cases (ascii runs, digits, multi-byte, case-folding
+    // expansions like İ and ﬁ, separators)
+    val salt = Gen.oneOf("a1B2", "Ångström 42", "İstanbul", "ﬁne", "日本語x9",
+      "A-B_c.d", "   ", "", "ΣΊΣΥΦΟΣ", "K2")
+    val strGen = for {
+      base <- Gen.asciiPrintableStr
+      uni <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.choose('À', 'ӿ')))
+        .map(_.mkString)
+      s <- Gen.oneOf(base, uni, base + " " + uni)
+      extra <- salt
+      out <- Gen.oneOf(s, extra + s, s + extra)
+    } yield out
+    forAll(strGen) { s =>
+      val u = UTF8String.fromString(s)
+      val got = strings(VectorKernels.wordTokens(u))
+      // the exact composition every oracle uses: lower() then the regex
+      val expected = "[a-z0-9]+".r.findAllIn(u.toLowerCase.toString).toSeq
+      got == expected
+    }
+  }
+
   property("identical shingle sets => identical minhash signature") =
     forAll(Gen.nonEmptyListOf(tokenGen)) { toks =>
       val a = VectorKernels.minhashSig(arr(toks), 16)
