@@ -800,6 +800,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.streamStreamJoin(s, dir)),
     "st6_stream_state" -> ((s, dir) => // flatMapGroupsWithState counts
       graft.streaming.StreamingQueries.statefulUserCounts(s, dir)),
+    "st7_stream_dropdup" -> ((s, dir) => // at-least-once -> exactly-once
+      graft.streaming.StreamingQueries.streamDropDuplicates(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -1115,6 +1117,9 @@ object SparkEntry {
           |FROM c JOIN p ON c.user_id = p.user_id
           |  AND p_us >= c_us AND p_us < c_us + 3600000000
           |GROUP BY 1 ORDER BY hour""".stripMargin,
+      "st7_stream_dropdup" -> // doubled stream collapses to the batch rows
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "st6_stream_state" -> // delta emission sums to the batch count
         """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -160,6 +160,36 @@ object StreamingQueries {
       .orderBy("hour")
   }
 
+  /** Streaming row-level dedup via `dropDuplicatesWithinWatermark`: the
+    * source is read TWICE and unioned, so every event arrives duplicated
+    * — the watermark-bounded dedup state must collapse the stream back to
+    * exactly the batch row set (checked per event_type by the oracle).
+    * This is the ingestion-retry shape: at-least-once delivery upstream,
+    * exactly-once row set downstream, state bounded by the watermark
+    * horizon instead of all history. */
+  def streamDropDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "st7_dropdup_" + math.abs(dir.hashCode)
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"),
+        col("event_type"))
+    val deduped = src.union(src)
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val q = deduped.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type").agg(count("*").as("n"))
+      .orderBy("event_type")
+  }
+
   /** Arbitrary stateful processing through the registered surface:
     * per-user running event counts via `flatMapGroupsWithState`. The
     * function emits each batch's DELTA and keeps the running total in

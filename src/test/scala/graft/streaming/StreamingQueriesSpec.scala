@@ -32,6 +32,16 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(row.getLong(1) === batch.getLong(1))
   }
 
+  test("streamDropDuplicates collapses a doubled stream to the batch row set") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.streamDropDuplicates(spark, dir).collect()
+    val batch = Tables(spark, dir, "events")
+      .groupBy("event_type").agg(count("*").as("n"))
+      .orderBy("event_type").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("bloomProbe stream: zero false negatives -> hits == total per group") {
     val dir = "/root/testdata/sf0.001"
     val rows = StreamingQueries.bloomProbe(spark, dir).collect()
