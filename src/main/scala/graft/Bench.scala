@@ -37,6 +37,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional local-iteration filter: bench only the named queries
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,13 +50,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+
     if (new java.io.File(warmupDir).isDirectory) {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         runOne(spark, name, fn, warmupDir)
       }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       name -> runOne(spark, name, fn, sfDir)
     }
     val qs = results.map { case (k, (t, _)) => s"\"$k\":$t" }

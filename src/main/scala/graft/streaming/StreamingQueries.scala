@@ -25,7 +25,12 @@ object StreamingQueries {
     * answer — identical to the batch `e1_event_hourly` query and checked
     * against the same oracle.
     */
-  def eventHourly(spark: SparkSession, dir: String): DataFrame = {
+  def eventHourly(outer: SparkSession, dir: String): DataFrame = {
+    // state keyed by (window, event_type) — a handful of live keys; the
+    // per-batch cost is state-store commits per partition, so right-size
+    // the state partition count in an isolated child session
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val path = s"$dir/events.parquet"
     // file streams need an explicit schema; one footer read supplies it
     val schema = spark.read.parquet(path).schema
@@ -63,7 +68,9 @@ object StreamingQueries {
     * semantics, and the oracle applies the same cutoff). The final no-data
     * micro-batch (`noDataMicroBatches`, on by default) is what advances
     * the watermark past the last data batch and flushes those windows. */
-  def eventHourlyAppend(spark: SparkSession, dir: String): DataFrame = {
+  def eventHourlyAppend(outer: SparkSession, dir: String): DataFrame = {
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val name = "st4_events_append_" + math.abs(dir.hashCode)
@@ -92,8 +99,10 @@ object StreamingQueries {
     * `(n_docs, n_distinct)`. The state is exactly what an always-on
     * ingestion dedup holds — one row per distinct key — and the summary is
     * fully oracle-checkable against batch SQL. */
-  def dedupState(spark: SparkSession, dir: String): DataFrame = {
+  def dedupState(outer: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val name = "st2_dedup_" + math.abs(dir.hashCode)
     val counts = spark.readStream.schema(schema)
@@ -167,7 +176,12 @@ object StreamingQueries {
     * This is the ingestion-retry shape: at-least-once delivery upstream,
     * exactly-once row set downstream, state bounded by the watermark
     * horizon instead of all history. */
-  def streamDropDuplicates(spark: SparkSession, dir: String): DataFrame = {
+  def streamDropDuplicates(outer: SparkSession, dir: String): DataFrame = {
+    // Dedup state cost is per-partition state-store commits per batch, not
+    // row work — right-size the state partition count in a child session
+    // (frozen into a real checkpoint, so deployments pin it per-query too).
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st7_dropdup_" + math.abs(dir.hashCode)
     def src = spark.readStream.schema(schema)
@@ -198,7 +212,9 @@ object StreamingQueries {
     * custom-state API (the `StreamingBloom` kernels use the same one)
     * oracle-checked end to end. State is one long per user: bounded by
     * key cardinality, never by input rows. */
-  def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
+  def statefulUserCounts(outer: SparkSession, dir: String): DataFrame = {
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -231,7 +247,13 @@ object StreamingQueries {
     * filters in batch; the stream probes each arriving train row against
     * its own group's filter. Zero false negatives makes the drained result
     * exactly oracle-checkable: hits == total per group. */
-  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+  def bloomProbe(outer: SparkSession, dir: String): DataFrame = {
+    // Per-row probe work wants all cores (the explicit repartition below
+    // keeps the wide spread); the 10-key "complete" aggregation state does
+    // not want 32 state stores — right-size it in a child session.
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spread = outer.sessionState.conf.numShufflePartitions
     // Materialize the filter artifact ONCE, driver-side, exactly like the
     // reference tester reloading its persisted filter file: a streaming
     // join re-plans (and would re-EXECUTE) a lazy batch subplan on every
@@ -254,7 +276,7 @@ object StreamingQueries {
         // the testdata table is ONE row group = one split: spread the raw
         // rows first so the parse projection and probe run on all cores
         // (a real deployment's source is many files — drop the shuffle)
-        .repartition(spark.sessionState.conf.numShufflePartitions))
+        .repartition(spread))
       .join(broadcast(filters.select("rating", "m", "k", "bits")), "rating")
       .select(col("rating"),
         graft.functions.bloom_might_contain(
