@@ -800,6 +800,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.streamStreamJoin(s, dir)),
     "st6_stream_state" -> ((s, dir) => // flatMapGroupsWithState counts
       graft.streaming.StreamingQueries.statefulUserCounts(s, dir)),
+    "st8_stream_left_outer" -> ((s, dir) => // watermark-emitted nulls
+      graft.streaming.StreamingQueries.streamStreamLeftOuter(s, dir)),
     "st7_stream_dropdup" -> ((s, dir) => // at-least-once -> exactly-once
       graft.streaming.StreamingQueries.streamDropDuplicates(s, dir)),
 
@@ -1116,6 +1118,32 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_conversions
           |FROM c JOIN p ON c.user_id = p.user_id
           |  AND p_us >= c_us AND p_us < c_us + 3600000000
+          |GROUP BY 1 ORDER BY hour""".stripMargin,
+      "st8_stream_left_outer" -> // matches emit always; a null row emits
+        // iff the click's join window closed under the final global
+        // watermark = min over sides of (max side event ms − 1h delay)
+        """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS c_us
+          |           FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS p_us
+          |      FROM events WHERE event_type = 'purchase'),
+          |wm AS MATERIALIZED (
+          |  SELECT least((SELECT max(c_us) FROM c) // 1000 - 3600000,
+          |               (SELECT max(p_us) FROM p) // 1000 - 3600000)
+          |         AS wm_ms),
+          |m AS (SELECT c_us FROM c JOIN p ON c.user_id = p.user_id
+          |        AND p_us >= c_us AND p_us < c_us + 3600000000),
+          |ab AS (SELECT c_us FROM c, wm
+          |       WHERE NOT EXISTS (SELECT 1 FROM p
+          |               WHERE p.user_id = c.user_id
+          |                 AND p_us >= c_us AND p_us < c_us + 3600000000)
+          |         AND c_us + 3600000000 <= wm_ms * 1000)
+          |SELECT strftime(make_timestamp(c_us), '%Y-%m-%d %H:00') AS hour,
+          |       CAST(sum(CASE WHEN kind = 'm' THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS matched,
+          |       CAST(sum(CASE WHEN kind = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS abandoned
+          |FROM (SELECT c_us, 'm' AS kind FROM m
+          |      UNION ALL SELECT c_us, 'a' FROM ab)
           |GROUP BY 1 ORDER BY hour""".stripMargin,
       "st7_stream_dropdup" -> // doubled stream collapses to the batch rows
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n

@@ -169,6 +169,47 @@ object StreamingQueries {
       .orderBy("hour")
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[streamStreamJoin]] plus
+    * the abandonment signal: a click with no purchase in its hour emits
+    * with NULL purchase columns once the watermark passes the end of its
+    * join window and its state is evicted (matches emit immediately, like
+    * the inner join). Drained with `AvailableNow` the null rows cover
+    * exactly the clicks whose window closed under the final global
+    * watermark = min over both sides of (max side event time − delay);
+    * trailing clicks stay in state, unemitted — the oracle applies the
+    * same cutoff. Output: per click-hour matched vs abandoned counts. */
+  def streamStreamLeftOuter(outer: SparkSession, dir: String): DataFrame = {
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "st8_abandon_" + math.abs(dir.hashCode)
+    def side(tag: String) = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .where(col("event_type") === tag)
+      .select(col("user_id").as(s"${tag}_user"),
+        timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .withWatermark(s"${tag}_time", "1 hour")
+
+    val joined = side("click").join(side("purchase"),
+      col("click_user") === col("purchase_user")
+        && col("purchase_time") >= col("click_time")
+        && col("purchase_time") < col("click_time") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(date_format(col("click_time"), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(sum(when(col("purchase_user").isNotNull, 1L).otherwise(0L)).as("matched"),
+        sum(when(col("purchase_user").isNull, 1L).otherwise(0L)).as("abandoned"))
+      .orderBy("hour")
+  }
+
   /** Streaming row-level dedup via `dropDuplicatesWithinWatermark`: the
     * source is read TWICE and unioned, so every event arrives duplicated
     * — the watermark-bounded dedup state must collapse the stream back to

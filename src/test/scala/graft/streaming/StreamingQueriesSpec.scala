@@ -42,6 +42,46 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("left-outer stream-stream join: null row emits iff window end <= watermark") {
+    // Pins the eviction boundary the st8 oracle encodes: with watermark
+    // delay 1h and join window [c, c+1h), a click whose window END equals
+    // the final global watermark (max event time - delay) DOES emit its
+    // null row; a click whose window end is past the watermark stays in
+    // state, unemitted.
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF.toDF("click_user", "click_time")
+      .withWatermark("click_time", "1 hour")
+    val p = purchases.toDF.toDF("purchase_user", "purchase_time")
+      .withWatermark("purchase_time", "1 hour")
+    val joined = c.join(p,
+      col("click_user") === col("purchase_user")
+        && col("purchase_time") >= col("click_time")
+        && col("purchase_time") < col("click_time") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("st8_boundary")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2026-01-01 10:00:00")),  // window end 11:00
+        (2L, ts("2026-01-01 10:30:00")),               // window end 11:30
+        (3L, ts("2026-01-01 12:00:00")))               // advances click wm
+      purchases.addData((99L, ts("2026-01-01 12:00:00"))) // advances p wm
+      q.processAllAvailable() // final global watermark = 11:00
+      val rows = spark.table("st8_boundary")
+        .select("click_user", "purchase_user").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(rows.toSet === Set((1L, -1L)),
+        s"expected exactly click 1's null row, got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("bloomProbe stream: zero false negatives -> hits == total per group") {
     val dir = "/root/testdata/sf0.001"
     val rows = StreamingQueries.bloomProbe(spark, dir).collect()
