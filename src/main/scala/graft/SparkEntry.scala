@@ -772,7 +772,8 @@ object SparkEntry {
         col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")),
     // Recall gates for the ANN paths: counts are real oracle values,
     // recall_ok the cross-engine invariant (seed-deterministic recall on
-    // the random-unit-vector testdata measures 0.46/0.48; floor 0.25).
+    // the random-unit-vector testdata measures 0.46/0.48 for LSH/IVF and
+    // 0.72/0.56 for PQ at sf0.01/sf0.1; floor 0.25).
     "sim_ann_lsh_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.recallVsExact(emb,
@@ -783,6 +784,21 @@ object SparkEntry {
       val emb = Tables(s, dir, "embeddings")
       Similarity.recallVsExact(emb,
         Similarity.ivfTopK(emb, col("vec_id") % 50 === 0, simK),
+        col("vec_id") % 50 === 0, simK, floor = 0.25)
+    }),
+    "sim_ann_pq" -> ((s, dir) => { // approximate by design -> rows-only check
+      // PQ training/encode shuffles are tiny (n·m rows, m·ksub groups) —
+      // right-size their partition count in a child session, like the
+      // streaming state stores
+      val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
+      Similarity.pqTopK(Tables(c, dir, "embeddings"),
+        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")
+    }),
+    "sim_ann_pq_recall" -> ((s, dir) => {
+      val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
+      val emb = Tables(c, dir, "embeddings")
+      Similarity.recallVsExact(emb,
+        Similarity.pqTopK(emb, col("vec_id") % 50 === 0, simK),
         col("vec_id") % 50 === 0, simK, floor = 0.25)
     }),
 
@@ -1086,6 +1102,7 @@ object SparkEntry {
            |WHERE rating IN (SELECT rating FROM ($train))""".stripMargin,
       "sim_ann_lsh_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "sim_ann_ivf_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
+      "sim_ann_pq_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "st1_stream_hourly" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
           |       event_type, count(*) AS n

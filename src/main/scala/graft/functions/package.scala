@@ -26,6 +26,13 @@ package object functions {
   /** Cosine similarity of two ARRAY<FLOAT|DOUBLE> embedding columns. */
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
 
+  /** Inner product of two ARRAY<FLOAT|DOUBLE> vector columns. */
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+
+  /** PQ asymmetric-distance lookup: sum of `table[j*ksub + codes[j]]`. */
+  def pq_adc(table: Column, codes: Column, ksub: Int): Column =
+    col(PqAdc(expr(table), expr(codes), ksub))
+
   /** 64-bit SimHash of an ARRAY<STRING> token column. */
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
 
@@ -78,6 +85,7 @@ package object functions {
     ("bloom_might_contain", 4, exprs =>
       BloomMightContain(exprs(0), exprs(1), exprs(2), exprs(3))),
     ("cosine_sim", 2, exprs => CosineSim(exprs(0), exprs(1))),
+    ("dot_product", 2, exprs => DotProduct(exprs(0), exprs(1))),
     ("simhash64", 1, exprs => SimHash64(exprs(0))),
     ("bloom_build_native", 3, exprs =>
       BloomBuildAgg(exprs(0), exprs(1), exprs(2))

@@ -49,6 +49,53 @@ object VectorKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Inner product of two equal-length vectors, accumulated in double in
+    * index order — the ADC building block for product-quantized scoring
+    * (and the norm via `dot(x, x)`). DuckDB twin: `list_dot_product`. */
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"dot_product: length mismatch ${n} vs ${b.numElements()}")
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"dot_product: length mismatch ${n} vs ${b.numElements()}")
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  /** ADC lookup kernel (see [[PqAdc]]): `Σ_j table[j*ksub + codes[j]]` —
+    * the product-quantization score is `m` flat-array lookups, never a
+    * full-width vector pass. */
+  def pqAdc(table: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    val tlen = table.numElements()
+    var sum = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * ksub + codes.getInt(j)
+      require(idx >= 0 && idx < tlen,
+        s"pq_adc: code ${codes.getInt(j)} at subspace $j out of table range $tlen (ksub=$ksub)")
+      sum += table.getDouble(idx)
+      j += 1
+    }
+    sum
+  }
+
   /** Word n-gram kernel (see [[WordNgrams]]). Null tokens render as empty
     * strings inside a shingle (they cannot occur from the tokenizer). */
   def wordNgrams(tokens: ArrayData, n: Int): ArrayData = {
@@ -467,6 +514,95 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
+}
+
+/** `dot_product(a, b)` — inner product of two `ARRAY<FLOAT|DOUBLE>` vector
+  * columns as one codegen'd kernel call (same rationale as [[CosineSim]]:
+  * no interpreted `aggregate(zip_with(...))` lambdas in hot paths). Used by
+  * the product-quantization ADC tables and for norms via `dot(x, x)`.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_product arguments must both be ARRAY<FLOAT> or ARRAY<DOUBLE>, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "dot_product"
+
+  private def kernel: String = elemType(left) match {
+    case Some(FloatType) => "dotFloat"
+    case _               => "dotDouble"
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (elemType(left).contains(FloatType)) VectorKernels.dotFloat(x, y)
+    else VectorKernels.dotDouble(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.$kernel($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `pq_adc(table, codes, ksub)` — asymmetric-distance-computation lookup
+  * for product quantization: `table` is a flat `ARRAY<DOUBLE>` of per-
+  * `(subspace, code)` partial scores laid out `j*ksub + code`, `codes` the
+  * candidate's `ARRAY<INT>` PQ code word; the result is the sum of the `m`
+  * table entries the codes select. One codegen'd kernel call per
+  * (query, candidate) pair — the compressed-domain scoring loop that makes
+  * PQ scanning memory-bandwidth-bound instead of FLOP-bound.
+  */
+case class PqAdc(table: Expression, codes: Expression, ksub: Int)
+    extends BinaryExpression {
+  require(ksub > 0, s"pq_adc: ksub must be positive, got $ksub")
+
+  override def left: Expression = table
+  override def right: Expression = codes
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (table.dataType, codes.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (t, c) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc arguments must be (ARRAY<DOUBLE>, ARRAY<INT>), got ${t.sql}, ${c.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(t: Any, c: Any): Any =
+    VectorKernels.pqAdc(t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) =>
+      s"${ev.value} = graft.functions.VectorKernels.pqAdc($t, $c, $ksub);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(table = newLeft, codes = newRight)
 }
 
 /** `srp_sig(vec, bits, seed)` — signed-random-projection (hyperplane) LSH

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_sim, srp_sig}
+import graft.functions.{cosine_sim, dot_product, srp_sig}
 
 /** Similarity search over the `embeddings` table (`vec_id BIGINT,
   * embedding ARRAY<FLOAT>, label INT`).
@@ -154,6 +154,183 @@ object Similarity {
       size(col("embedding")).as("n_dims"),
       round(scale, 6).as("qscale"),
       when(scale === 0.0, 0.0).otherwise(round(err(scale), 6)).as("max_abs_err"))
+  }
+
+  /** Approximate top-k via product quantization (PQ) — the compressed-
+    * domain scoring path (FAISS's `PQ` stage):
+    *
+    *   1. TRAIN: vectors split into `m` subvectors of `d/m` dims; per
+    *      subspace, a `ksub`-centroid codebook is trained by spherical
+    *      k-means (deterministic sample init + `iters` Lloyd rounds —
+    *      assignment is max-cosine through the native kernel, update is
+    *      the element-wise mean). The trained codebook (`m × ksub` rows)
+    *      is a tiny artifact, materialized once driver-side like the
+    *      reference's persisted filters.
+    *   2. ENCODE: each corpus vector becomes `m` one-byte-ish codes
+    *      (nearest sub-centroid per subspace, `max_by` partial agg — no
+    *      window sort). At 100 TB this is the point: a 64-dim float
+    *      vector (256 B) compresses to `m` codes (8 B) + one shared
+    *      codebook, so the candidate-scoring working set fits in memory.
+    *   3. SCORE (ADC): per query, a broadcast table of
+    *      `dot(q_sub, centroid)` for all `(subspace, code)`; a candidate's
+    *      approximate cosine is the sum of `m` table lookups over its
+    *      codes — never a full-width float pass. Top `shortlist` by
+    *      approximate score, then an exact cosine re-rank of the shortlist
+    *      yields the final top-k.
+    *
+    * Orthogonal to [[ivfTopK]] (coarse pruning) — production systems
+    * compose them (IVF restricts the lists scanned, PQ scores inside a
+    * list); here PQ scans all codes so its recall is attributable to the
+    * quantization alone.
+    */
+  def pqTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      shortlist: Int = 64,
+      seed: Int = 7): DataFrame = {
+    val spark = emb.sparkSession
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    require(d % m == 0, s"pq: m ($m) must divide the dimensionality ($d)")
+    val sd = d / m
+
+    // (id, j, sub ARRAY<DOUBLE>) — slice + array cast are codegen'd
+    def subvectors(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), posexplode(array((0 until m).map(j =>
+          slice(col("embedding"), j * sd + 1, sd).cast("array<double>")): _*)))
+        .toDF(idCol, "j", "sub")
+
+    val corpusSubs = subvectors(
+      emb.repartition(spark.sessionState.conf.numShufflePartitions)
+        .select(col("vec_id"), col("embedding")), "vec_id")
+
+    // --- TRAIN ---------------------------------------------------------
+    // deterministic sample init: the first ksub vectors in hash order,
+    // sliced into subvectors — one TakeOrdered job, assembled driver-side
+    // (the codebook is an m × ksub artifact, like the reference's
+    // persisted filters)
+    import scala.jdk.CollectionConverters._
+    val cbSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    val initRows: Seq[org.apache.spark.sql.Row] = emb
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(ksub)
+      .select(col("embedding")).collect().toSeq
+      .zipWithIndex.flatMap { case (r, code) =>
+        val v = r.getSeq[Float](0).map(_.toDouble)
+        (0 until m).map(j => org.apache.spark.sql.Row(
+          j, code, v.slice(j * sd, (j + 1) * sd)))
+      }
+    require(initRows.size == m * ksub,
+      s"pq: corpus has fewer than ksub ($ksub) vectors")
+    var codebook: DataFrame = spark.createDataFrame(initRows.asJava, cbSchema)
+
+    // one Lloyd round is one flat job: the codebook is materialized
+    // driver-side after every round, otherwise each round's plan
+    // re-executes all previous rounds through the broadcast lineage and
+    // training cost grows superlinearly in iters
+    def materialized(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    for (_ <- 1 to iters) {
+      // assign: nearest centroid by cosine (spherical k-means — scale-
+      // invariant, so the mean-update needs no renormalization); max_by
+      // keeps the assignment a partial-aggregable reduce, not a window
+      val assigned = corpusSubs.join(broadcast(codebook), Seq("j"))
+        .select(col("vec_id"), col("j"), col("sub"), col("code"),
+          cosine_sim(col("sub"), col("c")).as("sim"))
+        .groupBy("vec_id", "j")
+        .agg(max_by(struct(col("code"), col("sub")), struct(col("sim"), -col("code")))
+          .as("best"))
+        .select(col("j"), col("best.code").as("code"), col("best.sub").as("sub"))
+      // update: element-wise mean per (subspace, code); a code that lost
+      // every member keeps its previous centroid, so the codebook always
+      // holds exactly ksub entries per subspace (the ADC flat-table layout
+      // below depends on that)
+      val updated = assigned
+        .select(col("j"), col("code"), posexplode(col("sub")))
+        .toDF("j", "code", "dim", "v")
+        .groupBy("j", "code", "dim").agg(avg("v").as("v"))
+        .groupBy("j", "code")
+        .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("pairs"))
+        .select(col("j"), col("code"),
+          transform(col("pairs"), p => p("v")).as("c_new"))
+      codebook = materialized(
+        codebook.join(updated, Seq("j", "code"), "left_outer")
+          .select(col("j"), col("code"), coalesce(col("c_new"), col("c")).as("c")))
+    }
+
+    val cbRows = codebook.collect().toSeq
+    val cb = codebook
+    // |c|² table, laid out flat at j*ksub + code (the codebook is complete
+    // by construction, so every slot fills)
+    val cn2Flat = new Array[Double](m * ksub)
+    cbRows.foreach { r =>
+      val c = r.getSeq[Double](2)
+      var s = 0.0; c.foreach(x => s += x * x)
+      cn2Flat(r.getInt(0) * ksub + r.getInt(1)) = s
+    }
+
+    // --- ENCODE: each vector -> m codes + its reconstructed norm² -------
+    val codesWide = corpusSubs.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id").as("neighbor_id"), col("j"), col("code"),
+        cosine_sim(col("sub"), col("c")).as("sim"))
+      .groupBy("neighbor_id", "j")
+      .agg(max_by(col("code"), struct(col("sim"), -col("code"))).as("code"))
+      .groupBy("neighbor_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("pairs"))
+      .select(col("neighbor_id"),
+        transform(col("pairs"), p => p("code")).as("codes"))
+      .withColumn("rn2",
+        graft.functions.pq_adc(typedLit(cn2Flat.toSeq), col("codes"), ksub))
+
+    // --- SCORE (ADC): per query one flat lookup table, broadcast --------
+    val queries = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val qtabWide = subvectors(queries, "query_id")
+      .join(broadcast(cb), Seq("j"))
+      .select(col("query_id"), (col("j") * ksub + col("code")).as("pos"),
+        dot_product(col("sub"), col("c")).as("ip"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("ip")))).as("pairs"))
+      .select(col("query_id"), transform(col("pairs"), p => p("ip")).as("ip_flat"))
+      .join(queries.select(col("query_id"),
+        dot_product(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("qn2")), Seq("query_id"))
+
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val shortlisted = codesWide.join(broadcast(qtabWide),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("rn2") === 0.0 || col("qn2") === 0.0, 0.0)
+          .otherwise(graft.functions.pq_adc(col("ip_flat"), col("codes"), ksub)
+            / (sqrt(col("qn2")) * sqrt(col("rn2"))))
+          .as("approx_cos"))
+      .withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlist)
+
+    // --- RE-RANK (exact cosine on the shortlist only) --------------------
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    shortlisted
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("embedding").as("q_emb"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosRounded(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
   /** Approximate top-k via an IVF (inverted-file) coarse quantizer:

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.functions.{cosine_sim, srp_sig}
+import graft.functions.{cosine_sim, dot_product, pq_adc, srp_sig}
 
 class SimilaritySpec extends SparkSuite {
   import spark.implicits._
@@ -35,6 +35,27 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.getDouble(0) === 0.0)
     assert(rows.getDouble(1) === 1.0)
     assert(rows.getDouble(2) === 0.0)
+  }
+
+  test("dot_product: float and double element types, index-order accumulation") {
+    val row = vecDf((1L, Seq(1.5f, -2.0f, 4.0f))).select(
+      dot_product($"embedding", lit(Array(2.0f, 3.0f, 0.5f))),
+      dot_product($"embedding".cast("array<double>"),
+        lit(Array(2.0, 3.0, 0.5)))).head()
+    val expect = 1.5 * 2.0 + (-2.0) * 3.0 + 4.0 * 0.5
+    assert(row.getDouble(0) === expect)
+    assert(row.getDouble(1) === expect)
+  }
+
+  test("pq_adc sums the table entries the codes select") {
+    // ksub = 4, m = 2: table laid out j*4 + code
+    val table = Array.tabulate(8)(i => i * 10.0) // [0,10,...,70]
+    val row = vecDf((1L, Seq(0f))).select(
+      pq_adc(lit(table), lit(Array(3, 1)), 4), // 30 + 50
+      pq_adc(lit(table), lit(Array(0, 0)), 4)  // 0 + 40
+    ).head()
+    assert(row.getDouble(0) === 80.0)
+    assert(row.getDouble(1) === 40.0)
   }
 
   test("bruteForceTopK ranks by cosine with id tie-break") {
@@ -106,6 +127,29 @@ class SimilaritySpec extends SparkSuite {
     val ivfRecall = exact.count { case (q, n) => ivf.get(q).contains(n) }.toDouble / exact.size
     assert(ivfRecall >= 0.6, s"IVF recall@1 = $ivfRecall")
     assert(ivf.keySet === exact.keySet, "every query must return a neighbor")
+  }
+
+  test("pqTopK: high recall@1 on clustered data; output shape lawful") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextGaussian()))
+    val rows = for { c <- 0 until 20; i <- 0 until 10 } yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.03).toFloat)
+      ((c * 10 + i).toLong, v.toSeq)
+    }
+    val e = vecDf(rows: _*)
+    val queryPred = col("vec_id") % 10 === 0
+
+    val exact = Similarity.bruteForceTopK(e, queryPred, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val pq = Similarity.pqTopK(e, queryPred, 1, m = 4, ksub = 16,
+      iters = 2, shortlist = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+
+    assert(pq.keySet === exact.keySet, "every query must return a neighbor")
+    val recall = exact.count { case (q, n) => pq.get(q).contains(n) }.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@1 = $recall")
+    // tight clusters: the shortlist's exact re-rank must land in-cluster
+    pq.foreach { case (q, n) => assert(n / 10 === q / 10, s"query $q -> $n") }
   }
 
   test("recallVsExact: counts and gate, both directions") {
