@@ -147,4 +147,42 @@ class PlanAuditSpec extends SparkSuite {
       l.contains("bloom_might_contain") && l.contains("*(")),
       s"probe expression not in a codegen span:\n$rendered")
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // The 100 TB skew story is two-layered: explicit salting where the hot
+    // keys are known (x1_salted_join), and AQE's OptimizeSkewedJoin as the
+    // runtime safety net for the ones that aren't. This locks the safety
+    // net: a sort-merge join with one hot key and test-scale thresholds
+    // must execute with the skewed partition split (skew=true on the
+    // join), not one straggler task.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import org.apache.spark.sql.functions._
+    // ~95% of left rows share key 0; the payload pads partition bytes over
+    // the skew threshold
+    val left = s.range(0, 40000).select(
+      when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id") % 97).as("key"),
+      concat(lit("x" * 64), col("id")).as("payload"))
+    val right = s.range(0, 97).select(col("id").as("key"),
+      col("id").cast("string").as("tag"))
+    val joined = left.join(right, "key")
+    // execute THIS plan (count() would build its own QueryExecution)
+    assert(joined.collect().length === 40000)
+
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val executed = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val rendered = executed.toString
+    assert(rendered.contains("skew=true"),
+      s"skewed partition was not split:\n$rendered")
+  }
 }
