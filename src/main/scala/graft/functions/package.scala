@@ -33,6 +33,14 @@ package object functions {
   def pq_adc(table: Column, codes: Column, ksub: Int): Column =
     col(PqAdc(expr(table), expr(codes), ksub))
 
+  /** PQ code word of a vector against a flat codebook (ARRAY<INT>). */
+  def pq_encode(vec: Column, cb: Column, m: Int, ksub: Int): Column =
+    col(PqEncode(expr(vec), expr(cb), m, ksub))
+
+  /** PQ flat ADC lookup table of a query vector (ARRAY<DOUBLE>). */
+  def pq_table(vec: Column, cb: Column, m: Int, ksub: Int): Column =
+    col(PqTable(expr(vec), expr(cb), m, ksub))
+
   /** 64-bit SimHash of an ARRAY<STRING> token column. */
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
 

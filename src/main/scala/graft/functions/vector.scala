@@ -78,6 +78,71 @@ object VectorKernels {
     dot
   }
 
+  /** PQ encode kernel (see [[PqEncode]]): per subspace `j`, the code of
+    * the max-cosine centroid (ties -> lowest code, matching
+    * `max_by(code, struct(sim, -code))`). `cb` is the flat codebook laid
+    * out `(j*ksub + code)*sd + dim`. One call encodes a full vector —
+    * the FAISS-style tight loop, no explode/join/aggregate. */
+  def pqEncode(vec: ArrayData, cb: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val d = vec.numElements()
+    require(d % m == 0, s"pq_encode: m ($m) must divide dims ($d)")
+    val sd = d / m
+    require(cb.numElements() == m * ksub * sd,
+      s"pq_encode: codebook length ${cb.numElements()} != m*ksub*sd (${m * ksub * sd})")
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var code = 0
+      while (code < ksub) {
+        val base = (j * ksub + code) * sd
+        var dot = 0.0; var na = 0.0; var nc = 0.0
+        var i = 0
+        while (i < sd) {
+          val x = vec.getDouble(j * sd + i)
+          val c = cb.getDouble(base + i)
+          dot += x * c; na += x * x; nc += c * c
+          i += 1
+        }
+        val cos = if (na == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nc))
+        if (cos > bestCos) { bestCos = cos; best = code }
+        code += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** PQ ADC-table kernel (see [[PqTable]]): the query's flat lookup table
+    * `table[j*ksub + code] = dot(q_j, c_{j,code})`, one call per query. */
+  def pqTable(vec: ArrayData, cb: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val d = vec.numElements()
+    require(d % m == 0, s"pq_table: m ($m) must divide dims ($d)")
+    val sd = d / m
+    require(cb.numElements() == m * ksub * sd,
+      s"pq_table: codebook length ${cb.numElements()} != m*ksub*sd (${m * ksub * sd})")
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var code = 0
+      while (code < ksub) {
+        val base = (j * ksub + code) * sd
+        var dot = 0.0
+        var i = 0
+        while (i < sd) {
+          dot += vec.getDouble(j * sd + i) * cb.getDouble(base + i)
+          i += 1
+        }
+        out(j * ksub + code) = dot
+        code += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** ADC lookup kernel (see [[PqAdc]]): `Σ_j table[j*ksub + codes[j]]` —
     * the product-quantization score is `m` flat-array lookups, never a
     * full-width vector pass. */
@@ -562,6 +627,73 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared shape of the two PQ projection kernels: `(ARRAY<DOUBLE> vector,
+  * ARRAY<DOUBLE> flat codebook) -> array`, parameterized by `(m, ksub)`.
+  * The codebook argument is a literal/broadcast-sized array (`m*ksub*sd`
+  * doubles), so the whole encode/table step is a narrow codegen'd
+  * projection straight off the scan — the plan never explodes subvectors
+  * or joins against a centroid table.
+  */
+abstract class PqProjection extends BinaryExpression {
+  def vec: Expression
+  def cb: Expression
+  def m: Int
+  def ksub: Int
+
+  override def left: Expression = vec
+  override def right: Expression = cb
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cb.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName arguments must be (ARRAY<DOUBLE>, ARRAY<DOUBLE>), " +
+          s"got ${v.sql}, ${c.sql}")
+    }
+
+  override def nullIntolerant: Boolean = true
+
+  protected def kernel: String
+
+  override protected def nullSafeEval(v: Any, c: Any): Any = kernel match {
+    case "pqEncode" =>
+      VectorKernels.pqEncode(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], m, ksub)
+    case _ =>
+      VectorKernels.pqTable(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], m, ksub)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.VectorKernels.$kernel($v, $c, $m, $ksub);")
+}
+
+/** `pq_encode(vec, codebook, m, ksub)` — the vector's PQ code word
+  * (ARRAY<INT>, length m): per subspace, the max-cosine centroid. */
+case class PqEncode(vec: Expression, cb: Expression, m: Int, ksub: Int)
+    extends PqProjection {
+  require(m > 0 && ksub > 0, s"pq_encode: m/ksub must be positive")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def kernel: String = "pqEncode"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(vec = newLeft, cb = newRight)
+}
+
+/** `pq_table(vec, codebook, m, ksub)` — the query's flat ADC lookup table
+  * (ARRAY<DOUBLE>, length m*ksub): `dot(q_j, c_{j,code})` per slot. */
+case class PqTable(vec: Expression, cb: Expression, m: Int, ksub: Int)
+    extends PqProjection {
+  require(m > 0 && ksub > 0, s"pq_table: m/ksub must be positive")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_table"
+  override protected def kernel: String = "pqTable"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqTable =
+    copy(vec = newLeft, cb = newRight)
 }
 
 /** `pq_adc(table, codes, ksub)` — asymmetric-distance-computation lookup

@@ -166,11 +166,12 @@ object Similarity {
     *      the element-wise mean). The trained codebook (`m × ksub` rows)
     *      is a tiny artifact, materialized once driver-side like the
     *      reference's persisted filters.
-    *   2. ENCODE: each corpus vector becomes `m` one-byte-ish codes
-    *      (nearest sub-centroid per subspace, `max_by` partial agg — no
-    *      window sort). At 100 TB this is the point: a 64-dim float
-    *      vector (256 B) compresses to `m` codes (8 B) + one shared
-    *      codebook, so the candidate-scoring working set fits in memory.
+    *   2. ENCODE: each corpus vector becomes `m` one-byte-ish codes via
+    *      the native `pq_encode` kernel — a narrow projection straight
+    *      off the scan (no explode, no centroid join, no aggregate). At
+    *      100 TB this is the point: a 64-dim float vector (256 B)
+    *      compresses to `m` codes (8 B) + one shared codebook, so the
+    *      candidate-scoring working set fits in memory.
     *   3. SCORE (ADC): per query, a broadcast table of
     *      `dot(q_sub, centroid)` for all `(subspace, code)`; a candidate's
     *      approximate cosine is the sum of `m` table lookups over its
@@ -269,43 +270,39 @@ object Similarity {
           .select(col("j"), col("code"), coalesce(col("c_new"), col("c")).as("c")))
     }
 
+    // flat codebook + |c|² table, laid out at slot j*ksub + code (the
+    // codebook is complete by construction, so every slot fills)
     val cbRows = codebook.collect().toSeq
-    val cb = codebook
-    // |c|² table, laid out flat at j*ksub + code (the codebook is complete
-    // by construction, so every slot fills)
+    val cbFlat = new Array[Double](m * ksub * sd)
     val cn2Flat = new Array[Double](m * ksub)
     cbRows.foreach { r =>
+      val slot = r.getInt(0) * ksub + r.getInt(1)
       val c = r.getSeq[Double](2)
-      var s = 0.0; c.foreach(x => s += x * x)
-      cn2Flat(r.getInt(0) * ksub + r.getInt(1)) = s
+      var s = 0.0
+      var i = 0
+      c.foreach { x => cbFlat(slot * sd + i) = x; s += x * x; i += 1 }
+      cn2Flat(slot) = s
     }
 
-    // --- ENCODE: each vector -> m codes + its reconstructed norm² -------
-    val codesWide = corpusSubs.join(broadcast(cb), Seq("j"))
-      .select(col("vec_id").as("neighbor_id"), col("j"), col("code"),
-        cosine_sim(col("sub"), col("c")).as("sim"))
-      .groupBy("neighbor_id", "j")
-      .agg(max_by(col("code"), struct(col("sim"), -col("code"))).as("code"))
-      .groupBy("neighbor_id")
-      .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("pairs"))
-      .select(col("neighbor_id"),
-        transform(col("pairs"), p => p("code")).as("codes"))
+    // --- ENCODE: one narrow codegen'd projection off the scan — the
+    // native pq_encode kernel replaces explode + centroid join + two
+    // aggregations (the sf0.1 plan dropped 4 shuffles to 0 here) --------
+    val codesWide = emb
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id").as("neighbor_id"),
+        graft.functions.pq_encode(col("embedding").cast("array<double>"),
+          typedLit(cbFlat.toSeq), m, ksub).as("codes"))
       .withColumn("rn2",
         graft.functions.pq_adc(typedLit(cn2Flat.toSeq), col("codes"), ksub))
 
     // --- SCORE (ADC): per query one flat lookup table, broadcast --------
     val queries = emb.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val qtabWide = subvectors(queries, "query_id")
-      .join(broadcast(cb), Seq("j"))
-      .select(col("query_id"), (col("j") * ksub + col("code")).as("pos"),
-        dot_product(col("sub"), col("c")).as("ip"))
-      .groupBy("query_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("ip")))).as("pairs"))
-      .select(col("query_id"), transform(col("pairs"), p => p("ip")).as("ip_flat"))
-      .join(queries.select(col("query_id"),
-        dot_product(col("embedding").cast("array<double>"),
-          col("embedding").cast("array<double>")).as("qn2")), Seq("query_id"))
+    val qtabWide = queries.select(col("query_id"),
+      graft.functions.pq_table(col("embedding").cast("array<double>"),
+        typedLit(cbFlat.toSeq), m, ksub).as("ip_flat"),
+      dot_product(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("qn2"))
 
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
