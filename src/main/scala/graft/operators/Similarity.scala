@@ -317,8 +317,11 @@ object Similarity {
       .where(col("srank") <= shortlist)
 
     // --- RE-RANK (exact cosine on the shortlist only) --------------------
+    // the shortlist (|Q| × shortlist rows) broadcasts into the corpus —
+    // never the other way: Spark has no stats under the window and would
+    // happily broadcast the corpus side at test scale
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    shortlisted
+    broadcast(shortlisted)
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
         Seq("neighbor_id"))
       .join(broadcast(queries.select(col("query_id"), col("embedding").as("q_emb"))),

@@ -148,6 +148,19 @@ class PlanAuditSpec extends SparkSuite {
       s"probe expression not in a codegen span:\n$rendered")
   }
 
+  test("sim_ann_pq: encode is a narrow projection; shortlist broadcasts into re-rank") {
+    val p = plan("sim_ann_pq")
+    // encode/table/score are native projections — the corpus-touching part
+    // of the plan must not explode subvectors or join a centroid table
+    assert(p.contains("pq_encode"), p)
+    assert(p.contains("pq_table"), p)
+    assert(p.contains("pq_adc"), p)
+    assert(!p.contains("Generate"), "no subvector explode in the query plan")
+    // the re-rank joins the tiny shortlist INTO the corpus (BuildLeft via
+    // the explicit broadcast) — never the corpus into the shortlist
+    assert(p.contains("BroadcastHashJoin Inner BuildLeft"), p)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // The 100 TB skew story is two-layered: explicit salting where the hot
     // keys are known (x1_salted_join), and AQE's OptimizeSkewedJoin as the
