@@ -243,6 +243,23 @@ object SparkEntry {
         .agg(countDistinct("l_partkey").as("n_parts"),
           count("*").as("n_rows"))
         .orderBy("l_returnflag")),
+    "d2_upsert_latest" -> ((s, dir) =>
+      // CDC / SCD-1 merge: the event stream as a change log keyed by
+      // user, latest record wins (ts, then event_id). max_by keeps this a
+      // partial-aggregable reduce — map-side combine shrinks each
+      // partition to one row per key BEFORE the shuffle, where a
+      // row_number window would shuffle and sort every change record
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), expr("ts div 1000").as("ts_us"),
+            col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.event_id").as("event_id"),
+          col("last.ts_us").as("ts_us"),
+          col("last.event_type").as("event_type"),
+          col("last.value").as("value"))
+        .orderBy("user_id")),
 
     // --- X: skew-salted join (scale technique; oracle is the UNSALTED
     // join, proving the rewrite is semantics-preserving)
@@ -612,6 +629,8 @@ object SparkEntry {
       TextAnalysis.qualityScore(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t3_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t14_gopher_filter" -> ((s, dir) => // published rule-gate quality pass
+      TextAnalysis.gopherFilter(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t4_shingle_fp" -> ((s, dir) => // mmh3-valued -> rows-only check
       TextAnalysis.shingleFingerprint(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t5_vocab" -> ((s, dir) =>
@@ -818,6 +837,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.statefulUserCounts(s, dir)),
     "st8_stream_left_outer" -> ((s, dir) => // watermark-emitted nulls
       graft.streaming.StreamingQueries.streamStreamLeftOuter(s, dir)),
+    "st9_foreach_sink" -> ((s, dir) => // foreachBatch -> batch parquet writer
+      graft.streaming.StreamingQueries.foreachBatchSink(s, dir)),
     "st7_stream_dropdup" -> ((s, dir) => // at-least-once -> exactly-once
       graft.streaming.StreamingQueries.streamDropDuplicates(s, dir)),
 
@@ -999,6 +1020,12 @@ object SparkEntry {
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
           |       count(*) AS n_rows
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "d2_upsert_latest" -> // latest change record per key wins
+        """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+          |       event_type, value
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
       "w1_window_share" ->
         s"""SELECT rating, n, round(n / sum(n) OVER (), 6) AS share
            |FROM (SELECT rating, count(*) AS n FROM ($li) GROUP BY rating)
@@ -1045,6 +1072,8 @@ object SparkEntry {
       "t1_token_stats" -> s"${TextAnalysisSql.tokenStats} ORDER BY doc_id",
       "t2_quality" -> s"${TextAnalysisSql.qualityScore} ORDER BY doc_id",
       "t3_langid" -> s"${TextAnalysisSql.langId} ORDER BY doc_id",
+      "t14_gopher_filter" ->
+        s"${TextAnalysisSql.gopherFilter} ORDER BY doc_id",
       "t5_vocab" -> TextAnalysisSql.vocabulary(50),
       "dedup_exact" -> s"${DedupSql.exactKeepers} ORDER BY doc_id",
       "dedup_bloom_xbatch" ->
@@ -1163,6 +1192,9 @@ object SparkEntry {
           |      UNION ALL SELECT c_us, 'a' FROM ab)
           |GROUP BY 1 ORDER BY hour""".stripMargin,
       "st7_stream_dropdup" -> // doubled stream collapses to the batch rows
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "st9_foreach_sink" -> // sink round-trip preserves the batch row set
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "st6_stream_state" -> // delta emission sums to the batch count

@@ -92,6 +92,47 @@ object TextAnalysis {
           .otherwise(0.0).as("quality")): _*)
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, table A1 flavor): the
+    * published cheap document-quality gates as one narrow projection —
+    * word count bounds, mean word length bounds, alphabetic-word
+    * fraction, stopword-presence, duplicate-3-gram bound — each emitted
+    * as its measured value plus a combined `keep` verdict. Thresholds
+    * compare the ROUNDED values so the cross-engine decision is exact.
+    * One scan, zero shuffles (ordering aside): the shape that filters
+    * 100 TB in one pass. */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val sh = shingles(t, 3)
+    docs
+      .withColumn("n_words", size(t))
+      .withColumn("tok_chars", length(concat_ws("", t)))
+      .withColumn("n_alpha_words",
+        size(filter(t, w => w.rlike("[a-z]"))))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(array_distinct(t), typedLit(stopEn))))
+      .withColumn("n_sh", size(sh))
+      .withColumn("n_sh_distinct", size(array_distinct(sh)))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        when(col("n_words") > 0,
+          round(col("tok_chars").cast("double") / col("n_words"), 6))
+          .otherwise(0.0).as("mean_word_len"),
+        when(col("n_words") > 0,
+          round(col("n_alpha_words").cast("double") / col("n_words"), 6))
+          .otherwise(0.0).as("frac_alpha_words"),
+        col("n_stop_distinct"),
+        when(col("n_words") > 0,
+          round(lit(1.0) - col("n_sh_distinct").cast("double") / col("n_sh"), 6))
+          .otherwise(0.0).as("dup3_ratio"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("frac_alpha_words") >= 0.8 &&
+          col("n_stop_distinct") >= 2 &&
+          col("dup3_ratio") <= 0.5)
+  }
+
   /** N-gram stopword-profile language ID with a deterministic tie-break
     * (en > de > es > fr > und). Honest heuristic: on synthetic text it
     * mostly answers 'en' or 'und'; the point is the operator + oracle. */
@@ -379,6 +420,41 @@ object TextAnalysisSql {
        |         ${nStop(TextAnalysis.stopEn)} AS n_stop,
        |         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_chars
        |  FROM documents)""".stripMargin
+
+  /** Twin of [[TextAnalysis.gopherFilter]] — thresholds compare the same
+    * rounded values, so the keep verdict is bit-exact across engines. */
+  val gopherFilter: String =
+    s"""SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_distinct,
+       |       dup3_ratio,
+       |       (n_words >= 50 AND n_words <= 100000
+       |         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |         AND frac_alpha_words >= 0.8
+       |         AND n_stop_distinct >= 2
+       |         AND dup3_ratio <= 0.5) AS keep
+       |FROM (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0
+       |      THEN round(CAST(tok_chars AS DOUBLE) / n_words, 6)
+       |      ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN n_words > 0
+       |      THEN round(CAST(n_alpha AS DOUBLE) / n_words, 6)
+       |      ELSE 0.0 END AS frac_alpha_words,
+       |    n_stop_distinct,
+       |    CASE WHEN n_words > 0
+       |      THEN round(1.0 - CAST(n_sh_distinct AS DOUBLE)
+       |                       / greatest(n_words - 2, 1), 6)
+       |      ELSE 0.0 END AS dup3_ratio
+       |  FROM (
+       |    SELECT doc_id,
+       |           len($toks) AS n_words,
+       |           length(array_to_string($toks, '')) AS tok_chars,
+       |           len(list_filter($toks, w -> regexp_matches(w, '[a-z]')))
+       |             AS n_alpha,
+       |           len(list_filter(list_distinct($toks),
+       |             w -> w IN (${inList(TextAnalysis.stopEn)})))
+       |             AS n_stop_distinct,
+       |           len(${DedupSql.shinglesSql(3)}) AS n_sh_distinct
+       |    FROM documents))""".stripMargin
 
   def vocabulary(topK: Int): String =
     s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq

@@ -245,6 +245,41 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** The production sink surface: `foreachBatch` hands each micro-batch to
+    * the full BATCH writer API — here a parquet write into a
+    * `batch=<id>` directory, which is the exactly-once recipe (re-running
+    * a batch id overwrites the same path, so retries are idempotent; a
+    * cluster deployment swaps in MERGE/upsert against a table). The
+    * drained result is read back from the committed files and must equal
+    * the batch answer — checking the sink path end to end, not just the
+    * in-memory collector. */
+  def foreachBatchSink(outer: SparkSession, dir: String): DataFrame = {
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val out = s"${sys.props("java.io.tmpdir")}/graft_st9_${math.abs(dir.hashCode)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true) // idempotent re-run
+
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_id"), col("event_type"))
+
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(out)
+      .groupBy("event_type").agg(count("*").as("n"))
+      .orderBy("event_type")
+  }
+
   /** Arbitrary stateful processing through the registered surface:
     * per-user running event counts via `flatMapGroupsWithState`. The
     * function emits each batch's DELTA and keeps the running total in
