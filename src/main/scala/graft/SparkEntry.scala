@@ -835,6 +835,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.streamStreamJoin(s, dir)),
     "st6_stream_state" -> ((s, dir) => // flatMapGroupsWithState counts
       graft.streaming.StreamingQueries.statefulUserCounts(s, dir)),
+    "st10_transform_state" -> ((s, dir) => // transformWithState + MapState
+      graft.streaming.StreamingQueries.transformWithStateCounts(s, dir)),
     "st8_stream_left_outer" -> ((s, dir) => // watermark-emitted nulls
       graft.streaming.StreamingQueries.streamStreamLeftOuter(s, dir)),
     "st9_foreach_sink" -> ((s, dir) => // foreachBatch -> batch parquet writer
@@ -1200,6 +1202,10 @@ object SparkEntry {
       "st6_stream_state" -> // delta emission sums to the batch count
         """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "st10_transform_state" -> // MapState deltas sum to the batch count
+        """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY user_id, event_type
+          |ORDER BY user_id, event_type""".stripMargin,
       "st3_stream_bloom_probe" -> // zero-FN: hits == total per group
         s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
            |GROUP BY rating ORDER BY rating""".stripMargin,

@@ -280,6 +280,45 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Arbitrary stateful processing through Spark 4's `transformWithState`
+    * (the successor API to `flatMapGroupsWithState`): a `StatefulProcessor`
+    * keyed by user holding a `MapState[event_type -> count]` — the
+    * composite-state shape the old API forces into one serialized blob,
+    * here stored as individually-updatable map entries in the RocksDB
+    * state store (required by this API; state no longer lives on the JVM
+    * heap, which is what makes billions of keys per executor viable at
+    * 100 TB). Each batch emits the per-(user, type) DELTA, so the drained
+    * append-mode result summed per key is batch-count-invariant and equals
+    * the batch `groupBy(user_id, event_type).count` — oracle-checked. */
+  def transformWithStateCounts(outer: SparkSession, dir: String): DataFrame = {
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "st10_tws_" + math.abs(dir.hashCode)
+
+    val deltas = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+
+    val q = deltas.toDF("user_id", "event_type", "delta").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("user_id", "event_type").agg(sum("delta").as("n"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Arbitrary stateful processing through the registered surface:
     * per-user running event counts via `flatMapGroupsWithState`. The
     * function emits each batch's DELTA and keeps the running total in
@@ -372,5 +411,45 @@ object StreamingQueries {
         s"durations=${p.durationMs}")
     }
     spark.table(name).orderBy("rating")
+  }
+}
+
+/** `StatefulProcessor` for [[StreamingQueries.transformWithStateCounts]]:
+  * keyed by `user_id`, holding a `MapState[event_type -> running count]`.
+  * Each composite-key entry is an individually updatable row in the RocksDB
+  * state store — an arriving event rewrites ONE (user, type) cell, not a
+  * re-serialized per-user blob, which is the per-update cost that matters
+  * when the key space is billions of users. Emits the per-batch delta per
+  * (user, type); downstream summation reconstructs the total count.
+  */
+class TypeCountsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, String, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+    TimerValues, TTLConfig}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long](
+      "typeCounts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, String)],
+      timers: TimerValues): Iterator[(Long, String, Long)] = {
+    // fold the batch locally first: one state-store write per touched
+    // (user, type) cell per batch, not one per input row
+    val deltas = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    rows.foreach { case (_, t) =>
+      deltas.update(t, deltas.getOrElse(t, 0L) + 1L)
+    }
+    deltas.iterator.map { case (t, d) =>
+      val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
+      counts.updateValue(t, prev + d)
+      (key, t, d)
+    }
   }
 }

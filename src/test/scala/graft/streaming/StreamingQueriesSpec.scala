@@ -82,6 +82,16 @@ class StreamingQueriesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState MapState deltas sum to the batch per-type counts") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.transformWithStateCounts(spark, dir).collect()
+    val batch = Tables(spark, dir, "events")
+      .groupBy("user_id", "event_type").agg(count("*").as("n"))
+      .orderBy("user_id", "event_type").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("bloomProbe stream: zero false negatives -> hits == total per group") {
     val dir = "/root/testdata/sf0.001"
     val rows = StreamingQueries.bloomProbe(spark, dir).collect()
