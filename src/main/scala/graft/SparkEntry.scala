@@ -114,6 +114,46 @@ object SparkEntry {
           / col("exact_parts") <= 0.3).as("approx_ok"))
     }),
 
+    "a8_cms_topk" -> ((s, dir) => {
+      // Count-min-sketch heavy hitters: the sketch is built as ONE
+      // distributed partial-merge aggregate (each partition folds its rows
+      // into a local sketch; merge is cell-wise add), then collected —
+      // a bounded ~1 MB artifact, same contract as the bloom filters.
+      // The gate encodes the CMS guarantee: exact ≤ estimate ≤ exact+εN.
+      val eps = 1e-4
+      val li = Tables(s, dir, "lineitem")
+      val row = li.agg(
+        count_min_sketch(col("l_suppkey"), lit(eps), lit(0.99), lit(42))
+          .as("sk"),
+        count(lit(1)).as("n")).head()
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+      val bound = math.ceil(eps * row.getAs[Long]("n")).toLong
+      // exact top-10 (deterministic tiebreak), probed against the sketch
+      val topk = li.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_suppkey")).limit(10).collect()
+        .map { r =>
+          val (key, n) = (r.getLong(0), r.getLong(1))
+          val est = sk.estimateCount(key)
+          (key, n, est >= n && est <= n + bound)
+        }
+      s.createDataFrame(topk.toSeq).toDF("l_suppkey", "n", "cms_ok")
+    }),
+    "a9_hll_merge" -> ((s, dir) => {
+      // Mergeable-sketch distinct: per-language HLL sketches unioned into
+      // one estimate — the re-aggregation pattern that lets 1000 executors
+      // each ship a 16 KB sketch instead of their distinct key sets. Gate:
+      // the merged estimate lands within 5% of exact (lgK=14 → rsd 0.65%).
+      val docs = Tables(s, dir, "documents")
+      val merged = docs.groupBy("lang")
+        .agg(hll_sketch_agg(col("doc_id"), 14).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      docs.agg(countDistinct("doc_id").as("exact_docs")).crossJoin(merged)
+        .select(col("exact_docs"),
+          (abs(col("approx") - col("exact_docs")).cast("double")
+            / col("exact_docs") <= 0.05).as("merge_ok"))
+    }),
+
     // --- J: joins (SURVEY §2.3)
     "j1_broadcast_join" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -260,6 +300,23 @@ object SparkEntry {
           col("last.event_type").as("event_type"),
           col("last.value").as("value"))
         .orderBy("user_id")),
+
+    "d3_scd2" -> ((s, dir) => {
+      // SCD-2 materialization of the same change log: each change record
+      // becomes a validity interval [valid_from, valid_to) via one lead()
+      // window — a single shuffle on the dimension key, no self-join. At
+      // 100 TB the shuffle carries (key, ts) sorted runs; state never
+      // exceeds one row in flight per key within a partition.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"), expr("ts div 1000").as("valid_from_us"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .drop("ts")
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }),
 
     // --- X: skew-salted join (scale technique; oracle is the UNSALTED
     // join, proving the rewrite is semantics-preserving)
@@ -741,6 +798,9 @@ object SparkEntry {
     "pipe1_clean_corpus" -> ((s, dir) => // composed: quality filter -> dedup
       Dedup.cleanCorpus(Tables(s, dir, "documents"), minQuality = 0.5)
         .orderBy("doc_id")),
+    "dedup_editdist" -> ((s, dir) => // length-banded bounded edit distance
+      Dedup.editDistancePairs(Tables(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
 
     // --- M: multimodal binary-column plumbing (LLM-pipeline layer;
     // decode is a deterministic stub, the byte plumbing is real)
@@ -893,6 +953,21 @@ object SparkEntry {
       "a7_approx_distinct" ->
         """SELECT count(DISTINCT l_partkey) AS exact_parts,
           |       TRUE AS approx_ok FROM lineitem""".stripMargin,
+      "a8_cms_topk" -> // CMS estimate must bracket the exact count
+        """SELECT l_suppkey, count(*) AS n, TRUE AS cms_ok FROM lineitem
+          |GROUP BY l_suppkey ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin,
+      "a9_hll_merge" -> // per-group sketches union to the global distinct
+        """SELECT count(DISTINCT doc_id) AS exact_docs,
+          |       TRUE AS merge_ok FROM documents""".stripMargin,
+      "d3_scd2" -> // change log -> validity intervals, lead() per key
+        """SELECT user_id, event_id, event_type, value,
+          |       epoch_ns(ts) // 1000 AS valid_from_us,
+          |       lead(epoch_ns(ts) // 1000) OVER
+          |         (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+          |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |         IS NULL AS is_current
+          |FROM events
+          |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
       "k2_partitioned_sink" ->
         """SELECT lang, count(*) AS n,
           |       CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -1120,6 +1195,7 @@ object SparkEntry {
            |       CAST(0 AS BIGINT) AS n_dup_mismatch""".stripMargin,
       "dedup_simhash_verify" -> DedupSql.simhashExactDupCheck,
       "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),
+      "dedup_editdist" -> DedupSql.editDistancePairs(8, 10, 40),
       // groups = test ratings that ALSO have a train-built filter (the
       // probe inner-joins on rating, so a test-only rating contributes no
       // group; the intersect keeps the gate scale-robust)

@@ -371,6 +371,50 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Fuzzy near-dup pairs by bounded edit distance: `(doc_a, doc_b, dist)`
+    * for same-language documents whose lengths differ by ≤ `lenWindow` and
+    * whose `prefixLen`-char prefixes are within Levenshtein `maxDist`.
+    *
+    * Blocking keeps this off the quadratic cliff: each doc lands in length
+    * buckets `{⌊len/band⌋, ⌊len/band⌋+1}`, and candidates meet through an
+    * equi-join on `(lang, bucket)` — with `band ≥ lenWindow` any pair
+    * inside the length window shares a bucket (lossless), and the shuffle
+    * key is (lang × bucket), not lang alone, so one dominant language
+    * can't pile onto one reducer. The O(len²) Levenshtein kernel runs on
+    * the fixed-size prefix only, and only for co-bucketed candidates. */
+  def editDistancePairs(
+      docs: DataFrame,
+      lenWindow: Int = 8,
+      maxDist: Int = 10,
+      prefixLen: Int = 40,
+      band: Int = 8): DataFrame = {
+    require(band >= lenWindow, s"band ($band) must be >= lenWindow ($lenWindow)")
+    val base = docs.select(col("doc_id"), col("lang"),
+      col("n_chars"), substring(col("text"), 1, prefixLen).as("prefix"))
+    val buckets = base.select(col("doc_id"), col("lang"), col("n_chars"),
+      col("prefix"),
+      explode(array(floor(col("n_chars") / band),
+        floor(col("n_chars") / band) + 1)).as("bucket"))
+
+    val a = buckets.select(col("lang"), col("bucket"),
+      col("doc_id").as("doc_a"), col("n_chars").as("len_a"),
+      col("prefix").as("pre_a"))
+    val b = buckets.select(col("lang"), col("bucket"),
+      col("doc_id").as("doc_b"), col("n_chars").as("len_b"),
+      col("prefix").as("pre_b"))
+
+    a.join(b, Seq("lang", "bucket"))
+      .where(col("doc_a") < col("doc_b")
+        && abs(col("len_a") - col("len_b")) <= lenWindow)
+      // a pair can meet in up to two buckets: dedup BEFORE the kernel so
+      // each surviving pair pays exactly one Levenshtein evaluation
+      .select(col("doc_a"), col("doc_b"), col("pre_a"), col("pre_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pre_a"), col("pre_b")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }
 
 /** DuckDB twins of the exact-output [[Dedup]] operators. */
@@ -405,6 +449,21 @@ object DedupSql {
        |FROM (SELECT doc_id, $norm AS nrm FROM documents WHERE len($toks) > 0) a
        |JOIN (SELECT doc_id, $norm AS nrm FROM documents WHERE len($toks) > 0) b
        |  ON a.nrm = b.nrm AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Twin of [[Dedup.editDistancePairs]]: the brute-force same-lang
+    * length-window join with the identical prefix-Levenshtein predicate —
+    * the blocking on the Spark side is recall-lossless by construction, so
+    * the outputs must match row for row. */
+  def editDistancePairs(lenWindow: Int, maxDist: Int, prefixLen: Int): String =
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(levenshtein(substr(a.text, 1, $prefixLen),
+       |                        substr(b.text, 1, $prefixLen)) AS INTEGER) AS dist
+       |FROM documents a JOIN documents b
+       |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+       | AND abs(a.n_chars - b.n_chars) <= $lenWindow
+       |WHERE levenshtein(substr(a.text, 1, $prefixLen),
+       |                  substr(b.text, 1, $prefixLen)) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Twin of [[Dedup.nearDupClusters]]: transitive closure by recursive
     * CTE over the all-pairs near-dup edges, min reachable id per vertex.

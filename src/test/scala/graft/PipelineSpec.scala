@@ -99,6 +99,26 @@ class PipelineSpec extends SparkSuite {
     assert(groups === Set(1, 2), "ratings 3 and 9 have no filter and are skipped")
   }
 
+  test("d3_scd2: per-key intervals are contiguous, exactly one current row") {
+    val rows = SparkEntry.queries("d3_scd2")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "valid_from_us", "valid_to_us", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, to, cur), (_, from2, _, _)) =>
+          assert(to.contains(from2), s"user $uid: gap before $from2")
+          assert(!cur, s"user $uid: non-last row flagged current")
+        case _ =>
+      }
+      assert(sorted.last._3.isEmpty && sorted.last._4,
+        s"user $uid: last interval must be open and current")
+    }
+  }
+
   test("randomSplit (P8 reference parity): disjoint, complete, ~60/40") {
     val df = (0 until 20000).map(i => (s"id-$i", i % 10)).toDF("movieId", "rating")
     val Array(tr, te) = Ratings.randomSplit(df, seed = 42L)

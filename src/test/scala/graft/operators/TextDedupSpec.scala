@@ -282,6 +282,25 @@ class TextDedupSpec extends SparkSuite {
     assert(got === Map(1L -> true, 2L -> true, 3L -> false))
   }
 
+  test("editDistancePairs: banded blocking is lossless, incl. cross-bucket pairs") {
+    // band=8: len 15 sits in buckets {1,2}, len 17 in {2,3} — the pair
+    // meets only through the shared boundary bucket, which is exactly the
+    // losslessness claim (band >= lenWindow) the blocking must honor
+    val d = Seq(
+      (1L, "aaaaaaaaaaaaaaa", "en"),                // len 15
+      (2L, "aaaaaaaaaaaaaaaxx", "en"),              // len 17: dist 2 to #1
+      (3L, "bbbbbbbbbbbbbbb", "en"),                // len 15: dist 15 > max
+      (4L, "aaaaaaaaaaaaaaa", "fr"),                // other lang: excluded
+      (5L, "aaaaaaaaaaaaaaazzzzzzzzzzzz", "en"))    // len 27: window miss
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Dedup.editDistancePairs(d, lenWindow = 8, maxDist = 10,
+      prefixLen = 40, band = 8)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 2)))
+  }
+
   test("langId: picks the profile with most stopword hits") {
     val d = docs(
       (1L, "the cat and the dog of the house"),
