@@ -161,6 +161,28 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin Inner BuildLeft"), p)
   }
 
+  test("dedup_editdist: banded blocking joins on (lang, bucket) — never a nested loop") {
+    val p = plan("dedup_editdist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "edit-distance candidates must come from the equi-join blocking, " +
+        "not an all-pairs join:\n" + p)
+  }
+
+  test("d3_scd2: one shuffle on the dimension key, no self-join") {
+    val p = plan("d3_scd2")
+    assert(nodeCount(p, "Exchange") <= 2, // key window + final orderBy
+      "SCD-2 must be a single window pass plus the presentation sort:\n" + p)
+    assert(!p.contains("Join"), "lead() window, not a self-join:\n" + p)
+  }
+
+  test("a9_hll_merge: sketches partial-aggregate before the merge shuffle") {
+    val p = plan("a9_hll_merge")
+    // both aggregation levels show a partial then final mode — each
+    // executor ships one sketch per group, not its raw keys
+    assert(p.toLowerCase.contains("objecthashaggregate"),
+      "datasketches agg should ride ObjectHashAggregate:\n" + p)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // The 100 TB skew story is two-layered: explicit salting where the hot
     // keys are known (x1_salted_join), and AQE's OptimizeSkewedJoin as the
