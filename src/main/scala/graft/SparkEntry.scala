@@ -301,6 +301,23 @@ object SparkEntry {
           col("last.value").as("value"))
         .orderBy("user_id")),
 
+    "j7_full_outer" -> ((s, dir) => {
+      // full outer with BOTH dangling sides real: one customer segment vs
+      // order counts across all customers — left-only rows are BUILDING
+      // customers with no orders, right-only rows are other segments'
+      // buyers. Shuffle hash join on the key; no broadcast (full outer
+      // cannot broadcast either side).
+      val c = Tables(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    }),
     "d3_scd2" -> ((s, dir) => {
       // SCD-2 materialization of the same change log: each change record
       // becomes a validity interval [valid_from, valid_to) via one lead()
@@ -453,6 +470,39 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 2)
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    "w3_frames" -> ((s, dir) => {
+      // rows-frame running aggregates + lag over a unique total order per
+      // key. Frame aggregates chosen for cross-engine exactness: sums of
+      // integral-valued doubles and min/max are order-insensitive, where a
+      // running avg's last-bit drift could flip a rounding boundary.
+      import org.apache.spark.sql.expressions.Window
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+      Tables(s, dir, "lineitem")
+        .where(col("l_suppkey") <= 10) // bounded output; frame logic intact
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum("l_quantity").over(w.rowsBetween(-3, 0)).as("mov_qty"),
+          max("l_extendedprice").over(w.rowsBetween(-3, 0)).as("mov_max"),
+          lag("l_extendedprice", 1).over(w).as("prev_price"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+    "w4_rank_family" -> ((s, dir) => {
+      // the full ranking family over one window pass; ordering keys are
+      // unique so peer groups are single rows -> all four deterministic
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("q4", ntile(4).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .where(col("rn") <= 100)
+        .drop("o_totalprice")
         .orderBy("o_orderpriority", "rn")
     }),
 
@@ -959,6 +1009,38 @@ object SparkEntry {
       "a9_hll_merge" -> // per-group sketches union to the global distinct
         """SELECT count(DISTINCT doc_id) AS exact_docs,
           |       TRUE AS merge_ok FROM documents""".stripMargin,
+      "j7_full_outer" -> // both dangling sides preserved
+        """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal,
+          |       coalesce(n_orders, 0) AS n_orders
+          |FROM (SELECT c_custkey, c_acctbal FROM customer
+          |      WHERE c_mktsegment = 'BUILDING') c
+          |FULL JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          |           FROM orders GROUP BY o_custkey) o
+          |  ON c_custkey = o_custkey
+          |ORDER BY custkey""".stripMargin,
+      "w3_frames" -> // rows-frame running aggs + lag, unique total order
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          |       sum(l_quantity) OVER w3 AS mov_qty,
+          |       max(l_extendedprice) OVER w3 AS mov_max,
+          |       lag(l_extendedprice, 1) OVER
+          |         (PARTITION BY l_suppkey
+          |          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
+          |FROM lineitem WHERE l_suppkey <= 10
+          |WINDOW w3 AS (PARTITION BY l_suppkey
+          |              ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+          |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+      "w4_rank_family" -> // row_number / ntile / percent_rank / cume_dist
+        """SELECT * FROM (
+          |  SELECT o_orderpriority, o_orderkey,
+          |         CAST(row_number() OVER w AS INT) AS rn,
+          |         CAST(ntile(4) OVER w AS INT) AS q4,
+          |         round(percent_rank() OVER w, 6) AS pr,
+          |         round(cume_dist() OVER w, 6) AS cd
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_orderpriority
+          |               ORDER BY o_totalprice DESC, o_orderkey))
+          |WHERE rn <= 100 ORDER BY o_orderpriority, rn""".stripMargin,
       "d3_scd2" -> // change log -> validity intervals, lead() per key
         """SELECT user_id, event_id, event_type, value,
           |       epoch_ns(ts) // 1000 AS valid_from_us,
