@@ -439,6 +439,22 @@ object SparkEntry {
           "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
         .groupBy("hour", "event_type").agg(count("*").as("n"))
         .orderBy("hour", "event_type")),
+    "e3_gapfill" -> ((s, dir) => {
+      // time-series gap fill: a generated hour spine (min..max hour ×
+      // event types) left-joins the sparse counts, missing cells become
+      // zero. The spine is (time range × type cardinality) rows — tiny at
+      // any data scale, broadcast into the join; only the counts shuffle.
+      val ev = Tables(s, dir, "events")
+        .select(expr("ts div 3600000000000").as("hr"), col("event_type"))
+      val counts = ev.groupBy("hr", "event_type").agg(count(lit(1)).as("n"))
+      val spine = ev.agg(min("hr").as("lo"), max("hr").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+        .crossJoin(ev.select("event_type").distinct())
+      spine.join(counts, Seq("hr", "event_type"), "left")
+        .select(col("hr"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hr", "event_type")
+    }),
     "e2_sessionize" -> ((s, dir) => {
       // session windows (30-min inactivity gap) per user — the classic
       // event-stream sessionization, via the built-in session_window
@@ -574,6 +590,29 @@ object SparkEntry {
           count("*").as("total"),
           sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
         .orderBy("rating")
+    }),
+    "k5_csv_roundtrip" -> ((s, dir) => {
+      // CSV sink with real quoting/escaping (commas, quotes, newlines in
+      // document text survive), then read back with an explicit schema and
+      // multiLine — the lossless interchange path the raw text sink (K1)
+      // can't provide. multiLine costs split-parallelism on read (quoted
+      // newlines defeat line-splitting), so it's the archival/interchange
+      // sink, not the hot ingest path.
+      val path = tmpPath(dir, "docs_csv")
+      // the corpus itself has no quotes/commas/newlines — prepend them so
+      // the escaping machinery is actually exercised, not just present
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(lit("\"q\", \n"), col("text")).as("text"))
+      src.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"")
+        .csv(path)
+      s.read.schema(src.schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(path)
+        .orderBy("doc_id")
     }),
     "k1_text_roundtrip" -> ((s, dir) => {
       // K1 text sink + K4 single-file merge + P6 format-project + re-scan:
@@ -1222,6 +1261,22 @@ object SparkEntry {
            |GROUP BY rating ORDER BY rating""".stripMargin,
       "k1_text_roundtrip" ->
         s"SELECT rating, count(*) AS n FROM ($li) GROUP BY rating ORDER BY rating",
+      "k5_csv_roundtrip" -> // quoted/escaped CSV survives the round trip
+        """SELECT doc_id, lang,
+          |       chr(34) || 'q' || chr(34) || ', ' || chr(10) || text AS text
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "e3_gapfill" -> // hour spine x types, sparse counts zero-filled
+        """WITH ev AS (SELECT epoch_ns(ts) // 3600000000000 AS hr, event_type
+          |            FROM events),
+          |spine AS (SELECT unnest(generate_series((SELECT min(hr) FROM ev),
+          |                                        (SELECT max(hr) FROM ev))) AS hr),
+          |types AS (SELECT DISTINCT event_type FROM ev),
+          |counts AS (SELECT hr, event_type, count(*) AS n FROM ev GROUP BY 1, 2)
+          |SELECT s.hr, t.event_type,
+          |       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+          |FROM spine s CROSS JOIN types t
+          |LEFT JOIN counts c ON c.hr = s.hr AND c.event_type = t.event_type
+          |ORDER BY s.hr, t.event_type""".stripMargin,
       "s1_tsv_ingest" -> s"SELECT * FROM ($li) ORDER BY movieId",
       "s3_split_sizing" ->
         """SELECT count(*) AS n_rows, TRUE AS multi_split
