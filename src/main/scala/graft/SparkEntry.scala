@@ -301,6 +301,44 @@ object SparkEntry {
           col("last.value").as("value"))
         .orderBy("user_id")),
 
+    "u3_exists_subquery" -> ((s, dir) => {
+      // the SQL front door: correlated EXISTS through the parser; the
+      // analyzer decorrelates it to a left-semi join (same physical shape
+      // as j4) — no per-row subquery execution survives to the plan
+      val sp = s.newSession()
+      Tables(sp, dir, "orders").createOrReplaceTempView("orders_v")
+      Tables(sp, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      sp.sql("""SELECT o_orderpriority, count(*) AS n
+               |FROM orders_v o
+               |WHERE EXISTS (SELECT 1 FROM lineitem_v l
+               |              WHERE l.l_orderkey = o.o_orderkey
+               |                AND l.l_quantity >= 45)
+               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+    "u4_scalar_subquery" -> ((s, dir) => {
+      // correlated scalar-aggregate subquery -> decorrelated to one
+      // aggregate + join (RewriteCorrelatedScalarSubquery); compares each
+      // customer to their segment's average balance
+      val sp = s.newSession()
+      Tables(sp, dir, "customer").createOrReplaceTempView("customer_v")
+      sp.sql("""SELECT c_mktsegment, count(*) AS n_above
+               |FROM customer_v c
+               |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+               |                   WHERE c2.c_mktsegment = c.c_mktsegment)
+               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+    "g5_unpivot" -> ((s, dir) =>
+      // wide -> long melt via the native Unpivot node (Expand under the
+      // hood: one scan, rows×metrics output, no shuffle before the sort)
+      Tables(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
     "j7_full_outer" -> ((s, dir) => {
       // full outer with BOTH dangling sides real: one customer segment vs
       // order counts across all customers — left-only rows are BUILDING
@@ -986,6 +1024,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.statefulUserCounts(s, dir)),
     "st10_transform_state" -> ((s, dir) => // transformWithState + MapState
       graft.streaming.StreamingQueries.transformWithStateCounts(s, dir)),
+    "st11_multibatch" -> ((s, dir) => // state accumulates across 4 batches
+      graft.streaming.StreamingQueries.multiBatchState(s, dir)),
     "st8_stream_left_outer" -> ((s, dir) => // watermark-emitted nulls
       graft.streaming.StreamingQueries.streamStreamLeftOuter(s, dir)),
     "st9_foreach_sink" -> ((s, dir) => // foreachBatch -> batch parquet writer
@@ -1048,6 +1088,34 @@ object SparkEntry {
       "a9_hll_merge" -> // per-group sketches union to the global distinct
         """SELECT count(DISTINCT doc_id) AS exact_docs,
           |       TRUE AS merge_ok FROM documents""".stripMargin,
+      "u3_exists_subquery" -> // correlated EXISTS, decorrelated to semi join
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_quantity >= 45)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "u4_scalar_subquery" -> // correlated scalar agg vs segment average
+        """SELECT c_mktsegment, count(*) AS n_above
+          |FROM customer c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+          |                   WHERE c2.c_mktsegment = c.c_mktsegment)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "g5_unpivot" -> // wide -> long melt
+        """SELECT l_orderkey, l_linenumber, metric, value FROM (
+          |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+          |         l_quantity AS value FROM lineitem
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          |  FROM lineitem)
+          |WHERE l_orderkey <= 100
+          |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+      "st11_multibatch" -> // 4-batch delta stream sums to the batch count
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "j7_full_outer" -> // both dangling sides preserved
         """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal,
           |       coalesce(n_orders, 0) AS n_orders

@@ -358,6 +358,52 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Multi-micro-batch stateful streaming: the single-file sources above
+    * drain in ONE `AvailableNow` batch (the file source admits whole files),
+    * which exercises state plumbing but not cross-batch accumulation. Here
+    * the source is re-laid as 8 splits admitted 2 per trigger → 4 real
+    * micro-batches, so the per-batch deltas genuinely accumulate through
+    * the state store across commits; their sum must still equal the batch
+    * `groupBy.count`. The spec asserts the multi-batch execution shape. */
+  def multiBatchState(outer: SparkSession, dir: String): DataFrame = {
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = s"${sys.props("java.io.tmpdir")}/graft_st11_src_${math.abs(dir.hashCode)}"
+    spark.read.parquet(s"$dir/events.parquet").repartition(8)
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val name = "st11_multibatch_" + math.abs(dir.hashCode)
+
+    val deltas = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = rows.size.toLong
+          state.update(state.getOption.getOrElse(0L) + n)
+          Iterator((uid, n))
+      }
+
+    val q = deltas.toDF("user_id", "delta").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastBatches.set(q.recentProgress.count(_.numInputRows > 0))
+    spark.table(name)
+      .groupBy("user_id").agg(sum("delta").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Number of non-empty micro-batches of the last [[multiBatchState]] run
+    * (driver-side observability for the spec; not part of the result). */
+  val lastBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Stream-static bloom probe: the static side builds the per-group
     * filters in batch; the stream probes each arriving train row against
     * its own group's filter. Zero false negatives makes the drained result

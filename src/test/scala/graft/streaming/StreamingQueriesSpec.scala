@@ -92,6 +92,18 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("multiBatchState: state accumulates across >1 real micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.multiBatchState(spark, dir).collect()
+    assert(StreamingQueries.lastBatches.get() > 1,
+      s"expected multiple non-empty micro-batches, got ${StreamingQueries.lastBatches.get()}")
+    val batch = Tables(spark, dir, "events")
+      .groupBy("user_id").agg(count("*").as("n_events"))
+      .orderBy("user_id").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("bloomProbe stream: zero false negatives -> hits == total per group") {
     val dir = "/root/testdata/sf0.001"
     val rows = StreamingQueries.bloomProbe(spark, dir).collect()
