@@ -154,6 +154,39 @@ object SparkEntry {
             / col("exact_docs") <= 0.05).as("merge_ok"))
     }),
 
+    "a10_approx_quantile" -> ((s, dir) => {
+      // approx_percentile (GK sketch) vs its own rank-error contract: the
+      // estimate must land between the exact percentiles at 0.9 ± ε. Like
+      // a7/a8/a9, the sketch is the scale path (mergeable, bounded size);
+      // the exact branch exists only to publish the gate.
+      Tables(s, dir, "lineitem")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_exact"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("approx"),
+          expr("percentile(l_extendedprice, 0.895)").as("lo"),
+          expr("percentile(l_extendedprice, 0.905)").as("hi"))
+        .select(col("p90_exact"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi"))
+            .as("approx_ok"))
+    }),
+    "x3_dpp" -> ((s, dir) => {
+      // dynamic partition pruning: the fact table is partitioned on the
+      // join key; the dim side's non-foldable filter can't prune statically,
+      // so the optimizer plants the dim's build result as a runtime
+      // partition filter on the fact scan (dynamicpruningexpression in
+      // PartitionFilters — locked in PlanAuditSpec). At 100 TB this is the
+      // difference between scanning 3/5 partitions and all of them.
+      val path = tmpPath(dir, "events_by_type")
+      val ev = Tables(s, dir, "events")
+      ev.select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      val dim = ev.select("event_type").distinct()
+        .where(length(col("event_type")) <= 5)
+      s.read.parquet(path).join(broadcast(dim), "event_type")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // --- J: joins (SURVEY §2.3)
     "j1_broadcast_join" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -1082,6 +1115,13 @@ object SparkEntry {
       "a7_approx_distinct" ->
         """SELECT count(DISTINCT l_partkey) AS exact_parts,
           |       TRUE AS approx_ok FROM lineitem""".stripMargin,
+      "a10_approx_quantile" -> // GK sketch lands inside its rank envelope
+        """SELECT round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
+          |       TRUE AS approx_ok FROM lineitem""".stripMargin,
+      "x3_dpp" -> // runtime-pruned fact join == plain filtered join
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+          |WHERE length(event_type) <= 5
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       "a8_cms_topk" -> // CMS estimate must bracket the exact count
         """SELECT l_suppkey, count(*) AS n, TRUE AS cms_ok FROM lineitem
           |GROUP BY l_suppkey ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin,

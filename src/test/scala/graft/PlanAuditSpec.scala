@@ -183,6 +183,13 @@ class PlanAuditSpec extends SparkSuite {
       "datasketches agg should ride ObjectHashAggregate:\n" + p)
   }
 
+  test("x3: dim filter prunes fact partitions at runtime (DPP)") {
+    val p = plan("x3_dpp")
+    assert(p.contains("dynamicpruningexpression"),
+      "fact scan must carry a runtime partition filter fed by the dim " +
+        "side's build:\n" + p)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // The 100 TB skew story is two-layered: explicit salting where the hot
     // keys are known (x1_salted_join), and AQE's OptimizeSkewedJoin as the
