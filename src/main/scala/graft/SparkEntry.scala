@@ -1059,6 +1059,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.transformWithStateCounts(s, dir)),
     "st11_multibatch" -> ((s, dir) => // state accumulates across 4 batches
       graft.streaming.StreamingQueries.multiBatchState(s, dir)),
+    "st12_stream_sessions" -> ((s, dir) => // watermark-finalized sessions
+      graft.streaming.StreamingQueries.streamSessions(s, dir)),
     "st8_stream_left_outer" -> ((s, dir) => // watermark-emitted nulls
       graft.streaming.StreamingQueries.streamStreamLeftOuter(s, dir)),
     "st9_foreach_sink" -> ((s, dir) => // foreachBatch -> batch parquet writer
@@ -1156,6 +1158,31 @@ object SparkEntry {
       "st11_multibatch" -> // 4-batch delta stream sums to the batch count
         """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "st12_stream_sessions" -> // only watermark-finalized sessions emit:
+        // session end (last event + gap) <= max event ms (watermark
+        // precision) - 1h delay; strict-gap session rebuild as in e2
+        """WITH m AS MATERIALIZED (
+          |  SELECT ((epoch_ns(max(ts)) // 1000000) - 3600000) * 1000 AS wm_us
+          |  FROM events),
+          |o AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+          |             lag(epoch_ns(ts) // 1000) OVER
+          |               (PARTITION BY user_id ORDER BY ts) AS prev
+          |      FROM events),
+          |s AS (SELECT user_id, ts_us,
+          |             sum(CASE WHEN prev IS NULL
+          |                        OR ts_us - prev > 1800000000 THEN 1
+          |                      ELSE 0 END) OVER
+          |               (PARTITION BY user_id ORDER BY ts_us
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |               AS sid
+          |      FROM o),
+          |g AS (SELECT user_id, sid, min(ts_us) AS s_start_us,
+          |             max(ts_us) + 1800000000 AS s_end_us,
+          |             CAST(count(*) AS BIGINT) AS n
+          |      FROM s GROUP BY user_id, sid)
+          |SELECT user_id, s_start_us, s_end_us, n
+          |FROM g, m WHERE s_end_us <= wm_us
+          |ORDER BY user_id, s_start_us""".stripMargin,
       "j7_full_outer" -> // both dangling sides preserved
         """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal,
           |       coalesce(n_orders, 0) AS n_orders

@@ -358,6 +358,41 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Streaming sessionization: the batch `e2_sessionize` semantics through
+    * the incremental engine — `session_window` with a watermark plans as
+    * session-merging state; in append mode a session emits only once the
+    * watermark passes its end (last event + gap), so the drained result is
+    * every FINALIZED session; trailing sessions stay open in state. The
+    * oracle rebuilds sessions with the strict-gap window formulation and
+    * applies the identical ms-floor watermark cutoff. */
+  def streamSessions(outer: SparkSession, dir: String): DataFrame = {
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val name = "st12_sessions_" + math.abs(dir.hashCode)
+
+    val sessions = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+        col("user_id"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count("*").as("n"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("s_start_us"),
+        expr("unix_micros(session_window.end)").as("s_end_us"),
+        col("n"))
+
+    val q = sessions.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "s_start_us")
+  }
+
   /** Multi-micro-batch stateful streaming: the single-file sources above
     * drain in ONE `AvailableNow` batch (the file source admits whole files),
     * which exercises state plumbing but not cross-batch accumulation. Here
