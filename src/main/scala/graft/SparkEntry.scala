@@ -1077,6 +1077,29 @@ object SparkEntry {
         .write.mode("overwrite").orc(path)
       s.read.orc(path).orderBy("doc_id")
     }),
+    "o2_zstd_roundtrip" -> ((s, dir) => {
+      // codec control: zstd-compressed parquet round trip (the archival
+      // tier codec — denser than snappy at comparable scan cost on modern
+      // CPUs; at 100 TB the delta is tens of TB of storage). Correctness
+      // is the roundtrip; the spec checks zstd actually shrinks the files.
+      val path = tmpPath(dir, "docs_zstd")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite")
+        .option("compression", "zstd").parquet(path)
+      s.read.parquet(path)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("len"))
+        .orderBy("doc_id")
+    }),
+    "j8_cross" -> ((s, dir) =>
+      // explicit controlled Cartesian: both sides are bounded dimension
+      // aggregates (5 regions x 5 order-statuses-ish), so the product is
+      // provably tiny — the ONLY join shape where a cross join is sane;
+      // anything row-count-driven must go through a keyed join
+      Tables(s, dir, "region").select(col("r_name"))
+        .crossJoin(Tables(s, dir, "orders")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_orders")))
+        .orderBy("r_name", "o_orderstatus")),
     "mm5_resize" -> ((s, dir) =>
       Multimodal.fromDocuments(Tables(s, dir, "documents"))
         .select(col("media_id"), col("modality"),
@@ -1560,6 +1583,14 @@ object SparkEntry {
            |GROUP BY rating ORDER BY rating""".stripMargin,
       "o1_orc_roundtrip" ->
         "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+      "o2_zstd_roundtrip" -> // codec change is invisible to the data
+        """SELECT doc_id, lang, CAST(length(text) AS INT) AS len
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "j8_cross" -> // bounded dims: the only sane Cartesian
+        """SELECT r_name, o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders
+          |FROM region CROSS JOIN (SELECT o_orderstatus, count(*) AS n_orders
+          |                        FROM orders GROUP BY o_orderstatus)
+          |ORDER BY r_name, o_orderstatus""".stripMargin,
       "mm5_resize" -> MultimodalSql.resize(128),
       "mm6_quantize" -> SimilaritySql.quantizeInt8Stats
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible

@@ -183,6 +183,27 @@ class PlanAuditSpec extends SparkSuite {
       "datasketches agg should ride ObjectHashAggregate:\n" + p)
   }
 
+  test("join strategy obeys the broadcast threshold knob") {
+    // the same logical join flips BroadcastHashJoin -> SortMergeJoin when
+    // broadcasting is disabled: the strategy is a cost decision under our
+    // control, not an accident of the default config
+    val sp = spark.newSession()
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    def j = {
+      val c = graft.operators.Tables(sp, dir, "customer")
+      val o = graft.operators.Tables(sp, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", (10 << 20).toString)
+    val bhj = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(bhj.contains("BroadcastHashJoin"), bhj)
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val smj = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(smj.contains("SortMergeJoin") && !smj.contains("BroadcastHashJoin"),
+      smj)
+  }
+
   test("x3: dim filter prunes fact partitions at runtime (DPP)") {
     val p = plan("x3_dpp")
     assert(p.contains("dynamicpruningexpression"),

@@ -69,4 +69,22 @@ class IngestSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(got === Map("m1" -> 4, "m2" -> 10))
   }
+
+  test("zstd parquet is denser than uncompressed and reads back identically") {
+    def dirSize(p: String): Long =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val base = Files.createTempDirectory("graft_zstd").toString
+    docs.write.mode("overwrite").option("compression", "none")
+      .parquet(s"$base/none")
+    docs.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$base/zstd")
+    assert(dirSize(s"$base/zstd") < dirSize(s"$base/none"),
+      s"zstd ${dirSize(s"$base/zstd")} !< none ${dirSize(s"$base/none")}")
+    val back = spark.read.parquet(s"$base/zstd").orderBy("doc_id").collect()
+    assert(back.map(_.toSeq).toSeq ===
+      docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
 }
