@@ -1077,6 +1077,23 @@ object SparkEntry {
         .write.mode("overwrite").orc(path)
       s.read.orc(path).orderBy("doc_id")
     }),
+    "s4_file_metadata" -> ((s, dir) => {
+      // hidden metadata columns (_metadata.file_path): per-row lineage at
+      // zero storage cost — at 100 TB this is how a bad shard is traced
+      // and re-processed without a lineage sidecar. The gate: every row's
+      // physical file path agrees with its hive partition value.
+      val path = tmpPath(dir, "docs_by_lang_meta")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .select(col("lang"), col("_metadata.file_path").as("fp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          min(col("fp").contains(concat(lit("lang="), col("lang"))))
+            .as("path_consistent"))
+        .orderBy("lang")
+    }),
     "o2_zstd_roundtrip" -> ((s, dir) => {
       // codec control: zstd-compressed parquet round trip (the archival
       // tier codec — denser than snappy at comparable scan cost on modern
@@ -1583,6 +1600,10 @@ object SparkEntry {
            |GROUP BY rating ORDER BY rating""".stripMargin,
       "o1_orc_roundtrip" ->
         "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+      "s4_file_metadata" -> // physical path agrees with partition value
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          |       TRUE AS path_consistent
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       "o2_zstd_roundtrip" -> // codec change is invisible to the data
         """SELECT doc_id, lang, CAST(length(text) AS INT) AS len
           |FROM documents ORDER BY doc_id""".stripMargin,
