@@ -211,6 +211,39 @@ class PlanAuditSpec extends SparkSuite {
         "side's build:\n" + p)
   }
 
+  test("shuffled hash join is reachable when sort-merge is a bad fit") {
+    // the third join strategy: when one side is modest but over the
+    // broadcast budget, hashing it per-partition beats sorting BOTH sides.
+    // The planner only picks it when per-partition size stats allow a
+    // local hash map; the SHUFFLE_HASH hint is the explicit user-facing
+    // lever and must reach the physical operator
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val c = graft.operators.Tables(s, dir, "customer").hint("shuffle_hash")
+    val o = graft.operators.Tables(s, dir, "orders")
+    val p = o.join(c, o("o_custkey") === c("c_custkey"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the other half of runtime re-planning (skew split is below): a tiny
+    // aggregate shuffled across 32 partitions must execute with AQE
+    // merging them down instead of scheduling 32 near-empty tasks
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "32")
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Tables(s, dir, "orders")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    df.collect() // execute so AQE finalizes the plan
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("AQEShuffleRead") &&
+      executed.contains("coalesced"),
+      "expected runtime-coalesced shuffle read:\n" + executed)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // The 100 TB skew story is two-layered: explicit salting where the hot
     // keys are known (x1_salted_join), and AQE's OptimizeSkewedJoin as the
