@@ -5,18 +5,32 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"ok":{...},"sf":...}`.
   *
-  * Methodology (fixes the round-1 hole, VERDICT.md "What's wrong" #1/#6):
+  * Methodology (fixes the round-1 hole, VERDICT.md r1 "What's wrong" #1/#6,
+  * and the r4 fixture-timing + tail-noise items #1/#2/#8):
   *  - results go to the `noop` datasource, not `.count()` — a count lets
   *    Catalyst prune every unused projection/aggregate expression, so e.g.
   *    a bloom build benched as an empty aggregate. `noop` materializes
   *    every column of every row and discards them.
   *  - one warm-up pass over all queries at sf0.001 (~6k rows) so JIT /
   *    codegen compilation doesn't land on the first measured query.
+  *  - an untimed setup pass materializes every [[SparkEntry.fixtures]]
+  *    artifact (reload/ingest sources, bucketed tables) for the measured
+  *    dir, so a round-trip query's timed region is its scan/probe, not its
+  *    fixture sink.
+  *  - heavy tail re-measured: any query whose first measurement exceeds
+  *    [[heavySecs]] runs twice more and reports the median of 3 — this
+  *    host shows order-of-magnitude per-run noise on allocation-heavy
+  *    queries (measured: same query 5.3s..50s across identical runs), and
+  *    a single draw from that distribution is not a number.
   *  - a failing query contributes `ok=false` instead of silently
   *    contributing a fast time.
+  *  - the full per-query detail (every run of every query) is written to
+  *    `BENCH_DETAIL.json` in the working directory — stdout tail-capture
+  *    truncates, the file doesn't.
   */
 object Bench {
   private val warmupDir = "/root/testdata/sf0.001"
+  private val heavySecs = 3.0
 
   private def runOne(spark: SparkSession, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -94,15 +108,48 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Exception => }
     }
+    // untimed setup: materialize round-trip fixtures + bucketed tables so
+    // the timed queries measure their read/probe, not their fixture sink
+    SparkEntry.fixtures.foreach { case (name, fn) =>
+      try fn(spark, sfDir)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] fixture $name failed: ${e.getMessage}")
+      }
+    }
 
-    val results = selected.map { case (name, fn) =>
-      name -> runOne(spark, name, fn, sfDir)
+    val allRuns = selected.map { case (name, fn) =>
+      val first = runOne(spark, name, fn, sfDir)
+      val runs =
+        if (first._2 && first._1 > heavySecs)
+          Seq(first, runOne(spark, name, fn, sfDir), runOne(spark, name, fn, sfDir))
+        else Seq(first)
+      name -> runs
+    }
+    val results = allRuns.map { case (name, runs) =>
+      val times = runs.map(_._1).sorted
+      name -> (times(times.size / 2), runs.forall(_._2))
     }
     val qs = results.map { case (k, (t, _)) => s"\"$k\":$t" }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, (_, ok)) => s"\"$k\":$ok" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+
+    // lossless per-query artifact: every run of every query, parseable
+    // regardless of the driver's stdout tail window
+    val detail = results.map { case (k, (t, ok)) =>
+      val runsJson = allRuns.find(_._1 == k).get._2.map(r => f"${r._1}%.3f")
+        .mkString("[", ",", "]")
+      s""""$k":{"sec":$t,"ok":$ok,"runs":$runsJson}"""
+    }.mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"sf":"$sfDir","queries":$detail}""")
+      finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"sf":"$sfDir"}"""
 

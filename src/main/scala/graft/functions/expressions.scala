@@ -1,12 +1,13 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.core.{BloomFilter, Murmur3}
+import graft.core.{BloomFilter, GroupFilters, Murmur3}
 
 /** `mmh3(key, seed)` — seeded MurmurHash3 x86_32 over the UTF-8 bytes of a
   * string (or raw bytes of a binary), the engine's deterministic hash
@@ -115,4 +116,90 @@ case class BloomMightContain(
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): BloomMightContain =
     copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** `bloom_probe_groups(group, key)` against a driver-collected, broadcast
+  * [[graft.core.GroupFilters]] artifact — the probe kernel in the shape the
+  * reference testers actually run it (filters loaded driver-side, shipped
+  * once per worker, probe = a map over the test set; reference
+  * `spark-bloom-filter/bloomfilters_tester.py:81,94-112`,
+  * `hadoop-bloom-filter/.../tester/BloomFilterTester.java:83-88`).
+  *
+  * Vs the join formulation ([[BloomMightContain]] over
+  * `test JOIN filters`): the filter bytes are referenced, never copied —
+  * a joined BINARY attribute is materialized per probe row (~m/8 bytes of
+  * memcpy each), which at bench scale is gigabytes of allocation per query
+  * and at cluster scale is pure wasted memory bandwidth. Here the probe
+  * stays a narrow whole-stage-codegen projection: binary-search the group
+  * (log2 #groups int compares), then k seeded hashes against the shared
+  * byte array.
+  *
+  * Returns NULL for a group with no filter — callers filter on
+  * `isNotNull`, preserving the inner-join skip semantics (SURVEY.md §2.6).
+  */
+case class BloomProbeGroups(
+    filters: Broadcast[GroupFilters],
+    left: Expression,   // group INT
+    right: Expression)  // key STRING or BINARY
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != IntegerType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_probe_groups group must be INT, got ${left.dataType.sql}")
+    } else if (!right.dataType.isInstanceOf[StringType] && right.dataType != BinaryType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_probe_groups key must be STRING or BINARY, got ${right.dataType.sql}")
+    } else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = BooleanType
+
+  /** NULL on absent group even with non-null inputs. */
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "bloom_probe_groups"
+
+  @transient private lazy val gf: GroupFilters = filters.value
+
+  override protected def nullSafeEval(group: Any, key: Any): Any = {
+    val i = gf.indexOf(group.asInstanceOf[Int])
+    if (i < 0) null
+    else {
+      val keyBytes = key match {
+        case s: UTF8String  => s.getBytes
+        case b: Array[Byte] => b
+      }
+      java.lang.Boolean.valueOf(gf.mightContain(i, keyBytes))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference the broadcast HANDLE (small) in the task binary; the
+    // payload moves through the block manager once per executor, and the
+    // local value is resolved once per generated-class instance
+    val bcRef = ctx.addReferenceObj("filtersBc", filters,
+      classOf[Broadcast[GroupFilters]].getName)
+    val gfVar = ctx.addMutableState("graft.core.GroupFilters", "groupFilters",
+      v => s"$v = (graft.core.GroupFilters) $bcRef.value();")
+    val bytes = right.dataType match {
+      case StringType => (v: String) => s"$v.getBytes()"
+      case _          => (v: String) => v
+    }
+    nullSafeCodeGen(ctx, ev, (group, key) => {
+      val idx = ctx.freshName("gi")
+      s"""
+         |int $idx = $gfVar.indexOf($group);
+         |if ($idx < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $gfVar.mightContain($idx, ${bytes(key)});
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbeGroups =
+    copy(left = newLeft, right = newRight)
 }

@@ -23,6 +23,12 @@ package object functions {
   def bloom_might_contain(bits: Column, m: Column, k: Column, key: Column): Column =
     col(BloomMightContain(expr(bits), expr(m), expr(k), expr(key)))
 
+  /** Bloom membership probe against a broadcast driver-collected filter
+    * set (the reference testers' shape); NULL for groups with no filter. */
+  def bloom_probe_groups(filters: org.apache.spark.broadcast.Broadcast[graft.core.GroupFilters],
+      group: Column, key: Column): Column =
+    col(BloomProbeGroups(filters, expr(group), expr(key)))
+
   /** Cosine similarity of two ARRAY<FLOAT|DOUBLE> embedding columns. */
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
 

@@ -1,10 +1,11 @@
 package graft.operators
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.BloomFilter
-import graft.functions.{bloom_build_native, bloom_might_contain}
+import graft.core.{BloomFilter, GroupFilters}
+import graft.functions.{bloom_build_native, bloom_might_contain, bloom_probe_groups}
 
 /** The reference's 4-stage pipeline (SURVEY.md §0) re-expressed as three
   * composable DataFrame functions (the split lives in [[Ratings]]):
@@ -97,6 +98,14 @@ object BloomPipeline {
     * group's filter, count false positives. Because train/test keys are
     * disjoint, every hit is a false positive (SURVEY.md §5.1).
     *
+    * Join formulation (J1 + P3 + A4 decomposition): Catalyst picks the
+    * join strategy and the probe predicate stays in codegen. Its cost
+    * profile carries one hidden term: the joined BINARY `bits` attribute
+    * is materialized per probe row (~m/8 bytes of memcpy each), so the
+    * production unsharded probe is [[fpStatsCollected]]; this formulation
+    * is the right one when the filter side is too large to collect but
+    * small enough to broadcast-join.
+    *
     * Edge policy (SURVEY.md §2.6, deliberate fix): a test rating with no
     * built filter is *skipped* via the inner join (the Hadoop engine
     * logged-and-dropped; the reference Spark engine crashed).
@@ -112,9 +121,38 @@ object BloomPipeline {
         count("*").as("total"))
       .withColumn("fpRate", col("falsePositives") / col("total"))
 
-  /** Flagship: full build -> probe round trip (SURVEY.md §7.5). */
+  /** Collect built filters into the bounded driver artifact the reference
+    * testers load (`bloomfilters_tester.py:81` unpickles the filter dict;
+    * `tester/BloomFilterTester.java:83-88` stages it via DistributedCache).
+    * One row per group — same contract as collecting the filters. */
+  def collectFilters(filters: DataFrame): GroupFilters =
+    GroupFilters(filters.select("rating", "m", "k", "bits").collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3))))
+
+  /** Build + collect + broadcast in one step. */
+  def broadcastFilters(train: DataFrame, p: Double): Broadcast[GroupFilters] =
+    train.sparkSession.sparkContext.broadcast(collectFilters(buildFilters(train, p)))
+
+  /** Stage 3, production unsharded formulation: probe through a broadcast
+    * [[GroupFilters]] — a narrow codegen projection (group binary-search +
+    * k hashes, zero per-row allocation), shipped once per executor. Missing
+    * groups probe NULL and are skipped, matching [[fpStats]]'s inner join.
+    */
+  def fpStatsCollected(test: DataFrame, filters: Broadcast[GroupFilters]): DataFrame =
+    test
+      .select(col("rating"),
+        bloom_probe_groups(filters, col("rating"), col("movieId")).as("hit"))
+      .where(col("hit").isNotNull)
+      .groupBy("rating")
+      .agg(
+        sum(when(col("hit"), 1L).otherwise(0L)).as("falsePositives"),
+        count("*").as("total"))
+      .withColumn("fpRate", col("falsePositives") / col("total"))
+
+  /** Flagship: full build -> probe round trip (SURVEY.md §7.5), probing
+    * through the collected artifact like the reference testers. */
   def endToEnd(train: DataFrame, test: DataFrame, p: Double): DataFrame =
-    fpStats(test, buildFilters(train, p))
+    fpStatsCollected(test, broadcastFilters(train, p))
 
   /** Reference-shaped build (SURVEY.md §7.2.5b): the explicit
     * hash-indexes column of the reference Spark engine —
