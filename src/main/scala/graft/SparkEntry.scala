@@ -1029,6 +1029,7 @@ object SparkEntry {
         TextAnalysis.shingles(t, TextAnalysis.winnowShingleN), 0)
       val keyed = Tables(s, dir, "documents").where(size(t) > 0)
         .select(col("doc_id"), TextAnalysis.normalized(col("text")).as("norm"),
+          xxhash64(TextAnalysis.normalized(col("text"))).as("nfp"),
           (size(array_except(
             graft.functions.winnow(hashes, TextAnalysis.winnowWindow),
             hashes)) > 0).as("not_subset"),
@@ -1037,9 +1038,12 @@ object SparkEntry {
         count("*").as("n_docs"),
         coalesce(sum(when(col("not_subset"), 1L).otherwise(0L)), lit(0L))
           .as("n_subset_violations"))
+      // exact-pair join keys on the 64-bit fingerprint (narrow exchange);
+      // the post-join norm equality drops any hash collision
       val pairAgg = keyed.as("x")
         .join(keyed.as("y"),
-          col("x.norm") === col("y.norm") && col("x.doc_id") < col("y.doc_id"))
+          col("x.nfp") === col("y.nfp") && col("x.doc_id") < col("y.doc_id"))
+        .where(col("x.norm") === col("y.norm"))
         .agg(
           count("*").as("n_exact_pairs"),
           coalesce(sum(when(col("x.fp") =!= col("y.fp"), 1L).otherwise(0L)),

@@ -30,19 +30,37 @@ import graft.operators.TextAnalysis.{normalized, shingles, tokens}
 object Dedup {
 
   /** Exact dedup: `(doc_id, is_keeper)` for every document; the keeper of
-    * a duplicate group is the minimum doc_id. Grouping key is the 64-bit
-    * content fingerprint *plus* the normalized text — the hash bounds the
-    * comparator work and the text guards against hash collisions, so the
-    * result is exact at any scale. One shuffle, window over tiny groups.
+    * a duplicate group is the minimum doc_id. Exact at any scale, without
+    * ever shuffling the corpus text wholesale:
+    *
+    *   1. narrow pass — `(doc_id, xxhash64(norm))`, 16 bytes/row — finds
+    *      the fingerprints that occur more than once;
+    *   2. docs whose fingerprint is unique are keepers with no text
+    *      comparison at all (a second occurrence of their text would have
+    *      collided into their fingerprint group);
+    *   3. only the repeated-fingerprint sliver (true dups + ~2^-64 hash
+    *      collisions) re-joins its text, and the keeper window partitions
+    *      by (fp, norm) so a collision can never merge distinct texts.
+    *
+    * At 100 TB the full-corpus exchanges carry two longs per row; document
+    * text moves exactly once, and only for rows that genuinely need a
+    * byte compare.
     */
   def exactKeepers(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = normalized(col("text"))
+    val keyed = docs.select(col("doc_id"), xxhash64(norm).as("fp"))
+    val dupFps = keyed.groupBy("fp").agg(count("*").as("n"))
+      .where(col("n") > 1).select("fp")
     val w = Window.partitionBy(col("fp"), col("norm"))
-    docs
+    val sliver = docs
       .select(col("doc_id"), xxhash64(norm).as("fp"), norm.as("norm"))
+      .join(dupFps, "fp")
       .withColumn("is_keeper", col("doc_id") === min("doc_id").over(w))
       .select(col("doc_id"), col("is_keeper"))
+    keyed.join(dupFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), lit(true).as("is_keeper"))
+      .unionByName(sliver)
   }
 
   /** Cross-batch dedup with a Bloom prefilter: `(doc_id, is_new)` for
@@ -256,12 +274,23 @@ object Dedup {
     * `bloom_zero_fn`. */
   def simhashExactDupCheck(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val t = tokens(col("text"))
+    // candidate pairs from the 64-bit fingerprint equi-join (narrow
+    // exchange), exact-verified on the normalized text fetched per
+    // candidate doc — same trick as jaccardPairsExact's hashed shingles:
+    // a hash collision can only ADD a candidate, and the verify drops it
     val keyed = docs.where(size(t) > 0)
-      .select(col("doc_id"), normalized(col("text")).as("norm"))
-    val exactPairs = keyed.as("x")
+      .select(col("doc_id"), xxhash64(normalized(col("text"))).as("nfp"))
+    val cand = keyed.as("x")
       .join(keyed.as("y"),
-        col("x.norm") === col("y.norm") && col("x.doc_id") < col("y.doc_id"))
+        col("x.nfp") === col("y.nfp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val norms = docs.where(size(t) > 0)
+      .select(col("doc_id"), normalized(col("text")).as("norm"))
+    val exactPairs = cand
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("norm_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("norm_b")), "doc_b")
+      .where(col("norm_a") === col("norm_b"))
+      .select(col("doc_a"), col("doc_b"))
     exactPairs
       .join(simhashPairs(docs, maxHamming), Seq("doc_a", "doc_b"), "left_outer")
       .agg(
@@ -329,16 +358,13 @@ object Dedup {
     * 100 TB pretraining-corpus pass takes: one narrow projection pass,
     * one keyed shuffle, nothing quadratic. */
   def cleanCorpus(docs: DataFrame, minQuality: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
     val kept = docs.join(scored, "doc_id").where(col("quality") >= minQuality)
-    val norm = normalized(col("text"))
-    val w = Window.partitionBy(col("norm"))
-    kept
-      .select(col("doc_id"), norm.as("norm"), col("quality"))
-      .withColumn("keeper", min("doc_id").over(w))
-      .where(col("doc_id") === col("keeper"))
-      .select(col("doc_id"), col("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dedup via exactKeepers: full-corpus exchanges stay (doc_id, hash)-
+    // narrow, text moves only for the repeated-fingerprint sliver
+    kept.select(col("doc_id"), col("quality"))
+      .join(exactKeepers(kept).where(col("is_keeper")).select("doc_id"), "doc_id")
   }
 
   /** Near-dup pairs via 64-bit SimHash: `(doc_a, doc_b, hamming)` with

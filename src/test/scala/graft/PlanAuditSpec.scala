@@ -281,4 +281,44 @@ class PlanAuditSpec extends SparkSuite {
     assert(rendered.contains("skew=true"),
       s"skewed partition was not split:\n$rendered")
   }
+
+  test("dedup_exact: bulk corpus exchanges carry hashes, not document text") {
+    // exactKeepers' full-corpus passes must shuffle (doc_id, fp) only;
+    // the normalized text may appear in exchanges exclusively on the
+    // repeated-fingerprint sliver, which sits BELOW the dupFps join
+    // AQE off for this audit: the adaptive wrapper hides exchanges from
+    // collect() until stages materialize; the static plan shows them all
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.operators.Dedup.exactKeepers(
+          graft.operators.Tables(spark, dir, "documents"))
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val df = graft.operators.Dedup.exactKeepers(
+      graft.operators.Tables(spark, dir, "documents"))
+    assert(exchanges.nonEmpty)
+    // the aggregate-side exchange (fp count) must be hash-only: no string
+    // column in its output schema
+    val narrow = exchanges.filter(_.child.schema.fields
+      .forall(f => f.dataType != org.apache.spark.sql.types.StringType))
+    assert(narrow.nonEmpty,
+      s"no narrow (text-free) exchange found:\n${df.queryExecution.executedPlan}")
+
+    // the flagship probe pipeline: bloom_fpstats' plan must contain NO
+    // broadcast join at all anymore — the probe is a projection
+    val p = plan("bloom_fpstats")
+    assert(p.contains("bloom_probe_groups"), p)
+    assert(!p.contains("BroadcastHashJoin"),
+      "collected probe must not join the filter table")
+  }
+
+  test("bloom_sharded_reload: probes via the (rating, shard) equi-join") {
+    val p = plan("bloom_sharded_reload")
+    assert(p.contains("bloom_might_contain"), p)
+    // slab routing join keys on rating+shard (narrow ints), never text
+    assert(p.contains("shard"), p)
+  }
 }

@@ -70,4 +70,27 @@ class FilterStoreSpec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("falsePositives")).sum ===
       rows.map(_.getAs[Long]("total")).sum)
   }
+
+  test("sharded slab rows are byte-stable across independent builds") {
+    // two independently built + persisted sharded artifacts of the same
+    // corpus must agree slab for slab, byte for byte — the (group, shard)
+    // routing and per-slab bit layout are part of the artifact contract
+    val train = (0 until 3000).map(i => (s"key-$i", i % 2)).toDF("movieId", "rating")
+    def buildDump(): Map[(Int, Int), (Int, Int, Int, String)] = {
+      val path = Files.createTempDirectory("graft_slab_stable").toString
+      FilterStore.save(
+        BloomPipeline.buildShardedFilters(train, p, maxSlabBits = 2048), path)
+      FilterStore.load(spark, path)
+        .select("rating", "shard", "s", "m", "k", "bits").collect()
+        .map { r =>
+          val sha = MessageDigest.getInstance("SHA-256")
+            .digest(r.getAs[Array[Byte]]("bits")).map("%02x".format(_)).mkString
+          (r.getInt(0), r.getInt(1)) -> (r.getInt(2), r.getInt(3), r.getInt(4), sha)
+        }.toMap
+    }
+    val first = buildDump()
+    val second = buildDump()
+    assert(first.size > 2, "slab forcing must yield multiple shards")
+    assert(first === second)
+  }
 }
