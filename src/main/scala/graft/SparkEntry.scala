@@ -1136,7 +1136,9 @@ object SparkEntry {
     // Recall gates for the ANN paths: counts are real oracle values,
     // recall_ok the cross-engine invariant (seed-deterministic recall on
     // the random-unit-vector testdata measures 0.46/0.48 for LSH/IVF and
-    // 0.72/0.56 for PQ at sf0.01/sf0.1; floor 0.25).
+    // 0.72/0.56 for PQ at sf0.01/sf0.1, floor 0.25; the IVF×PQ composition
+    // measures 0.48/0.35 — coarse pruning stacks on quantization loss —
+    // floor 0.2).
     "sim_ann_lsh_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.recallVsExact(emb,
@@ -1163,6 +1165,20 @@ object SparkEntry {
       Similarity.recallVsExact(emb,
         Similarity.pqTopK(emb, col("vec_id") % 50 === 0, simK),
         col("vec_id") % 50 === 0, simK, floor = 0.25)
+    }),
+    "sim_ann_ivfpq" -> ((s, dir) => { // approximate by design -> rows-only
+      // IVF restricts the lists scanned, PQ scores inside a list — the
+      // production ANN composition; small-shuffle child session like pq
+      val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
+      Similarity.ivfPqTopK(Tables(c, dir, "embeddings"),
+        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")
+    }),
+    "sim_ann_ivfpq_recall" -> ((s, dir) => {
+      val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
+      val emb = Tables(c, dir, "embeddings")
+      Similarity.recallVsExact(emb,
+        Similarity.ivfPqTopK(emb, col("vec_id") % 50 === 0, simK),
+        col("vec_id") % 50 === 0, simK, floor = 0.2)
     }),
 
     // --- ST: Structured Streaming drained to a deterministic result —
@@ -1693,6 +1709,7 @@ object SparkEntry {
       "sim_ann_lsh_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "sim_ann_ivf_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "sim_ann_pq_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
+      "sim_ann_ivfpq_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "st1_stream_hourly" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
           |       event_type, count(*) AS n

@@ -182,17 +182,19 @@ object Similarity {
     * Orthogonal to [[ivfTopK]] (coarse pruning) — production systems
     * compose them (IVF restricts the lists scanned, PQ scores inside a
     * list); here PQ scans all codes so its recall is attributable to the
-    * quantization alone.
+    * quantization alone. The composition is [[ivfPqTopK]].
     */
-  def pqTopK(
+  /** Spherical-k-means PQ codebook training (the TRAIN stage of
+    * [[pqTopK]], shared with [[ivfPqTopK]]): returns the flat codebook
+    * laid out at slot `j*ksub + code` plus the per-slot squared centroid
+    * norms. A tiny `m × ksub` driver artifact, like the reference's
+    * persisted filters. */
+  def trainPqCodebook(
       emb: DataFrame,
-      queryPred: Column,
-      k: Int,
-      m: Int = 8,
-      ksub: Int = 16,
-      iters: Int = 2,
-      shortlist: Int = 64,
-      seed: Int = 7): DataFrame = {
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      seed: Int): (Array[Double], Array[Double]) = {
     val spark = emb.sparkSession
     val d = emb.select(size(col("embedding"))).head.getInt(0)
     require(d % m == 0, s"pq: m ($m) must divide the dimensionality ($d)")
@@ -283,6 +285,20 @@ object Similarity {
       c.foreach { x => cbFlat(slot * sd + i) = x; s += x * x; i += 1 }
       cn2Flat(slot) = s
     }
+    (cbFlat, cn2Flat)
+  }
+
+  def pqTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      shortlist: Int = 64,
+      seed: Int = 7): DataFrame = {
+    val spark = emb.sparkSession
+    val (cbFlat, cn2Flat) = trainPqCodebook(emb, m, ksub, iters, seed)
 
     // --- ENCODE: one narrow codegen'd projection off the scan — the
     // native pq_encode kernel replaces explode + centroid join + two
@@ -388,6 +404,111 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosRounded(col("q_emb"), col("embedding")).as("cos"))
       .distinct() // a pair can meet through several probed lists
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Approximate top-k via IVF × PQ — the production ANN composition
+    * (FAISS `IVFPQ`): the coarse quantizer restricts WHICH lists are
+    * scanned, PQ scores WITHIN a list in the compressed domain, and only
+    * the per-query shortlist pays an exact full-width cosine.
+    *
+    *   1. coarse: `nCentroids` sample centroids ([[ivfTopK]]'s quantizer);
+    *      every corpus vector lands in exactly one inverted list, each
+    *      query probes its `nProbe` nearest lists;
+    *   2. compressed: corpus vectors carry only their `m` PQ codes into
+    *      the candidate join — the probed lists are scored by `pq_adc`
+    *      table lookups, never a full-width float pass (at 100 TB the
+    *      scannable corpus is codes + one shared codebook, RAM-resident);
+    *   3. exact: the top-`shortlist` by approximate score re-rank with a
+    *      true cosine.
+    *
+    * PQ here encodes raw vectors, not per-list residuals (FAISS's default
+    * refinement) — recall stays attributable to quantization + probe
+    * count, and the codebook stays one shared artifact; residual encoding
+    * is the production upgrade when list-local distributions diverge.
+    * Candidates come from the `centroid_id` equi-join of the probed lists
+    * — never a corpus×query product.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      shortlist: Int = 64,
+      seed: Int = 7,
+      ivfSeed: Int = 42): DataFrame = {
+    require(nProbe <= nCentroids, s"nProbe ($nProbe) must be <= nCentroids ($nCentroids)")
+    val spark = emb.sparkSession
+    val (cbFlat, cn2Flat) = trainPqCodebook(emb, m, ksub, iters, seed)
+
+    // coarse quantizer — same deterministic sample codebook as ivfTopK
+    val centroids = emb
+      .orderBy(xxhash64(col("vec_id"), lit(ivfSeed)))
+      .limit(nCentroids)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col("embedding").as("c_emb"))
+
+    def assign(df: DataFrame, idCol: String, embCol: String, lists: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("centroid_id"))
+      df.join(broadcast(centroids))
+        .select(col(idCol), col(embCol), col("centroid_id"),
+          cosine_sim(col(embCol), col("c_emb")).as("c_cos"))
+        .withColumn("c_rank", row_number().over(w))
+        .where(col("c_rank") <= lists)
+        .drop("c_cos", "c_rank")
+    }
+
+    // inverted lists of CODES: one narrow pass assigns the list and
+    // encodes — the embedding itself never reaches the candidate join
+    val corpusCodes = assign(
+        emb.repartition(spark.sessionState.conf.numShufflePartitions)
+          .select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id", "embedding", lists = 1)
+      .select(col("centroid_id"), col("neighbor_id"),
+        graft.functions.pq_encode(col("embedding").cast("array<double>"),
+          typedLit(cbFlat.toSeq), m, ksub).as("codes"))
+      .withColumn("rn2",
+        graft.functions.pq_adc(typedLit(cn2Flat.toSeq), col("codes"), ksub))
+
+    val queries = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val qtab = assign(queries, "query_id", "embedding", lists = nProbe)
+      .select(col("centroid_id"), col("query_id"),
+        graft.functions.pq_table(col("embedding").cast("array<double>"),
+          typedLit(cbFlat.toSeq), m, ksub).as("ip_flat"),
+        dot_product(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("qn2"))
+
+    // probed-list candidate join on centroid_id; compressed-domain score
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val shortlisted = corpusCodes.join(broadcast(qtab), Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("rn2") === 0.0 || col("qn2") === 0.0, 0.0)
+          .otherwise(graft.functions.pq_adc(col("ip_flat"), col("codes"), ksub)
+            / (sqrt(col("qn2")) * sqrt(col("rn2"))))
+          .as("approx_cos"))
+      .distinct() // a (query, neighbor) pair can meet via several probes
+      .withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlist)
+
+    // exact re-rank of the tiny shortlist (|Q| × shortlist rows broadcast
+    // INTO the corpus — see pqTopK's rationale)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(shortlisted)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("embedding").as("q_emb"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosRounded(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

@@ -150,6 +150,17 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"PQ recall@1 = $recall")
     // tight clusters: the shortlist's exact re-rank must land in-cluster
     pq.foreach { case (q, n) => assert(n / 10 === q / 10, s"query $q -> $n") }
+
+    // the IVF×PQ composition on the same clustered data: a generous probe
+    // budget keeps the coarse pruning near-lossless here, so recall is
+    // dominated by the same quantization as plain PQ
+    val ivfpq = Similarity.ivfPqTopK(e, queryPred, 1,
+      nCentroids = 16, nProbe = 8, m = 4, ksub = 16, iters = 2, shortlist = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivfpq.keySet === exact.keySet, "every query must return a neighbor")
+    val ivfpqRecall =
+      exact.count { case (q, n) => ivfpq.get(q).contains(n) }.toDouble / exact.size
+    assert(ivfpqRecall >= 0.6, s"IVF×PQ recall@1 = $ivfpqRecall")
   }
 
   test("recallVsExact: counts and gate, both directions") {
