@@ -152,9 +152,15 @@ object VectorKernels {
     var sum = 0.0
     var j = 0
     while (j < m) {
-      val idx = j * ksub + codes.getInt(j)
-      require(idx >= 0 && idx < tlen,
-        s"pq_adc: code ${codes.getInt(j)} at subspace $j out of table range $tlen (ksub=$ksub)")
+      val code = codes.getInt(j)
+      // per-code bound, not just the flattened index: a code >= ksub at a
+      // non-final subspace would land inside ANOTHER subspace's slots and
+      // return a silently wrong score instead of failing
+      require(code >= 0 && code < ksub,
+        s"pq_adc: code $code at subspace $j out of range [0, $ksub)")
+      val idx = j * ksub + code
+      require(idx < tlen,
+        s"pq_adc: slot $idx at subspace $j out of table range $tlen (ksub=$ksub)")
       sum += table.getDouble(idx)
       j += 1
     }
@@ -537,6 +543,9 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   * interpreted `HigherOrderFunction` lambdas — at a 25M-pair similarity
   * self-join that is ~1.6B boxed lambda invocations. This kernel is a tight
   * primitive loop inside whole-stage codegen.
+  *
+  * Null array SLOTS read as 0.0 rather than propagating NULL — see
+  * [[DotProduct]] for the documented contract and rationale.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -585,6 +594,15 @@ case class CosineSim(left: Expression, right: Expression)
   * columns as one codegen'd kernel call (same rationale as [[CosineSim]]:
   * no interpreted `aggregate(zip_with(...))` lambdas in hot paths). Used by
   * the product-quantization ADC tables and for norms via `dot(x, x)`.
+  *
+  * Null SLOTS inside an array are not SQL-conformant here (documented
+  * contract, same as [[CosineSim]] and the PQ projections): parquet-sourced
+  * embedding columns type as `containsNull=true` even though the pipeline
+  * never writes a null element, and rejecting the type would refuse every
+  * real embedding table. A null slot reads as 0.0 through the primitive
+  * accessor instead of propagating NULL (DuckDB's `list_dot_product`
+  * yields NULL); embeddings with genuinely-missing dimensions must be
+  * repaired or filtered upstream.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

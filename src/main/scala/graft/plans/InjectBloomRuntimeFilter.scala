@@ -118,14 +118,14 @@ case class InjectBloomRuntimeFilter(spark: SparkSession) extends Rule[LogicalPla
     }
   }
 
-  /** Probe-side Filter over a scalar-subquery filter build on the small
-    * side. Geometry from the small side's row estimate (bytes / 32 as a
-    * conservative rows guess, doubled for safety). */
   /** Alias marking a build aggregate as injected by THIS rule — the
     * durable idempotency marker (plan-structural, survives any transform,
     * unlike a TreeNodeTag which a node rewrite can drop). */
   private val injectedAlias = "graft_rt_bloom"
 
+  /** Probe-side Filter over a scalar-subquery filter build on the small
+    * side. Geometry from the small side's row estimate (bytes / 32 as a
+    * conservative rows guess, doubled for safety). */
   private def injectFilter(big: LogicalPlan, bigKey: AttributeReference,
       small: LogicalPlan, smallKey: AttributeReference, fpp: Double): LogicalPlan = {
     val estRows = math.max(64L, (small.stats.sizeInBytes / 32L).toLong * 2L)

@@ -257,7 +257,10 @@ object StreamingQueries {
     val spark = outer.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val out = s"${sys.props("java.io.tmpdir")}/graft_st9_${math.abs(dir.hashCode)}"
+    // PID-scoped: two JVMs (e.g. bench and verify) over the same data dir
+    // must not clobber each other's sink mid-read
+    val out = s"${sys.props("java.io.tmpdir")}/graft_st9_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true) // idempotent re-run
@@ -405,7 +408,9 @@ object StreamingQueries {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val src = s"${sys.props("java.io.tmpdir")}/graft_st11_src_${math.abs(dir.hashCode)}"
+    // PID-scoped for the same reason as the st9 sink path
+    val src = s"${sys.props("java.io.tmpdir")}/graft_st11_src_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
     spark.read.parquet(s"$dir/events.parquet").repartition(8)
       .write.mode("overwrite").parquet(src)
     val schema = spark.read.parquet(src).schema
