@@ -138,6 +138,39 @@ object SparkEntry {
         .write.mode("overwrite")
         .option("compression", "zstd").parquet(path)
     }),
+    // storage-pruning twins: ONE file each, tiny row groups. The sorted
+    // layout (by doc_id, no parquet blooms) lets range predicates skip row
+    // groups via footer min/max; the scrambled layout carries a parquet
+    // BLOOM FILTER on `source`, so an equality probe for an absent value
+    // skips every row group even though min/max can't exclude it — the
+    // storage-side complement of the engine's own filters. Pruning is
+    // observable because Spark leaves record-level filtering to itself
+    // (spark.sql.parquet.recordLevelFilter.enabled=false default): the
+    // scan's numOutputRows IS the undecoded-row-group drop, asserted in
+    // ParquetPruningSpec.
+    // Dictionary encoding is disabled on both twins: at test cardinality
+    // parquet dictionary pages prove absence on their own, which is
+    // exactly the mechanism that FALLS AWAY on high-cardinality columns
+    // at real scale — the regime parquet blooms exist for. Plain-encoded
+    // pages model that regime at sf-test size.
+    "docs_rg_sorted" -> ((s, dir) => ensureFixture(dir, "docs_rg_sorted", version = 2) { path =>
+      Tables(s, dir, "documents")
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (16 * 1024).toString)
+        .option("parquet.enable.dictionary", "false")
+        .parquet(path)
+    }),
+    "docs_rg_scrambled" -> ((s, dir) => ensureFixture(dir, "docs_rg_scrambled", version = 2) { path =>
+      Tables(s, dir, "documents")
+        .orderBy(xxhash64(col("doc_id")))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (16 * 1024).toString)
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.bloom.filter.enabled#source", "true")
+        .parquet(path)
+    }),
     // one-time bucketed-table CREATEs (b1's timed region is then the
     // exchange-free join itself)
     "bucketed_tables" -> ((s, dir) => {
@@ -1251,6 +1284,17 @@ object SparkEntry {
             .as("path_consistent"))
         .orderBy("lang")
     }),
+    "k6_rowgroup_pruning" -> ((s, dir) => {
+      // storage-side pruning: a selective range predicate over the sorted
+      // small-row-group layout — parquet skips non-matching row groups at
+      // the footer, so the scan decodes ~selectivity of the file instead
+      // of all of it (the rows-read drop vs the scrambled twin is pinned
+      // in ParquetPruningSpec; correctness here is the filtered result).
+      val path = fixtures("docs_rg_sorted")(s, dir)
+      s.read.parquet(path).where(col("doc_id") < 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "o2_zstd_roundtrip" -> ((s, dir) => {
       // codec control: zstd-compressed parquet round trip (the archival
       // tier codec — denser than snappy at comparable scan cost on modern
@@ -1794,6 +1838,9 @@ object SparkEntry {
       "o2_zstd_roundtrip" -> // codec change is invisible to the data
         """SELECT doc_id, lang, CAST(length(text) AS INT) AS len
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "k6_rowgroup_pruning" -> // pruned scan returns exactly the range
+        """SELECT doc_id, lang, n_chars
+          |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
       "j8_cross" -> // bounded dims: the only sane Cartesian
         """SELECT r_name, o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders
           |FROM region CROSS JOIN (SELECT o_orderstatus, count(*) AS n_orders
