@@ -458,16 +458,15 @@ object StreamingQueries {
     // Materialize the filter artifact ONCE, driver-side, exactly like the
     // reference tester reloading its persisted filter file: a streaming
     // join re-plans (and would re-EXECUTE) a lazy batch subplan on every
-    // micro-batch, which benched at ~5x the whole query. The artifact is
-    // one bounded row per group (the broadcast contract), so the collect
-    // is the filter file, not a data pass.
-    val built = graft.operators.BloomPipeline.buildFilters(
-      graft.operators.Ratings.trainFromLineitem(spark, dir), graft.SparkEntry.defaultP)
-      .select("rating", "m", "k", "bits")
-    val filters = {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(built.collect().toSeq.asJava, built.schema)
-    }
+    // micro-batch, which benched at ~5x the whole query. The collected
+    // GroupFilters broadcast also kills the per-row BINARY materialization
+    // a filters-side join pays (see BloomPipeline.fpStatsCollected) — the
+    // probe is a stateless projection, trivially correct incrementally.
+    val bc = spark.sparkContext.broadcast(
+      graft.operators.BloomPipeline.collectFilters(
+        graft.operators.BloomPipeline.buildFilters(
+          graft.operators.Ratings.trainFromLineitem(spark, dir),
+          graft.SparkEntry.defaultP)))
     val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
     val name = "st3_bloom_probe_" + math.abs(dir.hashCode)
 
@@ -478,10 +477,9 @@ object StreamingQueries {
         // rows first so the parse projection and probe run on all cores
         // (a real deployment's source is many files — drop the shuffle)
         .repartition(spread))
-      .join(broadcast(filters.select("rating", "m", "k", "bits")), "rating")
       .select(col("rating"),
-        graft.functions.bloom_might_contain(
-          col("bits"), col("m"), col("k"), col("movieId")).as("hit"))
+        graft.functions.bloom_probe_groups(bc, col("rating"), col("movieId")).as("hit"))
+      .where(col("hit").isNotNull)
       .groupBy("rating")
       .agg(count("*").as("total"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
