@@ -971,6 +971,24 @@ object SparkEntry {
         BloomPipeline.buildShardedFilters(
           Ratings.trainFromLineitem(s, dir), defaultP, shardedSlabBits))
         .orderBy("rating")),
+    "bloom_approx_geometry" -> ((s, dir) => {
+      // The SURVEY §2.4 sizing substitution, gated: geometry from the HLL
+      // sketch (approx_count_distinct × headroom) must land within a fixed
+      // envelope of the exact-count geometry — [0.8, 1.35] covers the
+      // sketch's ±3·rsd band plus the 1.1 headroom by construction. Group
+      // count is the real oracle value; violations the invariant. At
+      // 100 TB the approx pass sizes by DISTINCT keys (what a filter
+      // actually holds) at fixed sketch memory.
+      val train = Ratings.trainFromLineitem(s, dir)
+      val exact = BloomPipeline.sized(BloomPipeline.linecount(train), defaultP)
+        .select(col("rating"), col("m").as("m_exact"))
+      val approx = BloomPipeline.sizedApprox(train, defaultP)
+        .select(col("rating"), col("m").as("m_approx"))
+      exact.join(approx, "rating")
+        .agg(count("*").as("groups"),
+          sum(when((col("m_approx").cast("double") / col("m_exact"))
+            .between(0.8, 1.35), 0L).otherwise(1L)).as("envelope_violations"))
+    }),
     // FP-rate bound gates: the observed per-group FPP of a filter sized for
     // p must stay under 2p (the test splits are key-disjoint from train, so
     // every hit is a false positive; at sf0.01 group sizes the binomial
@@ -1665,6 +1683,9 @@ object SparkEntry {
       "bloom_sharded_reload" -> // zero-FN: every routed train probe hits
         s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
            |GROUP BY rating ORDER BY rating""".stripMargin,
+      "bloom_approx_geometry" -> // sketch sizing inside the fixed envelope
+        s"""SELECT count(DISTINCT rating) AS groups,
+           |       CAST(0 AS BIGINT) AS envelope_violations FROM ($train)""".stripMargin,
       "k1_text_roundtrip" ->
         s"SELECT rating, count(*) AS n FROM ($li) GROUP BY rating ORDER BY rating",
       "k5_csv_roundtrip" -> // quoted/escaped CSV survives the round trip

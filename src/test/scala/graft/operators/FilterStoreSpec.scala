@@ -71,6 +71,20 @@ class FilterStoreSpec extends SparkSuite {
       rows.map(_.getAs[Long]("total")).sum)
   }
 
+  test("geometry-only reads prune the BINARY slab column at the scan") {
+    // the scaladoc claim that columnar pruning keeps a geometry reader
+    // from ever fetching the slabs — pinned on the actual read schema
+    val train = (0 until 500).map(i => (s"key-$i", i % 2)).toDF("movieId", "rating")
+    val path = Files.createTempDirectory("graft_filters_geom").toString
+    FilterStore.save(BloomPipeline.buildFilters(train, p), path)
+    val geom = FilterStore.load(spark, path).select("rating", "m", "k")
+    val read = geom.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("rating") && read.contains("m"), read)
+    assert(!read.contains("bits"), s"slab column must not reach the scan: $read")
+  }
+
   test("sharded slab rows are byte-stable across independent builds") {
     // two independently built + persisted sharded artifacts of the same
     // corpus must agree slab for slab, byte for byte — the (group, shard)
