@@ -1267,25 +1267,21 @@ object SparkEntry {
     "t15_repetition" -> ((s, dir) => {
       // Gopher-style repetition signal: mass of the most frequent word
       // bigram per document — high values flag boilerplate/spam for the
-      // training-data quality gate. Explode + two-level hash aggregation
-      // on (doc_id, bigram): the per-occurrence shuffle looks wasteful,
-      // but it stays fully inside whole-stage codegen with map-side
-      // partial aggregation — measured 3x FASTER than the "clever"
-      // zero-shuffle sort_array+aggregate() fold, because higher-order-
-      // function lambdas are eval-interpreted, not codegen'd. Partial agg
-      // collapses each partition to its distinct (doc, bigram) pairs
-      // before the wire, so the shuffle is bounded by distinct pairs.
+      // training-data quality gate. Three formulations, fastest wins:
+      // the zero-shuffle aggregate() HOF fold runs interpreted lambdas
+      // (slowest); explode + two-level hash agg stays in codegen but
+      // shuffles every distinct (doc, bigram) pair (r4's choice, 2.9s at
+      // sf0.1); the native bigram_stats kernel is ONE narrow projection
+      // — per-doc hash map, zero shuffles (equivalence to the explode
+      // formulation pinned in TextDedupSpec).
       val t = graft.operators.TextAnalysis.tokens(col("text"))
-      val bg = transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
       Tables(s, dir, "documents")
         .where(size(t) >= 2)
-        .select(col("doc_id"), explode(bg).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(max("n").as("top_bigram"), sum("n").as("n_bigrams"))
-        .select(col("doc_id"), col("top_bigram"), col("n_bigrams"),
-          round(col("top_bigram") / col("n_bigrams"), 6).as("rep_frac"))
+        .select(col("doc_id"), graft.functions.bigram_stats(t).as("bs"))
+        .select(col("doc_id"),
+          element_at(col("bs"), 1).as("top_bigram"),
+          element_at(col("bs"), 2).as("n_bigrams"))
+        .withColumn("rep_frac", round(col("top_bigram") / col("n_bigrams"), 6))
         .orderBy("doc_id")
     }),
     "s4_file_metadata" -> ((s, dir) => {

@@ -63,6 +63,9 @@ package object functions {
   /** Word n-gram shingles of an ARRAY<STRING> token column. */
   def word_ngrams(tokens: Column, n: Int): Column = col(WordNgrams(expr(tokens), n))
 
+  /** `[top, total]` adjacent-bigram stats of an ARRAY<STRING> token column. */
+  def bigram_stats(tokens: Column): Column = col(BigramStats(expr(tokens)))
+
   /** Native corpus tokenizer: lowercased maximal [a-z0-9]+ runs. */
   def word_tokens(text: Column): Column = col(WordTokens(expr(text)))
 
@@ -111,6 +114,7 @@ package object functions {
         "minhash_sig(shingles, numHashes): numHashes must be an INT literal")
     }),
     ("word_tokens", 1, exprs => WordTokens(exprs(0))),
+    ("bigram_stats", 1, exprs => BigramStats(exprs(0))),
     ("word_ngrams", 2, {
       case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
           org.apache.spark.sql.types.IntegerType)) => WordNgrams(toks, n)

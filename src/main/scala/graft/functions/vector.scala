@@ -167,6 +167,36 @@ object VectorKernels {
     sum
   }
 
+  /** Bigram-repetition kernel (see [[BigramStats]]): `[top, total]` where
+    * `total` is the number of adjacent token bigrams (`|tokens| - 1`) and
+    * `top` the occurrence count of the most frequent one. One local pass
+    * with a per-document hash map (bounded by tokens-per-doc, never by
+    * corpus) — replaces explode + two aggregate levels with a narrow
+    * projection: zero shuffles, and unlike the `aggregate()` higher-order
+    * fold it stays out of interpreted-lambda land. Exact: keys are the
+    * token pair itself, not a hash. Requires ≥ 2 tokens (callers filter;
+    * defensive `[0, 0]` otherwise). */
+  def bigramStats(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 2) {
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array[Long](0L, 0L))
+    }
+    def tok(i: Int): UTF8String =
+      if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
+    val counts = new java.util.HashMap[(UTF8String, UTF8String), Long]()
+    var top = 0L
+    var i = 0
+    while (i < n - 1) {
+      val key = (tok(i), tok(i + 1))
+      val c = counts.merge(key, 1L, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array[Long](top, n - 1L))
+  }
+
   /** Word n-gram kernel (see [[WordNgrams]]). Null tokens render as empty
     * strings inside a shingle (they cannot occur from the tokenizer). */
   def wordNgrams(tokens: ArrayData, n: Int): ArrayData = {
@@ -414,6 +444,40 @@ case class WordTokens(child: Expression) extends UnaryExpression {
   * slice(tokens, i, n)))` pays an interpreted lambda + array copy per
   * shingle — the dominant cost of corpus-scale MinHash pipelines.
   */
+/** `bigram_stats(tokens)` → `ARRAY<BIGINT> [top, total]`: occurrence count
+  * of the document's most frequent adjacent word bigram and the bigram
+  * total — the Gopher-style repetition signal as ONE narrow codegen'd
+  * projection. The composed alternatives both lose: explode + two-level
+  * hash aggregate shuffles every distinct (doc, bigram) pair, and the
+  * zero-shuffle `aggregate()`/`transform()` fold runs interpreted lambdas
+  * (see [[CosineSim]]'s rationale). Kernel state is a per-document map,
+  * bounded by tokens-per-doc at any corpus scale.
+  */
+case class BigramStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bigram_stats argument must be ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "bigram_stats"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorKernels.bigramStats(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.VectorKernels.bigramStats($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramStats =
+    copy(child = newChild)
+}
+
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, s"word_ngrams: n must be positive, got $n")
 

@@ -301,6 +301,29 @@ class TextDedupSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, 2L, 2)))
   }
 
+  test("bigram_stats kernel == explode+aggregate formulation, doc for doc") {
+    import org.apache.spark.sql.functions._
+    val d = docs(
+      (1L, "a b a b a b"),            // top bigram "a b" x3, 5 bigrams
+      (2L, "one two three four"),     // all distinct: top 1, total 3
+      (3L, "x x x x"),                // "x x" x3 of 3
+      (4L, "The the THE tHe"))        // case-folds to one repeated token
+    val t = TextAnalysis.tokens(col("text"))
+    val kernel = d.where(size(t) >= 2)
+      .select(col("doc_id"), graft.functions.bigram_stats(t).as("bs"))
+      .select(col("doc_id"), element_at(col("bs"), 1), element_at(col("bs"), 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bg = transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val exploded = d.where(size(t) >= 2)
+      .select(col("doc_id"), explode(bg).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max("n"), sum("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kernel === exploded)
+    assert(kernel === Set((1L, 3L, 5L), (2L, 1L, 3L), (3L, 3L, 3L), (4L, 3L, 3L)))
+  }
+
   test("langId: picks the profile with most stopword hits") {
     val d = docs(
       (1L, "the cat and the dog of the house"),
