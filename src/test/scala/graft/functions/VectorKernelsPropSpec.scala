@@ -103,4 +103,33 @@ object VectorKernelsPropSpec extends Properties("VectorKernels") {
       val b = VectorKernels.minhashSig(arr(scala.util.Random.shuffle(toks)), 16)
       (0 until 16).forall(i => a.getInt(i) == b.getInt(i))
     }
+
+  property("bigramStats == naive groupBy count on adjacent pairs") =
+    forAll(tokensGen) { toks =>
+      val got = VectorKernels.bigramStats(arr(toks))
+      val (top, total) = (got.getLong(0), got.getLong(1))
+      if (toks.length < 2) top == 0L && total == 0L
+      else {
+        val counts = toks.sliding(2).toSeq.groupBy(identity).map(_._2.size)
+        top == counts.max.toLong && total == (toks.length - 1).toLong
+      }
+    }
+
+  property("bigramStats: constant token sequence has full repetition mass") =
+    forAll(tokenGen, Gen.choose(2, 40)) { (t, n) =>
+      val got = VectorKernels.bigramStats(arr(Seq.fill(n)(t)))
+      got.getLong(0) == (n - 1).toLong && got.getLong(1) == (n - 1).toLong
+    }
+
+  property("pqAdc rejects any out-of-range code, at any subspace") =
+    forAll(Gen.choose(1, 4), Gen.choose(2, 8), Gen.choose(0, 3)) { (m, ksub, badJ) =>
+      val j = badJ % m
+      val table = new GenericArrayData(Array.fill[Any](m * ksub)(1.0))
+      val good = new GenericArrayData(Array.fill[Any](m)(0))
+      val bad = new GenericArrayData(
+        Array.tabulate[Any](m)(i => if (i == j) ksub else 0))
+      val okSum = VectorKernels.pqAdc(table, good, ksub)
+      okSum == m.toDouble && scala.util.Try(
+        VectorKernels.pqAdc(table, bad, ksub)).isFailure
+    }
 }
