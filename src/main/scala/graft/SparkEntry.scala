@@ -1133,6 +1133,14 @@ object SparkEntry {
     "pipe1_clean_corpus" -> ((s, dir) => // composed: quality filter -> dedup
       Dedup.cleanCorpus(Tables(s, dir, "documents"), minQuality = 0.5)
         .orderBy("doc_id")),
+    "pipe2_pretrain_corpus" -> ((s, dir) => {
+      // the full composed pretraining pass: quality -> language ->
+      // benchmark decontamination -> exact dedup, one plan (every stage
+      // also has its own oracle-checked query; this checks the chain)
+      val docs = Tables(s, dir, "documents")
+      Dedup.pretrainCorpus(docs, docs.where(col("doc_id") % 100 === 0),
+        minQuality = 0.5).orderBy("doc_id")
+    }),
     "dedup_editdist" -> ((s, dir) => // length-banded bounded edit distance
       Dedup.editDistancePairs(Tables(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
@@ -1718,6 +1726,7 @@ object SparkEntry {
       "dedup_minhash_lsh" -> DedupSql.minhashLshPairs(0.8, 3),
       "dedup_clusters" -> DedupSql.nearDupClusters(0.8, 3),
       "pipe1_clean_corpus" -> DedupSql.cleanCorpus(0.5),
+      "pipe2_pretrain_corpus" -> DedupSql.pretrainCorpus("doc_id % 100 = 0", 0.5),
       "mm1_meta" -> MultimodalSql.attachMeta,
       "mm2_frame_stats" -> MultimodalSql.frameStats,
       "mm3_decode_batch" -> MultimodalSql.decodeBatch,

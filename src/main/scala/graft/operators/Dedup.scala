@@ -367,6 +367,39 @@ object Dedup {
       .join(exactKeepers(kept).where(col("is_keeper")).select("doc_id"), "doc_id")
   }
 
+  /** The full composed pretraining-corpus pass — what a 100 TB pipeline
+    * actually chains, in one plan:
+    *
+    *   1. quality score + threshold (per-row projection, no shuffle);
+    *   2. language ID + drop unknowns (stacked into the SAME projection
+    *      pass via `keep` columns — no join);
+    *   3. benchmark decontamination (broadcast inverted semi-join on
+    *      exploded 5-gram shingles — the benchmark side is tiny);
+    *   4. exact dedup of the survivors via [[exactKeepers]] (narrow
+    *      (doc_id, hash) exchanges; text ships only for the duplicate
+    *      sliver).
+    *
+    * Output: `(doc_id, lang_pred, quality, n_tokens)` of the surviving
+    * training documents. Every stage has an independent oracle-checked
+    * query (`t2`/`t3`/`t11`/`dedup_exact`); this is their composition,
+    * itself oracle-checked end to end (`pipe2_pretrain_corpus`).
+    */
+  def pretrainCorpus(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minQuality: Double): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs, keep = Seq("text"))
+      .where(col("quality") >= minQuality)
+    val langed = TextAnalysis.langId(scored, keep = Seq("text", "quality", "n_tokens"))
+      .where(col("lang_pred") =!= "und")
+    val kept = langed
+      .join(TextAnalysis.contamination(docs, benchmark), "doc_id")
+      .where(!col("contaminated"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kept.select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
+      .join(exactKeepers(kept).where(col("is_keeper")).select("doc_id"), "doc_id")
+  }
+
   /** Near-dup pairs via 64-bit SimHash: `(doc_a, doc_b, hamming)` with
     * Hamming distance ≤ `maxHamming`. Blocking: the 64-bit signature is
     * cut into `maxHamming + 1` bands — by pigeonhole any pair within the
@@ -537,6 +570,25 @@ object DedupSql {
        |  FROM documents d
        |  JOIN (${TextAnalysisSql.qualityScore}) q USING (doc_id)
        |  WHERE q.quality >= $minQuality)
+       |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[Dedup.pretrainCorpus]]: the per-stage twins composed the
+    * same way — quality + langid + contamination inner-joined on doc_id,
+    * thresholds applied, then the min-doc_id-per-normalized-text keeper
+    * window over the survivors. */
+  def pretrainCorpus(benchPredSql: String, minQuality: Double): String =
+    s"""WITH q AS MATERIALIZED (${TextAnalysisSql.qualityScore}),
+       |l AS MATERIALIZED (${TextAnalysisSql.langId}),
+       |c AS MATERIALIZED (${TextAnalysisSql.contamination(benchPredSql, 5)}),
+       |kept AS MATERIALIZED (
+       |  SELECT d.doc_id, l.lang_pred, q.quality, q.n_tokens,
+       |         $norm AS nrm
+       |  FROM documents d
+       |  JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN c USING (doc_id)
+       |  WHERE q.quality >= $minQuality AND l.lang_pred <> 'und'
+       |    AND NOT c.contaminated)
+       |SELECT doc_id, lang_pred, quality, n_tokens FROM (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY nrm) AS keeper FROM kept)
        |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
 
   /** `is_new` twin for [[Dedup.bloomNewDocs]] with batches split by a SQL

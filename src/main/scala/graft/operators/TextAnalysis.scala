@@ -136,20 +136,20 @@ object TextAnalysis {
   /** N-gram stopword-profile language ID with a deterministic tie-break
     * (en > de > es > fr > und). Honest heuristic: on synthetic text it
     * mostly answers 'en' or 'und'; the point is the operator + oracle. */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val t = tokens(col("text"))
     docs
       .withColumn("s_en", countIn(t, stopEn))
       .withColumn("s_de", countIn(t, stopDe))
       .withColumn("s_fr", countIn(t, stopFr))
       .withColumn("s_es", countIn(t, stopEs))
-      .select(
+      .select(keep.map(col) ++ Seq(
         col("doc_id"),
         when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "und")
           .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
           .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
           .when(col("s_es") >= col("s_fr"), "es")
-          .otherwise("fr").as("lang_pred"))
+          .otherwise("fr").as("lang_pred")): _*)
   }
 
   /** Corpus vocabulary: token → (document frequency, total count), top-k
