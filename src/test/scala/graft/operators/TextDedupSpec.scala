@@ -324,6 +324,28 @@ class TextDedupSpec extends SparkSuite {
     assert(kernel === Set((1L, 3L, 5L), (2L, 1L, 3L), (3L, 3L, 3L), (4L, 3L, 3L)))
   }
 
+  test("pretrainCorpus: each composed stage drops exactly its targets") {
+    // survivors must clear quality >= 0.3, known language, no benchmark
+    // 5-gram, and be the min doc_id of their normalized-text group
+    val goodText = "the quick brown fox jumps over the lazy dog and the cat"
+    val d = docs(
+      (1L, goodText),                                     // keeper
+      (2L, goodText + "!!"),                              // exact dup of 1 -> dropped
+      (3L, "the benchmark sentence which should be held out of training data"),
+      (4L, "xq zz"),                                      // no stopwords -> 'und'
+      (5L, "the house and the dog sat near the tree with a very old friend"))
+    val bench = d.where(col("doc_id") === 3)
+    val got = Dedup.pretrainCorpus(d, bench, minQuality = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // 3 is contaminated (it IS the benchmark), 4 is 'und', 2 is a dup
+    assert(got === Set(1L, 5L))
+    val row = Dedup.pretrainCorpus(d, bench, minQuality = 0.3)
+      .where(col("doc_id") === 1).head()
+    assert(row.getAs[String]("lang_pred") === "en")
+    assert(row.getAs[Double]("quality") >= 0.3)
+    assert(row.getAs[Int]("n_tokens") === 12)
+  }
+
   test("langId: picks the profile with most stopword hits") {
     val d = docs(
       (1L, "the cat and the dog of the house"),
