@@ -38,6 +38,9 @@ class FunctionsSpec extends SparkSuite {
     val s2 = Seq((1L, Seq(1.0f, -2.0f))).toDF("id", "emb")
       .select(graft.functions.srp_sig($"emb", 16, 0)).head().getLong(0)
     assert(s1 === s2)
+    val bs = spark.sql(
+      "SELECT bigram_stats(array('a','b','a','b')) AS s").head().getSeq[Long](0)
+    assert(bs === Seq(2L, 3L))
   }
 
   test("registerAll covers a session without the extension") {
