@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{bloom_build_native, bloom_might_contain, minhash_sig, simhash64}
+import graft.functions.{bloom_build_native, minhash_sig, simhash64}
 import graft.operators.TextAnalysis.{normalized, shingles, tokens}
 
 /** Deduplication operators over the `documents` table — the core of an
@@ -78,18 +78,23 @@ object Dedup {
   def bloomNewDocs(batchA: DataFrame, batchB: DataFrame, p: Double): DataFrame = {
     val aKeys = batchA.select(normalized(col("text")).as("key")).withColumn("g", lit(1))
     val geometry = BloomPipeline.sized(aKeys.groupBy("g").agg(count("*").as("n")), p)
-    // one-row result, but its subtree is a full pass over batch A — persist
-    // so the two output branches below don't build the filter twice
-    val filter = aKeys
-      .join(broadcast(geometry), "g")
-      .groupBy("g", "m", "k")
-      .agg(bloom_build_native(col("key"), col("m"), col("k")).as("bits"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE bounded row, collected and broadcast as the GroupFilters
+    // artifact (the reference testers' shape): the filters-side join it
+    // replaces would materialize the full batch-A-sized bit array once
+    // per probed B row — at corpus scale, gigabytes of memcpy per row.
+    // Collecting also runs the build exactly once for both branches below.
+    val bc = batchA.sparkSession.sparkContext.broadcast(
+      graft.core.GroupFilters(
+        aKeys.join(broadcast(geometry), "g")
+          .groupBy("g", "m", "k")
+          .agg(bloom_build_native(col("key"), col("m"), col("k")).as("bits"))
+          .select("g", "m", "k", "bits").collect().toSeq
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3)))))
 
     val b = batchB
       .select(col("doc_id"), normalized(col("text")).as("key"))
-      .join(broadcast(filter.select("m", "k", "bits")))
-      .withColumn("candidate", bloom_might_contain(col("bits"), col("m"), col("k"), col("key")))
+      .withColumn("candidate",
+        graft.functions.bloom_probe_groups(bc, lit(1), col("key")))
 
     // Two branches, no set-op: bloom-negative rows are new by zero-FN and
     // never touch the join; only candidates (true dups + ~p·|B| FPs) meet
