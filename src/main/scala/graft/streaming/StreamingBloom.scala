@@ -110,7 +110,12 @@ object StreamingBloom {
     * .FilterStore]]-reloaded) filter relation on `group` and tests
     * membership inside codegen. The static side broadcasts; the stream
     * never shuffles. Returns the input rows + `hit` flag (downstream can
-    * window-aggregate FP counts). */
+    * window-aggregate FP counts).
+    *
+    * This is the stream-static JOIN surface; when the filter set is
+    * bounded enough to collect, prefer the broadcast
+    * [[graft.core.GroupFilters]] projection (`bloom_probe_groups`, as the
+    * st3 query does) — the join materializes `bits` once per probed row. */
   def streamingProbe(stream: DataFrame, filters: DataFrame): DataFrame =
     stream
       .join(org.apache.spark.sql.functions.broadcast(
