@@ -1197,7 +1197,9 @@ object SparkEntry {
     // the random-unit-vector testdata measures 0.46/0.48 for LSH/IVF and
     // 0.72/0.56 for PQ at sf0.01/sf0.1, floor 0.25; the IVF×PQ composition
     // measures 0.48/0.35 — coarse pruning stacks on quantization loss —
-    // floor 0.2).
+    // and its residual variant 0.42/0.295 (residuals only tighten when
+    // lists are clustered; this testdata is near-uniform — the clustered
+    // case is pinned in SimilaritySpec); floor 0.2).
     "sim_ann_lsh_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.recallVsExact(emb,
@@ -1237,6 +1239,20 @@ object SparkEntry {
       val emb = Tables(c, dir, "embeddings")
       Similarity.recallVsExact(emb,
         Similarity.ivfPqTopK(emb, col("vec_id") % 50 === 0, simK),
+        col("vec_id") % 50 === 0, simK, floor = 0.2)
+    }),
+    "sim_ann_ivfpq_res" -> ((s, dir) => { // approximate by design -> rows-only
+      // residual-encoded IVF×PQ (the FAISS-default refinement): codes
+      // spend the codebook on the within-list residual distribution
+      val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
+      Similarity.ivfPqResidualTopK(Tables(c, dir, "embeddings"),
+        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")
+    }),
+    "sim_ann_ivfpq_res_recall" -> ((s, dir) => {
+      val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
+      val emb = Tables(c, dir, "embeddings")
+      Similarity.recallVsExact(emb,
+        Similarity.ivfPqResidualTopK(emb, col("vec_id") % 50 === 0, simK),
         col("vec_id") % 50 === 0, simK, floor = 0.2)
     }),
 
@@ -1780,6 +1796,7 @@ object SparkEntry {
       "sim_ann_ivf_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "sim_ann_pq_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "sim_ann_ivfpq_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
+      "sim_ann_ivfpq_res_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "st1_stream_hourly" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
           |       event_type, count(*) AS n

@@ -35,6 +35,9 @@ package object functions {
   /** Inner product of two ARRAY<FLOAT|DOUBLE> vector columns. */
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
 
+  /** Element-wise difference of two ARRAY<FLOAT|DOUBLE> vector columns. */
+  def vec_sub(a: Column, b: Column): Column = col(VecSub(expr(a), expr(b)))
+
   /** PQ asymmetric-distance lookup: sum of `table[j*ksub + codes[j]]`. */
   def pq_adc(table: Column, codes: Column, ksub: Int): Column =
     col(PqAdc(expr(table), expr(codes), ksub))
@@ -103,6 +106,7 @@ package object functions {
       BloomMightContain(exprs(0), exprs(1), exprs(2), exprs(3))),
     ("cosine_sim", 2, exprs => CosineSim(exprs(0), exprs(1))),
     ("dot_product", 2, exprs => DotProduct(exprs(0), exprs(1))),
+    ("vec_sub", 2, exprs => VecSub(exprs(0), exprs(1))),
     ("simhash64", 1, exprs => SimHash64(exprs(0))),
     ("bloom_build_native", 3, exprs =>
       BloomBuildAgg(exprs(0), exprs(1), exprs(2))

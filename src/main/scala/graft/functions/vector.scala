@@ -167,6 +167,24 @@ object VectorKernels {
     sum
   }
 
+  /** Element-wise vector subtraction (see [[VecSub]]): the residual
+    * kernel of residual-encoded IVF×PQ. Accepts float or double element
+    * arrays on either side; always returns doubles. */
+  def vecSub(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vec_sub: length mismatch ${n} vs ${b.numElements()}")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      out(i) = x - y
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Bigram-repetition kernel (see [[BigramStats]]): `[top, total]` where
     * `total` is the number of adjacent token bigrams (`|tokens| - 1`) and
     * `top` the occurrence count of the most frequent one. One local pass
@@ -444,6 +462,50 @@ case class WordTokens(child: Expression) extends UnaryExpression {
   * slice(tokens, i, n)))` pays an interpreted lambda + array copy per
   * shingle — the dominant cost of corpus-scale MinHash pipelines.
   */
+/** `vec_sub(a, b)` — element-wise difference of two `ARRAY<FLOAT|DOUBLE>`
+  * vector columns as `ARRAY<DOUBLE>`, one codegen'd kernel call. The
+  * residual step of residual-encoded IVF×PQ (`r = v - centroid`); native
+  * for the same reason as [[DotProduct]]: `zip_with` lambdas are
+  * interpreted, and this sits in the corpus-wide encode path. Same
+  * null-slot contract as [[DotProduct]]. */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_sub arguments must be ARRAY<FLOAT> or ARRAY<DOUBLE>, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "vec_sub"
+
+  private def isFloat(e: Expression): Boolean = elemType(e).contains(FloatType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.vecSub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.vecSub($a, $b, ${isFloat(left)}, ${isFloat(right)});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSub =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `bigram_stats(tokens)` → `ARRAY<BIGINT> [top, total]`: occurrence count
   * of the document's most frequent adjacent word bigram and the bigram
   * total — the Gopher-style repetition signal as ONE narrow codegen'd

@@ -230,7 +230,11 @@ object Similarity {
       .limit(ksub)
       .select(col("embedding")).collect().toSeq
       .zipWithIndex.flatMap { case (r, code) =>
-        val v = r.getSeq[Float](0).map(_.toDouble)
+        // float (raw embeddings) or double (residual vectors) input
+        val v = r.getSeq[Any](0).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+        }
         (0 until m).map(j => org.apache.spark.sql.Row(
           j, code, v.slice(j * sd, (j + 1) * sd)))
       }
@@ -501,6 +505,117 @@ object Similarity {
 
     // exact re-rank of the tiny shortlist (|Q| × shortlist rows broadcast
     // INTO the corpus — see pqTopK's rationale)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(shortlisted)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("embedding").as("q_emb"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosRounded(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** [[ivfPqTopK]] with RESIDUAL encoding — the FAISS-default refinement:
+    * PQ codes the residual `v − centroid(v)` instead of the raw vector,
+    * so the quantizer spends its codebook on the (much tighter)
+    * within-list distribution. The scoring stays exact-decomposable
+    * without per-list cross tables:
+    *
+    *   - `dot(q, r̂) = dot(q, c) + Σ_j dot(q_j, reŝ_j)` — the first term
+    *     is computed once per (query, probed list) during assignment, the
+    *     second is a standard ADC over ONE table built from the RAW query
+    *     against the residual codebook (list-independent, one per query);
+    *   - `|r|` uses the TRUE vector norm, captured as one double per row
+    *     in the same encode projection — more accurate than any
+    *     reconstruction from codes, and free.
+    *
+    * Same candidate topology as [[ivfPqTopK]]: probed-list equi-join on
+    * `centroid_id`, codes-only corpus rows, exact shortlist re-rank.
+    */
+  def ivfPqResidualTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      shortlist: Int = 64,
+      seed: Int = 7,
+      ivfSeed: Int = 42): DataFrame = {
+    require(nProbe <= nCentroids, s"nProbe ($nProbe) must be <= nCentroids ($nCentroids)")
+    val spark = emb.sparkSession
+    import graft.functions.vec_sub
+
+    val centroids = emb
+      .orderBy(xxhash64(col("vec_id"), lit(ivfSeed)))
+      .limit(nCentroids)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col("embedding").as("c_emb"))
+
+    // assignment that KEEPS the centroid vector (the residual needs it)
+    def assignKeep(df: DataFrame, idCol: String, embCol: String, lists: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("centroid_id"))
+      df.join(broadcast(centroids))
+        .select(col(idCol), col(embCol), col("centroid_id"), col("c_emb"),
+          cosine_sim(col(embCol), col("c_emb")).as("c_cos"))
+        .withColumn("c_rank", row_number().over(w))
+        .where(col("c_rank") <= lists)
+        .drop("c_cos", "c_rank")
+    }
+
+    // one narrow pass: list id + residual + true squared norm per vector
+    val corpusResid = assignKeep(
+        emb.repartition(spark.sessionState.conf.numShufflePartitions)
+          .select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id", "embedding", lists = 1)
+      .select(col("centroid_id"), col("neighbor_id"),
+        vec_sub(col("embedding"), col("c_emb")).as("resid"),
+        dot_product(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("rn2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // codebook trained on the residual distribution
+    val (cbFlat, _) = trainPqCodebook(
+      corpusResid.select(col("neighbor_id").as("vec_id"), col("resid").as("embedding")),
+      m, ksub, iters, seed)
+
+    val corpusCodes = corpusResid.select(col("centroid_id"), col("neighbor_id"),
+      graft.functions.pq_encode(col("resid"), typedLit(cbFlat.toSeq), m, ksub)
+        .as("codes"),
+      col("rn2"))
+
+    val queries = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // per (query, probed list): dot(q, c); per query: the residual-ADC
+    // table from the RAW query (list-independent by the decomposition)
+    val qtab = assignKeep(queries, "query_id", "embedding", lists = nProbe)
+      .select(col("centroid_id"), col("query_id"),
+        dot_product(col("embedding").cast("array<double>"),
+          col("c_emb").cast("array<double>")).as("qc_dot"),
+        graft.functions.pq_table(col("embedding").cast("array<double>"),
+          typedLit(cbFlat.toSeq), m, ksub).as("ip_flat"),
+        dot_product(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("qn2"))
+
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val shortlisted = corpusCodes.join(broadcast(qtab), Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("rn2") === 0.0 || col("qn2") === 0.0, 0.0)
+          .otherwise(
+            (col("qc_dot") + graft.functions.pq_adc(col("ip_flat"), col("codes"), ksub))
+              / (sqrt(col("qn2")) * sqrt(col("rn2"))))
+          .as("approx_cos"))
+      .distinct()
+      .withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlist)
+
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(shortlisted)
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
