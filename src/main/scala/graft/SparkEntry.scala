@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, RangeJoin, Ratings, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -1019,6 +1019,14 @@ object SparkEntry {
       TextAnalysis.langId(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t14_gopher_filter" -> ((s, dir) => // published rule-gate quality pass
       TextAnalysis.gopherFilter(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t16_hashed_lr" -> ((s, dir) => // feature-hashed linear scorer, one pass
+      TextAnalysis.hashedLrQuality(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "dedup_passage" -> ((s, dir) => // sub-document first-occurrence dedup
+      Dedup.passageDedup(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "p10_temperature_mix" -> ((s, dir) => // temperature-weighted source mix
+      Sampling.temperatureMix(Tables(s, dir, "documents")).orderBy("source")),
+    "p11_shuffle_shards" -> ((s, dir) => // seeded global shuffle -> shards
+      Sampling.shuffleShards(Tables(s, dir, "documents")).orderBy("shard", "pos")),
     "t4_shingle_fp" -> ((s, dir) => // mmh3-valued -> rows-only check
       TextAnalysis.shingleFingerprint(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t5_vocab" -> ((s, dir) =>
@@ -1735,6 +1743,11 @@ object SparkEntry {
       "t3_langid" -> s"${TextAnalysisSql.langId} ORDER BY doc_id",
       "t14_gopher_filter" ->
         s"${TextAnalysisSql.gopherFilter} ORDER BY doc_id",
+      "t16_hashed_lr" -> // identical integer bucket/weight arithmetic
+        s"${TextAnalysisSql.hashedLr(64)} ORDER BY doc_id",
+      "dedup_passage" -> DedupSql.passageDedup(8),
+      "p10_temperature_mix" -> SamplingSql.temperatureMix(50),
+      "p11_shuffle_shards" -> SamplingSql.shuffleShards(8),
       "t5_vocab" -> TextAnalysisSql.vocabulary(50),
       "dedup_exact" -> s"${DedupSql.exactKeepers} ORDER BY doc_id",
       "dedup_bloom_xbatch" ->

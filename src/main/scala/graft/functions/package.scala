@@ -72,6 +72,10 @@ package object functions {
   /** Native corpus tokenizer: lowercased maximal [a-z0-9]+ runs. */
   def word_tokens(text: Column): Column = col(WordTokens(expr(text)))
 
+  /** Feature-hashed linear quality score (BIGINT) of a text column. */
+  def hashed_lr_score(text: Column, dim: Int): Column =
+    col(HashedLrScore(expr(text), dim))
+
   /** Element-wise seeded murmur3 of an ARRAY<STRING> column. */
   def hash_array(arr: Column, seed: Int): Column = col(HashArray(expr(arr), seed))
 
@@ -118,6 +122,12 @@ package object functions {
         "minhash_sig(shingles, numHashes): numHashes must be an INT literal")
     }),
     ("word_tokens", 1, exprs => WordTokens(exprs(0))),
+    ("hashed_lr_score", 2, {
+      case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(d: Int,
+          org.apache.spark.sql.types.IntegerType)) => HashedLrScore(text, d)
+      case _ => throw new IllegalArgumentException(
+        "hashed_lr_score(text, dim): dim must be an INT literal")
+    }),
     ("bigram_stats", 1, exprs => BigramStats(exprs(0))),
     ("word_ngrams", 2, {
       case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,

@@ -26,6 +26,7 @@ object VectorKernels {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      requireNoNullSlot(a, i, "cosine_sim"); requireNoNullSlot(b, i, "cosine_sim")
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -41,6 +42,7 @@ object VectorKernels {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      requireNoNullSlot(a, i, "cosine_sim"); requireNoNullSlot(b, i, "cosine_sim")
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -52,6 +54,15 @@ object VectorKernels {
   /** Inner product of two equal-length vectors, accumulated in double in
     * index order — the ADC building block for product-quantized scoring
     * (and the norm via `dot(x, x)`). DuckDB twin: `list_dot_product`. */
+  // Null-slot contract (cosine/dot/vecSub kernels): a NULL array element
+  // is rejected with a clear error rather than silently read as 0/garbage
+  // through getFloat/getDouble — embeddings come from parquet whose list
+  // type is nullable-by-default (containsNull=true), so the type check
+  // can't forbid them statically without breaking every real caller.
+  private def requireNoNullSlot(a: ArrayData, i: Int, op: String): Unit =
+    if (a.isNullAt(i)) throw new IllegalArgumentException(
+      s"$op: NULL element at index $i — vector columns must have non-null elements")
+
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     require(b.numElements() == n,
@@ -59,6 +70,7 @@ object VectorKernels {
     var dot = 0.0
     var i = 0
     while (i < n) {
+      requireNoNullSlot(a, i, "dot_product"); requireNoNullSlot(b, i, "dot_product")
       dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -72,6 +84,7 @@ object VectorKernels {
     var dot = 0.0
     var i = 0
     while (i < n) {
+      requireNoNullSlot(a, i, "dot_product"); requireNoNullSlot(b, i, "dot_product")
       dot += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -177,6 +190,7 @@ object VectorKernels {
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
+      requireNoNullSlot(a, i, "vec_sub"); requireNoNullSlot(b, i, "vec_sub")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       out(i) = x - y
@@ -238,6 +252,31 @@ object VectorKernels {
 
   private def isTokenByte(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** Hashed-feature linear scorer kernel (see [[HashedLrScore]]): one pass
+    * over the lowered bytes; every `[a-z0-9]+` run contributes
+    * `weight(bucket(run))` where `bucket = (len*31 + firstByte) % dim` and
+    * `weight(b) = (b * 2654435761) % 1001 - 500`. All-integer arithmetic,
+    * so a SQL engine computes the identical score from the identical
+    * tokens; token runs are bucketed without ever materializing a token
+    * array. Tokens are pure ASCII runs, so byte length == char length and
+    * the first byte == `ascii(token)`. */
+  def hashedLrScore(text: UTF8String, dim: Int): Long = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    var score = 0L
+    var i = 0
+    while (i < n) {
+      if (isTokenByte(bytes(i))) {
+        val first = bytes(i).toLong
+        val start = i
+        while (i < n && isTokenByte(bytes(i))) i += 1
+        val bucket = ((i - start) * 31L + first) % dim
+        score += (bucket * 2654435761L) % 1001L - 500L
+      } else i += 1
+    }
+    score
+  }
 
   /** Tokenizer kernel (see [[WordTokens]]): lowercase, then maximal
     * `[a-z0-9]+` byte runs. Byte-for-byte equal to
@@ -540,6 +579,44 @@ case class BigramStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `hashed_lr_score(text, dim)` → `BIGINT`: a feature-hashed linear model
+  * score — the fastText-style quality-classifier shape — as ONE narrow
+  * codegen'd projection over the raw text. Each `[a-z0-9]+` token maps to
+  * one of `dim` feature buckets (`(len·31 + firstByte) mod dim`, the
+  * hashing-trick projection) and the bucket's weight
+  * (`(b·2654435761) mod 1001 − 500`, a fixed deterministic weight table)
+  * is accumulated. A real deployment swaps the multiplicative weight rule
+  * for trained weights (a `dim`-length literal array — same kernel shape);
+  * the arithmetic stays integer-exact so the score is cross-engine
+  * oracle-checkable, unlike a float-weight model. Scoring 100 TB is a
+  * single scan: no token explode, no weight-table join, no shuffle.
+  */
+case class HashedLrScore(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim > 0, s"hashed_lr_score: dim must be positive, got $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_lr_score argument must be STRING, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "hashed_lr_score"
+
+  override protected def nullSafeEval(text: Any): Any =
+    VectorKernels.hashedLrScore(text.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.VectorKernels.hashedLrScore($t, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedLrScore =
+    copy(child = newChild)
+}
+
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, s"word_ngrams: n must be positive, got $n")
 
@@ -670,8 +747,8 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   * self-join that is ~1.6B boxed lambda invocations. This kernel is a tight
   * primitive loop inside whole-stage codegen.
   *
-  * Null array SLOTS read as 0.0 rather than propagating NULL — see
-  * [[DotProduct]] for the documented contract and rationale.
+  * Null array SLOTS are rejected with a clear error — see [[DotProduct]]
+  * for the documented contract and rationale.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -721,13 +798,14 @@ case class CosineSim(left: Expression, right: Expression)
   * no interpreted `aggregate(zip_with(...))` lambdas in hot paths). Used by
   * the product-quantization ADC tables and for norms via `dot(x, x)`.
   *
-  * Null SLOTS inside an array are not SQL-conformant here (documented
-  * contract, same as [[CosineSim]] and the PQ projections): parquet-sourced
-  * embedding columns type as `containsNull=true` even though the pipeline
-  * never writes a null element, and rejecting the type would refuse every
-  * real embedding table. A null slot reads as 0.0 through the primitive
-  * accessor instead of propagating NULL (DuckDB's `list_dot_product`
-  * yields NULL); embeddings with genuinely-missing dimensions must be
+  * Null SLOTS inside an array are rejected at runtime with a clear error
+  * (documented contract, same as [[VecSub]]): parquet-sourced embedding
+  * columns type as `containsNull=true` even though the pipeline never
+  * writes a null element, so the type check can't forbid them statically
+  * without refusing every real embedding table — but silently reading a
+  * null slot as 0.0 through the primitive accessor (the pre-guard
+  * behavior) diverges from SQL semantics (DuckDB's `list_dot_product`
+  * yields NULL). Embeddings with genuinely-missing dimensions must be
   * repaired or filtered upstream.
   */
 case class DotProduct(left: Expression, right: Expression)

@@ -109,6 +109,41 @@ object Dedup {
     verified.unionByName(fastPath)
   }
 
+  /** Passage-level dedup (the CCNet/RefinedWeb line-dedup shape, adapted
+    * to fixed windows because the corpus has no line structure): documents
+    * are cut into non-overlapping `w`-token passages and a passage
+    * occurrence survives iff it is the globally FIRST occurrence of that
+    * passage text (order: `(doc_id, pos)`). Returns
+    * `(doc_id, n_passages, n_kept)` per tokenizable document — the
+    * boilerplate-removal signal sub-document dedup exists for.
+    *
+    * Scale shape: chunking is a per-doc projection; the keeper window
+    * shuffles `(fp, passage, doc_id, pos)` rows whose width is bounded by
+    * `w` tokens — unlike document-level dedup there is no unbounded text
+    * on the exchange, so the simple one-window form IS the scale form
+    * (cf. [[exactKeepers]]'s two-phase dance, needed only because whole
+    * documents are unbounded). Partitioning by `(fp, passage)` keeps a
+    * 64-bit-hash collision from ever merging distinct passages.
+    */
+  def passageDedup(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val chunks = docs
+      .where(size(t) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0), floor((size(t) - 1) / lit(w)).cast("int")),
+          i => concat_ws(" ", slice(t, i * w + 1, lit(w))))))
+      .toDF("doc_id", "pos", "passage")
+    val win = Window.partitionBy("fp", "passage").orderBy("doc_id", "pos")
+    chunks
+      .withColumn("fp", xxhash64(col("passage")))
+      .withColumn("is_first", row_number().over(win) === 1)
+      .groupBy("doc_id").agg(
+        count("*").as("n_passages"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Shingle sets for near-dup detection: distinct word `n`-gram shingles
     * of documents with at least one token (empty docs are excluded — they
     * are all trivially identical and belong to [[exactKeepers]]). */
@@ -491,6 +526,26 @@ object DedupSql {
     s"""SELECT doc_id,
        |       doc_id = min(doc_id) OVER (PARTITION BY $norm) AS is_keeper
        |FROM documents""".stripMargin
+
+  /** Twin of [[Dedup.passageDedup]]: identical chunking (ceil(n/w)
+    * passages, last one partial) via a lateral index unnest + grouped
+    * `string_agg`, identical first-occurrence rule. */
+  def passageDedup(w: Int): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $toks AS tk FROM documents WHERE len($toks) > 0),
+       |chunks AS (
+       |  SELECT doc_id, CAST(floor((i - 1) / $w) AS BIGINT) AS pos,
+       |         string_agg(tk[i], ' ' ORDER BY i) AS passage
+       |  FROM base, unnest(range(1, len(tk) + 1)) AS r(i)
+       |  GROUP BY doc_id, pos),
+       |ranked AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (PARTITION BY passage
+       |                            ORDER BY doc_id, pos) AS rn
+       |  FROM chunks)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shingle-set expression for a `documents`-shaped relation. */
   def shinglesSql(n: Int): String =

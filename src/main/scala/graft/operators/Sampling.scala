@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators: the sampling layer a pretraining data
+  * pipeline runs AFTER cleaning/dedup — decide how much of each source to
+  * keep (temperature mixing) and in what order to emit it (seeded global
+  * shuffle into training shards).
+  *
+  * Both operators make every random choice a pure integer function of the
+  * row key (multiplicative hashing, the [[Ratings.splitBucket]] trick
+  * scaled up), so the "random" sample is reproducible bit-for-bit across
+  * engines and across reruns — which is exactly what a training pipeline
+  * wants anyway: re-running the corpus build must yield the same corpus.
+  */
+object Sampling {
+
+  /** Knuth's multiplicative-hash constant (2^32/φ) and a prime modulus:
+    * `(key * prime) mod M` spreads sequential ids uniformly over [0, M). */
+  val hashPrime = 2654435761L
+  val hashMod = 1000003L
+
+  /** Temperature-weighted source mixing (the GPT-3/LLaMA data-mix shape):
+    * sample source `s` at a rate proportional to `n_s^(1/2)` — up-weights
+    * small sources, down-weights dominant ones — scaled so the expected
+    * kept total is `targetPct`% of the corpus. Returns the per-source
+    * audit `(source, n_docs, milliweight, thresh, n_kept)`.
+    *
+    * Cross-engine exactness: the per-source weight is the INTEGER
+    * `round(sqrt(n_s)·1000)` — sqrt and one multiply are IEEE-exact, and
+    * integer sums are order-independent, where a floating `Σ n_s^α` would
+    * depend on the engine's reduction order. The keep rule compares the
+    * row hash against `floor(rate·M)`, one exactly-rounded double op each.
+    *
+    * Scale shape: one tiny per-source count aggregate → a source-count-
+    * sized rate table broadcast back → one filter pass over the corpus.
+    * Sampling 100 TB is a single scan; nothing corpus-sized shuffles.
+    */
+  def temperatureMix(docs: DataFrame, targetPct: Int = 50): DataFrame = {
+    require(targetPct > 0 && targetPct <= 100, s"targetPct in (0,100]: $targetPct")
+    val all = Window.partitionBy()
+    val rates = docs.groupBy("source").agg(count("*").as("n_src"))
+      .withColumn("milliweight", round(sqrt(col("n_src")) * 1000).cast("long"))
+      .withColumn("denom", sum("milliweight").over(all))
+      .withColumn("target", expr(s"sum(n_src) OVER () * $targetPct div 100"))
+      .withColumn("thresh",
+        floor(least(lit(1.0),
+          (col("target") * col("milliweight")).cast("double")
+            / (col("denom") * col("n_src"))) * hashMod).cast("long"))
+      .select("source", "n_src", "milliweight", "thresh")
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("keep", pmod(col("doc_id") * hashPrime, lit(hashMod)) < col("thresh"))
+      .groupBy("source").agg(
+        first("n_src").as("n_docs"),
+        first("milliweight").as("milliweight"),
+        first("thresh").as("thresh"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** Seeded global shuffle into training shards: every document gets a
+    * pseudo-random but deterministic `shard` in [0, nShards) and a `pos`
+    * (its emit order within the shard) — the corpus-export step that
+    * breaks source/crawl locality so a trainer's sequential reads see an
+    * i.i.d.-ish stream. `(doc_id, shard, pos)`.
+    *
+    * Scale shape: one shuffle on `shard` + a per-shard sort — exactly the
+    * `repartition(shard).sortWithinPartitions(h)` write plan of the
+    * partitioned sinks (k2/k3); this query face returns the assignment
+    * itself so the shuffle is oracle-checkable row for row.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val win = Window.partitionBy("shard").orderBy("h", "doc_id")
+    docs
+      .select(col("doc_id"), pmod(col("doc_id") * hashPrime, lit(hashMod)).as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(win))
+      .select("doc_id", "shard", "pos")
+  }
+}
+
+/** DuckDB twins of [[Sampling]] — identical integer hash/weight
+  * arithmetic, term for term. */
+object SamplingSql {
+  import Sampling.{hashMod, hashPrime}
+
+  def temperatureMix(targetPct: Int): String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+       |  FROM documents GROUP BY source),
+       |rates AS (
+       |  SELECT source, n_src,
+       |         CAST(round(sqrt(n_src) * 1000) AS BIGINT) AS milliweight,
+       |         sum(CAST(round(sqrt(n_src) * 1000) AS BIGINT)) OVER () AS denom,
+       |         sum(n_src) OVER () * $targetPct // 100 AS target
+       |  FROM counts),
+       |thresholds AS (
+       |  SELECT source, n_src, milliweight,
+       |         CAST(floor(least(1.0,
+       |           CAST(target * milliweight AS DOUBLE) / (denom * n_src))
+       |           * $hashMod) AS BIGINT) AS thresh
+       |  FROM rates)
+       |SELECT d.source, t.n_src AS n_docs, t.milliweight, t.thresh,
+       |       CAST(sum(CASE WHEN (d.doc_id * $hashPrime) % $hashMod < t.thresh
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d JOIN thresholds t USING (source)
+       |GROUP BY d.source, t.n_src, t.milliweight, t.thresh
+       |ORDER BY d.source""".stripMargin
+
+  def shuffleShards(nShards: Int): String =
+    s"""SELECT doc_id, shard, pos FROM (
+       |  SELECT doc_id, CAST(h % $nShards AS INT) AS shard,
+       |         row_number() OVER (PARTITION BY h % $nShards
+       |                            ORDER BY h, doc_id) AS pos
+       |  FROM (SELECT doc_id, (doc_id * $hashPrime) % $hashMod AS h
+       |        FROM documents))
+       |ORDER BY shard, pos""".stripMargin
+}

@@ -308,6 +308,58 @@ object TextAnalysis {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Model-based quality scoring via the feature-hashing trick — the
+    * fastText-style classifier shape every production corpus pipeline runs
+    * after the rule filters ([[gopherFilter]]): tokens → `dim` hashed
+    * feature buckets → weight lookup → summed linear score. Backed by the
+    * native [[graft.functions.HashedLrScore]] kernel, so scoring is one
+    * codegen'd projection per document — no token explode, no weight-table
+    * join, zero shuffles at any corpus size. The deterministic integer
+    * weight rule stands in for trained weights (same kernel shape) and
+    * keeps the score exactly reproducible in the SQL oracle.
+    * `(doc_id, n_tokens, score, score_per_token, keep)`. */
+  def hashedLrQuality(docs: DataFrame, dim: Int = 64): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        graft.functions.hashed_lr_score(col("text"), dim).as("score"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("score"),
+        when(col("n_tokens") > 0,
+          round(col("score").cast("double") / col("n_tokens"), 6))
+          .otherwise(0.0).as("score_per_token"),
+        (col("score") >= 0).as("keep"))
+
+  /** The decomposed formulation of [[hashedLrQuality]] — explode tokens,
+    * broadcast-join a materialized `dim`-row weight table, re-aggregate —
+    * kept as the cross-check that the one-pass kernel computes exactly the
+    * classic shape (equivalence pinned in TextDedupSpec). */
+  def hashedLrQualityComposed(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = spark.range(dim).select(
+      col("id").cast("long").as("bucket"),
+      ((col("id") * 2654435761L) % 1001L - 500L).as("weight"))
+    val t = tokens(col("text"))
+    val perTok = docs
+      .select(col("doc_id"), explode(t).as("tok"))
+      .withColumn("bucket", (length(col("tok")) * 31L + ascii(col("tok"))) % dim)
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id").agg(sum("weight").as("score"))
+    docs
+      .select(col("doc_id"), size(t).as("n_tokens"))
+      .join(perTok, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("score"),
+        when(col("n_tokens") > 0,
+          round(col("score").cast("double") / col("n_tokens"), 6))
+          .otherwise(0.0).as("score_per_token"),
+        (col("score") >= 0).as("keep"))
+  }
+
   /** 64-bit content fingerprint of the normalized text (exact-dup key).
     * xxhash64 is Spark-built-in and codegen'd; dedup correctness never
     * depends on it being collision-free because [[Dedup]] verifies
@@ -569,6 +621,23 @@ object TextAnalysisSql {
        |               / (tf + $k1 * (1.0 - $b + $b * dl / avgdl))), 6) AS score
        |    FROM tf JOIN df USING (term), stats GROUP BY doc_id))
        |WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** Twin of [[TextAnalysis.hashedLrQuality]] — the identical all-integer
+    * bucket/weight arithmetic over the identical token list (`ascii(t)` is
+    * the first character's code in both engines; tokens are pure ASCII, so
+    * byte length == char length == `length(t)`). */
+  def hashedLr(dim: Int): String =
+    s"""SELECT doc_id, n_tokens, score,
+       |  CASE WHEN n_tokens > 0
+       |    THEN round(CAST(score AS DOUBLE) / n_tokens, 6)
+       |    ELSE 0.0 END AS score_per_token,
+       |  score >= 0 AS keep
+       |FROM (
+       |  SELECT doc_id, len($toks) AS n_tokens,
+       |         CAST(coalesce(list_sum(list_transform($toks,
+       |           t -> ((((length(t)*31 + ascii(t)) % $dim) * 2654435761)
+       |                 % 1001) - 500)), 0) AS BIGINT) AS score
+       |  FROM documents)""".stripMargin
 
   val langId: String =
     s"""SELECT doc_id,

@@ -41,6 +41,10 @@ class FunctionsSpec extends SparkSuite {
     val bs = spark.sql(
       "SELECT bigram_stats(array('a','b','a','b')) AS s").head().getSeq[Long](0)
     assert(bs === Seq(2L, 3L))
+    // hand value: bucket("the") = 17, weight = 110 (see TextDedupSpec)
+    val lr = spark.sql(
+      "SELECT hashed_lr_score('The the', 64) AS s").head().getLong(0)
+    assert(lr === 220L)
   }
 
   test("registerAll covers a session without the extension") {

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** [[Sampling]]: temperature-weighted source mixing and the seeded global
+  * shuffle — the corpus-composition layer. The arithmetic itself is
+  * oracle-checked (`p10_temperature_mix` / `p11_shuffle_shards`); these
+  * tests pin the semantic invariants on a hand-checkable skewed corpus. */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus(sizes: (String, Int)*): DataFrame = {
+    var id = 0L
+    sizes.flatMap { case (src, n) =>
+      (1 to n).map { _ => id += 1; (id, src) }
+    }.toDF("doc_id", "source")
+  }
+
+  test("temperatureMix: sqrt weighting up-samples small sources, caps at 1") {
+    // sizes 16/4/1 -> milliweights 4000/2000/1000, denom 7000, N=21,
+    // target = 21*50 div 100 = 10
+    val d = corpus("big" -> 16, "mid" -> 4, "tiny" -> 1)
+    val got = Sampling.temperatureMix(d, targetPct = 50)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("milliweight"), r.getAs[Long]("thresh"), r.getAs[Long]("n_kept")))).toMap
+
+    assert(got("big")._1 === 4000L && got("mid")._1 === 2000L && got("tiny")._1 === 1000L)
+    // rate_tiny = 10*1000/(7000*1) > 1 -> capped: thresh = hashMod, whole
+    // source kept (up-sampling a source beyond 1x is the trainer's job)
+    assert(got("tiny")._2 === Sampling.hashMod)
+    assert(got("tiny")._3 === 1L)
+    // temperature ordering: smaller source -> strictly higher keep rate
+    // thresh/n is the per-doc keep probability numerator
+    val rateBig = got("big")._2.toDouble
+    val rateMid = got("mid")._2.toDouble
+    assert(rateBig < rateMid && rateMid < got("tiny")._2.toDouble)
+    // exact thresholds from the integer rule: floor(10*w/(7000*n) * M)
+    assert(got("big")._2 === math.floor(10.0 * 4000 / (7000 * 16) * Sampling.hashMod).toLong)
+    assert(got("mid")._2 === math.floor(10.0 * 2000 / (7000 * 4) * Sampling.hashMod).toLong)
+  }
+
+  test("temperatureMix: uniform sources degrade to plain targetPct sampling") {
+    val d = corpus("a" -> 10, "b" -> 10)
+    val rows = Sampling.temperatureMix(d, targetPct = 50).collect()
+    val threshes = rows.map(_.getAs[Long]("thresh")).toSet
+    assert(threshes.size === 1) // identical rate everywhere
+    // expected rate exactly 1/2: floor(0.5 * M)
+    assert(threshes.head === Sampling.hashMod / 2)
+  }
+
+  test("shuffleShards: a permutation into dense per-shard positions, deterministic") {
+    val d = corpus("a" -> 40)
+    val a = Sampling.shuffleShards(d, nShards = 4).collect()
+    val b = Sampling.shuffleShards(d, nShards = 4).collect()
+    assert(a.map(_.toString).sorted === b.map(_.toString).sorted) // seeded == rerunnable
+    assert(a.map(_.getAs[Long]("doc_id")).toSet === (1L to 40L).toSet) // permutation
+    val byShard = a.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keySet.subsetOf((0 until 4).toSet))
+    byShard.foreach { case (_, rows) => // dense 1..n emit order per shard
+      assert(rows.map(_.getAs[Int]("pos")).sorted === (1 to rows.length).toArray)
+    }
+    // the shuffle actually breaks id locality: consecutive ids land on
+    // different shards somewhere in the corpus
+    val shardOf = a.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    assert((1L until 40L).exists(i => shardOf(i) != shardOf(i + 1)))
+  }
+}

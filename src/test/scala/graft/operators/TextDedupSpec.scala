@@ -346,6 +346,37 @@ class TextDedupSpec extends SparkSuite {
     assert(row.getAs[Int]("n_tokens") === 12)
   }
 
+  test("passageDedup: first global occurrence survives, later copies drop") {
+    val d = docs(
+      (1L, "a b c d"),     // "a b", "c d" — both first
+      (2L, "a b x y"),     // "a b" dups doc 1 pos 0; "x y" first
+      (3L, "c d c d"),     // both passages dup doc 1's "c d"
+      (4L, "p q r"))       // odd length: "p q", "r"
+    val got = Dedup.passageDedup(d, w = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 2L, 2L)))
+  }
+
+  test("hashedLrQuality: one-pass kernel equals the explode+weight-join form") {
+    val d = docs(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, ""),                       // no tokens -> score 0, keep
+      (3L, "a a a a"),                // bucket 0 weight -500 each
+      (4L, "Mixed CASE, punct!! and 42 numbers"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(rows(TextAnalysis.hashedLrQuality(d)) ===
+      rows(TextAnalysis.hashedLrQualityComposed(d)))
+    val byId = TextAnalysis.hashedLrQuality(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // hand-checked: bucket("the") = (3*31+116) % 64 = 17,
+    // weight = (17*2654435761) % 1001 - 500 = 110; "a" -> bucket 0 -> -500
+    assert(byId(3L) === -2000L)
+    assert(byId(2L) === 0L)
+    val theOnly = docs((9L, "The the THE"))
+    assert(TextAnalysis.hashedLrQuality(theOnly).head().getLong(2) === 330L)
+  }
+
   test("langId: picks the profile with most stopword hits") {
     val d = docs(
       (1L, "the cat and the dog of the house"),
