@@ -44,6 +44,11 @@ object Bench {
     // one random later query's timing per run — flush here, untimed
     try new ProcessBuilder("sync").inheritIO().start().waitFor()
     catch { case _: Exception => }
+    // likewise for heap garbage: ~100 earlier queries' debris otherwise
+    // surfaces as a collection pause inside whichever allocation-heavy
+    // query it lands on (measured: a2_indexed_equiv 7.2s mid-suite vs
+    // 2.4s standalone) — collect here, untimed
+    System.gc()
     val t0 = System.nanoTime()
     val ok =
       try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }

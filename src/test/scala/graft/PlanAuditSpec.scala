@@ -321,4 +321,38 @@ class PlanAuditSpec extends SparkSuite {
     // slab routing join keys on rating+shard (narrow ints), never text
     assert(p.contains("shard"), p)
   }
+
+  test("t16: model scoring is one projection — no explode, no join, no agg") {
+    val p = plan("t16_hashed_lr")
+    assert(p.contains("hashed_lr_score"), p)
+    assert(!p.contains("Generate"), "kernel path must not explode tokens")
+    assert(!p.contains("Join"), "kernel path must not join a weight table")
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("p10: corpus side filters through a broadcast rate table, no corpus shuffle") {
+    val p = plan("p10_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the source-cardinality rate table must broadcast")
+  }
+
+  test("dedup_passage: the keeper exchange carries bounded-width rows only") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.operators.Dedup.passageDedup(
+          graft.operators.Tables(spark, dir, "documents"))
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(exchanges.nonEmpty)
+    // every shuffled string column is a passage (bounded by w tokens) —
+    // the full document text column must never reach an exchange
+    exchanges.foreach { e =>
+      assert(!e.child.schema.fieldNames.contains("text"),
+        s"document text on the wire: ${e.child.schema.treeString}")
+    }
+  }
 }
