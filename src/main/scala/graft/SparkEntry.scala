@@ -1141,6 +1141,11 @@ object SparkEntry {
     "pipe1_clean_corpus" -> ((s, dir) => // composed: quality filter -> dedup
       Dedup.cleanCorpus(Tables(s, dir, "documents"), minQuality = 0.5)
         .orderBy("doc_id")),
+    "pipe3_export_corpus" -> ((s, dir) => // the composed EXPORT pass:
+      // model-score gate -> exact dedup -> temperature mix -> shuffle
+      // shards, one plan (each stage keeps its standalone oracle query)
+      Sampling.exportCorpus(Tables(s, dir, "documents"))
+        .orderBy("shard", "pos")),
     "pipe2_pretrain_corpus" -> ((s, dir) => {
       // the full composed pretraining pass: quality -> language ->
       // benchmark decontamination -> exact dedup, one plan (every stage
@@ -1756,6 +1761,7 @@ object SparkEntry {
       "dedup_clusters" -> DedupSql.nearDupClusters(0.8, 3),
       "pipe1_clean_corpus" -> DedupSql.cleanCorpus(0.5),
       "pipe2_pretrain_corpus" -> DedupSql.pretrainCorpus("doc_id % 100 = 0", 0.5),
+      "pipe3_export_corpus" -> SamplingSql.exportCorpus(64, 50, 8),
       "mm1_meta" -> MultimodalSql.attachMeta,
       "mm2_frame_stats" -> MultimodalSql.frameStats,
       "mm3_decode_batch" -> MultimodalSql.decodeBatch,

@@ -38,7 +38,13 @@ object Sampling {
     * sized rate table broadcast back → one filter pass over the corpus.
     * Sampling 100 TB is a single scan; nothing corpus-sized shuffles.
     */
-  def temperatureMix(docs: DataFrame, targetPct: Int = 50): DataFrame = {
+  /** The per-row face of [[temperatureMix]]: every document with its
+    * source's rate parameters and its own `keep` verdict —
+    * `(doc_id, source, n_src, milliweight, thresh, keep)`. This is the
+    * composable stage ([[graft.SparkEntry]]'s `pipe3_export_corpus`
+    * filters on `keep` and shards the survivors); [[temperatureMix]] is
+    * its per-source audit aggregate. */
+  def temperatureKeep(docs: DataFrame, targetPct: Int = 50): DataFrame = {
     require(targetPct > 0 && targetPct <= 100, s"targetPct in (0,100]: $targetPct")
     val all = Window.partitionBy()
     val rates = docs.groupBy("source").agg(count("*").as("n_src"))
@@ -53,12 +59,15 @@ object Sampling {
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(rates), "source")
       .withColumn("keep", pmod(col("doc_id") * hashPrime, lit(hashMod)) < col("thresh"))
+  }
+
+  def temperatureMix(docs: DataFrame, targetPct: Int = 50): DataFrame =
+    temperatureKeep(docs, targetPct)
       .groupBy("source").agg(
         first("n_src").as("n_docs"),
         first("milliweight").as("milliweight"),
         first("thresh").as("thresh"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
-  }
 
   /** Seeded global shuffle into training shards: every document gets a
     * pseudo-random but deterministic `shard` in [0, nShards) and a `pos`
@@ -71,14 +80,35 @@ object Sampling {
     * partitioned sinks (k2/k3); this query face returns the assignment
     * itself so the shuffle is oracle-checkable row for row.
     */
-  def shuffleShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
+  def shuffleShards(docs: DataFrame, nShards: Int = 8,
+      keep: Seq[String] = Nil): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val win = Window.partitionBy("shard").orderBy("h", "doc_id")
     docs
-      .select(col("doc_id"), pmod(col("doc_id") * hashPrime, lit(hashMod)).as("h"))
+      .select(col("doc_id") +: keep.map(col) :+
+        pmod(col("doc_id") * hashPrime, lit(hashMod)).as("h"): _*)
       .withColumn("shard", (col("h") % nShards).cast("int"))
       .withColumn("pos", row_number().over(win))
-      .select("doc_id", "shard", "pos")
+      .select(("doc_id" +: keep) ++ Seq("shard", "pos") map col: _*)
+  }
+
+  /** The composed corpus-EXPORT pass — what actually ships to the
+    * trainer: model-score gate (one kernel projection) → exact dedup
+    * (hash-keyed keeper window) → temperature mix (broadcast rate table)
+    * → seeded shuffle into `nShards` training shards. The composition
+    * endpoint of the whole composition layer, one plan end to end:
+    * `(doc_id, source, shard, pos)` for every exported document.
+    * Complements `pipe2_pretrain_corpus` (the CLEANING composition);
+    * every stage keeps its standalone oracle-checked twin. */
+  def exportCorpus(docs: DataFrame, dim: Int = 64, targetPct: Int = 50,
+      nShards: Int = 8): DataFrame = {
+    val scored = docs.where(graft.functions.hashed_lr_score(col("text"), dim) >= 0)
+    val keepers = Dedup.exactKeepers(scored)
+      .where(col("is_keeper")).select("doc_id")
+    val surv = scored.join(keepers, "doc_id").select("doc_id", "source")
+    val mixed = temperatureKeep(surv, targetPct)
+      .where(col("keep")).select("doc_id", "source")
+    shuffleShards(mixed, nShards, keep = Seq("source"))
   }
 }
 
@@ -117,5 +147,46 @@ object SamplingSql {
        |                            ORDER BY h, doc_id) AS pos
        |  FROM (SELECT doc_id, (doc_id * $hashPrime) % $hashMod AS h
        |        FROM documents))
+       |ORDER BY shard, pos""".stripMargin
+
+  /** Twin of [[Sampling.exportCorpus]] — the four stages as CTEs, each
+    * reusing its standalone twin's arithmetic verbatim. */
+  def exportCorpus(dim: Int, targetPct: Int, nShards: Int): String =
+    s"""WITH kept1 AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE ${TextAnalysisSql.lrScore(dim)} >= 0),
+       |keepers AS (
+       |  SELECT doc_id,
+       |         doc_id = min(doc_id) OVER (PARTITION BY ${DedupSql.norm})
+       |           AS is_keeper
+       |  FROM kept1),
+       |surv AS (
+       |  SELECT k.doc_id, k.source FROM kept1 k
+       |  JOIN keepers USING (doc_id) WHERE is_keeper),
+       |counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+       |  FROM surv GROUP BY source),
+       |rates AS (
+       |  SELECT source, n_src,
+       |         CAST(round(sqrt(n_src) * 1000) AS BIGINT) AS milliweight,
+       |         sum(CAST(round(sqrt(n_src) * 1000) AS BIGINT)) OVER () AS denom,
+       |         sum(n_src) OVER () * $targetPct // 100 AS target
+       |  FROM counts),
+       |thresholds AS (
+       |  SELECT source,
+       |         CAST(floor(least(1.0,
+       |           CAST(target * milliweight AS DOUBLE) / (denom * n_src))
+       |           * $hashMod) AS BIGINT) AS thresh
+       |  FROM rates),
+       |mixed AS (
+       |  SELECT s.doc_id, s.source FROM surv s
+       |  JOIN thresholds t USING (source)
+       |  WHERE (s.doc_id * $hashPrime) % $hashMod < t.thresh)
+       |SELECT doc_id, source, shard, pos FROM (
+       |  SELECT doc_id, source, CAST(h % $nShards AS INT) AS shard,
+       |         row_number() OVER (PARTITION BY h % $nShards
+       |                            ORDER BY h, doc_id) AS pos
+       |  FROM (SELECT doc_id, source, (doc_id * $hashPrime) % $hashMod AS h
+       |        FROM mixed))
        |ORDER BY shard, pos""".stripMargin
 }

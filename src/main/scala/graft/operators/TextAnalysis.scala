@@ -622,10 +622,17 @@ object TextAnalysisSql {
        |    FROM tf JOIN df USING (term), stats GROUP BY doc_id))
        |WHERE rank <= $topK ORDER BY rank""".stripMargin
 
-  /** Twin of [[TextAnalysis.hashedLrQuality]] — the identical all-integer
-    * bucket/weight arithmetic over the identical token list (`ascii(t)` is
-    * the first character's code in both engines; tokens are pure ASCII, so
-    * byte length == char length == `length(t)`). */
+  /** The hashed-LR score as a SQL scalar expression — identical
+    * all-integer bucket/weight arithmetic to the native kernel (`ascii(t)`
+    * is the first character's code in both engines; tokens are pure ASCII,
+    * so byte length == char length == `length(t)`). Shared by
+    * [[hashedLr]] and the composed export-pipeline twin. */
+  def lrScore(dim: Int): String =
+    s"CAST(coalesce(list_sum(list_transform($toks, " +
+      s"t -> ((((length(t)*31 + ascii(t)) % $dim) * 2654435761) " +
+      s"% 1001) - 500)), 0) AS BIGINT)"
+
+  /** Twin of [[TextAnalysis.hashedLrQuality]]. */
   def hashedLr(dim: Int): String =
     s"""SELECT doc_id, n_tokens, score,
        |  CASE WHEN n_tokens > 0
@@ -634,9 +641,7 @@ object TextAnalysisSql {
        |  score >= 0 AS keep
        |FROM (
        |  SELECT doc_id, len($toks) AS n_tokens,
-       |         CAST(coalesce(list_sum(list_transform($toks,
-       |           t -> ((((length(t)*31 + ascii(t)) % $dim) * 2654435761)
-       |                 % 1001) - 500)), 0) AS BIGINT) AS score
+       |         ${lrScore(dim)} AS score
        |  FROM documents)""".stripMargin
 
   val langId: String =

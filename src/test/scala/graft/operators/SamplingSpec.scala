@@ -51,6 +51,29 @@ class SamplingSpec extends SparkSuite {
     assert(threshes.head === Sampling.hashMod / 2)
   }
 
+  test("exportCorpus: each composed stage drops exactly its targets") {
+    // scores (hand-checked vs the kernel): doc 1 = +1252, doc 3 = -2000,
+    // doc 4 = +84, doc 5 = -606; doc 2 normalizes equal to doc 1
+    val d = Seq(
+      (1L, "srcA", "the quick brown fox jumps"),
+      (2L, "srcA", "THE quick, brown fox jumps!!"), // exact dup of 1
+      (3L, "srcA", "a a a a"),                      // model gate: score < 0
+      (4L, "srcB", "another perfectly fine document"),
+      (5L, "srcB", "good tokens here live"))        // model gate: score < 0
+      .toDF("doc_id", "source", "text")
+    // targetPct=100 with survivors 1 per srcB, 1 per srcA -> rate 1
+    // everywhere: the mix stage passes everyone, isolating the two gates
+    val got = Sampling.exportCorpus(d, targetPct = 100)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    assert(got.map(_._1).toSet === Set(1L, 4L))
+    assert(got.forall(_._4 === 1)) // one doc per shard here -> pos dense
+    // and the mix stage does engage at a lower target
+    val mixed = Sampling.exportCorpus(d, targetPct = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixed.subsetOf(Set(1L, 4L)))
+  }
+
   test("shuffleShards: a permutation into dense per-shard positions, deterministic") {
     val d = corpus("a" -> 40)
     val a = Sampling.shuffleShards(d, nShards = 4).collect()
