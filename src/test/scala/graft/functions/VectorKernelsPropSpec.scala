@@ -97,6 +97,26 @@ object VectorKernelsPropSpec extends Properties("VectorKernels") {
     }
   }
 
+  property("hashedLrScore == bucket/weight fold over the regex tokens, any dim") = {
+    val strGen = for {
+      base <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', ',', '!', '\t')))
+        .map(_.mkString)
+      uni <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.choose('À', 'ӿ')))
+        .map(_.mkString)
+      s <- Gen.oneOf(base, uni, base + " " + uni)
+    } yield s
+    forAll(strGen, Gen.choose(1, 256)) { (s, dim) =>
+      val u = UTF8String.fromString(s)
+      val got = VectorKernels.hashedLrScore(u, dim)
+      val expected = "[a-z0-9]+".r.findAllIn(u.toLowerCase.toString)
+        .map { t =>
+          val b = (t.length * 31L + t.head.toLong) % dim
+          (b * 2654435761L) % 1001L - 500L
+        }.sum
+      got == expected
+    }
+  }
+
   property("identical shingle sets => identical minhash signature") =
     forAll(Gen.nonEmptyListOf(tokenGen)) { toks =>
       val a = VectorKernels.minhashSig(arr(toks), 16)
