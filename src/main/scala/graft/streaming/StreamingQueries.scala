@@ -18,6 +18,23 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
+  /** Isolated child session for one drained stream: right-sized state
+    * partition count — a handful of live keys never needs 32 state-store
+    * commits per batch. Checkpoints stay on the engine-generated temp
+    * path: Spark makes it unique per START, which matters — a stable
+    * session-default location would be reused by the next start of a
+    * same-named query, and RESUMING a drained AvailableNow checkpoint
+    * sees no new files, runs no batch, and leaves the fresh memory sink
+    * empty. (Measured: relocating these few-KB checkpoints to tmpfs moves
+    * nothing — the ~1s/query floor is micro-batch planning, not I/O.)
+    */
+  private[streaming] def childSession(outer: SparkSession): SparkSession = {
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark
+  }
+
+
   /** Event-time hourly counts over the `events` table, as a stream:
     * file-source parquet scan → event-time tumbling window (with
     * watermark) → count per (window, event_type) → memory sink, drained
@@ -29,8 +46,7 @@ object StreamingQueries {
     // state keyed by (window, event_type) — a handful of live keys; the
     // per-batch cost is state-store commits per partition, so right-size
     // the state partition count in an isolated child session
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     val path = s"$dir/events.parquet"
     // file streams need an explicit schema; one footer read supplies it
     val schema = spark.read.parquet(path).schema
@@ -69,8 +85,7 @@ object StreamingQueries {
     * micro-batch (`noDataMicroBatches`, on by default) is what advances
     * the watermark past the last data batch and flushes those windows. */
   def eventHourlyAppend(outer: SparkSession, dir: String): DataFrame = {
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val name = "st4_events_append_" + math.abs(dir.hashCode)
@@ -101,8 +116,7 @@ object StreamingQueries {
     * fully oracle-checkable against batch SQL. */
   def dedupState(outer: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val name = "st2_dedup_" + math.abs(dir.hashCode)
     val counts = spark.readStream.schema(schema)
@@ -133,8 +147,7 @@ object StreamingQueries {
     // state partition count to the keys, isolated in a child session so
     // the shared session's shuffle width is untouched. Real deployments
     // pin this per-query too (it is frozen into the checkpoint).
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st5_funnel_" + math.abs(dir.hashCode)
     def side(tag: String) = spark.readStream.schema(schema)
@@ -179,8 +192,7 @@ object StreamingQueries {
     * trailing clicks stay in state, unemitted — the oracle applies the
     * same cutoff. Output: per click-hour matched vs abandoned counts. */
   def streamStreamLeftOuter(outer: SparkSession, dir: String): DataFrame = {
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st8_abandon_" + math.abs(dir.hashCode)
     def side(tag: String) = spark.readStream.schema(schema)
@@ -221,8 +233,7 @@ object StreamingQueries {
     // Dedup state cost is per-partition state-store commits per batch, not
     // row work — right-size the state partition count in a child session
     // (frozen into a real checkpoint, so deployments pin it per-query too).
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st7_dropdup_" + math.abs(dir.hashCode)
     def src = spark.readStream.schema(schema)
@@ -254,8 +265,7 @@ object StreamingQueries {
     * the batch answer — checking the sink path end to end, not just the
     * in-memory collector. */
   def foreachBatchSink(outer: SparkSession, dir: String): DataFrame = {
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // PID-scoped: two JVMs (e.g. bench and verify) over the same data dir
     // must not clobber each other's sink mid-read
@@ -294,8 +304,7 @@ object StreamingQueries {
     * append-mode result summed per key is batch-count-invariant and equals
     * the batch `groupBy(user_id, event_type).count` — oracle-checked. */
   def transformWithStateCounts(outer: SparkSession, dir: String): DataFrame = {
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
@@ -331,8 +340,7 @@ object StreamingQueries {
     * oracle-checked end to end. State is one long per user: bounded by
     * key cardinality, never by input rows. */
   def statefulUserCounts(outer: SparkSession, dir: String): DataFrame = {
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -369,8 +377,7 @@ object StreamingQueries {
     * oracle rebuilds sessions with the strict-gap window formulation and
     * applies the identical ms-floor watermark cutoff. */
   def streamSessions(outer: SparkSession, dir: String): DataFrame = {
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val name = "st12_sessions_" + math.abs(dir.hashCode)
@@ -404,8 +411,7 @@ object StreamingQueries {
     * the state store across commits; their sum must still equal the batch
     * `groupBy.count`. The spec asserts the multi-batch execution shape. */
   def multiBatchState(outer: SparkSession, dir: String): DataFrame = {
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // PID-scoped for the same reason as the st9 sink path
@@ -452,8 +458,7 @@ object StreamingQueries {
     // Per-row probe work wants all cores (the explicit repartition below
     // keeps the wide spread); the 10-key "complete" aggregation state does
     // not want 32 state stores — right-size it in a child session.
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val spark = childSession(outer)
     val spread = outer.sessionState.conf.numShufflePartitions
     // Materialize the filter artifact ONCE, driver-side, exactly like the
     // reference tester reloading its persisted filter file: a streaming
