@@ -276,6 +276,12 @@ object Dedup {
       // (df, shingle text), which total-orders the real shingle universe.
       .select(col("doc_id"), col("sz"), col("pos"),
         xxhash64(col("shingle")).as("sh_key"))
+      // persisted because BOTH sides of the self-join read it and Catalyst
+      // plans the subtree (explode → df join → window sort) twice — the
+      // plan shows two independent Window+Exchange chains otherwise. Four
+      // fixed-width columns per prefix shingle: far smaller than `base`,
+      // safe to materialize at any corpus scale.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // positional filter (PPJoin): a qualifying pair needs overlap
     // α = ⌈θ/(1+θ)·(|a|+|b|)⌉, and a match at positions (pa, pb) caps the
