@@ -76,6 +76,9 @@ package object functions {
   def hashed_lr_score(text: Column, dim: Int): Column =
     col(HashedLrScore(expr(text), dim))
 
+  /** `[scale, max_abs_err]` int8-quantization audit of a vector column. */
+  def int8_quant_stats(vec: Column): Column = col(Int8QuantStats(expr(vec)))
+
   /** Element-wise seeded murmur3 of an ARRAY<STRING> column. */
   def hash_array(arr: Column, seed: Int): Column = col(HashArray(expr(arr), seed))
 
@@ -111,6 +114,7 @@ package object functions {
     ("cosine_sim", 2, exprs => CosineSim(exprs(0), exprs(1))),
     ("dot_product", 2, exprs => DotProduct(exprs(0), exprs(1))),
     ("vec_sub", 2, exprs => VecSub(exprs(0), exprs(1))),
+    ("int8_quant_stats", 1, exprs => Int8QuantStats(exprs(0))),
     ("simhash64", 1, exprs => SimHash64(exprs(0))),
     ("bloom_build_native", 3, exprs =>
       BloomBuildAgg(exprs(0), exprs(1), exprs(2))

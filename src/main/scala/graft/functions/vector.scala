@@ -199,6 +199,42 @@ object VectorKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Int8-quantization audit kernel (see [[Int8QuantStats]]):
+    * `[scale, max_abs_err]` for a float/double vector under symmetric
+    * per-vector int8 quantization (`scale = max|e|/127`, code =
+    * `clamp(floor(e/scale + 0.5), ±127)`). Operation order mirrors the
+    * SQL twin exactly (cast → abs-max → divide → round-half-up → clamp →
+    * reconstruct), so the audit values match the oracle bit for bit.
+    * Zero vector → scale 0, err 0. */
+  def int8QuantStats(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      requireNoNullSlot(a, i, "int8_quant_stats")
+      val e = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val ab = math.abs(e)
+      if (ab > maxAbs) maxAbs = ab
+      i += 1
+    }
+    val s = maxAbs / 127.0
+    var maxErr = 0.0
+    if (s != 0.0) {
+      i = 0
+      while (i < n) {
+        val e = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        var q = math.floor(e / s + 0.5)
+        if (q > 127.0) q = 127.0
+        if (q < -127.0) q = -127.0
+        val err = math.abs(e - q * s)
+        if (err > maxErr) maxErr = err
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(s, maxErr))
+  }
+
   /** Bigram-repetition kernel (see [[BigramStats]]): `[top, total]` where
     * `total` is the number of adjacent token bigrams (`|tokens| - 1`) and
     * `top` the occurrence count of the most frequent one. One local pass
@@ -576,6 +612,46 @@ case class BigramStats(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.VectorKernels.bigramStats($t);")
 
   override protected def withNewChildInternal(newChild: Expression): BigramStats =
+    copy(child = newChild)
+}
+
+/** `int8_quant_stats(vec)` → `ARRAY<DOUBLE> [scale, max_abs_err]`: the
+  * symmetric per-vector int8 compression audit as one codegen'd pass —
+  * replaces a four-`transform`-lambda composition (cast, abs-max,
+  * quantize, reconstruct-error) whose interpreted lambdas dominate the
+  * corpus-wide audit. Same null-slot contract as [[DotProduct]].
+  */
+case class Int8QuantStats(child: Expression) extends UnaryExpression {
+
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case Some(_) => TypeCheckResult.TypeCheckSuccess
+    case None => TypeCheckResult.TypeCheckFailure(
+      s"int8_quant_stats argument must be ARRAY<FLOAT> or ARRAY<DOUBLE>, " +
+        s"got ${child.dataType.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "int8_quant_stats"
+
+  private def isFloat: Boolean = elemType.contains(FloatType)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.int8QuantStats(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernels.int8QuantStats($v, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
     copy(child = newChild)
 }
 

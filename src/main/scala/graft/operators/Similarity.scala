@@ -140,10 +140,24 @@ object Similarity {
     * reconstruction error): per-vector symmetric scale `max|x|/127`,
     * `q = clamp(floor(x/scale + 0.5), ±127)`. Returns the audit row per
     * vector `(vec_id, n_dims, qscale, max_abs_err)` — the whole
-    * quantize→dequantize→error pipeline in one narrow codegen'd
-    * projection (no shuffle, no state), oracle-checked value-for-value.
-    * The error bound `scale/2` is checked in SimilaritySpec. */
+    * quantize→dequantize→error pipeline in ONE pass of the native
+    * [[graft.functions.Int8QuantStats]] kernel (no shuffle, no state,
+    * no interpreted lambdas), oracle-checked value-for-value. The error
+    * bound `scale/2` is checked in SimilaritySpec; kernel == lambda-
+    * composition equivalence in the same suite. */
   def quantizeInt8Stats(emb: DataFrame): DataFrame = {
+    val st = graft.functions.int8_quant_stats(col("embedding"))
+    emb.select(
+      col("vec_id"),
+      size(col("embedding")).as("n_dims"),
+      round(element_at(st, 1), 6).as("qscale"),
+      round(element_at(st, 2), 6).as("max_abs_err"))
+  }
+
+  /** The interpreted-lambda composition [[quantizeInt8Stats]] replaced —
+    * kept as the cross-check that the one-pass kernel computes the same
+    * audit (equivalence pinned in SimilaritySpec). */
+  def quantizeInt8StatsComposed(emb: DataFrame): DataFrame = {
     val x = transform(col("embedding"), e => e.cast("double"))
     val scale = array_max(transform(x, e => abs(e))) / 127.0
     def err(s: Column) = array_max(transform(x, e =>

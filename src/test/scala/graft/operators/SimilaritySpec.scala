@@ -213,4 +213,17 @@ class SimilaritySpec extends SparkSuite {
     val zero = out.find(_._1 == 99L).get
     assert(zero._2 === 0.0 && zero._3 === 0.0)
   }
+
+  test("quantizeInt8Stats: one-pass kernel == interpreted-lambda composition") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 50L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))) :+
+      (99L, Seq.fill(16)(0.0f))
+    val df = vecDf(rows: _*)
+    val a = Similarity.quantizeInt8Stats(df).orderBy("vec_id")
+      .collect().map(_.toString).toSeq
+    val b = Similarity.quantizeInt8StatsComposed(df).orderBy("vec_id")
+      .collect().map(_.toString).toSeq
+    assert(a === b)
+  }
 }
