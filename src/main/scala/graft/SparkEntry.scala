@@ -1275,6 +1275,9 @@ object SparkEntry {
       graft.streaming.StreamingQueries.eventHourly(s, dir)),
     "st2_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingQueries.dedupState(s, dir)),
+    "st13_stream_corpus" -> ((s, dir) => // streaming corpus ingest: model
+      // gate inside the stream, (source, fp)-keyed dedup state
+      graft.streaming.StreamingQueries.corpusIngest(s, dir)),
     "st3_stream_bloom_probe" -> ((s, dir) =>
       graft.streaming.StreamingQueries.bloomProbe(s, dir)),
     "st4_stream_append" -> ((s, dir) => // append mode: finalized windows only
@@ -1827,6 +1830,14 @@ object SparkEntry {
            |         array_to_string(${TextAnalysisSql.toks}, ' '), ''))
            |         AS n_distinct
            |FROM documents""".stripMargin,
+      "st13_stream_corpus" -> // drained (source, fp) state == batch rollup
+        s"""SELECT source,
+           |       CAST(count(DISTINCT coalesce(
+           |         array_to_string(${TextAnalysisSql.toks}, ' '), ''))
+           |         AS BIGINT) AS n_unique,
+           |       CAST(count(*) AS BIGINT) AS n_docs
+           |FROM documents WHERE ${TextAnalysisSql.lrScore(64)} >= 0
+           |GROUP BY source ORDER BY source""".stripMargin,
       "st4_stream_append" -> // append mode emits only watermark-finalized
         // windows: window_end <= max event time (ms floor, Spark's
         // watermark precision) - 1h delay. The trailing windows stay open.

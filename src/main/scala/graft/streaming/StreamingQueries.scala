@@ -133,6 +133,40 @@ object StreamingQueries {
       .agg(sum("n").as("n_docs"), count("*").as("n_distinct"))
   }
 
+  /** Streaming corpus ingestion — the composition layer's ingest face:
+    * the hashed-LR model gate runs INSIDE the stream (a native expression
+    * gates batch and stream with the same one-pass kernel), and the dedup
+    * state is keyed by `(source, xxhash64(norm))` — fixed-width state
+    * rows, never document text, which is what an always-on 100 TB ingest
+    * can actually hold (contrast [[dedupState]], which keys on the text
+    * itself as the small-state demonstration). Drained with AvailableNow
+    * and summarized per source: `(source, n_unique, n_docs)`; the batch
+    * SQL twin is the oracle. A fingerprint collision would merge two
+    * texts here; the collision-safe exact path is batch `dedup_exact` —
+    * bounded state width is the point of this one.
+    */
+  def corpusIngest(outer: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val spark = childSession(outer)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val name = "st13_corpus_" + math.abs(dir.hashCode)
+    val counts = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .where(graft.functions.hashed_lr_score(col("text"), 64) >= 0)
+      .select(col("source"),
+        xxhash64(graft.operators.TextAnalysis.normalized(col("text"))).as("fp"))
+      .groupBy("source", "fp").agg(cnt("*").as("n"))
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).groupBy("source")
+      .agg(count("*").as("n_unique"), sum("n").as("n_docs"))
+      .orderBy("source")
+  }
+
   /** Stream-stream inner join: `click` events joined to later `purchase`
     * events of the same user within 1 hour — the funnel-attribution shape.
     * Both sides are watermarked and the join carries a time-range
