@@ -79,6 +79,10 @@ package object functions {
   /** `[scale, max_abs_err]` int8-quantization audit of a vector column. */
   def int8_quant_stats(vec: Column): Column = col(Int8QuantStats(expr(vec)))
 
+  /** `[en, de, fr, es]` stopword-profile counts of a text column. */
+  def stop_profile_counts(text: Column): Column =
+    col(StopProfileCounts(expr(text)))
+
   /** Element-wise seeded murmur3 of an ARRAY<STRING> column. */
   def hash_array(arr: Column, seed: Int): Column = col(HashArray(expr(arr), seed))
 
@@ -115,6 +119,7 @@ package object functions {
     ("dot_product", 2, exprs => DotProduct(exprs(0), exprs(1))),
     ("vec_sub", 2, exprs => VecSub(exprs(0), exprs(1))),
     ("int8_quant_stats", 1, exprs => Int8QuantStats(exprs(0))),
+    ("stop_profile_counts", 1, exprs => StopProfileCounts(exprs(0))),
     ("simhash64", 1, exprs => SimHash64(exprs(0))),
     ("bloom_build_native", 3, exprs =>
       BloomBuildAgg(exprs(0), exprs(1), exprs(2))

@@ -289,6 +289,55 @@ object VectorKernels {
   private def isTokenByte(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
 
+  /** The four stopword profiles of the language-ID heuristic — canonical
+    * definition (the operators layer and every SQL twin alias these).
+    * All pure-ASCII lowercase, so byte comparison == string comparison. */
+  val stopEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+  val stopDe: Seq[String] = Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den")
+  val stopFr: Seq[String] = Seq("le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que")
+  val stopEs: Seq[String] = Seq("el", "los", "de", "que", "y", "en", "un", "es", "una", "por")
+
+  private val stopProfiles: Array[Array[Array[Byte]]] =
+    Array(stopEn, stopDe, stopFr, stopEs)
+      .map(_.map(_.getBytes("UTF-8")).toArray)
+
+  /** Stop-profile counting kernel (see [[StopProfileCounts]]): per
+    * profile, how many token occurrences are one of its stopwords —
+    * `[en, de, fr, es]` in ONE pass over the lowered bytes (the composed
+    * form pays one interpreted `filter` lambda per profile per token).
+    * A token is compared only against same-length words. */
+  def stopProfileCounts(text: UTF8String): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    val counts = new Array[Int](4)
+    var i = 0
+    while (i < n) {
+      if (isTokenByte(bytes(i))) {
+        val start = i
+        while (i < n && isTokenByte(bytes(i))) i += 1
+        val len = i - start
+        var p = 0
+        while (p < 4) {
+          val words = stopProfiles(p)
+          var w = 0
+          var hit = false
+          while (w < words.length && !hit) {
+            val word = words(w)
+            if (word.length == len) {
+              var j = 0
+              while (j < len && word(j) == bytes(start + j)) j += 1
+              hit = j == len
+            }
+            w += 1
+          }
+          if (hit) counts(p) += 1
+          p += 1
+        }
+      } else i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
   /** Hashed-feature linear scorer kernel (see [[HashedLrScore]]): one pass
     * over the lowered bytes; every `[a-z0-9]+` run contributes
     * `weight(bucket(run))` where `bucket = (len*31 + firstByte) % dim` and
@@ -612,6 +661,38 @@ case class BigramStats(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.VectorKernels.bigramStats($t);")
 
   override protected def withNewChildInternal(newChild: Expression): BigramStats =
+    copy(child = newChild)
+}
+
+/** `stop_profile_counts(text)` → `ARRAY<INT> [en, de, fr, es]`: stopword
+  * occurrence counts against the four language profiles in one codegen'd
+  * pass over the raw text — fronts language ID and quality scoring, the
+  * two projections every document of a pretraining corpus flows through;
+  * the composed `filter(tokens, t -> t.isin(...))` form pays four
+  * interpreted lambdas per document (equivalence pinned in TextDedupSpec).
+  */
+case class StopProfileCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"stop_profile_counts argument must be STRING, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "stop_profile_counts"
+
+  override protected def nullSafeEval(text: Any): Any =
+    VectorKernels.stopProfileCounts(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.VectorKernels.stopProfileCounts($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): StopProfileCounts =
     copy(child = newChild)
 }
 

@@ -42,13 +42,17 @@ object TextAnalysis {
     graft.functions.word_ngrams(toks, n)
 
   // --- stopword profiles (tiny, deterministic; the language-ID heuristic
-  // scores tokens against each profile and takes the arg-max) ---
-  val stopEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
-  val stopDe: Seq[String] = Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den")
-  val stopFr: Seq[String] = Seq("le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que")
-  val stopEs: Seq[String] = Seq("el", "los", "de", "que", "y", "en", "un", "es", "una", "por")
+  // scores tokens against each profile and takes the arg-max). Canonical
+  // definition lives next to the kernel that scans for them; these
+  // aliases keep every SQL twin sharing the same lists. ---
+  val stopEn: Seq[String] = graft.functions.VectorKernels.stopEn
+  val stopDe: Seq[String] = graft.functions.VectorKernels.stopDe
+  val stopFr: Seq[String] = graft.functions.VectorKernels.stopFr
+  val stopEs: Seq[String] = graft.functions.VectorKernels.stopEs
 
-  private def countIn(toks: Column, words: Seq[String]): Column =
+  /** The composed stop-count (kept as the kernel's equivalence twin in
+    * TextDedupSpec; production paths read [[graft.functions.stop_profile_counts]]). */
+  private[operators] def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
   /** Per-document token statistics: `(doc_id, n_tokens, n_distinct,
@@ -70,7 +74,8 @@ object TextAnalysis {
     docs
       .withColumn("n_tokens", size(t))
       .withColumn("n_distinct", size(array_distinct(t)))
-      .withColumn("n_stop", countIn(t, stopEn))
+      .withColumn("n_stop",
+        element_at(graft.functions.stop_profile_counts(col("text")), 1))
       .withColumn("alnum_chars", length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
       .select(keep.map(col) ++ Seq(
         col("doc_id"),
@@ -137,12 +142,13 @@ object TextAnalysis {
     * (en > de > es > fr > und). Honest heuristic: on synthetic text it
     * mostly answers 'en' or 'und'; the point is the operator + oracle. */
   def langId(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val t = tokens(col("text"))
+    val prof = graft.functions.stop_profile_counts(col("text"))
     docs
-      .withColumn("s_en", countIn(t, stopEn))
-      .withColumn("s_de", countIn(t, stopDe))
-      .withColumn("s_fr", countIn(t, stopFr))
-      .withColumn("s_es", countIn(t, stopEs))
+      .withColumn("prof", prof)
+      .withColumn("s_en", element_at(col("prof"), 1))
+      .withColumn("s_de", element_at(col("prof"), 2))
+      .withColumn("s_fr", element_at(col("prof"), 3))
+      .withColumn("s_es", element_at(col("prof"), 4))
       .select(keep.map(col) ++ Seq(
         col("doc_id"),
         when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "und")

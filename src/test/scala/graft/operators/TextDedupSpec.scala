@@ -377,6 +377,28 @@ class TextDedupSpec extends SparkSuite {
     assert(TextAnalysis.hashedLrQuality(theOnly).head().getLong(2) === 330L)
   }
 
+  test("stop_profile_counts kernel == per-profile filter composition") {
+    val d = docs(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der Hund und die Katze ist nicht hier"),
+      (3L, "le chat est dans la maison que une"),
+      (4L, "el perro y los gatos en una casa"),
+      (5L, ""),
+      (6L, "naïve Café DE la THE den"))
+    val profiles = Seq(TextAnalysis.stopEn, TextAnalysis.stopDe,
+      TextAnalysis.stopFr, TextAnalysis.stopEs)
+    val kernel = d.select(col("doc_id"),
+        graft.functions.stop_profile_counts(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val composed = d.select(col("doc_id") +: profiles.zipWithIndex.map {
+        case (words, i) =>
+          TextAnalysis.countIn(tokens(col("text")), words).as(s"c$i")
+      }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    kernel.foreach { case (id, ks) => assert(ks === composed(id), s"doc $id") }
+    assert(kernel(1L) === Seq(5, 0, 0, 0)) // the×3, and, of
+  }
+
   test("langId: picks the profile with most stopword hits") {
     val d = docs(
       (1L, "the cat and the dog of the house"),
