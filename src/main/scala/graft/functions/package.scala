@@ -83,6 +83,15 @@ package object functions {
   def stop_profile_counts(text: Column): Column =
     col(StopProfileCounts(expr(text)))
 
+  /** `[n_words, tok_chars, n_alpha_words, n_stop_distinct]` of a text
+    * column (the Gopher rule filter's token measurements). */
+  def gopher_token_stats(text: Column): Column =
+    col(GopherTokenStats(expr(text)))
+
+  /** `[total, distinct]` word n-gram counts of a token array column. */
+  def ngram_stats(tokens: Column, n: Int): Column =
+    col(WordNgramStats(expr(tokens), n))
+
   /** Element-wise seeded murmur3 of an ARRAY<STRING> column. */
   def hash_array(arr: Column, seed: Int): Column = col(HashArray(expr(arr), seed))
 
@@ -120,6 +129,13 @@ package object functions {
     ("vec_sub", 2, exprs => VecSub(exprs(0), exprs(1))),
     ("int8_quant_stats", 1, exprs => Int8QuantStats(exprs(0))),
     ("stop_profile_counts", 1, exprs => StopProfileCounts(exprs(0))),
+    ("gopher_token_stats", 1, exprs => GopherTokenStats(exprs(0))),
+    ("ngram_stats", 2, {
+      case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+          org.apache.spark.sql.types.IntegerType)) => WordNgramStats(toks, n)
+      case _ => throw new IllegalArgumentException(
+        "ngram_stats(tokens, n): n must be an INT literal")
+    }),
     ("simhash64", 1, exprs => SimHash64(exprs(0))),
     ("bloom_build_native", 3, exprs =>
       BloomBuildAgg(exprs(0), exprs(1), exprs(2))

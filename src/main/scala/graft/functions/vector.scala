@@ -338,6 +338,76 @@ object VectorKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
   }
 
+  /** N-gram counting kernel (see [[WordNgramStats]]): `[total, distinct]`
+    * word `n`-gram shingle counts of a token array WITHOUT materializing
+    * the shingle array (the `word_ngrams` → `array_distinct` → `size`
+    * composition allocates every shingle string twice). Same semantics as
+    * [[wordNgrams]]: inputs shorter than `n` yield one whole-text shingle.
+    * Distinctness is decided on the actual shingle strings (a per-doc
+    * bounded set) — exact, not hash-approximate. */
+  def wordNgramStats(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val total = math.max(len - n + 1, 1).toLong
+    val seen = new java.util.HashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    if (len < n) {
+      // mirror wordNgrams' short-input fallback: one shingle of all tokens
+      seen.add(UTF8String.concatWs(sep,
+        Array.tabulate(len)(tokens.getUTF8String): _*))
+    } else {
+      var i = 0
+      while (i <= len - n) {
+        seen.add(UTF8String.concatWs(sep,
+          Array.tabulate(n)(j => tokens.getUTF8String(i + j)): _*))
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      Array(total, seen.size.toLong))
+  }
+
+  /** Gopher-rule token statistics kernel (see [[GopherTokenStats]]):
+    * `[n_words, tok_chars, n_alpha_words, n_stop_distinct]` in one pass
+    * over the lowered bytes — word count, total token characters, tokens
+    * containing at least one letter, and DISTINCT English stopwords
+    * present (a 10-bit mask over [[stopEn]]). The composed form pays an
+    * interpreted `rlike` lambda per token for the alpha-word count. */
+  def gopherTokenStats(text: UTF8String): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    val en = stopProfiles(0)
+    var nWords = 0L
+    var tokChars = 0L
+    var nAlpha = 0L
+    var stopMask = 0
+    var i = 0
+    while (i < n) {
+      if (isTokenByte(bytes(i))) {
+        val start = i
+        var hasAlpha = false
+        while (i < n && isTokenByte(bytes(i))) {
+          if (bytes(i) >= 'a' && bytes(i) <= 'z') hasAlpha = true
+          i += 1
+        }
+        val len = i - start
+        nWords += 1
+        tokChars += len
+        if (hasAlpha) nAlpha += 1
+        var w = 0
+        while (w < en.length) {
+          if ((stopMask & (1 << w)) == 0 && en(w).length == len) {
+            var j = 0
+            while (j < len && en(w)(j) == bytes(start + j)) j += 1
+            if (j == len) stopMask |= 1 << w
+          }
+          w += 1
+        }
+      } else i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      Array(nWords, tokChars, nAlpha, java.lang.Long.bitCount(stopMask.toLong).toLong))
+  }
+
   /** Hashed-feature linear scorer kernel (see [[HashedLrScore]]): one pass
     * over the lowered bytes; every `[a-z0-9]+` run contributes
     * `weight(bucket(run))` where `bucket = (len*31 + firstByte) % dim` and
@@ -661,6 +731,68 @@ case class BigramStats(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.VectorKernels.bigramStats($t);")
 
   override protected def withNewChildInternal(newChild: Expression): BigramStats =
+    copy(child = newChild)
+}
+
+/** `ngram_stats(tokens, n)` → `ARRAY<BIGINT> [total, distinct]`: word
+  * n-gram counts without materializing the shingle array — the counting
+  * face of [[WordNgrams]] for queries that only need the repetition
+  * measures (Gopher dup-3-gram bound, shingle statistics).
+  */
+case class WordNgramStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"ngram_stats: n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_stats argument must be ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "ngram_stats"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorKernels.wordNgramStats(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.VectorKernels.wordNgramStats($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramStats =
+    copy(child = newChild)
+}
+
+/** `gopher_token_stats(text)` → `ARRAY<BIGINT> [n_words, tok_chars,
+  * n_alpha_words, n_stop_distinct]`: the token-level measurements of the
+  * Gopher rule filter in one codegen'd pass (the composed form pays an
+  * interpreted `rlike` lambda per token). Shingle-repetition measures
+  * stay on the native [[WordNgrams]] path.
+  */
+case class GopherTokenStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gopher_token_stats argument must be STRING, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "gopher_token_stats"
+
+  override protected def nullSafeEval(text: Any): Any =
+    VectorKernels.gopherTokenStats(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.VectorKernels.gopherTokenStats($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherTokenStats =
     copy(child = newChild)
 }
 

@@ -107,16 +107,17 @@ object TextAnalysis {
     * 100 TB in one pass. */
   def gopherFilter(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    val sh = shingles(t, 3)
+    val g = graft.functions.gopher_token_stats(col("text"))
+    val shst = graft.functions.ngram_stats(t, 3)
     docs
-      .withColumn("n_words", size(t))
-      .withColumn("tok_chars", length(concat_ws("", t)))
-      .withColumn("n_alpha_words",
-        size(filter(t, w => w.rlike("[a-z]"))))
-      .withColumn("n_stop_distinct",
-        size(array_intersect(array_distinct(t), typedLit(stopEn))))
-      .withColumn("n_sh", size(sh))
-      .withColumn("n_sh_distinct", size(array_distinct(sh)))
+      .withColumn("g", g)
+      .withColumn("shst", shst)
+      .withColumn("n_words", element_at(col("g"), 1).cast("int"))
+      .withColumn("tok_chars", element_at(col("g"), 2).cast("int"))
+      .withColumn("n_alpha_words", element_at(col("g"), 3).cast("int"))
+      .withColumn("n_stop_distinct", element_at(col("g"), 4).cast("int"))
+      .withColumn("n_sh", element_at(col("shst"), 1).cast("int"))
+      .withColumn("n_sh_distinct", element_at(col("shst"), 2).cast("int"))
       .select(
         col("doc_id"),
         col("n_words"),
@@ -400,12 +401,12 @@ object TextAnalysis {
     * here value-for-value. */
   def shingleStats(docs: DataFrame, n: Int = 3): DataFrame = {
     val t = tokens(col("text"))
-    val sh = shingles(t, n)
+    val shst = graft.functions.ngram_stats(t, n)
     docs.where(size(t) > 0).select(
       col("doc_id"),
       size(t).as("n_tokens"),
-      size(sh).as("n_shingles"),
-      size(array_distinct(sh)).as("n_distinct_shingles"))
+      element_at(shst, 1).cast("int").as("n_shingles"),
+      element_at(shst, 2).cast("int").as("n_distinct_shingles"))
   }
 
   /** Default winnowing parameters — shared by [[winnowFingerprint]] and

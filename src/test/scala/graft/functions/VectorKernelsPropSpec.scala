@@ -117,6 +117,31 @@ object VectorKernelsPropSpec extends Properties("VectorKernels") {
     }
   }
 
+  property("wordNgramStats == size/distinct over the materialized shingles") =
+    forAll(tokensGen, nGen) { (toks, n) =>
+      val st = VectorKernels.wordNgramStats(arr(toks), n)
+      val sh = strings(VectorKernels.wordNgrams(arr(toks), n))
+      st.getLong(0) == math.max(toks.length - n + 1, 1).toLong &&
+        st.getLong(1) == sh.distinct.length.toLong
+    }
+
+  property("gopherTokenStats == the composed token measurements") = {
+    val textGen = for {
+      ws <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '.', '!')))
+        .map(_.mkString)
+      stop <- Gen.someOf(VectorKernels.stopEn)
+    } yield (ws + " " + stop.mkString(" ")).trim
+    forAll(textGen) { s =>
+      val u = UTF8String.fromString(s)
+      val st = VectorKernels.gopherTokenStats(u)
+      val toks = "[a-z0-9]+".r.findAllIn(u.toLowerCase.toString).toSeq
+      st.getLong(0) == toks.length.toLong &&
+        st.getLong(1) == toks.map(_.length).sum.toLong &&
+        st.getLong(2) == toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong &&
+        st.getLong(3) == toks.toSet.intersect(VectorKernels.stopEn.toSet).size.toLong
+    }
+  }
+
   property("identical shingle sets => identical minhash signature") =
     forAll(Gen.nonEmptyListOf(tokenGen)) { toks =>
       val a = VectorKernels.minhashSig(arr(toks), 16)
