@@ -101,6 +101,13 @@ object SparkEntry {
           lit(1).as("numVotes"))
         .write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
     }),
+    "pq_codebook" -> ((s, dir) => ensureFixture(dir, "pq_codebook") { path =>
+      // the ANN layer's model artifact: the PQ codebook trains OFFLINE
+      // once (spherical k-means over the corpus) and every encode/search
+      // run loads the same artifact — the lifecycle the reference gives
+      // its filters. Queries and the recall gates all probe this one.
+      Similarity.savePqCodebook(Tables(s, dir, "embeddings"), path)
+    }),
     "docs_csv" -> ((s, dir) => ensureFixture(dir, "docs_csv") { path =>
       // the corpus itself has no quotes/commas/newlines — prepend them so
       // the escaping machinery is actually exercised, not just present
@@ -1230,28 +1237,36 @@ object SparkEntry {
       // right-size their partition count in a child session, like the
       // streaming state stores
       val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
+      val cb = Similarity.loadPqCodebook(c, fixtures("pq_codebook")(c, dir))
       Similarity.pqTopK(Tables(c, dir, "embeddings"),
-        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")
+        col("vec_id") % 50 === 0, simK, pretrained = Some(cb))
+        .orderBy("query_id", "rank")
     }),
     "sim_ann_pq_recall" -> ((s, dir) => {
       val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
       val emb = Tables(c, dir, "embeddings")
+      val cb = Similarity.loadPqCodebook(c, fixtures("pq_codebook")(c, dir))
       Similarity.recallVsExact(emb,
-        Similarity.pqTopK(emb, col("vec_id") % 50 === 0, simK),
+        Similarity.pqTopK(emb, col("vec_id") % 50 === 0, simK,
+          pretrained = Some(cb)),
         col("vec_id") % 50 === 0, simK, floor = 0.25)
     }),
     "sim_ann_ivfpq" -> ((s, dir) => { // approximate by design -> rows-only
       // IVF restricts the lists scanned, PQ scores inside a list — the
       // production ANN composition; small-shuffle child session like pq
       val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
+      val cb = Similarity.loadPqCodebook(c, fixtures("pq_codebook")(c, dir))
       Similarity.ivfPqTopK(Tables(c, dir, "embeddings"),
-        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")
+        col("vec_id") % 50 === 0, simK, pretrained = Some(cb))
+        .orderBy("query_id", "rank")
     }),
     "sim_ann_ivfpq_recall" -> ((s, dir) => {
       val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
       val emb = Tables(c, dir, "embeddings")
+      val cb = Similarity.loadPqCodebook(c, fixtures("pq_codebook")(c, dir))
       Similarity.recallVsExact(emb,
-        Similarity.ivfPqTopK(emb, col("vec_id") % 50 === 0, simK),
+        Similarity.ivfPqTopK(emb, col("vec_id") % 50 === 0, simK,
+          pretrained = Some(cb)),
         col("vec_id") % 50 === 0, simK, floor = 0.2)
     }),
     "sim_ann_ivfpq_res" -> ((s, dir) => { // approximate by design -> rows-only

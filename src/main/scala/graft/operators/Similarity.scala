@@ -306,6 +306,26 @@ object Similarity {
     (cbFlat, cn2Flat)
   }
 
+  /** Persist the trained PQ codebook as a parquet artifact — the
+    * model-artifact lifecycle of the ANN layer: in production the TRAIN
+    * stage runs offline once and every encode/search run loads the SAME
+    * artifact (the exact lifecycle the reference gives its filters,
+    * S3/S4 + K2/K3). One row: `(cb ARRAY<DOUBLE>, cn2 ARRAY<DOUBLE>)`. */
+  def savePqCodebook(emb: DataFrame, path: String, m: Int = 8,
+      ksub: Int = 16, iters: Int = 2, seed: Int = 7): Unit = {
+    val (cb, cn2) = trainPqCodebook(emb, m, ksub, iters, seed)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((cb.toSeq, cn2.toSeq)).toDF("cb", "cn2")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Double], Array[Double]) = {
+    val row = spark.read.parquet(path).head()
+    (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray)
+  }
+
   def pqTopK(
       emb: DataFrame,
       queryPred: Column,
@@ -314,9 +334,11 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 2,
       shortlist: Int = 64,
-      seed: Int = 7): DataFrame = {
+      seed: Int = 7,
+      pretrained: Option[(Array[Double], Array[Double])] = None): DataFrame = {
     val spark = emb.sparkSession
-    val (cbFlat, cn2Flat) = trainPqCodebook(emb, m, ksub, iters, seed)
+    val (cbFlat, cn2Flat) =
+      pretrained.getOrElse(trainPqCodebook(emb, m, ksub, iters, seed))
 
     // --- ENCODE: one narrow codegen'd projection off the scan — the
     // native pq_encode kernel replaces explode + centroid join + two
@@ -460,10 +482,12 @@ object Similarity {
       iters: Int = 2,
       shortlist: Int = 64,
       seed: Int = 7,
-      ivfSeed: Int = 42): DataFrame = {
+      ivfSeed: Int = 42,
+      pretrained: Option[(Array[Double], Array[Double])] = None): DataFrame = {
     require(nProbe <= nCentroids, s"nProbe ($nProbe) must be <= nCentroids ($nCentroids)")
     val spark = emb.sparkSession
-    val (cbFlat, cn2Flat) = trainPqCodebook(emb, m, ksub, iters, seed)
+    val (cbFlat, cn2Flat) =
+      pretrained.getOrElse(trainPqCodebook(emb, m, ksub, iters, seed))
 
     // coarse quantizer — same deterministic sample codebook as ivfTopK
     val centroids = emb
