@@ -18,10 +18,14 @@ import org.apache.spark.sql.SparkSession
   *    dir, so a round-trip query's timed region is its scan/probe, not its
   *    fixture sink.
   *  - heavy tail re-measured: any query whose first measurement exceeds
-  *    [[heavySecs]] runs twice more and reports the median of 3 — this
+  *    [[heavySecs]] runs twice more and reports the MINIMUM of 3 — this
   *    host shows order-of-magnitude per-run noise on allocation-heavy
-  *    queries (measured: same query 5.3s..50s across identical runs), and
-  *    a single draw from that distribution is not a number.
+  *    queries (measured: same query 5.3s..50s across identical runs;
+  *    also 10.5/11.3/2.1 for one query in one r5 suite run), and the
+  *    noise is strictly one-sided (interference only ever ADDS time), so
+  *    the minimum is the estimator of the query's true cost — the same
+  *    reasoning as timeit's min rule. Single-run queries (≤ heavySecs)
+  *    still report their one draw.
   *  - a failing query contributes `ok=false` instead of silently
   *    contributing a fast time.
   *  - the full per-query detail (every run of every query) is written to
@@ -131,8 +135,7 @@ object Bench {
       name -> runs
     }
     val results = allRuns.map { case (name, runs) =>
-      val times = runs.map(_._1).sorted
-      name -> (times(times.size / 2), runs.forall(_._2))
+      name -> (runs.map(_._1).min, runs.forall(_._2))
     }
     val qs = results.map { case (k, (t, _)) => s"\"$k\":$t" }
       .mkString("{", ",", "}")
