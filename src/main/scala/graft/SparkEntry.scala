@@ -1034,6 +1034,9 @@ object SparkEntry {
       Sampling.temperatureMix(Tables(s, dir, "documents")).orderBy("source")),
     "p11_shuffle_shards" -> ((s, dir) => // seeded global shuffle -> shards
       Sampling.shuffleShards(Tables(s, dir, "documents")).orderBy("shard", "pos")),
+    "p12_token_budget" -> ((s, dir) => // per-source epoch plan for a budget
+      Sampling.tokenBudget(Tables(s, dir, "documents"), budget = 100000L)
+        .orderBy("source")),
     "t4_shingle_fp" -> ((s, dir) => // mmh3-valued -> rows-only check
       TextAnalysis.shingleFingerprint(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t5_vocab" -> ((s, dir) =>
@@ -1771,6 +1774,7 @@ object SparkEntry {
       "dedup_passage" -> DedupSql.passageDedup(8),
       "p10_temperature_mix" -> SamplingSql.temperatureMix(50),
       "p11_shuffle_shards" -> SamplingSql.shuffleShards(8),
+      "p12_token_budget" -> SamplingSql.tokenBudget(100000L),
       "t5_vocab" -> TextAnalysisSql.vocabulary(50),
       "dedup_exact" -> s"${DedupSql.exactKeepers} ORDER BY doc_id",
       "dedup_bloom_xbatch" ->

@@ -92,6 +92,34 @@ object Sampling {
       .select(("doc_id" +: keep) ++ Seq("shard", "pos") map col: _*)
   }
 
+  /** Token-budget planning — the other half of data mixing: given a total
+    * training-token budget, how many tokens to DRAW from each source
+    * (`target_tokens`, sqrt-temperature-weighted like [[temperatureKeep]])
+    * and therefore how many passes over it (`epochs` — >1 means the
+    * trainer repeats the small source, the up-sampling [[temperatureKeep]]
+    * deliberately caps at rate 1). `(source, avail_tokens, milliweight,
+    * target_tokens, epochs)`, all arithmetic integer until the one final
+    * exactly-rounded division.
+    *
+    * Scale shape: one narrow projection (native tokenizer) into one
+    * partial/final aggregate over ~|sources| groups, then window sums over
+    * the tiny aggregate — counting 100 TB of tokens is a single scan. */
+  def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val all = Window.partitionBy()
+    docs
+      .select(col("source"),
+        size(graft.functions.word_tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source").agg(sum("n_tokens").as("avail_tokens"))
+      .withColumn("milliweight", round(sqrt(col("avail_tokens")) * 1000).cast("long"))
+      .withColumn("denom", sum("milliweight").over(all))
+      .withColumn("target_tokens",
+        expr(s"$budget * milliweight div denom"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") / col("avail_tokens"), 6))
+      .select("source", "avail_tokens", "milliweight", "target_tokens", "epochs")
+  }
+
   /** The composed corpus-EXPORT pass — what actually ships to the
     * trainer: model-score gate (one kernel projection) → exact dedup
     * (hash-keyed keeper window) → temperature mix (broadcast rate table)
@@ -148,6 +176,24 @@ object SamplingSql {
        |  FROM (SELECT doc_id, (doc_id * $hashPrime) % $hashMod AS h
        |        FROM documents))
        |ORDER BY shard, pos""".stripMargin
+
+  /** Twin of [[Sampling.tokenBudget]]. */
+  def tokenBudget(budget: Long): String =
+    s"""SELECT source, avail_tokens, milliweight,
+       |       CAST($budget * milliweight // denom AS BIGINT) AS target_tokens,
+       |       round(CAST($budget * milliweight // denom AS DOUBLE)
+       |             / avail_tokens, 6) AS epochs
+       |FROM (
+       |  SELECT source, avail_tokens,
+       |         CAST(round(sqrt(avail_tokens) * 1000) AS BIGINT) AS milliweight,
+       |         sum(CAST(round(sqrt(avail_tokens) * 1000) AS BIGINT)) OVER ()
+       |           AS denom
+       |  FROM (
+       |    SELECT source,
+       |           CAST(sum(len(${TextAnalysisSql.toks})) AS BIGINT)
+       |             AS avail_tokens
+       |    FROM documents GROUP BY source))
+       |ORDER BY source""".stripMargin
 
   /** Twin of [[Sampling.exportCorpus]] — the four stages as CTEs, each
     * reusing its standalone twin's arithmetic verbatim. */

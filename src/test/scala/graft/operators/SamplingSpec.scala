@@ -51,6 +51,30 @@ class SamplingSpec extends SparkSuite {
     assert(threshes.head === Sampling.hashMod / 2)
   }
 
+  test("tokenBudget: targets conserve the budget; small sources get more epochs") {
+    val d = Seq(
+      (1L, "big", "one two three four five six seven eight nine ten"),
+      (2L, "big", "one two three four five six seven eight nine ten"),
+      (3L, "big", "one two three four five six seven eight nine ten"),
+      (4L, "tiny", "just four small tokens"))
+      .toDF("doc_id", "source", "text")
+    val rows = Sampling.tokenBudget(d, budget = 1000)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("avail_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Double]("epochs")))).toMap
+    assert(rows("big")._1 === 30L && rows("tiny")._1 === 4L)
+    // integer floor division: the per-source targets never exceed budget
+    assert(rows.values.map(_._2).sum <= 1000L)
+    // sqrt weighting: the small source repeats more (here 66.75 vs 24.4 —
+    // sqrt compresses the 7.5x size gap into a 2.7x epoch gap)
+    assert(rows("tiny")._3 > rows("big")._3 * 2)
+    // epochs is exactly target/avail rounded
+    rows.values.foreach { case (avail, target, epochs) =>
+      assert(epochs === BigDecimal(target.toDouble / avail)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("exportCorpus: each composed stage drops exactly its targets") {
     // scores (hand-checked vs the kernel): doc 1 = +1252, doc 3 = -2000,
     // doc 4 = +84, doc 5 = -606; doc 2 normalizes equal to doc 1
