@@ -101,6 +101,12 @@ object SparkEntry {
           lit(1).as("numVotes"))
         .write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
     }),
+    "docs_fragmented" -> ((s, dir) => ensureFixture(dir, "docs_fragmented") { path =>
+      // the pathological layout every long-run ingest produces: the
+      // corpus sprayed across 64 tiny files (k8_compact's input)
+      Tables(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }),
     "pq_codebook" -> ((s, dir) => ensureFixture(dir, "pq_codebook") { path =>
       // the ANN layer's model artifact: the PQ codebook trains OFFLINE
       // once (spherical k-means over the corpus) and every encode/search
@@ -884,6 +890,29 @@ object SparkEntry {
         StructField("doc_id", LongType), StructField("lang", StringType),
         StructField("n_chars", LongType)))
       s.read.schema(schema).json(path).orderBy("doc_id")
+    }),
+    "k8_compact" -> ((s, dir) => {
+      // Small-files compaction — the table-maintenance op every long-run
+      // ingest needs (streaming sinks and per-batch appends fragment a
+      // table into thousands of tiny files whose open/footer cost
+      // eventually dominates scans). The rewrite IS the measured
+      // capability: read the fragmented layout, coalesce to the target
+      // file count, prove the row set survived and the file count fell.
+      // At 100 TB the same plan runs per partition with the target count
+      // derived from bytes/targetFileSize.
+      val frag = s.read.parquet(fixtures("docs_fragmented")(s, dir))
+      val before = frag.agg(
+        countDistinct(col("_metadata.file_path")).as("files_before"),
+        count("*").as("rows_before"))
+      val outPath = tmpPath(dir, "docs_compacted")
+      frag.repartition(4).write.mode("overwrite").parquet(outPath)
+      val after = s.read.parquet(outPath).agg(
+        countDistinct(col("_metadata.file_path")).as("files_after"),
+        count("*").as("rows_after"))
+      before.crossJoin(after).select(
+        (col("files_before") > col("files_after")).as("files_reduced"),
+        (col("rows_before") === col("rows_after")).as("rows_match"),
+        col("rows_after").as("n_rows"))
     }),
     "k3_range_sink" -> ((s, dir) => {
       // Range-partitioned sorted layout — globally ordered training
@@ -1805,6 +1834,9 @@ object SparkEntry {
            |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
       "t10_pii_scrub" -> s"${TextAnalysisSql.piiScrub} ORDER BY doc_id",
       "t11_contamination" -> TextAnalysisSql.contamination("doc_id % 100 = 0", 5),
+      // k8: the rewrite preserves the row set and shrinks the file count
+      "k8_compact" -> ("SELECT TRUE AS files_reduced, TRUE AS rows_match, "
+        + "CAST(count(*) AS BIGINT) AS n_rows FROM documents"),
       "k3_range_sink" ->
         """SELECT TRUE AS files_in_range, count(*) AS n_rows,
           |       CAST(0 AS BIGINT) AS range_overlaps FROM documents""".stripMargin,
