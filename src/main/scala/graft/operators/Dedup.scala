@@ -379,15 +379,36 @@ object Dedup {
       val fromNbrs = edges
         .join(labels.select(col("v").as("src"), col("label").as("nl")), "src")
         .groupBy(col("dst").as("v")).agg(min("nl").as("nbr"))
-      val next = labels.join(fromNbrs, Seq("v"), "left_outer")
+      val prop = labels.join(fromNbrs, Seq("v"), "left_outer")
         .select(col("v"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping: label <- label(label). One neighbor hop alone
+      // converges in DIAMETER rounds — a 1M-doc near-dup chain would take
+      // 1M passes over the edges; composing each round with a jump
+      // through the (much smaller) label relation halves the remaining
+      // chain every round, so convergence is O(log diameter). Sound
+      // because labels only ever decrease toward the component minimum,
+      // and every label value is itself a vertex of the label relation
+      // (labels start as own-ids and move through min folds of them).
+      //
+      // localCheckpoint (eager), not persist: the jump SELF-JOINS the
+      // round's relation, so carrying lineage would double the logical
+      // plan every round — exponential analysis cost (observed: the
+      // driver stuck building a 2^rounds-node plan string). Truncating
+      // lineage each round keeps the plan constant-size; this is the
+      // standard iterative-algorithm discipline (GraphX does the same).
+      val next = prop.as("l1")
+        .join(prop.select(col("v").as("jv"), col("label").as("jl")).as("l2"),
+          col("l1.label") === col("jv"))
+        .select(col("l1.v").as("v"), least(col("l1.label"), col("jl")).as("label"))
+        .localCheckpoint() // eager: also materializes the round
       val changed = labels.select(col("v"), col("label").as("old"))
         .join(next, "v")
-        .where(col("old") =!= col("label")).count() // also materializes next
-      persisted.foreach(_.unpersist(false)) // superseded round, never read again
-      persisted = Some(next)
+        .where(col("old") =!= col("label")).count()
+      prop.unpersist(false) // consumed by the jump, never read again
+      persisted.foreach(_.unpersist(false)) // superseded round
+      persisted = None // checkpointed rounds free their blocks on GC
       labels = next
       converged = changed == 0L
     }

@@ -377,6 +377,22 @@ class TextDedupSpec extends SparkSuite {
     assert(TextAnalysis.hashedLrQuality(theOnly).head().getLong(2) === 330L)
   }
 
+  test("nearDupClusters: a long near-dup chain folds into one cluster") {
+    // 12 docs as sliding 36-token windows shifted by 3: adjacent windows
+    // share 31/37 shingles (J = 0.838 >= 0.8), skip-one only 0.7 — so the
+    // near-dup graph is a pure CHAIN of diameter 11, the worst case for
+    // plain min-label propagation (the pointer-jumping round composition
+    // must still converge, and to a single component)
+    val words = (0 until 80).map(i => f"w$i%03d")
+    val d = docs((0 until 12).map { i =>
+      (i.toLong + 1, words.slice(i * 3, i * 3 + 36).mkString(" "))
+    }: _*)
+    val got = Dedup.nearDupClusters(d, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 12)
+    assert(got.map(_._2).toSet === Set(1L), s"one cluster rooted at doc 1: ${got.toSeq}")
+  }
+
   test("stop_profile_counts kernel == per-profile filter composition") {
     val d = docs(
       (1L, "the cat and the dog of the house"),
