@@ -322,6 +322,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("shard"), p)
   }
 
+  test("pipe3: the export composition carries every stage in one plan") {
+    val p = plan("pipe3_export_corpus")
+    assert(p.contains("hashed_lr_score"), "model gate must survive planning")
+    assert(p.contains("xxhash64"), "dedup must key on the fingerprint")
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(p.contains("Window"), "shard emit order needs the window")
+  }
+
   test("t16: model scoring is one projection — no explode, no join, no agg") {
     val p = plan("t16_hashed_lr")
     assert(p.contains("hashed_lr_score"), p)
