@@ -1059,6 +1059,8 @@ object SparkEntry {
       TextAnalysis.hashedLrQuality(Tables(s, dir, "documents")).orderBy("doc_id")),
     "dedup_passage" -> ((s, dir) => // sub-document first-occurrence dedup
       Dedup.passageDedup(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t17_boilerplate_rate" -> ((s, dir) => // per-source sub-doc repeat rate
+      Dedup.boilerplateRate(Tables(s, dir, "documents")).orderBy("source")),
     "p10_temperature_mix" -> ((s, dir) => // temperature-weighted source mix
       Sampling.temperatureMix(Tables(s, dir, "documents")).orderBy("source")),
     "p11_shuffle_shards" -> ((s, dir) => // seeded global shuffle -> shards
@@ -1801,6 +1803,7 @@ object SparkEntry {
       "t16_hashed_lr" -> // identical integer bucket/weight arithmetic
         s"${TextAnalysisSql.hashedLr(64)} ORDER BY doc_id",
       "dedup_passage" -> DedupSql.passageDedup(8),
+      "t17_boilerplate_rate" -> DedupSql.boilerplateRate(8),
       "p10_temperature_mix" -> SamplingSql.temperatureMix(50),
       "p11_shuffle_shards" -> SamplingSql.shuffleShards(8),
       "p12_token_budget" -> SamplingSql.tokenBudget(100000L),

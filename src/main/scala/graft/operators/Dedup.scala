@@ -144,6 +144,20 @@ object Dedup {
         sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** [[passageDedup]] rolled up to the curation signal it exists for:
+    * per-source boilerplate rate (fraction of passage occurrences that
+    * are repeats of an earlier passage anywhere in the corpus) — the
+    * number a curator reads to decide which source needs sub-document
+    * cleaning. `(source, n_passages, n_dropped, boilerplate_rate)`. */
+  def boilerplateRate(docs: DataFrame, w: Int = 8): DataFrame =
+    passageDedup(docs, w)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source").agg(
+        sum("n_passages").as("n_passages"),
+        sum(col("n_passages") - col("n_kept")).as("n_dropped"))
+      .withColumn("boilerplate_rate",
+        round(col("n_dropped").cast("double") / col("n_passages"), 6))
+
   /** Shingle sets for near-dup detection: distinct word `n`-gram shingles
     * of documents with at least one token (empty docs are excluded — they
     * are all trivially identical and belong to [[exactKeepers]]). */
@@ -573,6 +587,16 @@ object DedupSql {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[Dedup.boilerplateRate]] over [[passageDedup]]'s twin. */
+  def boilerplateRate(w: Int): String =
+    s"""SELECT d.source,
+       |       CAST(sum(p.n_passages) AS BIGINT) AS n_passages,
+       |       CAST(sum(p.n_passages - p.n_kept) AS BIGINT) AS n_dropped,
+       |       round(CAST(sum(p.n_passages - p.n_kept) AS DOUBLE)
+       |             / sum(p.n_passages), 6) AS boilerplate_rate
+       |FROM (${passageDedup(w)}) p JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** Shingle-set expression for a `documents`-shaped relation. */
   def shinglesSql(n: Int): String =
