@@ -214,7 +214,9 @@ object VectorKernels {
       requireNoNullSlot(a, i, "int8_quant_stats")
       val e = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val ab = math.abs(e)
-      if (ab > maxAbs) maxAbs = ab
+      // NaN sorts greatest in Spark's array_max — propagate it the same
+      // way so the composed-form equivalence holds on NaN slots too
+      if (ab.isNaN || ab > maxAbs) maxAbs = ab
       i += 1
     }
     val s = maxAbs / 127.0
@@ -227,7 +229,7 @@ object VectorKernels {
         if (q > 127.0) q = 127.0
         if (q < -127.0) q = -127.0
         val err = math.abs(e - q * s)
-        if (err > maxErr) maxErr = err
+        if (err.isNaN || err > maxErr) maxErr = err
         i += 1
       }
     }
@@ -350,15 +352,17 @@ object VectorKernels {
     val total = math.max(len - n + 1, 1).toLong
     val seen = new java.util.HashSet[UTF8String]()
     val sep = UTF8String.fromString(" ")
+    // same null-slot rule as wordNgrams (null renders as empty string) so
+    // the two kernels agree on every legal input, not just null-free ones
+    def str(i: Int): UTF8String =
+      if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
     if (len < n) {
       // mirror wordNgrams' short-input fallback: one shingle of all tokens
-      seen.add(UTF8String.concatWs(sep,
-        Array.tabulate(len)(tokens.getUTF8String): _*))
+      seen.add(UTF8String.concatWs(sep, Array.tabulate(len)(str): _*))
     } else {
       var i = 0
       while (i <= len - n) {
-        seen.add(UTF8String.concatWs(sep,
-          Array.tabulate(n)(j => tokens.getUTF8String(i + j)): _*))
+        seen.add(UTF8String.concatWs(sep, Array.tabulate(n)(j => str(i + j)): _*))
         i += 1
       }
     }

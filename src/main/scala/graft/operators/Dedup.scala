@@ -290,6 +290,8 @@ object Dedup {
       // (df, shingle text), which total-orders the real shingle universe.
       .select(col("doc_id"), col("sz"), col("pos"),
         xxhash64(col("shingle")).as("sh_key"))
+      // Cache-lifetime contract as BloomPipeline.buildFilters: released by
+      // the caller (Bench/Verify clearCache between queries).
       // persisted because BOTH sides of the self-join read it and Catalyst
       // plans the subtree (explode → df join → window sort) twice — the
       // plan shows two independent Window+Exchange chains otherwise. Four
@@ -387,7 +389,6 @@ object Dedup {
 
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
-    var persisted: Option[DataFrame] = None
     var converged = false
     while (!converged) {
       val fromNbrs = edges
@@ -421,9 +422,7 @@ object Dedup {
         .join(next, "v")
         .where(col("old") =!= col("label")).count()
       prop.unpersist(false) // consumed by the jump, never read again
-      persisted.foreach(_.unpersist(false)) // superseded round
-      persisted = None // checkpointed rounds free their blocks on GC
-      labels = next
+      labels = next // checkpointed rounds free their blocks on GC
       converged = changed == 0L
     }
     // the final labels are materialized; drop the scaffolding caches (the

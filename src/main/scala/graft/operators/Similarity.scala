@@ -339,6 +339,12 @@ object Similarity {
     val spark = emb.sparkSession
     val (cbFlat, cn2Flat) =
       pretrained.getOrElse(trainPqCodebook(emb, m, ksub, iters, seed))
+    // a codebook trained with different (m, ksub) can pass the kernels'
+    // flat-length checks (m*ksub*sd is m-invariant: it equals ksub*d) and
+    // silently score against misaligned centroids — the norm table's
+    // length is NOT m-invariant, so gate on it here
+    require(cn2Flat.length == m * ksub,
+      s"pretrained codebook shape mismatch: |cn2|=${cn2Flat.length}, expected m*ksub=${m * ksub}")
 
     // --- ENCODE: one narrow codegen'd projection off the scan — the
     // native pq_encode kernel replaces explode + centroid join + two
@@ -488,6 +494,12 @@ object Similarity {
     val spark = emb.sparkSession
     val (cbFlat, cn2Flat) =
       pretrained.getOrElse(trainPqCodebook(emb, m, ksub, iters, seed))
+    // a codebook trained with different (m, ksub) can pass the kernels'
+    // flat-length checks (m*ksub*sd is m-invariant: it equals ksub*d) and
+    // silently score against misaligned centroids — the norm table's
+    // length is NOT m-invariant, so gate on it here
+    require(cn2Flat.length == m * ksub,
+      s"pretrained codebook shape mismatch: |cn2|=${cn2Flat.length}, expected m*ksub=${m * ksub}")
 
     // coarse quantizer — same deterministic sample codebook as ivfTopK
     val centroids = emb

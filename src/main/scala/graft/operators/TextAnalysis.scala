@@ -633,11 +633,16 @@ object TextAnalysisSql {
     * all-integer bucket/weight arithmetic to the native kernel (`ascii(t)`
     * is the first character's code in both engines; tokens are pure ASCII,
     * so byte length == char length == `length(t)`). Shared by
-    * [[hashedLr]] and the composed export-pipeline twin. */
+    * [[hashedLr]] and the composed export-pipeline twin. The coalesce
+    * covers only the EMPTY token list (DuckDB's list_sum([]) is NULL, the
+    * kernel says 0); NULL text stays NULL, matching the kernel's
+    * null-intolerance — so a NULL-text row fails a `score >= 0` gate in
+    * both engines. */
   def lrScore(dim: Int): String =
-    s"CAST(coalesce(list_sum(list_transform($toks, " +
+    s"CASE WHEN text IS NULL THEN NULL ELSE " +
+      s"CAST(coalesce(list_sum(list_transform($toks, " +
       s"t -> ((((length(t)*31 + ascii(t)) % $dim) * 2654435761) " +
-      s"% 1001) - 500)), 0) AS BIGINT)"
+      s"% 1001) - 500)), 0) AS BIGINT) END"
 
   /** Twin of [[TextAnalysis.hashedLrQuality]]. */
   def hashedLr(dim: Int): String =
