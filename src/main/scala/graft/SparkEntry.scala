@@ -479,6 +479,51 @@ object SparkEntry {
           col("last.value").as("value"))
         .orderBy("user_id")),
 
+    "u5_lateral" -> ((s, dir) => {
+      // LATERAL correlated subquery (Spark 4 SQL surface): per-nation
+      // top-2 customers — the parser/analyzer turn the per-row subquery
+      // into a LateralJoin the optimizer can reason about; the identical
+      // SQL runs on DuckDB, so the decorrelation is oracle-checked.
+      val sp = s.newSession()
+      Tables(sp, dir, "nation").createOrReplaceTempView("nation_v")
+      Tables(sp, dir, "customer").createOrReplaceTempView("customer_v")
+      sp.sql("""SELECT n.n_name, l.c_name, l.c_acctbal
+               |FROM nation_v n,
+               |LATERAL (SELECT c_name, c_acctbal FROM customer_v c
+               |         WHERE c.c_nationkey = n.n_nationkey
+               |         ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+               |ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""".stripMargin)
+    }),
+    "u6_recursive" -> ((s, dir) => {
+      // WITH RECURSIVE (Spark 4 SQL surface): the hour-of-day spine
+      // generated by the recursion itself (e3 builds the same spine with
+      // sequence()), left-joined to hour-of-day event counts so empty
+      // hours surface as zero. Identical SQL is the DuckDB oracle.
+      val sp = s.newSession()
+      Tables(sp, dir, "events").createOrReplaceTempView("events_v")
+      sp.sql("""WITH RECURSIVE hours(hr) AS (
+               |  SELECT 0 UNION ALL SELECT hr + 1 FROM hours WHERE hr < 23)
+               |SELECT h.hr, count(e.hr) AS n
+               |FROM hours h LEFT JOIN
+               |  (SELECT CAST(ts div 3600000000000 AS BIGINT) % 24 AS hr
+               |   FROM events_v) e
+               |  ON e.hr = h.hr
+               |GROUP BY h.hr ORDER BY h.hr""".stripMargin)
+    }),
+    "f5_variant" -> ((s, dir) => {
+      // VARIANT (Spark 4 semi-structured type): parse the JSON props
+      // payload once into a variant and extract typed paths — the open
+      // schema-on-read shape for event payloads. The oracle extracts the
+      // same value with engine-neutral string functions, so the variant
+      // path is value-checked without assuming DuckDB's JSON extension.
+      val sp = s.newSession()
+      Tables(sp, dir, "events").createOrReplaceTempView("events_vv")
+      sp.sql("""SELECT event_type,
+               |       count(*) AS n,
+               |       sum(variant_get(parse_json(props), '$.k', 'long')) AS sum_k,
+               |       max(variant_get(parse_json(props), '$.k', 'long')) AS max_k
+               |FROM events_vv GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     "u3_exists_subquery" -> ((s, dir) => {
       // the SQL front door: correlated EXISTS through the parser; the
       // analyzer decorrelates it to a left-semi join (same physical shape
@@ -1471,6 +1516,28 @@ object SparkEntry {
       "a9_hll_merge" -> // per-group sketches union to the global distinct
         """SELECT count(DISTINCT doc_id) AS exact_docs,
           |       TRUE AS merge_ok FROM documents""".stripMargin,
+      "u5_lateral" -> // identical SQL: the LATERAL subquery cross-engine
+        """SELECT n.n_name, l.c_name, l.c_acctbal
+          |FROM nation n,
+          |LATERAL (SELECT c_name, c_acctbal FROM customer c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+          |ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""".stripMargin,
+      "u6_recursive" -> // identical recursion; hour-of-day via epoch nanos
+        """WITH RECURSIVE hours(hr) AS (
+          |  SELECT 0 UNION ALL SELECT hr + 1 FROM hours WHERE hr < 23)
+          |SELECT h.hr, count(e.hr) AS n
+          |FROM hours h LEFT JOIN
+          |  (SELECT epoch_ns(ts) // 3600000000000 % 24 AS hr FROM events) e
+          |  ON e.hr = h.hr
+          |GROUP BY h.hr ORDER BY h.hr""".stripMargin,
+      "f5_variant" -> // variant_get's value via engine-neutral extraction
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+          |                     AS BIGINT)) AS BIGINT) AS sum_k,
+          |       max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+          |                AS BIGINT)) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "u3_exists_subquery" -> // correlated EXISTS, decorrelated to semi join
         """SELECT o_orderpriority, count(*) AS n
           |FROM orders o
