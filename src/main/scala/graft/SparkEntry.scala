@@ -774,6 +774,25 @@ object SparkEntry {
         .orderBy("o_orderpriority", "rn")
     }),
 
+    "w5_ffill" -> ((s, dir) => {
+      // Forward fill (last non-null carried forward) — the sparse-signal
+      // repair of event pipelines: error events carry no reading (nullif
+      // plants the gaps), each user's stream fills from its own past via
+      // last(..., ignoreNulls) over a unique total order. One window
+      // pass, shuffled on user_id only.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .where(col("user_id") <= 200) // bounded output; fill logic intact
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "error", lit(null))
+            .otherwise(col("value")).as("reading"))
+        .withColumn("filled", last("reading", ignoreNulls = true).over(w))
+        .select("user_id", "event_id", "reading", "filled")
+        .orderBy("user_id", "event_id")
+    }),
     "w3_frames" -> ((s, dir) => {
       // rows-frame running aggregates + lag over a unique total order per
       // key. Frame aggregates chosen for cross-engine exactness: sums of
@@ -1516,6 +1535,16 @@ object SparkEntry {
       "a9_hll_merge" -> // per-group sketches union to the global distinct
         """SELECT count(DISTINCT doc_id) AS exact_docs,
           |       TRUE AS merge_ok FROM documents""".stripMargin,
+      "w5_ffill" -> // last_value IGNORE NULLS carries readings forward
+        """SELECT user_id, event_id, reading,
+          |       last_value(reading IGNORE NULLS) OVER (
+          |         PARTITION BY user_id ORDER BY ts, event_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+          |FROM (SELECT user_id, event_id, ts,
+          |             CASE WHEN event_type = 'error' THEN NULL
+          |                  ELSE value END AS reading
+          |      FROM events WHERE user_id <= 200)
+          |ORDER BY user_id, event_id""".stripMargin,
       "u5_lateral" -> // identical SQL: the LATERAL subquery cross-engine
         """SELECT n.n_name, l.c_name, l.c_acctbal
           |FROM nation n,
