@@ -300,6 +300,30 @@ object SparkEntry {
             / col("exact_docs") <= 0.05).as("merge_ok"))
     }),
 
+    "a11_histogram" -> ((s, dir) =>
+      // Fixed-width histogram by integer bin arithmetic — the profiling
+      // pass that sizes skew before a pipeline runs. floor((x-lo)/width)
+      // is exact in both engines (no width_bucket dialect differences);
+      // one partial/final aggregate over ~20 bins.
+      Tables(s, dir, "lineitem")
+        .select((floor((col("l_extendedprice") - 900.0) / 5000.0))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count("*").as("n"))
+        .orderBy("bin")),
+    "a12_profile" -> ((s, dir) =>
+      // One-pass corpus profile — the dbt/Deequ-style health row every
+      // ingest emits: row count, per-column null counts, key cardinality,
+      // value ranges. ONE aggregate, no shuffle beyond the single-row
+      // final merge.
+      Tables(s, dir, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+        countDistinct("doc_id").as("n_ids"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("total_chars"))),
     "a10_approx_quantile" -> ((s, dir) => {
       // approx_percentile (GK sketch) vs its own rank-error contract: the
       // estimate must land between the exact percentiles at 0.9 ± ε. Like
@@ -1522,6 +1546,20 @@ object SparkEntry {
       "a7_approx_distinct" ->
         """SELECT count(DISTINCT l_partkey) AS exact_parts,
           |       TRUE AS approx_ok FROM lineitem""".stripMargin,
+      "a11_histogram" -> // identical integer bin arithmetic
+        """SELECT CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT)
+          |         AS bin, count(*) AS n
+          |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
+      "a12_profile" -> // the one-row corpus health profile
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS null_text,
+          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+          |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM documents""".stripMargin,
       "a10_approx_quantile" -> // GK sketch lands inside its rank envelope
         """SELECT round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
           |       TRUE AS approx_ok FROM lineitem""".stripMargin,
