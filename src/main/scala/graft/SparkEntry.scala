@@ -992,7 +992,11 @@ object SparkEntry {
       val before = frag.agg(
         countDistinct(col("_metadata.file_path")).as("files_before"),
         count("*").as("rows_before"))
-      val outPath = tmpPath(dir, "docs_compacted")
+      // PID-scoped like the st9/st11 sinks: this query READS its own sink
+      // back, so two JVMs over the same dir (bench + verify) must not
+      // clobber each other's rewrite mid-scan
+      val outPath = tmpPath(dir,
+        s"docs_compacted_${java.lang.ProcessHandle.current().pid()}")
       frag.repartition(4).write.mode("overwrite").parquet(outPath)
       val after = s.read.parquet(outPath).agg(
         countDistinct(col("_metadata.file_path")).as("files_after"),

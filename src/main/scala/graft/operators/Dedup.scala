@@ -389,6 +389,7 @@ object Dedup {
 
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
+    var persisted: Option[DataFrame] = None
     var converged = false
     while (!converged) {
       val fromNbrs = edges
@@ -407,22 +408,28 @@ object Dedup {
       // and every label value is itself a vertex of the label relation
       // (labels start as own-ids and move through min folds of them).
       //
-      // localCheckpoint (eager), not persist: the jump SELF-JOINS the
-      // round's relation, so carrying lineage would double the logical
-      // plan every round — exponential analysis cost (observed: the
-      // driver stuck building a 2^rounds-node plan string). Truncating
-      // lineage each round keeps the plan constant-size; this is the
-      // standard iterative-algorithm discipline (GraphX does the same).
-      val next = prop.as("l1")
+      // The jump SELF-JOINS the round's relation, so carrying its logical
+      // plan forward would double the plan every round — exponential
+      // analysis cost (observed: the driver stuck building a
+      // 2^rounds-node plan string). Re-basing the round's result on its
+      // own RDD truncates the LOGICAL plan to a leaf while keeping RDD
+      // lineage (fault tolerance recomputes through the persisted
+      // parents, unlike localCheckpoint which forfeits it), and the
+      // persist/unpersist pair below releases each superseded round
+      // deterministically instead of waiting on driver GC.
+      val jumped = prop.as("l1")
         .join(prop.select(col("v").as("jv"), col("label").as("jl")).as("l2"),
           col("l1.label") === col("jv"))
         .select(col("l1.v").as("v"), least(col("l1.label"), col("jl")).as("label"))
-        .localCheckpoint() // eager: also materializes the round
+      val next = jumped.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = labels.select(col("v"), col("label").as("old"))
         .join(next, "v")
-        .where(col("old") =!= col("label")).count()
+        .where(col("old") =!= col("label")).count() // also materializes next
       prop.unpersist(false) // consumed by the jump, never read again
-      labels = next // checkpointed rounds free their blocks on GC
+      persisted.foreach(_.unpersist(false)) // superseded round
+      persisted = Some(next)
+      labels = next
       converged = changed == 0L
     }
     // the final labels are materialized; drop the scaffolding caches (the

@@ -22,22 +22,19 @@ object Sampling {
   val hashPrime = 2654435761L
   val hashMod = 1000003L
 
-  /** Temperature-weighted source mixing (the GPT-3/LLaMA data-mix shape):
-    * sample source `s` at a rate proportional to `n_s^(1/2)` — up-weights
-    * small sources, down-weights dominant ones — scaled so the expected
-    * kept total is `targetPct`% of the corpus. Returns the per-source
-    * audit `(source, n_docs, milliweight, thresh, n_kept)`.
-    *
-    * Cross-engine exactness: the per-source weight is the INTEGER
-    * `round(sqrt(n_s)·1000)` — sqrt and one multiply are IEEE-exact, and
-    * integer sums are order-independent, where a floating `Σ n_s^α` would
-    * depend on the engine's reduction order. The keep rule compares the
-    * row hash against `floor(rate·M)`, one exactly-rounded double op each.
-    *
-    * Scale shape: one tiny per-source count aggregate → a source-count-
-    * sized rate table broadcast back → one filter pass over the corpus.
-    * Sampling 100 TB is a single scan; nothing corpus-sized shuffles.
-    */
+  /** `(doc_id · prime) mod M` with the multiplicand mod-reduced FIRST:
+    * `(a·b) mod M == ((a mod M)·(b mod M)) mod M`, and the reduced product
+    * stays under 2^39, where the naive `doc_id * hashPrime` overflows Long
+    * for any doc_id > ~3.5e9 — a corpus size 100 TB reaches (under ANSI
+    * mode the overflow throws; without it the sample silently diverges
+    * from the oracle). The SQL twins reduce identically. */
+  private def rowHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(id, lit(hashMod)) * (hashPrime % hashMod), lit(hashMod))
+
+  /** The mod-reduced hash as SQL, shared by every twin. */
+  private[operators] def rowHashSql(idExpr: String): String =
+    s"(($idExpr % $hashMod) * ${hashPrime % hashMod}) % $hashMod"
+
   /** The per-row face of [[temperatureMix]]: every document with its
     * source's rate parameters and its own `keep` verdict —
     * `(doc_id, source, n_src, milliweight, thresh, keep)`. This is the
@@ -51,16 +48,38 @@ object Sampling {
       .withColumn("milliweight", round(sqrt(col("n_src")) * 1000).cast("long"))
       .withColumn("denom", sum("milliweight").over(all))
       .withColumn("target", expr(s"sum(n_src) OVER () * $targetPct div 100"))
+      // the rate numerator/denominator go DOUBLE before multiplying:
+      // target·milliweight overflows Long for corpus sizes the module
+      // claims (N ~ 1e11 docs × milliweight ~ 3e7). Both engines convert
+      // sub-2^53 longs exactly and round the big product identically, so
+      // cross-engine equality survives the widening.
       .withColumn("thresh",
         floor(least(lit(1.0),
-          (col("target") * col("milliweight")).cast("double")
-            / (col("denom") * col("n_src"))) * hashMod).cast("long"))
+          (col("target").cast("double") * col("milliweight"))
+            / (col("denom").cast("double") * col("n_src"))) * hashMod).cast("long"))
       .select("source", "n_src", "milliweight", "thresh")
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(rates), "source")
-      .withColumn("keep", pmod(col("doc_id") * hashPrime, lit(hashMod)) < col("thresh"))
+      .withColumn("keep", rowHash(col("doc_id")) < col("thresh"))
   }
 
+  /** Temperature-weighted source mixing (the GPT-3/LLaMA data-mix shape):
+    * sample source `s` at a rate proportional to `n_s^(1/2)` — up-weights
+    * small sources, down-weights dominant ones — scaled so the expected
+    * kept total is `targetPct`% of the corpus. Returns the per-source
+    * audit `(source, n_docs, milliweight, thresh, n_kept)`.
+    *
+    * Cross-engine exactness: the per-source weight is the INTEGER
+    * `round(sqrt(n_s)·1000)` — sqrt and one multiply are IEEE-exact, and
+    * integer sums are order-independent, where a floating `Σ n_s^α` would
+    * depend on the engine's reduction order. The keep rule compares the
+    * row hash against `floor(rate·M)`, every step either exact integer
+    * arithmetic or an identically-rounded double op.
+    *
+    * Scale shape: one tiny per-source count aggregate → a source-count-
+    * sized rate table broadcast back → one filter pass over the corpus.
+    * Sampling 100 TB is a single scan; nothing corpus-sized shuffles.
+    */
   def temperatureMix(docs: DataFrame, targetPct: Int = 50): DataFrame =
     temperatureKeep(docs, targetPct)
       .groupBy("source").agg(
@@ -86,7 +105,7 @@ object Sampling {
     val win = Window.partitionBy("shard").orderBy("h", "doc_id")
     docs
       .select(col("doc_id") +: keep.map(col) :+
-        pmod(col("doc_id") * hashPrime, lit(hashMod)).as("h"): _*)
+        rowHash(col("doc_id")).as("h"): _*)
       .withColumn("shard", (col("h") % nShards).cast("int"))
       .withColumn("pos", row_number().over(win))
       .select(("doc_id" +: keep) ++ Seq("shard", "pos") map col: _*)
@@ -113,8 +132,12 @@ object Sampling {
       .groupBy("source").agg(sum("n_tokens").as("avail_tokens"))
       .withColumn("milliweight", round(sqrt(col("avail_tokens")) * 1000).cast("long"))
       .withColumn("denom", sum("milliweight").over(all))
+      // budget·milliweight overflows Long at real budgets (1e13 tokens ×
+      // milliweight ~ 3e9); floor over doubles is identically rounded in
+      // both engines for sub-2^53 operands
       .withColumn("target_tokens",
-        expr(s"$budget * milliweight div denom"))
+        floor(lit(budget.toDouble) * col("milliweight")
+          / col("denom").cast("double")).cast("long"))
       .withColumn("epochs",
         round(col("target_tokens").cast("double") / col("avail_tokens"), 6))
       .select("source", "avail_tokens", "milliweight", "target_tokens", "epochs")
@@ -158,11 +181,12 @@ object SamplingSql {
        |thresholds AS (
        |  SELECT source, n_src, milliweight,
        |         CAST(floor(least(1.0,
-       |           CAST(target * milliweight AS DOUBLE) / (denom * n_src))
+       |           CAST(target AS DOUBLE) * milliweight
+       |             / (CAST(denom AS DOUBLE) * n_src))
        |           * $hashMod) AS BIGINT) AS thresh
        |  FROM rates)
        |SELECT d.source, t.n_src AS n_docs, t.milliweight, t.thresh,
-       |       CAST(sum(CASE WHEN (d.doc_id * $hashPrime) % $hashMod < t.thresh
+       |       CAST(sum(CASE WHEN ${Sampling.rowHashSql("d.doc_id")} < t.thresh
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM documents d JOIN thresholds t USING (source)
        |GROUP BY d.source, t.n_src, t.milliweight, t.thresh
@@ -173,15 +197,18 @@ object SamplingSql {
        |  SELECT doc_id, CAST(h % $nShards AS INT) AS shard,
        |         row_number() OVER (PARTITION BY h % $nShards
        |                            ORDER BY h, doc_id) AS pos
-       |  FROM (SELECT doc_id, (doc_id * $hashPrime) % $hashMod AS h
+       |  FROM (SELECT doc_id, ${Sampling.rowHashSql("doc_id")} AS h
        |        FROM documents))
        |ORDER BY shard, pos""".stripMargin
 
-  /** Twin of [[Sampling.tokenBudget]]. */
+  /** Twin of [[Sampling.tokenBudget]] — same double-widened target
+    * arithmetic (integer `budget·milliweight` overflows at real budgets). */
   def tokenBudget(budget: Long): String =
     s"""SELECT source, avail_tokens, milliweight,
-       |       CAST($budget * milliweight // denom AS BIGINT) AS target_tokens,
-       |       round(CAST($budget * milliweight // denom AS DOUBLE)
+       |       CAST(floor(CAST($budget AS DOUBLE) * milliweight
+       |                  / CAST(denom AS DOUBLE)) AS BIGINT) AS target_tokens,
+       |       round(floor(CAST($budget AS DOUBLE) * milliweight
+       |                   / CAST(denom AS DOUBLE))
        |             / avail_tokens, 6) AS epochs
        |FROM (
        |  SELECT source, avail_tokens,
@@ -221,18 +248,19 @@ object SamplingSql {
        |thresholds AS (
        |  SELECT source,
        |         CAST(floor(least(1.0,
-       |           CAST(target * milliweight AS DOUBLE) / (denom * n_src))
+       |           CAST(target AS DOUBLE) * milliweight
+       |             / (CAST(denom AS DOUBLE) * n_src))
        |           * $hashMod) AS BIGINT) AS thresh
        |  FROM rates),
        |mixed AS (
        |  SELECT s.doc_id, s.source FROM surv s
        |  JOIN thresholds t USING (source)
-       |  WHERE (s.doc_id * $hashPrime) % $hashMod < t.thresh)
+       |  WHERE ${Sampling.rowHashSql("s.doc_id")} < t.thresh)
        |SELECT doc_id, source, shard, pos FROM (
        |  SELECT doc_id, source, CAST(h % $nShards AS INT) AS shard,
        |         row_number() OVER (PARTITION BY h % $nShards
        |                            ORDER BY h, doc_id) AS pos
-       |  FROM (SELECT doc_id, source, (doc_id * $hashPrime) % $hashMod AS h
+       |  FROM (SELECT doc_id, source, ${Sampling.rowHashSql("doc_id")} AS h
        |        FROM mixed))
        |ORDER BY shard, pos""".stripMargin
 }
