@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{bloom_build_native, minhash_sig, simhash64}
+import graft.functions.{bloom_build_native, minhash_sig, mmh3, simhash64}
 import graft.operators.TextAnalysis.{normalized, shingles, tokens}
 
 /** Deduplication operators over the `documents` table — the core of an
@@ -65,15 +65,30 @@ object Dedup {
 
   /** Cross-batch dedup with a Bloom prefilter: `(doc_id, is_new)` for
     * every document of `batchB`, where `is_new` ⇔ its normalized text does
-    * not occur in `batchA`. Exact semantics; the filter only prunes.
+    * not occur in `batchA`.
     *
     * Scale shape: batch A is folded into ONE Bloom filter (a single
     * `bloom_build` aggregate, sized from a count pass); every B row probes
     * the broadcast filter inside codegen, and only the bloom-positive
-    * sliver (true dups + ~p·|B| false positives) reaches the exact
-    * semi-join — the expensive shuffle join runs on a fraction of B, which
+    * sliver (true dups + ~p·|B| false positives) reaches the verify
+    * join — the expensive shuffle join runs on a fraction of B, which
     * at 100 TB is the difference between joining everything and joining
     * almost nothing. Zero false negatives ⇒ no dup can slip past.
+    *
+    * The verify join itself never ships text: both sides project down to
+    * TWO independent hash families before any exchange — `xxhash64(key)`
+    * (64-bit xxHash) and `mmh3(key, [[VerifySeed]])` (seeded
+    * murmur3_x86_32) — so the full-corpus A-side distinct and the join
+    * exchanges carry 12–20 bytes per row instead of documents. A false
+    * "dup" requires one B document to collide with some A document in
+    * BOTH families simultaneously: per pair 2⁻⁹⁶, and even at 10¹¹×10¹¹
+    * corpus-scale pairings the union bound stays below 2⁻²² — negligible
+    * next to hardware FIT rates. A false "new" is impossible (equal text
+    * implies equal hashes). This is the deliberate cross-batch trade vs
+    * [[exactKeepers]]' byte-exact sliver compare: exactKeepers' sliver is
+    * bounded by the true-dup population, but here the A side of the
+    * verify is the whole batch, so byte-exactness would put the corpus
+    * text back on the wire.
     */
   def bloomNewDocs(batchA: DataFrame, batchB: DataFrame, p: Double): DataFrame = {
     val aKeys = batchA.select(normalized(col("text")).as("key")).withColumn("g", lit(1))
@@ -98,16 +113,29 @@ object Dedup {
 
     // Two branches, no set-op: bloom-negative rows are new by zero-FN and
     // never touch the join; only candidates (true dups + ~p·|B| FPs) meet
-    // the exact verify join. A-distinct is corpus-sized, so the join is
-    // deliberately unhinted — sort-merge is the right plan at scale.
-    val aDistinct = batchA.select(normalized(col("text")).as("key")).distinct()
+    // the verify join. Both sides drop the text BEFORE the exchange and
+    // carry the dual-family fingerprint (see scaladoc); A-distinct is
+    // corpus-sized, so the join is deliberately unhinted — sort-merge on
+    // 12-byte keys is the right plan at scale.
+    val aDistinct = batchA
+      .select(xxhash64(normalized(col("text"))).as("fp"),
+        mmh3(normalized(col("text")), VerifySeed).as("fp2"))
+      .distinct()
     val verified = b.where(col("candidate"))
-      .join(aDistinct.withColumn("in_a", lit(true)), Seq("key"), "left_outer")
+      .select(col("doc_id"), xxhash64(col("key")).as("fp"),
+        mmh3(col("key"), VerifySeed).as("fp2"))
+      .join(aDistinct.withColumn("in_a", lit(true)), Seq("fp", "fp2"), "left_outer")
       .select(col("doc_id"), col("in_a").isNull.as("is_new"))
     val fastPath = b.where(!col("candidate"))
       .select(col("doc_id"), lit(true).as("is_new"))
     verified.unionByName(fastPath)
   }
+
+  /** Seed of the second verify-hash family in [[bloomNewDocs]] — any
+    * fixed value independent of xxhash64's internal seed (42) works; the
+    * two families share no arithmetic, which is what makes the 2⁻⁹⁶
+    * joint-collision bound multiplicative. */
+  private val VerifySeed = 0x5ca1ab1e
 
   /** Passage-level dedup (the CCNet/RefinedWeb line-dedup shape, adapted
     * to fixed windows because the corpus has no line structure): documents

@@ -345,6 +345,29 @@ class PlanAuditSpec extends SparkSuite {
       "the source-cardinality rate table must broadcast")
   }
 
+  test("dedup_bloom_xbatch: NO exchange carries the text/key string column") {
+    // the cross-batch verify join rides the dual-family fingerprint
+    // (xxhash64 + seeded mmh3) — document text must be consumed by the
+    // scan-side projections and never reach any exchange. Stricter than
+    // the dedup_exact audit: here ALL exchanges must be string-free.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("dedup_bloom_xbatch")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val strs = e.child.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      assert(strs.isEmpty,
+        s"string column(s) ${strs.map(_.name).mkString(",")} on the wire:\n" +
+          e.child.schema.treeString)
+    }
+  }
+
   test("dedup_passage: the keeper exchange carries bounded-width rows only") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     val exchanges = try {
