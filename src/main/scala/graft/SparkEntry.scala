@@ -114,6 +114,12 @@ object SparkEntry {
       // its filters. Queries and the recall gates all probe this one.
       Similarity.savePqCodebook(Tables(s, dir, "embeddings"), path)
     }),
+    "pq_codebook_res" -> ((s, dir) => ensureFixture(dir, "pq_codebook_res") { path =>
+      // sibling artifact for the residual-encoded composition: trained on
+      // the v - centroid(v) distribution against the SAME coarse
+      // quantizer the serve path derives (defaults pinned on both sides)
+      Similarity.saveResidualPqCodebook(Tables(s, dir, "embeddings"), path)
+    }),
     "docs_csv" -> ((s, dir) => ensureFixture(dir, "docs_csv") { path =>
       // the corpus itself has no quotes/commas/newlines — prepend them so
       // the escaping machinery is actually exercised, not just present
@@ -1397,16 +1403,21 @@ object SparkEntry {
     }),
     "sim_ann_ivfpq_res" -> ((s, dir) => { // approximate by design -> rows-only
       // residual-encoded IVF×PQ (the FAISS-default refinement): codes
-      // spend the codebook on the within-list residual distribution
+      // spend the codebook on the within-list residual distribution;
+      // the codebook loads from the offline TRAIN artifact, like ivfpq
       val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
+      val cb = Similarity.loadPqCodebook(c, fixtures("pq_codebook_res")(c, dir))
       Similarity.ivfPqResidualTopK(Tables(c, dir, "embeddings"),
-        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")
+        col("vec_id") % 50 === 0, simK, pretrained = Some(cb))
+        .orderBy("query_id", "rank")
     }),
     "sim_ann_ivfpq_res_recall" -> ((s, dir) => {
       val c = s.newSession(); c.conf.set("spark.sql.shuffle.partitions", "8")
       val emb = Tables(c, dir, "embeddings")
+      val cb = Similarity.loadPqCodebook(c, fixtures("pq_codebook_res")(c, dir))
       Similarity.recallVsExact(emb,
-        Similarity.ivfPqResidualTopK(emb, col("vec_id") % 50 === 0, simK),
+        Similarity.ivfPqResidualTopK(emb, col("vec_id") % 50 === 0, simK,
+          pretrained = Some(cb)),
         col("vec_id") % 50 === 0, simK, floor = 0.2)
     }),
 

@@ -46,12 +46,24 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** Exact near-duplicate pairs `(vec_a, vec_b, cos)` with cosine ≥
-    * `threshold` — embedding-space dedup. The predicate lives in the join
-    * condition so the nested-loop filter runs inside codegen and never
-    * materializes the quadratic product. Use [[annTopK]]'s bucketing when
-    * the corpus outgrows a broadcast side. */
-  def bruteForcePairs(emb: DataFrame, threshold: Double): DataFrame = {
+  /** ORACLE-ONLY lane: exact near-duplicate pairs `(vec_a, vec_b, cos)`
+    * with cosine ≥ `threshold` — the ground truth the ANN recall gates
+    * score against, deliberately an O(n²) nested-loop theta-join. The
+    * predicate lives in the join condition so the filter runs inside
+    * codegen and never materializes the quadratic product, but the LOOP
+    * is still quadratic: this lane must never reach a production corpus,
+    * which is what `maxRows` enforces — the default fails fast past
+    * 200k vectors (~4·10¹⁰ pairs, the edge of single-cluster sanity).
+    * The scale paths ARE the ANN queries ([[annTopK]], [[ivfPqTopK]],
+    * [[ivfPqResidualTopK]]); raise the bound only for a bigger offline
+    * ground-truth build that has the budget for it. */
+  def bruteForcePairs(emb: DataFrame, threshold: Double,
+      maxRows: Long = 200000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"bruteForcePairs is the O(n^2) oracle lane: corpus has $n vectors" +
+        s" > maxRows=$maxRows. Use the ANN operators for corpora this" +
+        " size, or raise maxRows explicitly for an offline truth build.")
     // spread the stream side: a small parquet corpus arrives as one input
     // partition, which would run the O(n^2) loop single-threaded
     val spread = emb.repartition(emb.sparkSession.sessionState.conf.numShufflePartitions)
@@ -314,16 +326,52 @@ object Similarity {
   def savePqCodebook(emb: DataFrame, path: String, m: Int = 8,
       ksub: Int = 16, iters: Int = 2, seed: Int = 7): Unit = {
     val (cb, cn2) = trainPqCodebook(emb, m, ksub, iters, seed)
-    val spark = emb.sparkSession
-    import spark.implicits._
-    Seq((cb.toSeq, cn2.toSeq)).toDF("cb", "cn2")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    writeCodebook(emb.sparkSession, cb, cn2, path)
   }
 
   def loadPqCodebook(spark: org.apache.spark.sql.SparkSession,
       path: String): (Array[Double], Array[Double]) = {
     val row = spark.read.parquet(path).head()
     (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray)
+  }
+
+  private def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+      cb: Array[Double], cn2: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    Seq((cb.toSeq, cn2.toSeq)).toDF("cb", "cn2")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The IVF coarse quantizer shared by [[ivfPqTopK]],
+    * [[ivfPqResidualTopK]] and [[saveResidualPqCodebook]]: a
+    * deterministic hash-order sample of the corpus. Any pretrained
+    * residual codebook is only valid against the SAME
+    * `(corpus, nCentroids, ivfSeed)` triple — the residual distribution
+    * is defined relative to these centroids. */
+  private def ivfCentroids(emb: DataFrame, nCentroids: Int, ivfSeed: Int): DataFrame =
+    emb.orderBy(xxhash64(col("vec_id"), lit(ivfSeed)))
+      .limit(nCentroids)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col("embedding").as("c_emb"))
+
+  /** TRAIN stage of [[ivfPqResidualTopK]], run offline once: assigns
+    * every corpus vector to its coarse list, trains the PQ codebook on
+    * the RESIDUAL distribution `v − centroid(v)`, and persists it in the
+    * same one-row artifact format as [[savePqCodebook]]. */
+  def saveResidualPqCodebook(emb: DataFrame, path: String,
+      nCentroids: Int = 16, ivfSeed: Int = 42, m: Int = 8,
+      ksub: Int = 16, iters: Int = 2, seed: Int = 7): Unit = {
+    import graft.functions.vec_sub
+    val centroids = ivfCentroids(emb, nCentroids, ivfSeed)
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
+    val resid = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"), col("c_emb"),
+        cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
+      .withColumn("c_rank", row_number().over(w))
+      .where(col("c_rank") === 1)
+      .select(col("vec_id"), vec_sub(col("embedding"), col("c_emb")).as("embedding"))
+    val (cb, cn2) = trainPqCodebook(resid, m, ksub, iters, seed)
+    writeCodebook(emb.sparkSession, cb, cn2, path)
   }
 
   def pqTopK(
@@ -502,11 +550,7 @@ object Similarity {
       s"pretrained codebook shape mismatch: |cn2|=${cn2Flat.length}, expected m*ksub=${m * ksub}")
 
     // coarse quantizer — same deterministic sample codebook as ivfTopK
-    val centroids = emb
-      .orderBy(xxhash64(col("vec_id"), lit(ivfSeed)))
-      .limit(nCentroids)
-      .select(monotonically_increasing_id().as("centroid_id"),
-        col("embedding").as("c_emb"))
+    val centroids = ivfCentroids(emb, nCentroids, ivfSeed)
 
     def assign(df: DataFrame, idCol: String, embCol: String, lists: Int): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("centroid_id"))
@@ -584,6 +628,12 @@ object Similarity {
     *
     * Same candidate topology as [[ivfPqTopK]]: probed-list equi-join on
     * `centroid_id`, codes-only corpus rows, exact shortlist re-rank.
+    *
+    * `pretrained` takes the [[saveResidualPqCodebook]] artifact — trained
+    * offline against the SAME `(corpus, nCentroids, ivfSeed)` (the
+    * residual distribution is defined relative to those centroids). With
+    * it, serving never runs Lloyd iterations: the inline-train fallback
+    * exists for exploration, not production.
     */
   def ivfPqResidualTopK(
       emb: DataFrame,
@@ -596,16 +646,13 @@ object Similarity {
       iters: Int = 2,
       shortlist: Int = 64,
       seed: Int = 7,
-      ivfSeed: Int = 42): DataFrame = {
+      ivfSeed: Int = 42,
+      pretrained: Option[(Array[Double], Array[Double])] = None): DataFrame = {
     require(nProbe <= nCentroids, s"nProbe ($nProbe) must be <= nCentroids ($nCentroids)")
     val spark = emb.sparkSession
     import graft.functions.vec_sub
 
-    val centroids = emb
-      .orderBy(xxhash64(col("vec_id"), lit(ivfSeed)))
-      .limit(nCentroids)
-      .select(monotonically_increasing_id().as("centroid_id"),
-        col("embedding").as("c_emb"))
+    val centroids = ivfCentroids(emb, nCentroids, ivfSeed)
 
     // assignment that KEEPS the centroid vector (the residual needs it)
     def assignKeep(df: DataFrame, idCol: String, embCol: String, lists: Int): DataFrame = {
@@ -618,8 +665,10 @@ object Similarity {
         .drop("c_cos", "c_rank")
     }
 
-    // one narrow pass: list id + residual + true squared norm per vector
-    val corpusResid = assignKeep(
+    // one narrow pass: list id + residual + true squared norm per vector.
+    // Persist only when training inline — the pretrained path reads this
+    // relation exactly once (encode), so caching it would just spill.
+    val corpusResidBase = assignKeep(
         emb.repartition(spark.sessionState.conf.numShufflePartitions)
           .select(col("vec_id").as("neighbor_id"), col("embedding")),
         "neighbor_id", "embedding", lists = 1)
@@ -627,12 +676,17 @@ object Similarity {
         vec_sub(col("embedding"), col("c_emb")).as("resid"),
         dot_product(col("embedding").cast("array<double>"),
           col("embedding").cast("array<double>")).as("rn2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusResid =
+      if (pretrained.isDefined) corpusResidBase
+      else corpusResidBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // codebook trained on the residual distribution
-    val (cbFlat, _) = trainPqCodebook(
+    // codebook trained offline on the residual distribution (or inline
+    // as the exploration fallback); same shape gate as ivfPqTopK
+    val (cbFlat, cn2Flat) = pretrained.getOrElse(trainPqCodebook(
       corpusResid.select(col("neighbor_id").as("vec_id"), col("resid").as("embedding")),
-      m, ksub, iters, seed)
+      m, ksub, iters, seed))
+    require(cn2Flat.length == m * ksub,
+      s"pretrained codebook shape mismatch: |cn2|=${cn2Flat.length}, expected m*ksub=${m * ksub}")
 
     val corpusCodes = corpusResid.select(col("centroid_id"), col("neighbor_id"),
       graft.functions.pq_encode(col("resid"), typedLit(cbFlat.toSeq), m, ksub)

@@ -80,6 +80,14 @@ class SimilaritySpec extends SparkSuite {
     assert(got === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("bruteForcePairs fails fast past its corpus-size fence") {
+    val e = vecDf((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForcePairs(e, 0.5, maxRows = 2L)
+    }
+    assert(ex.getMessage.contains("O(n^2) oracle lane"))
+  }
+
   test("srp_sig: deterministic, and near-identical vectors mostly agree") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
@@ -175,6 +183,19 @@ class SimilaritySpec extends SparkSuite {
     val resRecall =
       exact.count { case (q, n) => res.get(q).contains(n) }.toDouble / exact.size
     assert(resRecall >= 0.6, s"residual IVF×PQ recall@1 = $resRecall")
+
+    // train-once/serve-many lifecycle: the persisted residual codebook
+    // must reproduce the inline-trained answer EXACTLY (training is
+    // deterministic: hash-order init + fixed seeds)
+    val path = java.nio.file.Files.createTempDirectory("rescb").toString + "/cb"
+    Similarity.saveResidualPqCodebook(e, path,
+      nCentroids = 16, ivfSeed = 42, m = 4, ksub = 16, iters = 2, seed = 7)
+    val cb = Similarity.loadPqCodebook(spark, path)
+    val served = Similarity.ivfPqResidualTopK(e, queryPred, 1,
+      nCentroids = 16, nProbe = 8, m = 4, ksub = 16, iters = 2,
+      shortlist = 16, pretrained = Some(cb))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(served === res, "pretrained artifact must reproduce inline training")
   }
 
   test("recallVsExact: counts and gate, both directions") {
