@@ -1168,6 +1168,41 @@ object SparkEntry {
         .orderBy("source")),
     "t4_shingle_fp" -> ((s, dir) => // mmh3-valued -> rows-only check
       TextAnalysis.shingleFingerprint(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "t4_verify" -> ((s, dir) => {
+      // Cross-engine gate for the shingle-fingerprint kernel (t9_winnow_
+      // verify pattern): the distinct-shingle count is a REAL oracle
+      // value (DuckDB recomputes it), min<=max must hold per doc, and
+      // exact-dup documents must fingerprint identically. One lazy plan;
+      // the pair join keys on the 64-bit text fingerprint (narrow
+      // exchange) with a post-join norm equality to drop collisions.
+      val t = TextAnalysis.tokens(col("text"))
+      val sh = TextAnalysis.shingles(t, 3)
+      val hashes = graft.functions.hash_array(sh, 0)
+      val keyed = Tables(s, dir, "documents").where(size(t) > 0)
+        .select(col("doc_id"),
+          TextAnalysis.normalized(col("text")).as("norm"),
+          xxhash64(TextAnalysis.normalized(col("text"))).as("nfp"),
+          size(array_distinct(sh)).cast("long").as("n_shingles"),
+          array_min(hashes).as("min_hash"),
+          array_max(hashes).as("max_hash"))
+      val docAgg = keyed.agg(
+        count("*").as("n_docs"),
+        sum("n_shingles").as("sum_shingles"),
+        coalesce(sum(when(col("min_hash") > col("max_hash"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_order_violations"))
+      val pairAgg = keyed.as("x")
+        .join(keyed.as("y"),
+          col("x.nfp") === col("y.nfp") && col("x.doc_id") < col("y.doc_id"))
+        .where(col("x.norm") === col("y.norm"))
+        .agg(
+          count("*").as("n_exact_pairs"),
+          coalesce(sum(when(col("x.min_hash") =!= col("y.min_hash")
+              || col("x.max_hash") =!= col("y.max_hash"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_dup_mismatch"))
+      docAgg.crossJoin(pairAgg)
+        .select(col("n_docs"), col("sum_shingles"), col("n_exact_pairs"),
+          col("n_order_violations"), col("n_dup_mismatch"))
+    }),
     "t5_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables(s, dir, "documents"), topK = 50)),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
@@ -1333,6 +1368,37 @@ object SparkEntry {
           round(array_min(col("features")), 6).as("f_min"),
           round(array_max(col("features")), 6).as("f_max"))
         .orderBy("media_id")),
+    "mm4_verify" -> ((s, dir) => {
+      // Cross-engine gate for the featurize stub (t9_winnow_verify
+      // pattern): media count and exact-payload dup pairs are REAL
+      // oracle values; the dimension (16), the hash-feature range
+      // (mmh3/IntMax ∈ [-1-2⁻³¹, 1]) and payload-dup feature equality
+      // are zero-violation gates. Pair join keys on the payload's
+      // xxhash64 (narrow) with a post-join byte equality.
+      val docs = Tables(s, dir, "documents")
+      val media = Multimodal.fromDocuments(docs)
+      val keyed = Multimodal.featurize(media)
+        .join(media.select(col("media_id"),
+          xxhash64(col("payload")).as("pfp"), col("payload")), "media_id")
+      val docAgg = keyed.agg(
+        count("*").as("n_media"),
+        coalesce(sum(when(size(col("features")) =!= 16, 1L).otherwise(0L)),
+          lit(0L)).as("n_dim_violations"),
+        coalesce(sum(when(array_min(col("features")) < -1.0000001
+            || array_max(col("features")) > 1.0000001, 1L).otherwise(0L)),
+          lit(0L)).as("n_range_violations"))
+      val pairAgg = keyed.as("x")
+        .join(keyed.as("y"),
+          col("x.pfp") === col("y.pfp") && col("x.media_id") < col("y.media_id"))
+        .where(col("x.payload") === col("y.payload"))
+        .agg(
+          count("*").as("n_exact_pairs"),
+          coalesce(sum(when(col("x.features") =!= col("y.features"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_dup_mismatch"))
+      docAgg.crossJoin(pairAgg)
+        .select(col("n_media"), col("n_exact_pairs"), col("n_dim_violations"),
+          col("n_range_violations"), col("n_dup_mismatch"))
+    }),
 
     // --- V: similarity search over embeddings (LLM-pipeline layer)
     "sim_topk" -> ((s, dir) =>
@@ -2002,6 +2068,28 @@ object SparkEntry {
            |              WHERE len(${TextAnalysisSql.toks}) > 0) b
            |          ON a.nrm = b.nrm AND a.doc_id < b.doc_id) AS n_exact_pairs,
            |       CAST(0 AS BIGINT) AS n_subset_violations,
+           |       CAST(0 AS BIGINT) AS n_dup_mismatch""".stripMargin,
+      "t4_verify" ->
+        s"""SELECT (SELECT count(*) FROM documents
+           |        WHERE len(${TextAnalysisSql.toks}) > 0) AS n_docs,
+           |       (SELECT CAST(sum(len(${DedupSql.shinglesSql(3)})) AS BIGINT)
+           |        FROM documents
+           |        WHERE len(${TextAnalysisSql.toks}) > 0) AS sum_shingles,
+           |       (SELECT count(*)
+           |        FROM (SELECT doc_id, ${DedupSql.norm} AS nrm FROM documents
+           |              WHERE len(${TextAnalysisSql.toks}) > 0) a
+           |        JOIN (SELECT doc_id, ${DedupSql.norm} AS nrm FROM documents
+           |              WHERE len(${TextAnalysisSql.toks}) > 0) b
+           |          ON a.nrm = b.nrm AND a.doc_id < b.doc_id) AS n_exact_pairs,
+           |       CAST(0 AS BIGINT) AS n_order_violations,
+           |       CAST(0 AS BIGINT) AS n_dup_mismatch""".stripMargin,
+      "mm4_verify" ->
+        s"""SELECT (SELECT count(*) FROM documents) AS n_media,
+           |       (SELECT count(*) FROM documents a JOIN documents b
+           |          ON a.text = b.text AND a.doc_id < b.doc_id)
+           |         AS n_exact_pairs,
+           |       CAST(0 AS BIGINT) AS n_dim_violations,
+           |       CAST(0 AS BIGINT) AS n_range_violations,
            |       CAST(0 AS BIGINT) AS n_dup_mismatch""".stripMargin,
       "dedup_simhash_verify" -> DedupSql.simhashExactDupCheck,
       "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),

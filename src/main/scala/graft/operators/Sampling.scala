@@ -27,13 +27,20 @@ object Sampling {
     * stays under 2^39, where the naive `doc_id * hashPrime` overflows Long
     * for any doc_id > ~3.5e9 — a corpus size 100 TB reaches (under ANSI
     * mode the overflow throws; without it the sample silently diverges
-    * from the oracle). The SQL twins reduce identically. */
+    * from the oracle). The SQL twins reduce identically, INCLUDING sign:
+    * Spark's `pmod` is always non-negative while SQL `%` preserves the
+    * dividend's sign, so the twin adds the `(x % M + M) % M` fold — both
+    * sides land in [0, M) for every Long id, negative ids included
+    * (`((r+M)·p) mod M == (r·p) mod M`, so the fold changes nothing for
+    * the non-negative ids the testdata has). */
   private def rowHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(pmod(id, lit(hashMod)) * (hashPrime % hashMod), lit(hashMod))
 
-  /** The mod-reduced hash as SQL, shared by every twin. */
+  /** The mod-reduced hash as SQL, shared by every twin; non-negative for
+    * every input, like the Spark side's `pmod`. */
   private[operators] def rowHashSql(idExpr: String): String =
-    s"(($idExpr % $hashMod) * ${hashPrime % hashMod}) % $hashMod"
+    s"(((($idExpr % $hashMod) * ${hashPrime % hashMod}) % $hashMod" +
+      s" + $hashMod) % $hashMod)"
 
   /** The per-row face of [[temperatureMix]]: every document with its
     * source's rate parameters and its own `keep` verdict —
@@ -134,12 +141,18 @@ object Sampling {
       .withColumn("denom", sum("milliweight").over(all))
       // budget·milliweight overflows Long at real budgets (1e13 tokens ×
       // milliweight ~ 3e9); floor over doubles is identically rounded in
-      // both engines for sub-2^53 operands
+      // both engines for sub-2^53 operands. Zero guards: a source whose
+      // documents are all empty/untokenizable has avail_tokens = 0 (and
+      // if EVERY source is empty, denom = 0) — Spark would yield NaN for
+      // 0.0/0 where DuckDB differs, so both engines take the same
+      // explicit NULL branch instead (mirrored CASE in the SQL twin)
       .withColumn("target_tokens",
-        floor(lit(budget.toDouble) * col("milliweight")
-          / col("denom").cast("double")).cast("long"))
+        when(col("denom") > 0,
+          floor(lit(budget.toDouble) * col("milliweight")
+            / col("denom").cast("double")).cast("long")))
       .withColumn("epochs",
-        round(col("target_tokens").cast("double") / col("avail_tokens"), 6))
+        when(col("avail_tokens") > 0,
+          round(col("target_tokens").cast("double") / col("avail_tokens"), 6)))
       .select("source", "avail_tokens", "milliweight", "target_tokens", "epochs")
   }
 
@@ -202,14 +215,19 @@ object SamplingSql {
        |ORDER BY shard, pos""".stripMargin
 
   /** Twin of [[Sampling.tokenBudget]] — same double-widened target
-    * arithmetic (integer `budget·milliweight` overflows at real budgets). */
+    * arithmetic (integer `budget·milliweight` overflows at real budgets)
+    * and the same explicit NULL branches for zero-token sources. */
   def tokenBudget(budget: Long): String =
     s"""SELECT source, avail_tokens, milliweight,
-       |       CAST(floor(CAST($budget AS DOUBLE) * milliweight
-       |                  / CAST(denom AS DOUBLE)) AS BIGINT) AS target_tokens,
-       |       round(floor(CAST($budget AS DOUBLE) * milliweight
-       |                   / CAST(denom AS DOUBLE))
-       |             / avail_tokens, 6) AS epochs
+       |       CASE WHEN denom > 0 THEN
+       |         CAST(floor(CAST($budget AS DOUBLE) * milliweight
+       |                    / CAST(denom AS DOUBLE)) AS BIGINT)
+       |       END AS target_tokens,
+       |       CASE WHEN avail_tokens > 0 THEN
+       |         round(floor(CAST($budget AS DOUBLE) * milliweight
+       |                     / CAST(denom AS DOUBLE))
+       |               / avail_tokens, 6)
+       |       END AS epochs
        |FROM (
        |  SELECT source, avail_tokens,
        |         CAST(round(sqrt(avail_tokens) * 1000) AS BIGINT) AS milliweight,
