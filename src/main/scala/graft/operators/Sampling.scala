@@ -169,7 +169,19 @@ object Sampling {
     val scored = docs.where(graft.functions.hashed_lr_score(col("text"), dim) >= 0)
     val keepers = Dedup.exactKeepers(scored)
       .where(col("is_keeper")).select("doc_id")
+    // Cache narrow, recompute wide: `surv` is referenced TWICE downstream
+    // (temperatureKeep's rate aggregate + its corpus-side join), and each
+    // reference would otherwise re-derive the whole text-bearing subtree
+    // — measured on the physical plan, persisting this 16-byte-per-row
+    // (doc_id, source) relation halves the corpus scans AND the
+    // hashed_lr_score kernel evaluations (10 -> 5). The text-bearing
+    // stages are deliberately NOT cached: at 100 TB a text cache spills
+    // the corpus to executor disks, while the survivor-id relation is
+    // ~1/1000th the width. Released by the harness's per-query
+    // clearCache (Bench/Verify contract — see Dedup.nearDupPairs note);
+    // a library caller should unpersist after the action completes.
     val surv = scored.join(keepers, "doc_id").select("doc_id", "source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mixed = temperatureKeep(surv, targetPct)
       .where(col("keep")).select("doc_id", "source")
     shuffleShards(mixed, nShards, keep = Seq("source"))

@@ -328,6 +328,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("xxhash64"), "dedup must key on the fingerprint")
     assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
     assert(p.contains("Window"), "shard emit order needs the window")
+    // Measured choice (r6): the survivor (doc_id, source) relation is
+    // cached so temperatureKeep's two references (rate aggregate +
+    // corpus join) share ONE derivation of the text-bearing subtree —
+    // without it the plan carried 10 hashed_lr_score evaluations and 20
+    // corpus scans; with it, 5 (all inside the one cached build). The
+    // wide text stages stay uncached on purpose: cache narrow,
+    // recompute wide.
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "survivor relation must be cached")
+    val nScore = "hashed_lr_score".r.findAllIn(p).length
+    assert(nScore <= 5,
+      s"model kernel appears $nScore times - survivor cache lost?")
   }
 
   test("t16: model scoring is one projection — no explode, no join, no agg") {
