@@ -41,6 +41,31 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  // The reference's own published experiment (report pp. 29-30, §6.1/6.2;
+  // BASELINE.md accuracy table): split the REAL dataset, build per-rating
+  // filters on the train side at each report p, probe with the disjoint
+  // test side, and require observed FPP within bounds of requested p.
+  // The deterministic 60/40 split is disjoint by movieId, so every test
+  // probe that hits its own rating's filter is a false positive by
+  // construction. Per-group n varies with the rating distribution, so
+  // the binomial term uses each group's own n.
+  for (p <- Seq(0.01, 0.05, 0.1)) {
+    test(s"report §6 parity: real-split observed FPP within bounds, p=$p") {
+      val dir = "/root/testdata/sf0.01"
+      val stats = BloomPipeline.endToEnd(
+        Ratings.trainFromLineitem(spark, dir),
+        Ratings.testFromLineitem(spark, dir), p).collect()
+      assert(stats.nonEmpty)
+      stats.foreach { r =>
+        val n = r.getAs[Long]("total")
+        val rate = r.getAs[Double]("fpRate")
+        val tol = 0.25 * p + 5 * math.sqrt(p * (1 - p) / n)
+        assert(math.abs(rate - p) < tol,
+          s"rating ${r.get(0)}: observed $rate vs p=$p with n=$n (tol $tol)")
+      }
+    }
+  }
+
   test("zero false negatives end-to-end (the hard invariant)") {
     // probing the train set itself: every probe must hit
     val stats = BloomPipeline.endToEnd(train, train, 0.05).collect()
