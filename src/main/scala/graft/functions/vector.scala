@@ -59,6 +59,13 @@ object VectorKernels {
   // through getFloat/getDouble — embeddings come from parquet whose list
   // type is nullable-by-default (containsNull=true), so the type check
   // can't forbid them statically without breaking every real caller.
+  // Deliberate divergence from the DuckDB twins (which yield SQL NULL for
+  // a null slot): a null embedding slot upstream of similarity scoring is
+  // corrupt input, and at corpus scale a loud per-row failure is worth
+  // more than a silently-NULL score that drops the row from a top-k — a
+  // pipeline that wants row-level degradation should filter
+  // `!array_contains(..., NULL)` ahead of the kernel, which keeps the
+  // policy in the query where it's visible.
   private def requireNoNullSlot(a: ArrayData, i: Int, op: String): Unit =
     if (a.isNullAt(i)) throw new IllegalArgumentException(
       s"$op: NULL element at index $i — vector columns must have non-null elements")

@@ -226,7 +226,11 @@ object Dedup {
     // re-shingles the corpus once per branch. At cluster scale this is the
     // stage you materialize (persist or checkpoint to parquet) — same
     // decision, bigger numbers. MEMORY_AND_DISK so eviction degrades to
-    // recompute rather than OOM.
+    // recompute rather than OOM. Lifecycle (here and in the PPJoin prefix
+    // relation below): released by the harness's per-query clearCache
+    // (the Bench/Verify contract); a library caller should
+    // clearCache/unpersist after the action — repeated invocations
+    // otherwise accumulate cache entries.
     val base = shingleSets(docs, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base.select(col("doc_id"), minhash_sig(col("sh"), numHashes).as("sig"))
