@@ -1205,6 +1205,12 @@ object SparkEntry {
     }),
     "t5_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables(s, dir, "documents"), topK = 50)),
+    "t18_quality_calibrate" -> ((s, dir) => // keep-rate -> quality cutoff
+      Sampling.calibrateQuality(Tables(s, dir, "documents"), keepPct = 30)
+        .orderBy("source")),
+    "t19_oov_rate" -> ((s, dir) => // tokenizer-coverage audit vs top-K vocab
+      TextAnalysis.oovRate(Tables(s, dir, "documents"), topK = 50)
+        .orderBy("doc_id")),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2023,6 +2029,8 @@ object SparkEntry {
       "p11_shuffle_shards" -> SamplingSql.shuffleShards(8),
       "p12_token_budget" -> SamplingSql.tokenBudget(100000L),
       "t5_vocab" -> TextAnalysisSql.vocabulary(50),
+      "t18_quality_calibrate" -> SamplingSql.calibrateQuality(30),
+      "t19_oov_rate" -> s"${TextAnalysisSql.oovRate(50)} ORDER BY doc_id",
       "dedup_exact" -> s"${DedupSql.exactKeepers} ORDER BY doc_id",
       "dedup_bloom_xbatch" ->
         DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),

@@ -156,6 +156,39 @@ object Sampling {
       .select("source", "avail_tokens", "milliweight", "target_tokens", "epochs")
   }
 
+  /** Quality-threshold calibration — the step between scoring and
+    * filtering: given a per-source keep budget (`keepPct`% of each
+    * source), find the quality CUTOFF that budget implies, per source.
+    * This is how real curation pipelines pick thresholds (fix the
+    * retention rate, read off the score), rather than hand-tuning a
+    * global constant that over-filters weak sources. Returns the
+    * per-source audit `(source, n_docs, n_kept, cutoff)` where `cutoff`
+    * is the quality of the marginal kept document — rank
+    * `max(1, ⌊n·keepPct/100⌋)` by `(quality DESC, doc_id)`, the rounded
+    * score + id tie-break making the rank (and thus the cutoff)
+    * bit-deterministic cross-engine.
+    *
+    * Scale shape: one scoring projection, then a per-source window over
+    * `(doc_id, source, quality)` — 24-byte rows, the same exchange class
+    * as [[shuffleShards]]; output is one row per source. The marginal
+    * rank IS a per-source sort, which is what an exact quantile costs;
+    * the approximate alternative (t-digest/GK per source) trades that
+    * for a mergeable sketch when sources are few and huge. */
+  def calibrateQuality(docs: DataFrame, keepPct: Int = 30): DataFrame = {
+    require(keepPct > 0 && keepPct <= 100, s"keepPct in (0,100]: $keepPct")
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    val wn = Window.partitionBy("source")
+    TextAnalysis.qualityScore(docs, keep = Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_docs", count("*").over(wn))
+      .withColumn("kk",
+        greatest(lit(1L), floor(col("n_docs") * keepPct / lit(100.0)).cast("long")))
+      .where(col("rnk") === col("kk"))
+      .select(col("source"), col("n_docs"), col("kk").as("n_kept"),
+        col("quality").as("cutoff"))
+  }
+
   /** The composed corpus-EXPORT pass — what actually ships to the
     * trainer: model-score gate (one kernel projection) → exact dedup
     * (hash-keyed keeper window) → temperature mix (broadcast rate table)
@@ -251,6 +284,20 @@ object SamplingSql {
        |             AS avail_tokens
        |    FROM documents GROUP BY source))
        |ORDER BY source""".stripMargin
+
+  /** Twin of [[Sampling.calibrateQuality]]: identical rank and marginal-
+    * row arithmetic over the shared quality-score twin. */
+  def calibrateQuality(keepPct: Int): String =
+    s"""SELECT source, n_docs, kk AS n_kept, quality AS cutoff FROM (
+       |  SELECT d.source, q.quality, q.doc_id,
+       |         row_number() OVER (PARTITION BY d.source
+       |                            ORDER BY q.quality DESC, q.doc_id) AS rnk,
+       |         count(*) OVER (PARTITION BY d.source) AS n_docs,
+       |         greatest(1, CAST(floor(count(*) OVER (PARTITION BY d.source)
+       |                            * $keepPct / 100.0) AS BIGINT)) AS kk
+       |  FROM documents d
+       |  JOIN (${TextAnalysisSql.qualityScore}) q USING (doc_id))
+       |WHERE rnk = kk ORDER BY source""".stripMargin
 
   /** Twin of [[Sampling.exportCorpus]] — the four stages as CTEs, each
     * reusing its standalone twin's arithmetic verbatim. */

@@ -171,6 +171,30 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
 
+  /** Out-of-vocabulary rate per document against the corpus's own top-K
+    * vocabulary — the tokenizer-coverage audit a pipeline runs before
+    * committing to a vocab size: `(doc_id, n_tokens, oov_rate)` for every
+    * tokenizable document.
+    *
+    * Scale shape: the vocabulary is [[vocabulary]]'s bounded top-K
+    * aggregate collapsed to ONE array row and broadcast; the corpus pass
+    * is a single projection testing each token against the broadcast
+    * array inside codegen (K is small by construction — a vocab is a
+    * model artifact, not data). No corpus-sized exchange: the only
+    * shuffle is the vocabulary build's token aggregate, whose width is
+    * the distinct-token count, not the corpus. */
+  def oovRate(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val t = tokens(col("text"))
+    val vocabArr = vocabulary(docs, topK)
+      .agg(array_sort(collect_list(col("token"))).as("vocab"))
+    docs.where(size(t) > 0)
+      .crossJoin(broadcast(vocabArr))
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        round(
+          size(filter(t, tok => !array_contains(col("vocab"), tok)))
+            .cast("double") / size(t), 6).as("oov_rate"))
+  }
+
   /** PII patterns for corpus scrubbing — the RE2-safe (lookahead-free)
     * email / phone-ish / IPv4 trio every pretraining pipeline redacts.
     * Shared verbatim with the DuckDB twin. */
@@ -519,6 +543,18 @@ object TextAnalysisSql {
     s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
        |FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
        |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
+
+  /** Twin of [[TextAnalysis.oovRate]]: the same deterministic top-K
+    * vocabulary collapsed to one list, tested per token. */
+  def oovRate(topK: Int): String =
+    s"""SELECT doc_id, len($toks) AS n_tokens,
+       |       round(CAST(len(list_filter($toks,
+       |                 tok -> NOT list_contains(v.vocab, tok))) AS DOUBLE)
+       |             / len($toks), 6) AS oov_rate
+       |FROM documents,
+       |     (SELECT list(token ORDER BY token) AS vocab
+       |      FROM (${vocabulary(topK)})) v
+       |WHERE len($toks) > 0""".stripMargin
 
   /** Twin of [[TextAnalysis.tokenCounts]] (same RE2-safe pattern; DuckDB
     * standard strings keep backslashes literal, so only quotes need

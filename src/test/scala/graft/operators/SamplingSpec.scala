@@ -98,6 +98,38 @@ class SamplingSpec extends SparkSuite {
     assert(mixed.subsetOf(Set(1L, 4L)))
   }
 
+  test("calibrateQuality: cutoff is the marginal kept doc's score, budget honored") {
+    // 10 docs in one source: keepPct=30 -> k=3, cutoff = the 3rd-highest
+    // quality; the top-3 scores here are distinct (longer docs win the
+    // length term), so exactly k docs score >= cutoff
+    val d = (1 to 10).map { i =>
+      (i.toLong, "s", ("the a of " * i) + (1 to i).map(j => s"w$j$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val row = Sampling.calibrateQuality(d, keepPct = 30).collect().head
+    assert(row.getAs[Long]("n_docs") === 10L)
+    assert(row.getAs[Long]("n_kept") === 3L)
+    val cutoff = row.getAs[Double]("cutoff")
+    val scores = graft.operators.TextAnalysis.qualityScore(d)
+      .select("quality").collect().map(_.getDouble(0)).sorted.reverse
+    assert(cutoff === scores(2), "cutoff must be the k-th highest quality")
+    assert(scores.count(_ >= cutoff) === 3)
+  }
+
+  test("oovRate: exact fraction against the top-K vocab, zero for all-vocab docs") {
+    val d = Seq(
+      (1L, "the the the"),          // all tokens in any top-2 vocab
+      (2L, "the zebra"),            // 1 of 2 OOV
+      (3L, "qq zz xx yy")           // all OOV (singletons lose top-2 to 'the')
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = TextAnalysis.oovRate(d, topK = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("oov_rate")).toMap
+    assert(got(1L) === 0.0)
+    // vocab = top-2 by (count desc, token): 'the' (4) + one singleton —
+    // deterministic tie-break picks 'qq' (lexicographically first)
+    assert(got(2L) === 0.5)
+    assert(got(3L) === 0.75)
+  }
+
   test("shuffleShards: a permutation into dense per-shard positions, deterministic") {
     val d = corpus("a" -> 40)
     val a = Sampling.shuffleShards(d, nShards = 4).collect()
