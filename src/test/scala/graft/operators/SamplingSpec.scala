@@ -98,6 +98,20 @@ class SamplingSpec extends SparkSuite {
     assert(mixed.subsetOf(Set(1L, 4L)))
   }
 
+  test("sampling hash domain: negative ids hash into [0, M), shards stay valid") {
+    // the r6 twin fix folds the SQL side non-negative to match pmod; this
+    // pins the Spark side's half of that contract (the cross-engine
+    // parity for negative ids was verified against DuckDB directly)
+    val ids = Seq(-1L, -5L, -1000003L, -999999999999L, 7L)
+    val d = ids.map((_, "s")).toDF("doc_id", "source")
+    val got = Sampling.shuffleShards(d, nShards = 4).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet === ids.toSet)
+    got.foreach(r => assert((0 until 4).contains(r.getAs[Int]("shard"))))
+    // targetPct=100 -> thresh = M; keep requires hash in [0, M)
+    val keep = Sampling.temperatureKeep(d, targetPct = 100).collect()
+    assert(keep.length === ids.length && keep.forall(_.getAs[Boolean]("keep")))
+  }
+
   test("calibrateQuality: cutoff is the marginal kept doc's score, budget honored") {
     // 10 docs in one source: keepPct=30 -> k=3, cutoff = the 3rd-highest
     // quality; the top-3 scores here are distinct (longer docs win the
