@@ -1211,6 +1211,9 @@ object SparkEntry {
     "t19_oov_rate" -> ((s, dir) => // tokenizer-coverage audit vs top-K vocab
       TextAnalysis.oovRate(Tables(s, dir, "documents"), topK = 50)
         .orderBy("doc_id")),
+    "t20_token_drift" -> ((s, dir) => // crawl-over-crawl distribution drift
+      TextAnalysis.tokenDrift(Tables(s, dir, "documents"),
+        col("source").isin(batchASources: _*), topK = 50).orderBy("token")),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2031,6 +2034,8 @@ object SparkEntry {
       "t5_vocab" -> TextAnalysisSql.vocabulary(50),
       "t18_quality_calibrate" -> SamplingSql.calibrateQuality(30),
       "t19_oov_rate" -> s"${TextAnalysisSql.oovRate(50)} ORDER BY doc_id",
+      "t20_token_drift" ->
+        s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",
       "dedup_exact" -> s"${DedupSql.exactKeepers} ORDER BY doc_id",
       "dedup_bloom_xbatch" ->
         DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),

@@ -195,6 +195,47 @@ object TextAnalysis {
             .cast("double") / size(t), 6).as("oov_rate"))
   }
 
+  /** Token-distribution drift between two corpus batches — the
+    * crawl-over-crawl monitoring every refreshed pretraining corpus
+    * needs: per top-K token, both batches' relative frequencies and the
+    * token's Jensen–Shannon divergence contribution (natural log).
+    * `(token, n_a, n_b, p_a, p_b, js_contrib)`, top-K by combined count
+    * with a lexicographic tie-break so the row set is deterministic.
+    *
+    * Per-token contributions only, no cross-row float sum: a scalar JS
+    * total would depend on the engine's reduction order, while each row
+    * here is a pure function of four integers (two counts, two totals),
+    * so the whole result is oracle-exact. The caller sums `js_contrib`
+    * if it wants the scalar (any order — the rounded contributions are
+    * data, not floats in flight).
+    *
+    * Scale shape: one token-explode aggregate (width = distinct-token
+    * count, map-side combined), one 2-long totals row broadcast behind a
+    * cross join, top-K via TakeOrdered. Nothing corpus-sized shuffles
+    * beyond the token aggregate both vocab queries already pay. */
+  def tokenDrift(docs: DataFrame, batchAPred: Column, topK: Int = 50): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"),
+        when(batchAPred, 1L).otherwise(0L).as("in_a"))
+      .groupBy("token")
+      .agg(sum(col("in_a")).as("n_a"), sum(lit(1L) - col("in_a")).as("n_b"))
+    val tot = counts.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    counts
+      .orderBy((col("n_a") + col("n_b")).desc, col("token"))
+      .limit(topK)
+      .crossJoin(broadcast(tot))
+      .withColumn("pa", col("n_a").cast("double") / col("tot_a"))
+      .withColumn("pb", col("n_b").cast("double") / col("tot_b"))
+      .withColumn("m", (col("pa") + col("pb")) / 2.0)
+      .select(col("token"), col("n_a"), col("n_b"),
+        round(col("pa"), 6).as("p_a"),
+        round(col("pb"), 6).as("p_b"),
+        round(
+          when(col("pa") > 0, col("pa") * log(col("pa") / col("m"))).otherwise(0.0) * 0.5
+            + when(col("pb") > 0, col("pb") * log(col("pb") / col("m"))).otherwise(0.0) * 0.5,
+          6).as("js_contrib"))
+  }
+
   /** PII patterns for corpus scrubbing — the RE2-safe (lookahead-free)
     * email / phone-ish / IPv4 trio every pretraining pipeline redacts.
     * Shared verbatim with the DuckDB twin. */
@@ -543,6 +584,35 @@ object TextAnalysisSql {
     s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
        |FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
        |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
+
+  /** Twin of [[TextAnalysis.tokenDrift]]: identical count, ratio, and
+    * JS-term nesting so every double op runs in the same order. */
+  def tokenDrift(batchAPredSql: String, topK: Int): String =
+    s"""SELECT token, n_a, n_b,
+       |       round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+       |       round(
+       |         (CASE WHEN pa > 0 THEN pa * ln(pa / m) ELSE 0.0 END) * 0.5
+       |         + (CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0.0 END) * 0.5,
+       |         6) AS js_contrib
+       |FROM (
+       |  SELECT token, n_a, n_b, pa, pb, (pa + pb) / 2.0 AS m FROM (
+       |    SELECT token, n_a, n_b,
+       |           CAST(n_a AS DOUBLE) / tot_a AS pa,
+       |           CAST(n_b AS DOUBLE) / tot_b AS pb
+       |    FROM (SELECT * FROM (
+       |            SELECT token,
+       |                   CAST(sum(in_a) AS BIGINT) AS n_a,
+       |                   CAST(sum(1 - in_a) AS BIGINT) AS n_b
+       |            FROM (SELECT unnest($toks) AS token,
+       |                         CASE WHEN $batchAPredSql THEN 1 ELSE 0 END AS in_a
+       |                  FROM documents)
+       |            GROUP BY token)
+       |          ORDER BY n_a + n_b DESC, token LIMIT $topK),
+       |         (SELECT CAST(sum(in_a) AS BIGINT) AS tot_a,
+       |                 CAST(sum(1 - in_a) AS BIGINT) AS tot_b
+       |          FROM (SELECT unnest($toks) AS tok2,
+       |                       CASE WHEN $batchAPredSql THEN 1 ELSE 0 END AS in_a
+       |                FROM documents))))""".stripMargin
 
   /** Twin of [[TextAnalysis.oovRate]]: the same deterministic top-K
     * vocabulary collapsed to one list, tested per token. */

@@ -28,6 +28,30 @@ class TextDedupSpec extends SparkSuite {
     assert(sh4 === Seq("one two three", "two three four"))
   }
 
+  test("tokenDrift: JS contributions match the closed-form per-token values") {
+    // batch A (doc 1): "x x y" -> tot_a=3; batch B (doc 2): "x y y y" ->
+    // tot_b=4. Counts: x (2,1), y (1,3).
+    val d = docs((1L, "x x y"), (2L, "x y y y"))
+    val got = TextAnalysis.tokenDrift(d, col("doc_id") === 1L, topK = 10)
+      .collect().map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("js_contrib")))).toMap
+    def js(pa: Double, pb: Double): Double = {
+      val m = (pa + pb) / 2.0
+      val a = if (pa > 0) pa * math.log(pa / m) else 0.0
+      val b = if (pb > 0) pb * math.log(pb / m) else 0.0
+      BigDecimal(a * 0.5 + b * 0.5).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("x")._1 === 2L && got("x")._2 === 1L)
+    assert(got("y")._1 === 1L && got("y")._2 === 3L)
+    assert(got("x")._3 === js(2.0 / 3, 1.0 / 4))
+    assert(got("y")._3 === js(1.0 / 3, 3.0 / 4))
+    // identical distributions -> zero drift on every token
+    val same = TextAnalysis.tokenDrift(docs((1L, "x y"), (2L, "x y")),
+      col("doc_id") === 1L, topK = 10)
+      .collect().map(_.getAs[Double]("js_contrib"))
+    assert(same.forall(_ === 0.0))
+  }
+
   test("exactKeepers: min doc_id survives; normalization folds case/punct") {
     val d = docs(
       (10L, "The quick brown fox"),
