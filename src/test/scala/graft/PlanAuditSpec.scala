@@ -380,6 +380,40 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("t19/t20: vocab-artifact queries broadcast the tiny side, never sort-merge") {
+    // t19: the top-K vocab collapses to ONE array row broadcast behind a
+    // nested-loop cross join; the corpus side must not shuffle for it
+    val p19 = plan("t19_oov_rate")
+    assert(p19.contains("BroadcastNestedLoopJoin") || p19.contains("BroadcastExchange"), p19)
+    assert(!p19.contains("SortMergeJoin"), "vocab side must broadcast")
+    val read19 = p19.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read19.contains("doc_id") && read19.contains("text") &&
+      !read19.contains("source"), s"scan must prune to (doc_id, text): $read19")
+    // t20: top-K by combined count plans as TakeOrdered, totals broadcast
+    val p20 = plan("t20_token_drift")
+    assert(p20.contains("TakeOrderedAndProject"), p20)
+    assert(!p20.contains("SortMergeJoin"), "totals row must broadcast")
+  }
+
+  test("t18: calibration windows carry narrow rows, one output row per source") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.operators.Sampling.calibrateQuality(
+          graft.operators.Tables(spark, dir, "documents"))
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(exchanges.nonEmpty)
+    // the ranking window shuffles (doc_id, source, quality)-shaped rows;
+    // the document text must be consumed by the scoring projection
+    exchanges.foreach { e =>
+      assert(!e.child.schema.fieldNames.contains("text"),
+        s"document text on the wire: ${e.child.schema.treeString}")
+    }
+  }
+
   test("dedup_passage: the keeper exchange carries bounded-width rows only") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     val exchanges = try {
