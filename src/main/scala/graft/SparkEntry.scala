@@ -1383,12 +1383,13 @@ object SparkEntry {
       // oracle values; the dimension (16), the hash-feature range
       // (mmh3/IntMax ∈ [-1-2⁻³¹, 1]) and payload-dup feature equality
       // are zero-violation gates. Pair join keys on the payload's
-      // xxhash64 (narrow) with a post-join byte equality.
+      // xxhash64 (narrow) with a post-join byte equality. featurize's
+      // keep passthrough carries the payload — no corpus self-join to
+      // re-attach it.
       val docs = Tables(s, dir, "documents")
       val media = Multimodal.fromDocuments(docs)
-      val keyed = Multimodal.featurize(media)
-        .join(media.select(col("media_id"),
-          xxhash64(col("payload")).as("pfp"), col("payload")), "media_id")
+      val keyed = Multimodal.featurize(media, keep = Seq("payload"))
+        .withColumn("pfp", xxhash64(col("payload")))
       val docAgg = keyed.agg(
         count("*").as("n_media"),
         coalesce(sum(when(size(col("features")) =!= 16, 1L).otherwise(0L)),

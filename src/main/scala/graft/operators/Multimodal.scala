@@ -128,13 +128,17 @@ object Multimodal {
   /** Deterministic fake feature vector (`dim` floats in [-1, 1]) from
     * frame-level murmur hashes — rows-only checked; connects the binary
     * pipeline to the [[Similarity]] operators. A real extractor replaces
-    * the per-frame expression, not the plan. */
-  def featurize(media: DataFrame, dim: Int = 16): DataFrame =
+    * the per-frame expression, not the plan. `keep` passes extra input
+    * columns through the projection (the house pattern — qualityScore,
+    * langId — that lets gates stack without a corpus self-join). */
+  def featurize(media: DataFrame, dim: Int = 16,
+      keep: Seq[String] = Nil): DataFrame =
     media.select(
-      col("media_id"), col("modality"),
-      array((0 until dim).map(d =>
-        (graft.functions.mmh3(sha2(col("payload"), 256), d).cast("double")
-          / Int.MaxValue.toDouble).cast("float")): _*).as("features"))
+      Seq(col("media_id"), col("modality"),
+        array((0 until dim).map(d =>
+          (graft.functions.mmh3(sha2(col("payload"), 256), d).cast("double")
+            / Int.MaxValue.toDouble).cast("float")): _*).as("features"))
+        ++ keep.map(col): _*)
 }
 
 /** DuckDB twins for the oracle-checkable [[Multimodal]] queries. */
