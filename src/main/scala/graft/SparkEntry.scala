@@ -86,6 +86,11 @@ object SparkEntry {
         BloomPipeline.buildShardedFilters(
           Ratings.trainFromLineitem(s, dir), defaultP, shardedSlabBits), path)
     }),
+    "filters_seq" -> ((s, dir) => ensureFixture(dir, "filters_seq") { path =>
+      // the reference's literal K2 artifact format (Hadoop SequenceFile)
+      FilterStore.saveSequenceFile(
+        BloomPipeline.buildFilters(Ratings.trainFromLineitem(s, dir), defaultP), path)
+    }),
     "split_tsv" -> ((s, dir) => ensureFixture(dir, "split_tsv") { path =>
       Tables(s, dir, "lineitem").where(col("l_quantity") >= 2.5)
         .select(format_string("it%d-%d\t%s",
@@ -922,6 +927,24 @@ object SparkEntry {
       val path = fixtures("filters")(s, dir)
       val bc = s.sparkContext.broadcast(
         BloomPipeline.collectFilters(FilterStore.load(s, path)))
+      train
+        .select(col("rating"),
+          graft.functions.bloom_probe_groups(bc, col("rating"), col("movieId")).as("hit"))
+        .where(col("hit").isNotNull)
+        .groupBy("rating")
+        .agg(count("*").as("total"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+        .orderBy("rating")
+    }),
+    "bloom_seqfile_reload" -> ((s, dir) => {
+      // S3/K2 LITERAL-format parity: the same reload -> probe lifecycle
+      // as bloom_reload_probe, but through the reference's own Hadoop
+      // SequenceFile artifact instead of the production Parquet one.
+      // hits == total by zero-FN, so fully oracle-checked.
+      val train = Ratings.trainFromLineitem(s, dir)
+      val path = fixtures("filters_seq")(s, dir)
+      val bc = s.sparkContext.broadcast(
+        BloomPipeline.collectFilters(FilterStore.loadSequenceFile(s, path)))
       train
         .select(col("rating"),
           graft.functions.bloom_probe_groups(bc, col("rating"), col("movieId")).as("hit"))
@@ -1991,6 +2014,9 @@ object SparkEntry {
         s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
            |GROUP BY rating ORDER BY rating""".stripMargin,
       "bloom_sharded_reload" -> // zero-FN: every routed train probe hits
+        s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
+           |GROUP BY rating ORDER BY rating""".stripMargin,
+      "bloom_seqfile_reload" -> // zero-FN through the SequenceFile artifact
         s"""SELECT rating, count(*) AS total, count(*) AS hits FROM ($train)
            |GROUP BY rating ORDER BY rating""".stripMargin,
       "bloom_approx_geometry" -> // sketch sizing inside the fixed envelope

@@ -39,6 +39,25 @@ class FilterStoreSpec extends SparkSuite {
     assert(fn === 0L)
   }
 
+  test("SequenceFile lane: byte-identical filters to the Parquet artifact") {
+    // the reference's literal K2/S3 format must carry the SAME filters
+    // bit for bit — one artifact family, two containers
+    val train = (0 until 2000).map(i => (s"key-$i", i % 4)).toDF("movieId", "rating")
+    val filters = BloomPipeline.buildFilters(train, p)
+    val dir = Files.createTempDirectory("graft_seq").toString
+    FilterStore.saveSequenceFile(filters, s"$dir/seq")
+    val reloaded = FilterStore.loadSequenceFile(spark, s"$dir/seq")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("rating", "m", "k", "bits").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq)).toSet
+    assert(canon(reloaded) === canon(filters))
+    // and it IS a Hadoop SequenceFile: the container magic is "SEQ"
+    val part = new java.io.File(s"$dir/seq").listFiles()
+      .filter(f => f.getName.startsWith("part-")).head
+    val magic = java.nio.file.Files.readAllBytes(part.toPath).take(3)
+    assert(magic.map(_.toChar).mkString === "SEQ")
+  }
+
   test("filter bytes are a stable golden artifact (deterministic build)") {
     // tiny fixed corpus -> the packed filter bytes must never change
     // across engine versions (hash family, seeds, layout are the contract)
