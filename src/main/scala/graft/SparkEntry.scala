@@ -1363,6 +1363,9 @@ object SparkEntry {
     "dedup_editdist" -> ((s, dir) => // length-banded bounded edit distance
       Dedup.editDistancePairs(Tables(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
+    "dedup_snm" -> ((s, dir) => // sorted-neighborhood (sort + sliding window)
+      Dedup.sortedNeighborhoodPairs(Tables(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
 
     // --- M: multimodal binary-column plumbing (LLM-pipeline layer;
     // decode is a deterministic stub, the byte plumbing is real)
@@ -2134,6 +2137,7 @@ object SparkEntry {
       "dedup_simhash_verify" -> DedupSql.simhashExactDupCheck,
       "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),
       "dedup_editdist" -> DedupSql.editDistancePairs(8, 10, 40),
+      "dedup_snm" -> DedupSql.sortedNeighborhoodPairs(4, 40, 2, 10),
       // groups = test ratings that ALSO have a train-built filter (the
       // probe inner-joins on rating, so a test-only rating contributes no
       // group; the intersect keeps the gate scale-robust)

@@ -593,6 +593,52 @@ object Dedup {
         levenshtein(col("pre_a"), col("pre_b")).as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM): sort the
+    * corpus by a `keyLen`-char prefix of the normalized text, slide a
+    * window of `w` rows, and verify each doc against its `w-1`
+    * predecessors with prefix Levenshtein. Output `(doc_a, doc_b, dist)`
+    * where `doc_a` precedes `doc_b` in sort order and `dist ≤ maxDist`.
+    *
+    * This is the classic third blocking family next to MinHash-LSH
+    * ([[minhashLshPairs]], set-similarity) and length-banding
+    * ([[editDistancePairs]], same-length): candidates are O(w·n)
+    * regardless of how many docs share a shingle or a length bucket, and
+    * it catches prefix-similar pairs whose Jaccard falls below the LSH
+    * threshold.
+    *
+    * Scale: the only exchange carries `(doc_id, keyLen-char key)` — never
+    * document text. The sort runs inside window partitions keyed
+    * `(lang, first blockLen chars of key)`, so parallelism is
+    * lang × alphabet^blockLen and no single reducer sorts the corpus;
+    * pairs whose keys straddle a block boundary are missed by
+    * construction (classic SNM multi-pass territory — run again with a
+    * different key to recover them), which the DuckDB twin mirrors
+    * exactly, so the oracle stays row-for-row. */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      w: Int = 4,
+      keyLen: Int = 40,
+      blockLen: Int = 2,
+      maxDist: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, s"window w ($w) must cover at least one neighbor")
+    val base = docs.select(col("doc_id"), col("lang"),
+      substring(normalized(col("text")), 1, keyLen).as("skey"))
+    val win = Window
+      .partitionBy(col("lang"), substring(col("skey"), 1, blockLen))
+      .orderBy(col("skey"), col("doc_id"))
+    base
+      .select(col("doc_id"), col("skey"),
+        array((1 until w).map(i => struct(
+          lag(col("doc_id"), i).over(win).as("nid"),
+          lag(col("skey"), i).over(win).as("nkey"))): _*).as("nbrs"))
+      .select(col("doc_id"), col("skey"), explode(col("nbrs")).as("n"))
+      .where(col("n.nid").isNotNull)
+      .select(col("n.nid").as("doc_a"), col("doc_id").as("doc_b"),
+        levenshtein(col("n.nkey"), col("skey")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }
 
 /** DuckDB twins of the exact-output [[Dedup]] operators. */
@@ -739,6 +785,35 @@ object DedupSql {
        |SELECT doc_id, lang_pred, quality, n_tokens FROM (
        |  SELECT *, min(doc_id) OVER (PARTITION BY nrm) AS keeper FROM kept)
        |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[Dedup.sortedNeighborhoodPairs]]: identical sort key
+    * (keyLen-char prefix of the normalized text), identical window
+    * partition `(lang, blockLen-char block)`, one `lag` column per
+    * neighbor distance unioned back to pair rows. */
+  def sortedNeighborhoodPairs(w: Int, keyLen: Int, blockLen: Int,
+      maxDist: Int): String = {
+    val lags = (1 until w).map(i =>
+      s"lag(doc_id, $i) OVER snm AS id$i, lag(skey, $i) OVER snm AS k$i")
+      .mkString(",\n       |         ")
+    val arms = (1 until w).map(i =>
+      s"""SELECT id$i AS doc_a, doc_b,
+         |        CAST(levenshtein(k$i, key_b) AS INTEGER) AS dist
+         | FROM neigh WHERE id$i IS NOT NULL""".stripMargin)
+      .mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, substr($norm, 1, $keyLen) AS skey
+       |  FROM documents),
+       |neigh AS (
+       |  SELECT doc_id AS doc_b, skey AS key_b,
+       |         $lags
+       |  FROM base
+       |  WINDOW snm AS (PARTITION BY lang, substr(skey, 1, $blockLen)
+       |                 ORDER BY skey, doc_id))
+       |SELECT doc_a, doc_b, dist FROM (
+       |  $arms)
+       |WHERE dist <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** `is_new` twin for [[Dedup.bloomNewDocs]] with batches split by a SQL
     * predicate over `documents`. */

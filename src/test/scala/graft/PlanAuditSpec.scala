@@ -380,6 +380,26 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("dedup_snm: exchanges carry the bounded sort key, never document text") {
+    // SNM's one shuffle is the window partitioning; it may carry the
+    // 40-char sort key (bounded by construction) and lang/block, but the
+    // unbounded text column must be consumed by the scan-side projection.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("dedup_snm")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val bad = e.child.schema.fields.filter(f => f.name == "text")
+      assert(bad.isEmpty,
+        s"document text on the wire:\n${e.child.schema.treeString}")
+    }
+  }
+
   test("t19/t20: vocab-artifact queries broadcast the tiny side, never sort-merge") {
     // t19: the top-K vocab collapses to ONE array row broadcast behind a
     // nested-loop cross join; the corpus side must not shuffle for it

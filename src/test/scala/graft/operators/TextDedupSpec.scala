@@ -325,6 +325,25 @@ class TextDedupSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, 2L, 2)))
   }
 
+  test("sortedNeighborhoodPairs: window pairs in sort order, lang-partitioned") {
+    // sort order in block (en, "aa"): aaaa(1) aaab(2) aaac(3) aaad(4)
+    // aaae(5) aazz…(8). w=4 → each doc meets 3 predecessors: (1,5) is out
+    // of window; doc 8 meets 3,4,5 but every distance exceeds maxDist;
+    // doc 6 sits alone in block "zz", doc 7 alone in lang fr.
+    val d = Seq(
+      (1L, "aaaa", "en"), (2L, "aaab", "en"), (3L, "aaac", "en"),
+      (4L, "aaad", "en"), (5L, "aaae", "en"), (6L, "zzzz", "en"),
+      (7L, "aaae", "fr"), (8L, "aazzzzzzzzzzzzzzzz", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.sortedNeighborhoodPairs(d, w = 4, keyLen = 40,
+      blockLen = 2, maxDist = 10)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (2L, 3L, 1), (2L, 4L, 1),
+      (2L, 5L, 1), (3L, 4L, 1), (3L, 5L, 1), (4L, 5L, 1)))
+  }
+
   test("bigram_stats kernel == explode+aggregate formulation, doc for doc") {
     import org.apache.spark.sql.functions._
     val d = docs(
