@@ -1237,6 +1237,9 @@ object SparkEntry {
     "t20_token_drift" -> ((s, dir) => // crawl-over-crawl distribution drift
       TextAnalysis.tokenDrift(Tables(s, dir, "documents"),
         col("source").isin(batchASources: _*), topK = 50).orderBy("token")),
+    "t21_unigram_lm" -> ((s, dir) => // CCNet-style LM cross-entropy score
+      TextAnalysis.unigramLmScore(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2066,6 +2069,7 @@ object SparkEntry {
       "t19_oov_rate" -> s"${TextAnalysisSql.oovRate(50)} ORDER BY doc_id",
       "t20_token_drift" ->
         s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",
+      "t21_unigram_lm" -> TextAnalysisSql.unigramLm,
       "dedup_exact" -> s"${DedupSql.exactKeepers} ORDER BY doc_id",
       "dedup_bloom_xbatch" ->
         DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),

@@ -504,6 +504,38 @@ object TextAnalysis {
       array_min(hashes).as("min_hash"),
       array_max(hashes).as("max_hash"))
   }
+
+  /** CCNet-style unigram-LM quality score: train token frequencies on the
+    * corpus batch itself, then score each document by its per-token
+    * cross-entropy under that LM — `(doc_id, n_tokens, xent)` in nats,
+    * low = head-like fluent text, high = rare-token noise. (CCNet ranks
+    * Common Crawl by LM perplexity; a unigram model over the same
+    * deterministic tokenizer keeps it cross-engine exact, and the hashed-LR
+    * scorer `t16` covers the learned-model variant.) Untokenizable
+    * documents have no distribution to score and are omitted, like every
+    * other `t*` per-token derivation.
+    *
+    * Scale: the per-(doc, token) counts aggregate with map-side combine
+    * before any exchange; the frequency join carries one bounded word per
+    * row and is token-keyed — a stopword key is hot but its build side is
+    * exactly ONE row, the shape AQE skew-split handles. The corpus total
+    * is a one-row relation, broadcast. At serving scale the freq table is
+    * the train-once artifact; training inline here mirrors the
+    * self-perplexity batch-hygiene pass. */
+  def unigramLmScore(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c_dt"))
+    val freq = dt.groupBy("token").agg(sum("c_dt").as("c_t"))
+    val total = freq.agg(sum(col("c_t")).cast("double").as("n_total"))
+    dt.join(freq, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c_dt")).cast("long").as("n_tokens"),
+        round(-sum(col("c_dt") * log(col("c_t") / col("n_total")))
+          / sum(col("c_dt")), 6).as("xent"))
+  }
 }
 
 /** DuckDB twins of [[TextAnalysis]] for the driver oracle. Kept adjacent to
@@ -776,4 +808,22 @@ object TextAnalysisSql {
        |         ${nStop(TextAnalysis.stopFr)} AS s_fr,
        |         ${nStop(TextAnalysis.stopEs)} AS s_es
        |  FROM documents)""".stripMargin
+
+  /** Twin of [[TextAnalysis.unigramLmScore]]: identical per-(doc, token)
+    * counts, corpus frequencies, and cross-entropy arithmetic. */
+  val unigramLm: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM documents),
+       |dt AS (
+       |  SELECT doc_id, token, count(*) AS c_dt FROM tok
+       |  GROUP BY doc_id, token),
+       |freq AS (
+       |  SELECT token, sum(c_dt) AS c_t FROM dt GROUP BY token),
+       |total AS (SELECT CAST(sum(c_t) AS DOUBLE) AS n_total FROM freq)
+       |SELECT doc_id,
+       |       CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+       |       round(-sum(c_dt * ln(CAST(c_t AS DOUBLE) / n_total))
+       |             / sum(c_dt), 6) AS xent
+       |FROM dt JOIN freq USING (token), total
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -400,6 +400,17 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("t21: unigram-LM corpus total broadcasts; scan prunes to (doc_id, text)") {
+    // the one-row corpus total must ride a broadcast nested-loop cross
+    // join; the freq join is token-keyed by necessity (vocab-sized build
+    // side), but nothing may sort-merge against the one-row total
+    val p = plan("t21_unigram_lm")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source"), s"scan must prune to (doc_id, text): $read")
+  }
+
   test("t19/t20: vocab-artifact queries broadcast the tiny side, never sort-merge") {
     // t19: the top-K vocab collapses to ONE array row broadcast behind a
     // nested-loop cross join; the corpus side must not shuffle for it

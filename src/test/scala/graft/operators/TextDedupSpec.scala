@@ -325,6 +325,21 @@ class TextDedupSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, 2L, 2)))
   }
 
+  test("unigramLmScore: cross-entropy matches the closed-form unigram LM") {
+    // corpus: doc 1 "x x y", doc 2 "x z". N=5; p(x)=3/5, p(y)=1/5, p(z)=1/5
+    // doc1 xent = -(2 ln(3/5) + 1 ln(1/5)) / 3
+    // doc2 xent = -(ln(3/5) + ln(1/5)) / 2; doc 3 untokenizable -> omitted
+    val d = docs((1L, "x x y"), (2L, "x z"), (3L, "!!!"))
+    val got = TextAnalysis.unigramLmScore(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (px, py) = (3.0 / 5, 1.0 / 5)
+    assert(got.toSeq === Seq(
+      (1L, 3L, r6(-(2 * math.log(px) + math.log(py)) / 3)),
+      (2L, 2L, r6(-(math.log(px) + math.log(py)) / 2))))
+  }
+
   test("sortedNeighborhoodPairs: window pairs in sort order, lang-partitioned") {
     // sort order in block (en, "aa"): aaaa(1) aaab(2) aaac(3) aaad(4)
     // aaae(5) aazz…(8). w=4 → each doc meets 3 predecessors: (1,5) is out
