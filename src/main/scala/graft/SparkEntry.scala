@@ -1451,7 +1451,9 @@ object SparkEntry {
         col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")),
     // Recall gates for the ANN paths: counts are real oracle values,
     // recall_ok the cross-engine invariant (seed-deterministic recall on
-    // the random-unit-vector testdata measures 0.46/0.48 for LSH/IVF and
+    // the random-unit-vector testdata measures 0.46/0.48 for LSH/IVF —
+    // and 0.48 for IVF×SQ8 at sf0.01: scalar quantization's ~1e-2 per-dim
+    // error costs NO recall vs raw IVF, the point of the lane — and
     // 0.72/0.56 for PQ at sf0.01/sf0.1, floor 0.25; the IVF×PQ composition
     // measures 0.48/0.35 — coarse pruning stacks on quantization loss —
     // and its residual variant 0.42/0.295 (residuals only tighten when
@@ -1467,6 +1469,17 @@ object SparkEntry {
       val emb = Tables(s, dir, "embeddings")
       Similarity.recallVsExact(emb,
         Similarity.ivfTopK(emb, col("vec_id") % 50 === 0, simK),
+        col("vec_id") % 50 === 0, simK, floor = 0.25)
+    }),
+    "sim_ann_sq8" -> ((s, dir) => // approximate by design -> rows-only check
+      // IVF lists scored in the 4x-compressed scalar-quantized domain;
+      // no trained artifact (per-vector scale), unlike the PQ lanes
+      Similarity.ivfSq8TopK(Tables(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")),
+    "sim_ann_sq8_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.recallVsExact(emb,
+        Similarity.ivfSq8TopK(emb, col("vec_id") % 50 === 0, simK),
         col("vec_id") % 50 === 0, simK, floor = 0.25)
     }),
     "sim_ann_pq" -> ((s, dir) => { // approximate by design -> rows-only check
@@ -2155,6 +2168,7 @@ object SparkEntry {
            |WHERE rating IN (SELECT rating FROM ($train))""".stripMargin,
       "sim_ann_lsh_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "sim_ann_ivf_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
+      "sim_ann_sq8_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "sim_ann_pq_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "sim_ann_ivfpq_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),
       "sim_ann_ivfpq_res_recall" -> SimilaritySql.recallGate(simQueryPredSql, simK),

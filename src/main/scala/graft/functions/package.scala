@@ -79,6 +79,15 @@ package object functions {
   /** `[scale, max_abs_err]` int8-quantization audit of a vector column. */
   def int8_quant_stats(vec: Column): Column = col(Int8QuantStats(expr(vec)))
 
+  /** Self-contained SQ8 container (8-byte scale + int8 codes) of a
+    * vector column. */
+  def sq8_encode(vec: Column): Column = col(Sq8Encode(expr(vec)))
+
+  /** Asymmetric cosine: full-width query vector vs sq8-encoded corpus
+    * vector. */
+  def sq8_cos(query: Column, bin: Column): Column =
+    col(Sq8Cos(expr(query), expr(bin)))
+
   /** `[en, de, fr, es]` stopword-profile counts of a text column. */
   def stop_profile_counts(text: Column): Column =
     col(StopProfileCounts(expr(text)))

@@ -244,6 +244,67 @@ object VectorKernels {
       .fromPrimitiveArray(Array(s, maxErr))
   }
 
+  /** SQ8 encode kernel (see [[Sq8Encode]]): symmetric per-vector int8
+    * quantization into ONE self-contained binary — 8 bytes of big-endian
+    * IEEE-754 scale (`max|e|/127`), then one signed code byte per
+    * dimension (`clamp(floor(e/scale + 0.5), ±127)`; zero vector →
+    * scale 0, all-zero codes). Identical arithmetic to
+    * [[int8QuantStats]], so the audit query's error bounds govern this
+    * container too. The 4× wire/storage compression every 100 TB vector
+    * corpus applies, as a column a shuffle can carry. */
+  def sq8Encode(a: ArrayData, isFloat: Boolean): Array[Byte] = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      requireNoNullSlot(a, i, "sq8_encode")
+      val e = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val ab = math.abs(e)
+      if (ab.isNaN || ab > maxAbs) maxAbs = ab
+      i += 1
+    }
+    val s = maxAbs / 127.0
+    val out = new Array[Byte](8 + n)
+    val bits = java.lang.Double.doubleToLongBits(s)
+    var j = 0
+    while (j < 8) { out(j) = ((bits >>> (56 - 8 * j)) & 0xffL).toByte; j += 1 }
+    if (s != 0.0) {
+      i = 0
+      while (i < n) {
+        val e = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        var q = math.floor(e / s + 0.5)
+        if (q > 127.0) q = 127.0
+        if (q < -127.0) q = -127.0
+        out(8 + i) = q.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Asymmetric SQ8 cosine (see [[Sq8Cos]]): cosine between a full-width
+    * query vector and an [[sq8Encode]]d corpus vector — the ADC-style
+    * scoring pass of the IVF×SQ8 lane. The per-vector scale is a positive
+    * scalar multiplier and cancels in cosine, so the corpus side is pure
+    * integer code math (the scale bytes exist for dot/L2 consumers);
+    * zero-norm convention matches [[cosineDouble]]. */
+  def sq8Cos(q: ArrayData, isFloat: Boolean, bin: Array[Byte]): Double = {
+    val n = bin.length - 8
+    require(q.numElements() == n,
+      s"sq8_cos: length mismatch ${q.numElements()} vs $n")
+    var dot = 0.0; var nq = 0.0; var nc = 0L
+    var i = 0
+    while (i < n) {
+      requireNoNullSlot(q, i, "sq8_cos")
+      val x = if (isFloat) q.getFloat(i).toDouble else q.getDouble(i)
+      val c = bin(8 + i).toInt
+      dot += x * c; nq += x * x; nc += c.toLong * c
+      i += 1
+    }
+    if (nq == 0.0 || nc == 0L) 0.0
+    else dot / (math.sqrt(nq) * math.sqrt(nc.toDouble))
+  }
+
   /** Bigram-repetition kernel (see [[BigramStats]]): `[top, total]` where
     * `total` is the number of adjacent token bigrams (`|tokens| - 1`) and
     * `top` the occurrence count of the most frequent one. One local pass
@@ -877,6 +938,85 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
     copy(child = newChild)
+}
+
+/** `sq8_encode(vec)` → `BINARY`: per-vector symmetric int8 quantization
+  * as one self-contained container (8-byte big-endian scale + one code
+  * byte per dimension) — the storage/wire format of the SQ8 ANN lane.
+  * Same null-slot contract as [[DotProduct]]. */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case Some(_) => TypeCheckResult.TypeCheckSuccess
+    case None => TypeCheckResult.TypeCheckFailure(
+      s"sq8_encode argument must be ARRAY<FLOAT> or ARRAY<DOUBLE>, " +
+        s"got ${child.dataType.sql}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "sq8_encode"
+
+  private def isFloat: Boolean = elemType.contains(FloatType)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.sq8Encode(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernels.sq8Encode($v, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** `sq8_cos(query_vec, sq8_bin)` → `DOUBLE`: asymmetric cosine between a
+  * full-width query vector and an [[Sq8Encode]]d corpus vector — the SQ8
+  * analogue of [[PqAdc]]'s compressed-domain scoring. */
+case class Sq8Cos(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType: Option[DataType] = left.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType, right.dataType) match {
+      case (Some(_), BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sq8_cos arguments must be (ARRAY<FLOAT|DOUBLE>, BINARY), " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "sq8_cos"
+
+  private def isFloat: Boolean = elemType.contains(FloatType)
+
+  override protected def nullSafeEval(q: Any, bin: Any): Any =
+    VectorKernels.sq8Cos(q.asInstanceOf[ArrayData], isFloat,
+      bin.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, bin) =>
+      s"${ev.value} = graft.functions.VectorKernels.sq8Cos($q, $isFloat, $bin);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Cos =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `hashed_lr_score(text, dim)` → `BIGINT`: a feature-hashed linear model

@@ -503,6 +503,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Approximate top-k via IVF × SQ8 — the scalar-quantized middle point
+    * of the compression family (FAISS `IVF,SQ8`): the coarse quantizer
+    * restricts WHICH lists are scanned (as in [[ivfTopK]]), and the
+    * probed lists are scored against corpus rows that carry ONE
+    * self-contained binary (8-byte scale + one int8 code per dimension,
+    * 4× smaller than float32) through the asymmetric
+    * [[graft.functions.sq8_cos]] kernel — full-width query vs integer
+    * codes; the per-vector scale cancels in cosine. The top-`shortlist`
+    * by approximate score re-rank with a true cosine, like the PQ lanes.
+    *
+    * Vs [[ivfPqTopK]]: SQ8 compresses 4× (PQ here ~16×) but needs NO
+    * trained codebook — the scale is per-vector, so there is no TRAIN
+    * stage, no artifact lifecycle, and no train/serve distribution-drift
+    * failure mode; per-dimension error is bounded by `scale/2` (the same
+    * arithmetic [[quantizeInt8Stats]] audits), so recall loss vs raw IVF
+    * is negligible. The classic deployment ladder is raw → SQ8 → PQ as
+    * the corpus outgrows memory tiers. */
+  def ivfSq8TopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      shortlist: Int = 64,
+      ivfSeed: Int = 42): DataFrame = {
+    require(nProbe <= nCentroids, s"nProbe ($nProbe) must be <= nCentroids ($nCentroids)")
+    val centroids = ivfCentroids(emb, nCentroids, ivfSeed)
+
+    def assign(df: DataFrame, idCol: String, embCol: String, lists: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("centroid_id"))
+      df.join(broadcast(centroids))
+        .select(col(idCol), col(embCol), col("centroid_id"),
+          cosine_sim(col(embCol), col("c_emb")).as("c_cos"))
+        .withColumn("c_rank", row_number().over(w))
+        .where(col("c_rank") <= lists)
+        .drop("c_cos", "c_rank")
+    }
+
+    // inverted lists of SQ8 containers: one narrow pass assigns the list
+    // and encodes — the float embedding never reaches the candidate join
+    val corpus = assign(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id", "embedding", lists = 1)
+      .select(col("centroid_id"), col("neighbor_id"),
+        graft.functions.sq8_encode(col("embedding")).as("sq8"))
+
+    val queries = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val qassign = assign(queries, "query_id", "q_emb", lists = nProbe)
+
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val shortlisted = corpus.join(broadcast(qassign), Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.sq8_cos(col("q_emb"), col("sq8")).as("approx_cos"))
+      .distinct() // a (query, neighbor) pair can meet via several probes
+      .withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlist)
+
+    // exact re-rank of the tiny shortlist (|Q| × shortlist rows broadcast
+    // INTO the corpus — see pqTopK's rationale)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(shortlisted)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosRounded(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Approximate top-k via IVF × PQ — the production ANN composition
     * (FAISS `IVFPQ`): the coarse quantizer restricts WHICH lists are
     * scanned, PQ scores WITHIN a list in the compressed domain, and only

@@ -247,4 +247,77 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(_.toString).toSeq
     assert(a === b)
   }
+
+  test("sq8_encode: container layout (scale prefix + codes) matches int8 law") {
+    import graft.functions.sq8_encode
+    val v = Seq(1.0f, -0.5f, 0.25f, 0.0f)
+    val bin = vecDf((1L, v)).select(sq8_encode($"embedding"))
+      .head().getAs[Array[Byte]](0)
+    assert(bin.length === 8 + 4)
+    val scale = java.lang.Double.longBitsToDouble(
+      java.nio.ByteBuffer.wrap(bin, 0, 8).getLong)
+    assert(scale === 1.0 / 127)
+    val codes = bin.drop(8).map(_.toInt)
+    // clamp(floor(e/scale + 0.5), +-127)
+    assert(codes.toSeq === Seq(127, -63, 32, 0))
+    // zero vector: scale 0, all-zero codes
+    val z = vecDf((2L, Seq(0.0f, 0.0f))).select(sq8_encode($"embedding"))
+      .head().getAs[Array[Byte]](0)
+    assert(z.forall(_ === 0.toByte))
+  }
+
+  test("sq8_cos: asymmetric cosine == cosine against the dequantized vector") {
+    import graft.functions.{sq8_cos, sq8_encode}
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 30L).map(i =>
+      (i, Seq.fill(24)(rnd.nextGaussian().toFloat)))
+    val q = Seq.fill(24)(rnd.nextGaussian().toFloat)
+    val got = vecDf(rows: _*)
+      .select($"vec_id", sq8_cos(lit(q.toArray), sq8_encode($"embedding")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v) =>
+      // dequantized reference: scale cancels, so cosine vs the raw codes
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      val s = maxAbs / 127.0
+      val deq = v.map(x => math.max(-127.0, math.min(127.0,
+        math.floor(x / s + 0.5))))
+      var dot = 0.0; var nq = 0.0; var nc = 0.0
+      q.indices.foreach { i =>
+        dot += q(i) * deq(i); nq += q(i).toDouble * q(i); nc += deq(i) * deq(i)
+      }
+      val want = dot / (math.sqrt(nq) * math.sqrt(nc))
+      assert(math.abs(got(id) - want) < 1e-12, s"vec $id")
+      // quantization barely moves cosine: within 2% of the exact value
+      var edot = 0.0; var env = 0.0
+      q.indices.foreach { i =>
+        edot += q(i).toDouble * v(i); env += v(i).toDouble * v(i)
+      }
+      val exact = edot / (math.sqrt(nq) * math.sqrt(env))
+      assert(math.abs(got(id) - exact) < 0.02, s"vec $id drifted: ${got(id)} vs $exact")
+    }
+  }
+
+  test("ivfSq8TopK: recall@1 tracks raw IVF on clustered data") {
+    // same clustered-data construction as the annTopK/pqTopK tests: tight
+    // clusters around orthogonal axes; each query's true top-1 is its own
+    // cluster mate, which SQ8's ~1e-2 per-dim error cannot displace
+    val rnd = new scala.util.Random(29)
+    val d = 16
+    val rows = (0 until 80).map { i =>
+      val axis = i % 4
+      val base = Array.fill(d)(0.05f * rnd.nextGaussian().toFloat)
+      base(axis) = 1.0f + 0.05f * rnd.nextGaussian().toFloat
+      (i.toLong, base.toSeq)
+    }
+    val emb = vecDf(rows: _*)
+    val ann = Similarity.ivfSq8TopK(emb, col("vec_id") % 10 === 0, k = 1,
+      nCentroids = 8, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") % 10 === 0, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = exact.count { case (q, n) => ann.get(q).contains(n) }
+    assert(exact.nonEmpty)
+    assert(hits.toDouble / exact.size >= 0.75,
+      s"recall@1 $hits/${exact.size} below 0.75")
+  }
 }
