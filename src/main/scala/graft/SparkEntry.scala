@@ -1369,6 +1369,8 @@ object SparkEntry {
     "dedup_snm" -> ((s, dir) => // sorted-neighborhood (sort + sliding window)
       Dedup.sortedNeighborhoodPairs(Tables(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
+    "dedup_span_rate" -> ((s, dir) => // per-doc duplicated n-gram fraction
+      Dedup.dupSpanRate(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     // --- M: multimodal binary-column plumbing (LLM-pipeline layer;
     // decode is a deterministic stub, the byte plumbing is real)
@@ -2155,6 +2157,7 @@ object SparkEntry {
       "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),
       "dedup_editdist" -> DedupSql.editDistancePairs(8, 10, 40),
       "dedup_snm" -> DedupSql.sortedNeighborhoodPairs(4, 40, 2, 10),
+      "dedup_span_rate" -> DedupSql.dupSpanRate(8),
       // groups = test ratings that ALSO have a train-built filter (the
       // probe inner-joins on rating, so a test-only rating contributes no
       // group; the intersect keeps the gate scale-robust)

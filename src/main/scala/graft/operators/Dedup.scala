@@ -186,6 +186,41 @@ object Dedup {
       .withColumn("boilerplate_rate",
         round(col("n_dropped").cast("double") / col("n_passages"), 6))
 
+  /** Per-document duplicated-span rate — the document-level cut of the
+    * "exact substring duplication" signal (Lee et al., *Deduplicating
+    * Training Data Makes Language Models Better*): the fraction of a
+    * document's DISTINCT word `n`-grams that also occur in at least one
+    * other document. `(doc_id, n_grams, n_dup_grams, dup_rate)`.
+    * [[boilerplateRate]] aggregates repetition per SOURCE at passage
+    * granularity; this scores each DOCUMENT at sliding-gram granularity —
+    * the value a span-removal pass thresholds on. Docs shorter than `n`
+    * tokens contribute their whole normalized text as one gram (the
+    * shingle kernel's rule), so short exact dups still register.
+    *
+    * Scale: per-doc `array_distinct` runs before the explode, so the
+    * gram relation is distinct-per-doc at birth; the gram aggregate
+    * partial-combines map-side, and the exchanges carry `n`-word grams —
+    * bounded strings, same class as the SNM sort key. The 100 TB variant
+    * keys both sides on `xxhash64(gram)` with a colliding-sliver verify
+    * ([[exactKeepers]]'s trick) if gram text ever dominates the wire;
+    * dup_rate derives from the two integer counts, so it stays
+    * bit-deterministic either way. */
+  def dupSpanRate(docs: DataFrame, n: Int = 8): DataFrame = {
+    val t = tokens(col("text"))
+    val grams = docs
+      .where(size(t) > 0)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(t, n))).as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+    grams.join(counts, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_rate",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** Shingle sets for near-dup detection: distinct word `n`-gram shingles
     * of documents with at least one token (empty docs are excluded — they
     * are all trivially identical and belong to [[exactKeepers]]). */
@@ -688,6 +723,23 @@ object DedupSql {
        |  THEN list_distinct(list_transform(range(1, len($toks) - ${n - 2}),
        |         i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))
        |  ELSE [array_to_string($toks, ' ')] END""".stripMargin
+
+  /** Twin of [[Dedup.dupSpanRate]]: identical distinct-gram relation
+    * (shinglesSql already dedups per doc), identical integer-count
+    * arithmetic for the rate. */
+  def dupSpanRate(n: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(${shinglesSql(n)}) AS gram
+       |  FROM documents WHERE len($toks) > 0),
+       |c AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dup_grams,
+       |       round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS dup_rate
+       |FROM g JOIN c USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Generic all-pairs exact-Jaccard twin — the oracle for BOTH
     * [[Dedup.minhashLshPairs]] (recall 1 at its banding sweet spot) and

@@ -325,6 +325,18 @@ class TextDedupSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, 2L, 2)))
   }
 
+  test("dupSpanRate: cross-doc gram duplication, short-doc whole-text rule") {
+    // n=2 grams. doc 1 "a b c": grams {a b, b c}; doc 2 "a b x": {a b, b x};
+    // doc 3 "q": whole-text gram {q}; doc 4 "q": {q}. Shared: "a b" (1,2)
+    // and "q" (3,4). Rates: 1: 1/2, 2: 1/2, 3: 1/1, 4: 1/1.
+    val d = docs((1L, "a b c"), (2L, "a b x"), (3L, "q"), (4L, "q"))
+    val got = Dedup.dupSpanRate(d, n = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 1L, 1L, 1.0), (4L, 1L, 1L, 1.0)))
+  }
+
   test("unigramLmScore: cross-entropy matches the closed-form unigram LM") {
     // corpus: doc 1 "x x y", doc 2 "x z". N=5; p(x)=3/5, p(y)=1/5, p(z)=1/5
     // doc1 xent = -(2 ln(3/5) + 1 ln(1/5)) / 3
