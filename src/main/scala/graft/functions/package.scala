@@ -137,6 +137,8 @@ package object functions {
     ("dot_product", 2, exprs => DotProduct(exprs(0), exprs(1))),
     ("vec_sub", 2, exprs => VecSub(exprs(0), exprs(1))),
     ("int8_quant_stats", 1, exprs => Int8QuantStats(exprs(0))),
+    ("sq8_encode", 1, exprs => Sq8Encode(exprs(0))),
+    ("sq8_cos", 2, exprs => Sq8Cos(exprs(0), exprs(1))),
     ("stop_profile_counts", 1, exprs => StopProfileCounts(exprs(0))),
     ("gopher_token_stats", 1, exprs => GopherTokenStats(exprs(0))),
     ("ngram_stats", 2, {

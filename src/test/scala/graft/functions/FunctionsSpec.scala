@@ -45,6 +45,12 @@ class FunctionsSpec extends SparkSuite {
     val lr = spark.sql(
       "SELECT hashed_lr_score('The the', 64) AS s").head().getLong(0)
     assert(lr === 220L)
+    // sq8 round trip from SQL: unit x-axis vector -> cosine 1 with itself
+    val sq = spark.sql(
+      "SELECT sq8_cos(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "sq8_encode(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))) AS c")
+      .head().getDouble(0)
+    assert(sq === 1.0)
   }
 
   test("registerAll covers a session without the extension") {
