@@ -1247,6 +1247,9 @@ object SparkEntry {
     "t8_pack_sequences" -> ((s, dir) => // fixed-token-budget packing
       TextAnalysis.packSequences(Tables(s, dir, "documents"), budget = 512)
         .orderBy("doc_id")),
+    "t8_pack_sharded" -> ((s, dir) => // the per-shard packing plan 100 TB runs
+      TextAnalysis.packSequencesSharded(Tables(s, dir, "documents"),
+        budget = 512).orderBy("doc_id")),
     "t12_tfidf" -> ((s, dir) => // top terms per doc by tf-idf
       TextAnalysis.tfidfTopTerms(Tables(s, dir, "documents"), topK = tfidfTopK)
         .orderBy("doc_id", "rank")),
@@ -2102,6 +2105,8 @@ object SparkEntry {
       "t7_token_counts" -> s"${TextAnalysisSql.tokenCounts} ORDER BY doc_id",
       "t8_pack_sequences" ->
         s"${TextAnalysisSql.packSequences(512)} ORDER BY doc_id",
+      "t8_pack_sharded" ->
+        s"${TextAnalysisSql.packSequencesSharded(512)} ORDER BY doc_id",
       "t12_tfidf" -> TextAnalysisSql.tfidf(tfidfTopK),
       "t13_bm25" -> TextAnalysisSql.bm25(bm25Query, bm25TopK),
       "p9_stratified_sample" ->

@@ -310,6 +310,26 @@ object TextAnalysis {
         ((col("cum_after") - col("n_tokens")) % budget).as("seq_offset"))
   }
 
+  /** [[packSequences]] with the plan a 100 TB corpus actually runs: the
+    * running sum is windowed per `source` shard, so every partition packs
+    * independently (sequence ids are `(source, seq_id)` pairs) and no
+    * reducer sees the whole corpus. Same within-shard semantics; the
+    * global variant stays registered as the SQL-twin-simple form. */
+  def packSequencesSharded(docs: DataFrame, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(t).cast("bigint").as("n_tokens"))
+      .withColumn("cum_after", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum_after") - col("n_tokens")) / budget).as("seq_id"),
+        ((col("cum_after") - col("n_tokens")) % budget).as("seq_offset"))
+  }
+
   /** TF-IDF top-`topK` terms per document: `(doc_id, rank, term, tf,
     * tfidf)` with `idf = ln(N / df)` over the tokenizable corpus and the
     * deterministic tie-break (tfidf desc, term asc) on the 6-digit-rounded
@@ -717,6 +737,19 @@ object TextAnalysisSql {
        |FROM (
        |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
        |         sum(CAST(len($toks) AS BIGINT)) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after
+       |  FROM documents)""".stripMargin
+
+  /** Twin of [[TextAnalysis.packSequencesSharded]]: same running sum,
+    * partitioned per source shard. */
+  def packSequencesSharded(budget: Int): String =
+    s"""SELECT doc_id, source, n_tokens,
+       |       CAST(floor((cum_after - n_tokens) / $budget) AS BIGINT) AS seq_id,
+       |       CAST((cum_after - n_tokens) % $budget AS BIGINT) AS seq_offset
+       |FROM (
+       |  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |         sum(CAST(len($toks) AS BIGINT)) OVER (PARTITION BY source
+       |           ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after
        |  FROM documents)""".stripMargin
 
