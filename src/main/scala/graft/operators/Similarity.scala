@@ -541,16 +541,32 @@ object Similarity {
         .drop("c_cos", "c_rank")
     }
 
-    // inverted lists of SQ8 containers: one narrow pass assigns the list
-    // and encodes — the float embedding never reaches the candidate join
-    val corpus = assign(
-        emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
-        "neighbor_id", "embedding", lists = 1)
-      .select(col("centroid_id"), col("neighbor_id"),
+    // inverted lists of SQ8 containers, assigned WITHOUT shuffling the
+    // float vector: encode in the scan projection, score the broadcast
+    // centroid candidates per row, then fold to the arg-max list with a
+    // map-side-combining max_by (all nCentroids copies of a row are
+    // born in one partition, so the partial aggregate collapses them
+    // before the exchange) — the only corpus-scale shuffle carries
+    // `(neighbor_id, centroid_id, sq8)`: ids + the 4×-compressed
+    // container, never the float embedding (locked in PlanAuditSpec).
+    // Tie-break matches assign(): highest cosine, then lowest centroid.
+    val corpus = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
         graft.functions.sq8_encode(col("embedding")).as("sq8"))
+      .join(broadcast(centroids))
+      .select(col("neighbor_id"), col("sq8"), col("centroid_id"),
+        cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
+      .groupBy("neighbor_id")
+      .agg(
+        max_by(col("centroid_id"), struct(col("c_cos"), -col("centroid_id")))
+          .as("centroid_id"),
+        first(col("sq8")).as("sq8"))
 
     val queries = emb.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // the query side keeps the window formulation: it needs top-nProbe
+    // lists (not arg-max), and |Q| is bounded — its exchange carrying
+    // q_emb is query-sized, not corpus-sized
     val qassign = assign(queries, "query_id", "q_emb", lists = nProbe)
 
     val wShort = Window.partitionBy("query_id")
@@ -636,15 +652,30 @@ object Similarity {
         .drop("c_cos", "c_rank")
     }
 
-    // inverted lists of CODES: one narrow pass assigns the list and
-    // encodes — the embedding itself never reaches the candidate join
-    val corpusCodes = assign(
-        emb.repartition(spark.sessionState.conf.numShufflePartitions)
-          .select(col("vec_id").as("neighbor_id"), col("embedding")),
-        "neighbor_id", "embedding", lists = 1)
-      .select(col("centroid_id"), col("neighbor_id"),
+    // inverted lists of CODES: raw-vector PQ codes are centroid-
+    // independent, so encode BEFORE assignment and fold the broadcast-
+    // centroid candidates with a map-side-combining max_by (all
+    // nCentroids copies of a row are born in one partition, so the
+    // partial aggregate collapses them before the exchange). The window
+    // formulation this replaces shuffled the full-width embedding to
+    // rank candidates; now the only full-width exchange is the explicit
+    // local-bench repartition that spreads encode+score work (a real
+    // cluster's scan is already parallel — drop it there), and the
+    // assignment exchange carries `(neighbor_id, centroid_id, codes)`.
+    // Tie-break matches assign(): highest cosine, then lowest centroid.
+    val corpusCodes = emb
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
         graft.functions.pq_encode(col("embedding").cast("array<double>"),
           typedLit(cbFlat.toSeq), m, ksub).as("codes"))
+      .join(broadcast(centroids))
+      .select(col("neighbor_id"), col("codes"), col("centroid_id"),
+        cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
+      .groupBy("neighbor_id")
+      .agg(
+        max_by(col("centroid_id"), struct(col("c_cos"), -col("centroid_id")))
+          .as("centroid_id"),
+        first(col("codes")).as("codes"))
       .withColumn("rn2",
         graft.functions.pq_adc(typedLit(cn2Flat.toSeq), col("codes"), ksub))
 

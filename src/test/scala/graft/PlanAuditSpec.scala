@@ -411,6 +411,50 @@ class PlanAuditSpec extends SparkSuite {
       !read.contains("source"), s"scan must prune to (doc_id, text): $read")
   }
 
+  test("sim_ann_sq8: no shuffle exchange carries the corpus embedding") {
+    // the corpus assignment folds broadcast-centroid candidates with a
+    // map-side-combining max_by, so the corpus-scale shuffle carries
+    // (neighbor_id, centroid_id, sq8 binary) — the float embedding rides
+    // only BROADCAST exchanges (centroids, queries, shortlist) and the
+    // query-sized window exchange (column q_emb, |Q|-bounded). Forbid
+    // the corpus-side column name on every shuffle.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("sim_ann_sq8")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val wide = e.child.schema.fields.filter(_.name == "embedding")
+      assert(wide.isEmpty,
+        s"corpus embedding on a shuffle:\n${e.child.schema.treeString}")
+    }
+  }
+
+  test("sim_ann_ivfpq: only the explicit spread repartition ships the embedding") {
+    // corpus assignment folds broadcast-centroid candidates with a
+    // map-side max_by, so the float embedding crosses exactly ONE
+    // shuffle — the documented local-bench repartition that spreads
+    // encode+score work (dropped on a real cluster). Every other
+    // exchange carries ids + codes (or |Q|-bounded query rows).
+    // The query runs in its own child session, out of reach of a parent
+    // AQE toggle — audit the pre-adaptive sparkPlan, where the exchanges
+    // are visible regardless.
+    val exchanges =
+      SparkEntry.queries("sim_ann_ivfpq")(spark, dir)
+        .queryExecution.sparkPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    assert(exchanges.nonEmpty)
+    val wide = exchanges.filter(_.child.schema.fields.exists(_.name == "embedding"))
+    assert(wide.size <= 1,
+      s"${wide.size} exchanges carry the corpus embedding:\n" +
+        wide.map(_.child.schema.treeString).mkString("\n"))
+  }
+
   test("t19/t20: vocab-artifact queries broadcast the tiny side, never sort-merge") {
     // t19: the top-K vocab collapses to ONE array row broadcast behind a
     // nested-loop cross join; the corpus side must not shuffle for it
