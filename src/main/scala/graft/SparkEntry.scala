@@ -1374,6 +1374,9 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "dedup_span_rate" -> ((s, dir) => // per-doc duplicated n-gram fraction
       Dedup.dupSpanRate(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "dedup_snm_multi" -> ((s, dir) => // two-key multi-pass SNM (prefix + suffix)
+      Dedup.sortedNeighborhoodMultipass(Tables(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
 
     // --- M: multimodal binary-column plumbing (LLM-pipeline layer;
     // decode is a deterministic stub, the byte plumbing is real)
@@ -2163,6 +2166,7 @@ object SparkEntry {
       "dedup_editdist" -> DedupSql.editDistancePairs(8, 10, 40),
       "dedup_snm" -> DedupSql.sortedNeighborhoodPairs(4, 40, 2, 10),
       "dedup_span_rate" -> DedupSql.dupSpanRate(8),
+      "dedup_snm_multi" -> DedupSql.sortedNeighborhoodMultipass(4, 40, 2, 10),
       // groups = test ratings that ALSO have a train-built filter (the
       // probe inner-joins on rating, so a test-only rating contributes no
       // group; the intersect keeps the gate scale-robust)

@@ -655,11 +655,22 @@ object Dedup {
       w: Int = 4,
       keyLen: Int = 40,
       blockLen: Int = 2,
-      maxDist: Int = 10): DataFrame = {
+      maxDist: Int = 10): DataFrame =
+    snmPass(docs, normalized(col("text")), w, keyLen, blockLen, maxDist)
+
+  /** One SNM pass over an arbitrary sort-key derivation (shared by the
+    * single-pass and multi-pass entry points). */
+  private def snmPass(
+      docs: DataFrame,
+      key: Column,
+      w: Int,
+      keyLen: Int,
+      blockLen: Int,
+      maxDist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2, s"window w ($w) must cover at least one neighbor")
     val base = docs.select(col("doc_id"), col("lang"),
-      substring(normalized(col("text")), 1, keyLen).as("skey"))
+      substring(key, 1, keyLen).as("skey"))
     val win = Window
       .partitionBy(col("lang"), substring(col("skey"), 1, blockLen))
       .orderBy(col("skey"), col("doc_id"))
@@ -673,6 +684,32 @@ object Dedup {
       .select(col("n.nid").as("doc_a"), col("doc_id").as("doc_b"),
         levenshtein(col("n.nkey"), col("skey")).as("dist"))
       .where(col("dist") <= maxDist)
+  }
+
+  /** Multi-pass SNM (the form Hernández–Stolfo actually prescribe:
+    * "several passes over small windows with different keys beat one
+    * pass over a large window"): pass 1 sorts by the normalized-text
+    * prefix, pass 2 by the prefix of the REVERSED normalized text — a
+    * pair whose difference sits in its opening words lands far apart in
+    * pass 1's order but adjacent in pass 2's. Pairs unify unordered
+    * (`doc_a < doc_b`) with `dist` = the minimum of the passes' own
+    * prefix distances. Each pass keeps the single-pass scale shape
+    * (bounded keys on the wire, `(lang, block)` parallelism); the union
+    * and min-fold add one bounded pair-keyed aggregate. */
+  def sortedNeighborhoodMultipass(
+      docs: DataFrame,
+      w: Int = 4,
+      keyLen: Int = 40,
+      blockLen: Int = 2,
+      maxDist: Int = 10): DataFrame = {
+    val p1 = snmPass(docs, normalized(col("text")), w, keyLen, blockLen, maxDist)
+    val p2 = snmPass(docs, reverse(normalized(col("text"))), w, keyLen,
+      blockLen, maxDist)
+    p1.union(p2)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("dist"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min(col("dist")).as("dist"))
   }
 }
 
@@ -843,7 +880,14 @@ object DedupSql {
     * partition `(lang, blockLen-char block)`, one `lag` column per
     * neighbor distance unioned back to pair rows. */
   def sortedNeighborhoodPairs(w: Int, keyLen: Int, blockLen: Int,
-      maxDist: Int): String = {
+      maxDist: Int): String =
+    s"""${snmPassSql(norm, w, keyLen, blockLen, maxDist)}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** One SNM pass as a subquery over an arbitrary key expression (twin
+    * of the Spark-side `snmPass`). */
+  private def snmPassSql(keyExpr: String, w: Int, keyLen: Int,
+      blockLen: Int, maxDist: Int): String = {
     val lags = (1 until w).map(i =>
       s"lag(doc_id, $i) OVER snm AS id$i, lag(skey, $i) OVER snm AS k$i")
       .mkString(",\n       |         ")
@@ -853,7 +897,7 @@ object DedupSql {
          | FROM neigh WHERE id$i IS NOT NULL""".stripMargin)
       .mkString("\n       |  UNION ALL\n       |  ")
     s"""WITH base AS (
-       |  SELECT doc_id, lang, substr($norm, 1, $keyLen) AS skey
+       |  SELECT doc_id, lang, substr($keyExpr, 1, $keyLen) AS skey
        |  FROM documents),
        |neigh AS (
        |  SELECT doc_id AS doc_b, skey AS key_b,
@@ -863,9 +907,24 @@ object DedupSql {
        |                 ORDER BY skey, doc_id))
        |SELECT doc_a, doc_b, dist FROM (
        |  $arms)
-       |WHERE dist <= $maxDist
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE dist <= $maxDist""".stripMargin
   }
+
+  /** Twin of [[Dedup.sortedNeighborhoodMultipass]]: the same two keyed
+    * passes (prefix, reversed-prefix) unioned, pairs unified unordered
+    * with the minimum distance. */
+  def sortedNeighborhoodMultipass(w: Int, keyLen: Int, blockLen: Int,
+      maxDist: Int): String =
+    s"""SELECT least(doc_a, doc_b) AS doc_a,
+       |       greatest(doc_a, doc_b) AS doc_b,
+       |       CAST(min(dist) AS INTEGER) AS dist
+       |FROM (
+       |  (${snmPassSql(norm, w, keyLen, blockLen, maxDist)})
+       |  UNION ALL
+       |  (${snmPassSql(s"reverse($norm)", w, keyLen, blockLen, maxDist)})
+       |)
+       |GROUP BY least(doc_a, doc_b), greatest(doc_a, doc_b)
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** `is_new` twin for [[Dedup.bloomNewDocs]] with batches split by a SQL
     * predicate over `documents`. */

@@ -337,6 +337,25 @@ class TextDedupSpec extends SparkSuite {
       (3L, 1L, 1L, 1.0), (4L, 1L, 1L, 1.0)))
   }
 
+  test("sortedNeighborhoodMultipass: the reversed-key pass catches suffix twins") {
+    // docs 1/2 differ only in their FIRST character: far apart in the
+    // prefix sort (blocks "ax" vs "bx"), adjacent in the reversed-key
+    // sort. Docs 3/4 differ in their last char: pass-1 pairs. The
+    // multipass must surface both; single-pass only (3,4).
+    val d = Seq(
+      (1L, "axxxxxxxxq", "en"), (2L, "bxxxxxxxxq", "en"),
+      (3L, "cyyyyyyyyd", "en"), (4L, "cyyyyyyyye", "en"))
+      .toDF("doc_id", "text", "lang")
+    val single = Dedup.sortedNeighborhoodPairs(d, w = 4, keyLen = 40,
+      blockLen = 2, maxDist = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single === Set((3L, 4L)))
+    val multi = Dedup.sortedNeighborhoodMultipass(d, w = 4, keyLen = 40,
+      blockLen = 2, maxDist = 10).orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(multi.toSeq === Seq((1L, 2L, 1), (3L, 4L, 1)))
+  }
+
   test("unigramLmScore: cross-entropy matches the closed-form unigram LM") {
     // corpus: doc 1 "x x y", doc 2 "x z". N=5; p(x)=3/5, p(y)=1/5, p(z)=1/5
     // doc1 xent = -(2 ln(3/5) + 1 ln(1/5)) / 3
