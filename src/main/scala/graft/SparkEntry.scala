@@ -1556,6 +1556,8 @@ object SparkEntry {
     "st13_stream_corpus" -> ((s, dir) => // streaming corpus ingest: model
       // gate inside the stream, (source, fp)-keyed dedup state
       graft.streaming.StreamingQueries.corpusIngest(s, dir)),
+    "st14_stream_lm" -> ((s, dir) => // t21's LM scoring as an ingest stream
+      graft.streaming.StreamingQueries.lmScore(s, dir)),
     "st3_stream_bloom_probe" -> ((s, dir) =>
       graft.streaming.StreamingQueries.bloomProbe(s, dir)),
     "st4_stream_append" -> ((s, dir) => // append mode: finalized windows only
@@ -2091,6 +2093,8 @@ object SparkEntry {
       "t20_token_drift" ->
         s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",
       "t21_unigram_lm" -> TextAnalysisSql.unigramLm,
+      // the drained stream must reproduce the batch LM scores exactly
+      "st14_stream_lm" -> TextAnalysisSql.unigramLm,
       "dedup_exact" -> s"${DedupSql.exactKeepers} ORDER BY doc_id",
       "dedup_bloom_xbatch" ->
         DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),

@@ -167,6 +167,48 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** Streaming unigram-LM scoring (`t21_unigram_lm` as an ingest
+    * stream): the stream maintains the per-`(doc, token)` count state —
+    * ONE stateful aggregate, the only state an unbounded ingest needs;
+    * LM "training" (token frequencies, corpus total) and the per-doc
+    * cross-entropy finish on the drained state with t21's exact
+    * arithmetic, so the result equals the batch query row for row and
+    * shares its oracle. At serving scale the finishing step is where a
+    * PRETRAINED frequency artifact would join instead (the bloom / PQ
+    * artifact lifecycle); training on the drained batch keeps the
+    * self-perplexity semantics t21 defines. */
+  def lmScore(outer: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val spark = childSession(outer)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val name = "st14_lm_" + math.abs(dir.hashCode)
+    val counts = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(cnt("*").as("c_dt"))
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dt = spark.table(name)
+    // the memory table appears on both sides of the join: rename the
+    // freq-side key so the self-join attributes cannot collide
+    val freq = dt.groupBy("token").agg(sum("c_dt").as("c_t"))
+      .withColumnRenamed("token", "f_token")
+    val total = freq.agg(sum(col("c_t")).cast("double").as("n_total"))
+    dt.join(freq, col("token") === col("f_token"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c_dt")).cast("long").as("n_tokens"),
+        round(-sum(col("c_dt") * log(col("c_t") / col("n_total")))
+          / sum(col("c_dt")), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
   /** Stream-stream inner join: `click` events joined to later `purchase`
     * events of the same user within 1 hour — the funnel-attribution shape.
     * Both sides are watermarked and the join carries a time-range
