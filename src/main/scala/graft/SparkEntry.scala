@@ -1350,6 +1350,10 @@ object SparkEntry {
     "dedup_embedding_cos" -> ((s, dir) =>
       Similarity.bruteForcePairs(Tables(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
+    "dedup_semantic" -> ((s, dir) => // SemDeDup: cluster-blocked embedding
+      // dedup — the scale face of the fenced all-pairs lane above
+      Similarity.semanticDedup(Tables(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("vec_id")),
     "pipe1_clean_corpus" -> ((s, dir) => // composed: quality filter -> dedup
       Dedup.cleanCorpus(Tables(s, dir, "documents"), minQuality = 0.5)
         .orderBy("doc_id")),
@@ -2107,6 +2111,7 @@ object SparkEntry {
       "mm2_frame_stats" -> MultimodalSql.frameStats,
       "mm3_decode_batch" -> MultimodalSql.decodeBatch,
       "dedup_embedding_cos" -> SimilaritySql.bruteForcePairs(0.4),
+      "dedup_semantic" -> SimilaritySql.semanticDedup(0.4, 50),
       "sim_topk" -> SimilaritySql.bruteForceTopK(simQueryPredSql, simK),
       "t6_shingle_stats" -> s"${TextAnalysisSql.shingleStats(3)} ORDER BY doc_id",
       "t7_token_counts" -> s"${TextAnalysisSql.tokenCounts} ORDER BY doc_id",

@@ -76,6 +76,56 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cosRounded(col("emb_a"), col("emb_b")).as("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the corpus, search for
+    * near-duplicate pairs ONLY within a cluster, and keep the first
+    * (lowest-id) member of every duplicate relation. Returns the full
+    * decision table `(vec_id, cluster_id, kept)` so downstream passes can
+    * either drop the removed rows or audit the clustering.
+    *
+    * The coarse quantizer here is the deterministic sample-seed variant
+    * (every `seedStride`-th `vec_id` is a seed; assignment is argmax
+    * rounded-cosine, seed-id tie-break) so the whole operator — including
+    * cluster assignment — is exactly twinned in
+    * [[SimilaritySql.semanticDedup]]. The 100 TB deployment swaps the
+    * seed set for a trained k-means artifact with the `pq_codebook`
+    * lifecycle; everything downstream is unchanged.
+    *
+    * Scale shape, and why this is the production face of the fenced
+    * [[bruteForcePairs]] lane: the quadratic term is bounded by
+    * Σ|cluster|² instead of n² — pair candidates come from a cluster-id
+    * equi-join, never a corpus×corpus product. Embeddings cross the wire
+    * twice: once for assignment (the groupBy key carries the embedding,
+    * so partial aggregation folds the |seeds| candidate rows to ONE row
+    * per vector map-side before the exchange) and once keyed by
+    * `cluster_id` for the within-cluster join. */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.4,
+      seedStride: Int = 50): DataFrame = {
+    val seeds = emb.where(pmod(col("vec_id"), lit(seedStride)) === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("c_emb"))
+    val assigned = emb
+      .join(broadcast(seeds))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max_by(col("cluster_id"),
+        struct(cosRounded(col("embedding"), col("c_emb")), -col("cluster_id")))
+        .as("cluster_id"))
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    // threshold compares the ROUNDED cosine so the boundary decision is
+    // identical to the oracle's (same rule as bruteForcePairs)
+    val removed = a.join(b, Seq("cluster_id"))
+      .where(col("vec_a") < col("vec_b")
+        && cosRounded(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    assigned.select("vec_id", "cluster_id")
+      .join(removed, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster_id"),
+        col("removed").isNull.as("kept"))
+  }
+
   /** Approximate top-k: SRP signatures (`sigBits` hyperplanes) cut into
     * `bands` equality-blocking bands; a candidate is any vector sharing ≥1
     * band with the query; exact cosine re-ranks candidates only.
@@ -898,4 +948,29 @@ object SimilaritySql {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Twin of [[Similarity.semanticDedup]]: the same seed-stride coarse
+    * quantizer, the same argmax rounded-cosine assignment (seed-id
+    * tie-break), the same within-cluster pair rule on the rounded
+    * cosine — exact down to the kept flag. */
+  def semanticDedup(threshold: Double, seedStride: Int): String =
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cluster_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % $seedStride = 0),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, s.cluster_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.embedding", "s.c_emb")} DESC,
+       |                    s.cluster_id) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cluster_id FROM scored WHERE rn = 1),
+       |removed AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold)
+       |SELECT a.vec_id, a.cluster_id, r.vec_id IS NULL AS kept
+       |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 }

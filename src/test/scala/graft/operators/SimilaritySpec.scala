@@ -88,6 +88,36 @@ class SimilaritySpec extends SparkSuite {
     assert(ex.getMessage.contains("O(n^2) oracle lane"))
   }
 
+  test("semanticDedup: keeps first of every within-cluster dup relation") {
+    // seedStride=2 -> seeds {0, 2}: 0/1 cluster on the x-axis, 2/3/5 on y.
+    // 1 duplicates 0 (same cluster, cos~1) -> removed; 3 duplicates 2 ->
+    // removed; 5 is in the y cluster but below threshold -> kept.
+    val e = vecDf(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(0.01f, 1f)),
+      (5L, Seq(0.6f, 0.8f)))
+    val got = Similarity.semanticDedup(e, threshold = 0.9, seedStride = 2)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (0L, 0L, true), (1L, 0L, false),
+      (2L, 2L, true), (3L, 2L, false),
+      (5L, 2L, true)))
+  }
+
+  test("semanticDedup: cluster blocking never removes across clusters") {
+    // 1 and 3 are near-identical but land in different clusters (each is
+    // nearest its own seed): SemDeDup by construction does NOT see the
+    // pair — both kept. The recall/cost trade the paper makes explicit.
+    val e = vecDf(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.76f, 0.65f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(0.65f, 0.76f)))
+    val got = Similarity.semanticDedup(e, threshold = 0.9, seedStride = 2)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (0L, 0L, true), (1L, 0L, true),
+      (2L, 2L, true), (3L, 2L, true)))
+  }
+
   test("srp_sig: deterministic, and near-identical vectors mostly agree") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
