@@ -1247,6 +1247,9 @@ object SparkEntry {
     "t8_pack_sequences" -> ((s, dir) => // fixed-token-budget packing
       TextAnalysis.packSequences(Tables(s, dir, "documents"), budget = 512)
         .orderBy("doc_id")),
+    "t22_chunk" -> ((s, dir) => // overlapping token-window chunking (RAG prep)
+      TextAnalysis.chunkDocuments(Tables(s, dir, "documents"),
+        chunkSize = 32, overlap = 8).orderBy("doc_id", "chunk_id")),
     "t8_pack_sharded" -> ((s, dir) => // the per-shard packing plan 100 TB runs
       TextAnalysis.packSequencesSharded(Tables(s, dir, "documents"),
         budget = 512).orderBy("doc_id")),
@@ -2119,6 +2122,8 @@ object SparkEntry {
         s"${TextAnalysisSql.packSequences(512)} ORDER BY doc_id",
       "t8_pack_sharded" ->
         s"${TextAnalysisSql.packSequencesSharded(512)} ORDER BY doc_id",
+      "t22_chunk" ->
+        s"${TextAnalysisSql.chunkDocuments(32, 8)} ORDER BY doc_id, chunk_id",
       "t12_tfidf" -> TextAnalysisSql.tfidf(tfidfTopK),
       "t13_bm25" -> TextAnalysisSql.bm25(bm25Query, bm25TopK),
       "p9_stratified_sample" ->

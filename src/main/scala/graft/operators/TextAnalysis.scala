@@ -330,6 +330,42 @@ object TextAnalysis {
         ((col("cum_after") - col("n_tokens")) % budget).as("seq_offset"))
   }
 
+  /** Overlapping token-window chunking — the retrieval/context-window prep
+    * step: every tokenizable document is cut into `size`-token chunks
+    * whose starts advance by `size - overlap` tokens, so consecutive
+    * chunks share `overlap` tokens of context. Output is one row per
+    * chunk: `(doc_id, chunk_id, n_chunk_tokens, chunk_text)`.
+    *
+    * Chunk-count rule (identical arithmetic in the SQL twin):
+    * `1 + max(0, ceil((n - size) / step))`, written as
+    * `floor((n - size + step - 1) / step)` over doubles on BOTH engines
+    * (token counts are far below 2^53, so the division is exact) — one
+    * chunk when the document fits, and never a tail chunk that adds zero
+    * new tokens.
+    *
+    * Scale shape: narrow projection + explode, no shuffle, bounded by
+    * tokens-per-doc — chunking 100 TB is embarrassingly parallel. */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunk overlap ($overlap) must be in [0, chunkSize=$chunkSize)")
+    val step = chunkSize - overlap
+    val t = tokens(col("text"))
+    val chunkToks = slice(col("toks"), col("chunk_id") * step + 1, lit(chunkSize))
+    docs
+      .select(col("doc_id"), t.as("toks"), size(t).as("n"))
+      .where(col("n") > 0)
+      .withColumn("n_chunks",
+        lit(1) + greatest(lit(0),
+          floor((col("n") - chunkSize + (step - 1)) / lit(step)).cast("int")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("bigint").as("chunk_id"),
+        size(chunkToks).cast("bigint").as("n_chunk_tokens"),
+        array_join(chunkToks, " ").as("chunk_text"))
+  }
+
   /** TF-IDF top-`topK` terms per document: `(doc_id, rank, term, tf,
     * tfidf)` with `idf = ln(N / df)` over the tokenizable corpus and the
     * deterministic tie-break (tfidf desc, term asc) on the 6-digit-rounded
@@ -730,6 +766,25 @@ object TextAnalysisSql {
        |FROM docsh, bench ORDER BY doc_id""".stripMargin
 
   /** Twin of [[TextAnalysis.packSequences]]. */
+  /** Twin of [[TextAnalysis.chunkDocuments]]: same tokenizer, same
+    * floor-based chunk-count rule, same 1-based list slicing. */
+  def chunkDocuments(chunkSize: Int, overlap: Int): String = {
+    val step = chunkSize - overlap
+    s"""SELECT doc_id, chunk_id,
+       |       CAST(len(toks[chunk_id * $step + 1 : chunk_id * $step + $chunkSize])
+       |            AS BIGINT) AS n_chunk_tokens,
+       |       array_to_string(
+       |         toks[chunk_id * $step + 1 : chunk_id * $step + $chunkSize],
+       |         ' ') AS chunk_text
+       |FROM (
+       |  SELECT doc_id, toks,
+       |         unnest(range(1 + greatest(0, CAST(floor(
+       |           (n - $chunkSize + ${step - 1}) / $step) AS BIGINT)))) AS chunk_id
+       |  FROM (
+       |    SELECT doc_id, $toks AS toks, len($toks) AS n
+       |    FROM documents) WHERE n > 0)""".stripMargin
+  }
+
   def packSequences(budget: Int): String =
     s"""SELECT doc_id, n_tokens,
        |       CAST(floor((cum_after - n_tokens) / $budget) AS BIGINT) AS seq_id,

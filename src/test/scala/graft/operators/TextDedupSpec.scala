@@ -282,6 +282,28 @@ class TextDedupSpec extends SparkSuite {
       5L -> ((0L, 1L, 6L))))
   }
 
+  test("chunkDocuments: window starts, overlap, and edge chunk counts") {
+    val d = docs(
+      (1L, (1 to 5).map(i => s"w$i").mkString(" ")),  // fits -> 1 chunk
+      (2L, (1 to 8).map(i => s"v$i").mkString(" ")),  // 8 = size -> 1 chunk
+      (3L, (1 to 9).map(i => s"u$i").mkString(" ")),  // 9 -> 2 chunks
+      (4L, (1 to 20).map(i => s"t$i").mkString(" ")), // -> 3 chunks
+      (5L, ""))                                       // empty -> no chunks
+    val got = TextAnalysis.chunkDocuments(d, chunkSize = 8, overlap = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet === Set(
+      (1L, 0L), (2L, 0L), (3L, 0L), (3L, 1L),
+      (4L, 0L), (4L, 1L), (4L, 2L)))
+    // overlap: chunk 1 starts at token 7 (step 6), sharing 2 tokens
+    assert(got((3L, 1L)) === ((3L, "u7 u8 u9")))
+    // interior chunk is full-width; tail chunk is the remainder
+    assert(got((4L, 1L)) === ((8L, (7 to 14).map(i => s"t$i").mkString(" "))))
+    assert(got((4L, 2L)) === ((8L, (13 to 20).map(i => s"t$i").mkString(" "))))
+    assert(got((1L, 0L))._1 === 5L)
+  }
+
   test("piiScrub: counts and redacts emails, phones, IPs") {
     val d = docs((1L, "mail a.b@x.co or call +1-555-123-4567 from 10.0.0.1 twice 10.0.0.2"))
     val r = TextAnalysis.piiScrub(d).head()
