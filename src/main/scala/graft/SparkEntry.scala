@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Layout, LayoutSql, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -1008,6 +1008,9 @@ object SparkEntry {
         StructField("n_chars", LongType)))
       s.read.schema(schema).json(path).orderBy("doc_id")
     }),
+    "k9_zorder" -> ((s, dir) => // multi-dim clustering manifest (OPTIMIZE
+      // ZORDER planning face; write path = repartitionByRange over zval)
+      Layout.zorderManifest(Tables(s, dir, "lineitem")).orderBy("file_id")),
     "k8_compact" -> ((s, dir) => {
       // Small-files compaction — the table-maintenance op every long-run
       // ingest needs (streaming sinks and per-batch appends fragment a
@@ -2137,6 +2140,7 @@ object SparkEntry {
       "t10_pii_scrub" -> s"${TextAnalysisSql.piiScrub} ORDER BY doc_id",
       "t11_contamination" -> TextAnalysisSql.contamination("doc_id % 100 = 0", 5),
       // k8: the rewrite preserves the row set and shrinks the file count
+      "k9_zorder" -> LayoutSql.zorderManifest(16, 8),
       "k8_compact" -> ("SELECT TRUE AS files_reduced, TRUE AS rows_match, "
         + "CAST(count(*) AS BIGINT) AS n_rows FROM documents"),
       "k3_range_sink" ->
