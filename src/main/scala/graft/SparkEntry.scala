@@ -1234,6 +1234,9 @@ object SparkEntry {
     "t18_quality_calibrate" -> ((s, dir) => // keep-rate -> quality cutoff
       Sampling.calibrateQuality(Tables(s, dir, "documents"), keepPct = 30)
         .orderBy("source")),
+    "p13_curriculum" -> ((s, dir) => // quality-ordered training phases
+      Sampling.curriculumPhases(Tables(s, dir, "documents"), nPhases = 4)
+        .orderBy("doc_id")),
     "t19_oov_rate" -> ((s, dir) => // tokenizer-coverage audit vs top-K vocab
       TextAnalysis.oovRate(Tables(s, dir, "documents"), topK = 50)
         .orderBy("doc_id")),
@@ -2099,6 +2102,8 @@ object SparkEntry {
       "p12_token_budget" -> SamplingSql.tokenBudget(100000L),
       "t5_vocab" -> TextAnalysisSql.vocabulary(50),
       "t18_quality_calibrate" -> SamplingSql.calibrateQuality(30),
+      "p13_curriculum" ->
+        s"${SamplingSql.curriculumPhases(4)} ORDER BY doc_id",
       "t19_oov_rate" -> s"${TextAnalysisSql.oovRate(50)} ORDER BY doc_id",
       "t20_token_drift" ->
         s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",

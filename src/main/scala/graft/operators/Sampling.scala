@@ -189,6 +189,27 @@ object Sampling {
         col("quality").as("cutoff"))
   }
 
+  /** Quality-curriculum phase assignment — the data-ORDERING step of
+    * training prep: every document gets a phase `1..nPhases` by ascending
+    * quality score (equal-count phases, `(quality, doc_id)` tie-break),
+    * so phase 1 is the lowest-quality cohort and the final phase the
+    * highest — the "anneal toward quality" schedule, where late-training
+    * epochs draw from the top phases. Returns
+    * `(doc_id, source, quality, phase)`.
+    *
+    * Scale shape: like [[calibrateQuality]], the exact equal-count cut is
+    * a global sort of 24-byte `(doc_id, source, quality)` rows — that
+    * exactness is what makes it twin-checkable. The 100 TB variant reads
+    * phase CUTPOINTS off a quantile sketch and assigns phases in a narrow
+    * projection, trading exact equal counts for zero sort. */
+  def curriculumPhases(docs: DataFrame, nPhases: Int = 4): DataFrame = {
+    require(nPhases > 0, s"nPhases must be positive: $nPhases")
+    val w = Window.orderBy(col("quality"), col("doc_id"))
+    TextAnalysis.qualityScore(docs, keep = Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("phase", ntile(nPhases).over(w).cast("bigint"))
+  }
+
   /** The composed corpus-EXPORT pass — what actually ships to the
     * trainer: model-score gate (one kernel projection) → exact dedup
     * (hash-keyed keeper window) → temperature mix (broadcast rate table)
@@ -287,6 +308,14 @@ object SamplingSql {
 
   /** Twin of [[Sampling.calibrateQuality]]: identical rank and marginal-
     * row arithmetic over the shared quality-score twin. */
+  /** Twin of [[Sampling.curriculumPhases]]: same rounded quality, same
+    * ascending `(quality, doc_id)` ntile. */
+  def curriculumPhases(nPhases: Int): String =
+    s"""SELECT doc_id, d.source, quality,
+       |       CAST(ntile($nPhases) OVER (ORDER BY quality, doc_id)
+       |            AS BIGINT) AS phase
+       |FROM documents d JOIN (${TextAnalysisSql.qualityScore}) q USING (doc_id)""".stripMargin
+
   def calibrateQuality(keepPct: Int): String =
     s"""SELECT source, n_docs, kk AS n_kept, quality AS cutoff FROM (
        |  SELECT d.source, q.quality, q.doc_id,

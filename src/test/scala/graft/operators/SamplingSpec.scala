@@ -129,6 +129,23 @@ class SamplingSpec extends SparkSuite {
     assert(scores.count(_ >= cutoff) === 3)
   }
 
+  test("curriculumPhases: equal-count phases, quality monotone across phases") {
+    val d = (1 to 12).map { i =>
+      (i.toLong, "s", ("the a of " * i) + (1 to i).map(j => s"w$j$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val got = Sampling.curriculumPhases(d, nPhases = 4).collect()
+    assert(got.length === 12)
+    val byPhase = got.groupBy(_.getAs[Long]("phase")).view
+      .mapValues(_.map(_.getAs[Double]("quality"))).toMap
+    assert(byPhase.keySet === Set(1L, 2L, 3L, 4L))
+    assert(byPhase.values.forall(_.length === 3), "equal-count phases")
+    // phase boundaries never invert quality order (ties may straddle)
+    (1L to 3L).foreach { p =>
+      assert(byPhase(p).max <= byPhase(p + 1).min,
+        s"phase $p max must not exceed phase ${p + 1} min")
+    }
+  }
+
   test("oovRate: exact fraction against the top-K vocab, zero for all-vocab docs") {
     val d = Seq(
       (1L, "the the the"),          // all tokens in any top-2 vocab
