@@ -489,6 +489,64 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("dedup_semantic: seeds broadcast; only the documented exchanges ship embeddings") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val planDf = SparkEntry.queries("dedup_semantic")(spark, dir)
+    val (text, exchanges) = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val qe = planDf.queryExecution
+      (qe.explainString(ExplainMode.fromString("formatted")),
+        qe.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        })
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // the seed set rides a broadcast (nested-loop: no equi key), never a shuffle
+    assert(text.contains("BroadcastNestedLoopJoin"), text)
+    // embeddings legitimately cross the wire exactly twice (assignment
+    // fold + the cluster-keyed pair join feeds); everything else —
+    // removed-set distinct, kept-flag join, output sort — must be narrow
+    val wide = exchanges.count(_.child.schema.fieldNames.exists(_.startsWith("emb")))
+    assert(wide <= 3, s"embedding-carrying shuffles: $wide\n$text")
+    assert(exchanges.size > wide, "narrow exchanges must exist (kept-flag/sort)")
+  }
+
+  test("t22_chunk: chunking is narrow — the only exchange is the output sort") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("t22_chunk")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(exchanges.size === 1, s"expected only the orderBy range exchange")
+    val p = plan("t22_chunk")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("p13_curriculum: the phase window sorts narrow rows, never text") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("p13_curriculum")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.child.schema.fieldNames.contains("text"),
+        s"document text on the curriculum sort: ${e.child.schema.treeString}")
+    }
+  }
+
+  test("k9_zorder: three ntile windows, a 16-group aggregate, no joins") {
+    val p = plan("k9_zorder")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "z-order manifest must not join")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("dedup_passage: the keeper exchange carries bounded-width rows only") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     val exchanges = try {
