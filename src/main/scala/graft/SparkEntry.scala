@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Layout, LayoutSql, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Layout, LayoutSql, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -1256,6 +1256,17 @@ object SparkEntry {
     "t22_chunk" -> ((s, dir) => // overlapping token-window chunking (RAG prep)
       TextAnalysis.chunkDocuments(Tables(s, dir, "documents"),
         chunkSize = 32, overlap = 8).orderBy("doc_id", "chunk_id")),
+    "t23_bpe_pairs" -> ((s, dir) => // BPE training's pair-count stage
+      Tokenizer.bpePairCounts(Tables(s, dir, "documents"), topK = 50)),
+    "t23_bpe_merges" -> ((s, dir) => // iterative BPE merge table; the
+      // argmax loop has no SQL twin -> rows-only here; TokenizerSpec gates
+      // it against an independent reference trainer, and round 1 must
+      // equal the oracle-checked t23_bpe_pairs head
+      Tokenizer.bpeTrain(Tables(s, dir, "documents"), nMerges = 8)
+        .orderBy("rank")),
+    "t24_bigram_lm" -> ((s, dir) => // stupid-backoff bigram LM scoring
+      TextAnalysis.bigramLmScore(Tables(s, dir, "documents"),
+        col("source").isin(batchASources: _*)).orderBy("doc_id")),
     "t8_pack_sharded" -> ((s, dir) => // the per-shard packing plan 100 TB runs
       TextAnalysis.packSequencesSharded(Tables(s, dir, "documents"),
         budget = 512).orderBy("doc_id")),
@@ -2132,6 +2143,8 @@ object SparkEntry {
         s"${TextAnalysisSql.packSequencesSharded(512)} ORDER BY doc_id",
       "t22_chunk" ->
         s"${TextAnalysisSql.chunkDocuments(32, 8)} ORDER BY doc_id, chunk_id",
+      "t23_bpe_pairs" -> TokenizerSql.bpePairCounts(50),
+      "t24_bigram_lm" -> TextAnalysisSql.bigramLm(batchAPredSql),
       "t12_tfidf" -> TextAnalysisSql.tfidf(tfidfTopK),
       "t13_bm25" -> TextAnalysisSql.bm25(bm25Query, bm25TopK),
       "p9_stratified_sample" ->

@@ -592,6 +592,71 @@ object TextAnalysis {
         round(-sum(col("c_dt") * log(col("c_t") / col("n_total")))
           / sum(col("c_dt")), 6).as("xent"))
   }
+
+  /** Adjacent token bigrams of a token-array column as `(prev, cur)`
+    * structs — a narrow per-row derivation (no self-join on position). */
+  private def bigrams(toksCol: String): Column =
+    expr(
+      s"""transform(sequence(1, size($toksCol) - 1),
+         |  i -> struct(element_at($toksCol, i) AS prev,
+         |              element_at($toksCol, i + 1) AS cur))""".stripMargin)
+
+  /** Bigram-LM cross-entropy with stupid backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the order-2 upgrade
+    * of [[unigramLmScore]], and unlike it a genuine train/serve split:
+    * counts come from the `trainPred` slice, scores go to the complement,
+    * so unseen bigrams actually exercise the backoff path.
+    *
+    * Per scored position: `S = c(prev,cur)/c(prev)` when the bigram was
+    * seen in training; else `0.4 · c(cur)/N` (backoff to the unigram);
+    * else `0.4/N` (OOV floor). `xent = -Σ c·ln(S) / Σ c` in nats over the
+    * document's bigram occurrences. All counts are exact integers, the
+    * double ops run in one fixed order, and the result rounds to 6 —
+    * cross-engine exact like the unigram twin.
+    *
+    * Scale: the train pass is two token-keyed aggregates with map-side
+    * combine (vocabulary/bigram relations, sublinear in corpus); scoring
+    * pre-aggregates per `(doc, prev, cur)` before joining, so the three
+    * lookup joins carry bounded words — never document text — and the hot
+    * stopword-bigram keys have one-row build sides (AQE skew territory,
+    * same note as [[unigramLmScore]]). `N` is a one-row broadcast. */
+  def bigramLmScore(docs: DataFrame, trainPred: Column): DataFrame = {
+    val toked = docs.select(col("doc_id"), trainPred.as("in_train"),
+      tokens(col("text")).as("toks"))
+
+    val uni = toked.where(col("in_train"))
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c_u"))
+    val total = uni.agg(sum("c_u").cast("double").as("n_total"))
+    val bi = toked.where(col("in_train") && size(col("toks")) >= 2)
+      .select(explode(bigrams("toks")).as("bg"))
+      .groupBy(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("c_bi"))
+
+    val db = toked.where(!col("in_train") && size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigrams("toks")).as("bg"))
+      .groupBy(col("doc_id"), col("bg.prev").as("prev"),
+        col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("c_db"))
+
+    db.join(bi, Seq("prev", "cur"), "left")
+      .join(uni.select(col("token").as("prev"), col("c_u").as("c_prev")),
+        Seq("prev"), "left")
+      .join(uni.select(col("token").as("cur"), col("c_u").as("c_cur")),
+        Seq("cur"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("s",
+        when(col("c_bi").isNotNull,
+          col("c_bi").cast("double") / col("c_prev"))
+          .when(col("c_cur").isNotNull,
+            lit(0.4) * col("c_cur").cast("double") / col("n_total"))
+          .otherwise(lit(0.4) / col("n_total")))
+      .groupBy("doc_id")
+      .agg(
+        sum("c_db").cast("long").as("n_bigrams"),
+        round(-sum(col("c_db") * log(col("s"))) / sum(col("c_db")), 6)
+          .as("xent"))
+  }
 }
 
 /** DuckDB twins of [[TextAnalysis]] for the driver oracle. Kept adjacent to
@@ -913,5 +978,45 @@ object TextAnalysisSql {
        |       round(-sum(c_dt * ln(CAST(c_t AS DOUBLE) / n_total))
        |             / sum(c_dt), 6) AS xent
        |FROM dt JOIN freq USING (token), total
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[TextAnalysis.bigramLmScore]]: same train/score split, same
+    * per-(doc, prev, cur) pre-aggregation, same three-way backoff CASE with
+    * the double ops in the same order. */
+  def bigramLm(trainPredSql: String): String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, ($trainPredSql) AS in_train, $toks AS toks
+       |  FROM documents),
+       |uni AS (
+       |  SELECT token, count(*) AS c_u
+       |  FROM (SELECT unnest(toks) AS token FROM toked WHERE in_train)
+       |  GROUP BY token),
+       |tot AS (SELECT CAST(sum(c_u) AS DOUBLE) AS n_total FROM uni),
+       |bi AS (
+       |  SELECT toks[i] AS prev, toks[i + 1] AS cur, count(*) AS c_bi
+       |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM toked WHERE in_train AND len(toks) >= 2)
+       |  GROUP BY 1, 2),
+       |db AS (
+       |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur,
+       |         count(*) AS c_db
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM toked WHERE NOT in_train AND len(toks) >= 2)
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id,
+       |       CAST(sum(c_db) AS BIGINT) AS n_bigrams,
+       |       round(-sum(c_db * ln(
+       |           CASE WHEN c_bi IS NOT NULL
+       |                  THEN CAST(c_bi AS DOUBLE) / c_prev
+       |                WHEN c_cur IS NOT NULL
+       |                  THEN 0.4 * CAST(c_cur AS DOUBLE) / n_total
+       |                ELSE 0.4 / n_total END))
+       |             / sum(c_db), 6) AS xent
+       |FROM db
+       |LEFT JOIN bi USING (prev, cur)
+       |LEFT JOIN (SELECT token AS prev, c_u AS c_prev FROM uni) USING (prev)
+       |LEFT JOIN (SELECT token AS cur, c_u AS c_cur FROM uni) USING (cur)
+       |CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the tokenizer-
+  * training face of the corpus pipeline. The reference engine has no
+  * tokenizer layer; this is part of the beyond-reference LLM-data surface
+  * (SURVEY §6), alongside the unigram/bigram LM scorers it feeds.
+  *
+  * The two-stage shape is exactly how production BPE trainers scale:
+  *
+  *  1. '''corpus → word counts''' — the only pass that touches the corpus.
+  *     One token-keyed aggregate with map-side combine; the output is the
+  *     vocabulary relation, sublinear in corpus size (Heaps' law), and
+  *     every later stage runs against it, never the corpus.
+  *  2. '''word counts → pair counts / merges''' — per-word symbol-pair
+  *     expansion is narrow (explode over positions within each word), and
+  *     each merge round is one bounded aggregate over the vocabulary plus
+  *     a ONE-ROW argmax collect (the merge decision — same bounded-artifact
+  *     discipline as PQ codebook training, [[Similarity]]). The merge
+  *     rewrite is a higher-order fold over each word's symbol array —
+  *     embarrassingly parallel, no exchange.
+  *
+  * At 100 TB the corpus pass is the same word-count shuffle every `t*`
+  * operator already pays once, and the training loop's working set is the
+  * vocabulary (millions of rows, not billions), re-persisted per round with
+  * lineage truncated — a driver loop over bounded data, not corpus data.
+  *
+  * Symbols stay in the `[a-z0-9]+` alphabet ([[TextAnalysis.tokens]]), so
+  * merged symbols are plain concatenations and safe to inline into
+  * expression strings.
+  */
+object Tokenizer {
+
+  /** Adjacent character-pair expansion of `word` weighted by its corpus
+    * count — `(left_sym, right_sym, c)` per position. Shared by the
+    * oracle-checked count query and the first training round. */
+  private def pairCols(words: DataFrame): DataFrame =
+    words.where(length(col("word")) >= 2)
+      .select(col("c"), col("word"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(expr("substring(word, i, 1)").as("left_sym"),
+        expr("substring(word, i + 1, 1)").as("right_sym"), col("c"))
+
+  /** Corpus word counts — BPE training's single corpus-touching pass. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+
+  /** Stage-1+2 of BPE training as one oracle-checked query: the top-`k`
+    * adjacent symbol pairs by corpus-weighted frequency, deterministic
+    * tie-break `(n DESC, left_sym, right_sym)` — the first merge the
+    * trainer would pick is row 1. */
+  def bpePairCounts(docs: DataFrame, topK: Int = 50): DataFrame =
+    pairCols(wordCounts(docs))
+      .groupBy("left_sym", "right_sym").agg(sum("c").as("n"))
+      .orderBy(desc("n"), col("left_sym"), col("right_sym"))
+      .limit(topK)
+
+  /** One left-to-right greedy non-overlapping merge of the pair `(l, r)`
+    * over a symbol-array column: the classic BPE rewrite (`"aaa"` under
+    * `(a,a)` → `["aa","a"]`, not `["a","aa"]`). A codegen'd higher-order
+    * fold — if the accumulator's last symbol is `l` and the next is `r`,
+    * replace the last with `l+r`, else append. The guard re-checks that
+    * the last element is an UNMERGED `l` by construction: a just-merged
+    * `l+r` can never equal `l` (strictly longer), so overlap is
+    * impossible. */
+  private[operators] def mergeOnce(symsCol: String, l: String, r: String) =
+    expr(
+      s"""aggregate($symsCol, cast(array() AS array<string>),
+         |  (acc, s) -> IF(size(acc) > 0
+         |                   AND element_at(acc, -1) = '$l' AND s = '$r',
+         |                 concat(slice(acc, 1, size(acc) - 1),
+         |                        array('$l$r')),
+         |                 concat(acc, array(s))))""".stripMargin)
+
+  /** The learned merge table after `nMerges` rounds of BPE training:
+    * `(rank, left_sym, right_sym, n)` — rank-r row is the pair merged in
+    * round r with its pre-merge corpus frequency. mmh3-free but driven by
+    * an iterative argmax, so it registers rows-only; `TokenizerSpec` gates
+    * it against an independent in-memory reference implementation, and the
+    * round-1 row is pinned to the oracle-checked [[bpePairCounts]] head.
+    *
+    * Each round: one bounded aggregate over the vocabulary relation + a
+    * one-row collect (the argmax is the trained artifact, like a PQ
+    * centroid). The rewritten vocabulary is re-persisted and re-based per
+    * round so the plan does not grow with the merge count
+    * ([[Dedup.nearDupClusters]]' iterative discipline). */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges >= 1 && nMerges <= 64, s"nMerges in [1,64]: $nMerges")
+
+    var words = wordCounts(docs)
+      .select(expr("split(word, '')").as("syms"), col("c"))
+      .persist()
+    words.count() // materialize before the loop so rounds start from data
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (rank <- 1 to nMerges if !done) {
+      val top: Array[Row] = words.where(size(col("syms")) >= 2)
+        .select(col("c"),
+          explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> struct(element_at(syms, i) AS l,
+              |              element_at(syms, i + 1) AS r))""".stripMargin))
+            .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("c").as("n"))
+        .orderBy(desc("n"), col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        val prev = words
+        // re-base on the materialized rows (localCheckpoint truncates the
+        // lineage) so the per-round fold doesn't stack into one giant plan
+        words = prev.withColumn("syms", mergeOnce("syms", l, r))
+          .localCheckpoint(eager = true)
+        prev.unpersist()
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "n")
+  }
+
+  /** In-memory reference BPE trainer over collected word counts — the
+    * independent implementation `TokenizerSpec` gates [[bpeTrain]]
+    * against. Same tie-break, same greedy left-to-right merge. */
+  private[operators] def bpeTrainReference(
+      wordCounts: Seq[(String, Long)], nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words: Seq[(Vector[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), n) = counts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+        out += ((rank, l, r, n))
+        words = words.map { case (syms, c) =>
+          val acc = Vector.newBuilder[String]
+          var last: String = null
+          for (s <- syms) {
+            if (last == l && s == r) {
+              val merged = acc.result()
+              acc.clear()
+              merged.init.foreach(acc += _)
+              acc += (l + r)
+              last = l + r
+            } else { acc += s; last = s }
+          }
+          (acc.result(), c)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+}
+
+/** DuckDB twin of [[Tokenizer.bpePairCounts]] — same word counts, same
+  * per-position pair expansion, same tie-break. (The iterative merge table
+  * has no SQL twin; it is spec-gated against the reference trainer.) */
+object TokenizerSql {
+  import TextAnalysisSql.toks
+
+  def bpePairCounts(topK: Int): String =
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS c
+       |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY word),
+       |pairs AS (
+       |  SELECT substr(word, i, 1) AS left_sym,
+       |         substr(word, i + 1, 1) AS right_sym, c
+       |  FROM (SELECT word, c,
+       |               unnest(generate_series(1, length(word) - 1)) AS i
+       |        FROM words WHERE length(word) >= 2))
+       |SELECT left_sym, right_sym, CAST(sum(c) AS BIGINT) AS n
+       |FROM pairs GROUP BY left_sym, right_sym
+       |ORDER BY n DESC, left_sym, right_sym LIMIT $topK""".stripMargin
+}
