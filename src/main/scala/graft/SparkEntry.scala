@@ -31,6 +31,10 @@ object SparkEntry {
   /** Cross-batch dedup split: "old" corpus batch A vs "new" batch B, by
     * source id (src0..src9 vs src10..src19). */
   private val batchASources = (0 to 9).map(i => s"src$i")
+  // DSIR's "target domain": a deliberately small high-quality slice
+  private val dsirTargetSources = Seq("src0", "src1")
+  private val dsirTargetPredSql =
+    dsirTargetSources.map(s => s"'$s'").mkString("source IN (", ", ", ")")
   private val batchAPredSql = batchASources.map(s => s"'$s'").mkString("source IN (", ", ", ")")
 
   /** Similarity query set: every 50th vector. */
@@ -1267,6 +1271,9 @@ object SparkEntry {
     "t24_bigram_lm" -> ((s, dir) => // stupid-backoff bigram LM scoring
       TextAnalysis.bigramLmScore(Tables(s, dir, "documents"),
         col("source").isin(batchASources: _*)).orderBy("doc_id")),
+    "t25_dsir" -> ((s, dir) => // DSIR importance weights for data selection
+      TextAnalysis.dsirWeights(Tables(s, dir, "documents"),
+        col("source").isin(dsirTargetSources: _*)).orderBy("doc_id")),
     "t8_pack_sharded" -> ((s, dir) => // the per-shard packing plan 100 TB runs
       TextAnalysis.packSequencesSharded(Tables(s, dir, "documents"),
         budget = 512).orderBy("doc_id")),
@@ -2145,6 +2152,7 @@ object SparkEntry {
         s"${TextAnalysisSql.chunkDocuments(32, 8)} ORDER BY doc_id, chunk_id",
       "t23_bpe_pairs" -> TokenizerSql.bpePairCounts(50),
       "t24_bigram_lm" -> TextAnalysisSql.bigramLm(batchAPredSql),
+      "t25_dsir" -> TextAnalysisSql.dsirWeights(dsirTargetPredSql),
       "t12_tfidf" -> TextAnalysisSql.tfidf(tfidfTopK),
       "t13_bm25" -> TextAnalysisSql.bm25(bm25Query, bm25TopK),
       "p9_stratified_sample" ->

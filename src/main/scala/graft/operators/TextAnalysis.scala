@@ -657,6 +657,70 @@ object TextAnalysis {
         round(-sum(col("c_db") * log(col("s"))) / sum(col("c_db")), 6)
           .as("xent"))
   }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-candidate-document
+    * average log-likelihood ratio between a TARGET-domain LM (trained on
+    * the `targetPred` slice — the small high-quality domain you want more
+    * of) and a RAW LM (trained on the candidates themselves) —
+    * `(doc_id, n_bigrams, log_ratio)`, high = target-like, the weight
+    * importance resampling draws against. DSIR's featurization is a
+    * hashed-n-gram bag; the order-2 stupid-backoff LM here ([[
+    * bigramLmScore]]'s model) is that estimator with exact counts, which
+    * keeps the whole operator oracle-checkable.
+    *
+    * One scoring pass: the per-(doc, prev, cur) relation joins BOTH
+    * models' lookup tables (bounded word-keyed builds, like every LM
+    * join here), and one aggregate emits both log-likelihoods — the
+    * candidate corpus is scanned once, not once per model. */
+  def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame = {
+    val toked = docs.select(col("doc_id"), targetPred.as("in_target"),
+      tokens(col("text")).as("toks"))
+
+    def model(slice: Column): (DataFrame, DataFrame, DataFrame) = {
+      val uni = toked.where(slice)
+        .select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c_u"))
+      val total = uni.agg(sum("c_u").cast("double").as("n_total"))
+      val bi = toked.where(slice && size(col("toks")) >= 2)
+        .select(explode(bigrams("toks")).as("bg"))
+        .groupBy(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+        .agg(count(lit(1)).as("c_bi"))
+      (uni, bi, total)
+    }
+    val (uniT, biT, totT) = model(col("in_target"))
+    val (uniR, biR, totR) = model(!col("in_target"))
+
+    val db = toked.where(!col("in_target") && size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigrams("toks")).as("bg"))
+      .groupBy(col("doc_id"), col("bg.prev").as("prev"),
+        col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("c_db"))
+
+    def withScore(d: DataFrame, uni: DataFrame, bi: DataFrame,
+        total: DataFrame, sfx: String): DataFrame =
+      d.join(bi.select(col("prev"), col("cur"), col("c_bi").as(s"c_bi_$sfx")),
+          Seq("prev", "cur"), "left")
+        .join(uni.select(col("token").as("prev"),
+          col("c_u").as(s"c_prev_$sfx")), Seq("prev"), "left")
+        .join(uni.select(col("token").as("cur"),
+          col("c_u").as(s"c_cur_$sfx")), Seq("cur"), "left")
+        .crossJoin(broadcast(total.select(col("n_total").as(s"n_tot_$sfx"))))
+        .withColumn(s"s_$sfx",
+          when(col(s"c_bi_$sfx").isNotNull,
+            col(s"c_bi_$sfx").cast("double") / col(s"c_prev_$sfx"))
+            .when(col(s"c_cur_$sfx").isNotNull,
+              lit(0.4) * col(s"c_cur_$sfx").cast("double") / col(s"n_tot_$sfx"))
+            .otherwise(lit(0.4) / col(s"n_tot_$sfx")))
+
+    withScore(withScore(db, uniT, biT, totT, "t"), uniR, biR, totR, "r")
+      .groupBy("doc_id")
+      .agg(
+        sum("c_db").cast("long").as("n_bigrams"),
+        round((sum(col("c_db") * log(col("s_t")))
+          - sum(col("c_db") * log(col("s_r")))) / sum(col("c_db")), 6)
+          .as("log_ratio"))
+  }
 }
 
 /** DuckDB twins of [[TextAnalysis]] for the driver oracle. Kept adjacent to
@@ -1019,4 +1083,61 @@ object TextAnalysisSql {
        |LEFT JOIN (SELECT token AS cur, c_u AS c_cur FROM uni) USING (cur)
        |CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[TextAnalysis.dsirWeights]]: two model CTE families (target
+    * `_t`, raw `_r`) over the same split, one scored relation joining
+    * both, the same backoff CASEs, and the ratio as a difference of the
+    * two log-likelihood sums before the single division + round. */
+  def dsirWeights(targetPredSql: String): String = {
+    def modelCtes(sfx: String, pred: String): String =
+      s"""uni_$sfx AS (
+         |  SELECT token, count(*) AS c_u
+         |  FROM (SELECT unnest(toks) AS token FROM toked WHERE $pred)
+         |  GROUP BY token),
+         |tot_$sfx AS (SELECT CAST(sum(c_u) AS DOUBLE) AS n_tot_$sfx
+         |             FROM uni_$sfx),
+         |bi_$sfx AS (
+         |  SELECT toks[i] AS prev, toks[i + 1] AS cur, count(*) AS c_bi
+         |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM toked WHERE ($pred) AND len(toks) >= 2)
+         |  GROUP BY 1, 2)""".stripMargin
+    def caseSql(sfx: String): String =
+      s"""CASE WHEN c_bi_$sfx IS NOT NULL
+         |       THEN CAST(c_bi_$sfx AS DOUBLE) / c_prev_$sfx
+         |     WHEN c_cur_$sfx IS NOT NULL
+         |       THEN 0.4 * CAST(c_cur_$sfx AS DOUBLE) / n_tot_$sfx
+         |     ELSE 0.4 / n_tot_$sfx END""".stripMargin
+    s"""WITH toked AS (
+       |  SELECT doc_id, ($targetPredSql) AS in_target, $toks AS toks
+       |  FROM documents),
+       |${modelCtes("t", "in_target")},
+       |${modelCtes("r", "NOT in_target")},
+       |db AS (
+       |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur,
+       |         count(*) AS c_db
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM toked WHERE NOT in_target AND len(toks) >= 2)
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id,
+       |       CAST(sum(c_db) AS BIGINT) AS n_bigrams,
+       |       round((sum(c_db * ln(${caseSql("t")}))
+       |              - sum(c_db * ln(${caseSql("r")}))) / sum(c_db), 6)
+       |         AS log_ratio
+       |FROM db
+       |LEFT JOIN (SELECT prev, cur, c_bi AS c_bi_t FROM bi_t)
+       |  USING (prev, cur)
+       |LEFT JOIN (SELECT token AS prev, c_u AS c_prev_t FROM uni_t)
+       |  USING (prev)
+       |LEFT JOIN (SELECT token AS cur, c_u AS c_cur_t FROM uni_t)
+       |  USING (cur)
+       |LEFT JOIN (SELECT prev, cur, c_bi AS c_bi_r FROM bi_r)
+       |  USING (prev, cur)
+       |LEFT JOIN (SELECT token AS prev, c_u AS c_prev_r FROM uni_r)
+       |  USING (prev)
+       |LEFT JOIN (SELECT token AS cur, c_u AS c_cur_r FROM uni_r)
+       |  USING (cur)
+       |CROSS JOIN tot_t CROSS JOIN tot_r
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -91,6 +91,38 @@ class TokenizerSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("xent") - want) < 1e-6)
   }
 
+  test("dsirWeights: target-like candidates score above off-target ones") {
+    // target domain: "the cat sat" patterns; candidates: one echoing the
+    // target phrasing, one alien. The echo must get the higher weight.
+    val d = Seq(
+      (1L, "tgt", "the cat sat on the mat"),
+      (2L, "tgt", "the cat sat on the rug"),
+      (3L, "raw", "the cat sat on the mat"),
+      (4L, "raw", "zq xv qj zq xv qj zq"),
+      (5L, "raw", "zq xv qj wk zq xv wk")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.dsirWeights(d, col("source") === "tgt")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_ratio")).toMap
+    assert(got.keySet === Set(3L, 4L, 5L))
+    assert(got(3L) > got(4L) && got(3L) > got(5L))
+    // the alien docs are pure OOV under the target LM -> negative ratio
+    assert(got(4L) < 0.0 && got(5L) < 0.0)
+  }
+
+  test("dsirWeights: ratio equals the two backoff scores' difference") {
+    // one candidate, hand-checked under both models
+    // target: "a b" -> uni_t a:1 b:1 N_t=2; bi_t ab:1
+    // raw = candidates: "a b b" -> uni_r a:1 b:2 N_r=3; bi_r ab:1 bb:1
+    // candidate "a b b": (a,b): S_t = 1/1 = 1, S_r = 1/1 = 1
+    //                    (b,b): S_t = 0.4*1/2 = 0.2, S_r = 1/2 = 0.5
+    // log_ratio = (ln 1 + ln .2 - ln 1 - ln .5) / 2 = ln(0.4)/2
+    val d = Seq(
+      (1L, "tgt", "a b"),
+      (2L, "raw", "a b b")).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.dsirWeights(d, col("source") === "tgt").collect()(0)
+    assert(r.getAs[Long]("n_bigrams") === 2L)
+    assert(math.abs(r.getAs[Double]("log_ratio") - math.log(0.4) / 2.0) < 1e-6)
+  }
+
   test("bigramLmScore: unigram backoff path (cur seen, bigram unseen)") {
     // train: "a b" and "b a" -> bigrams ab:1, ba:1; uni a:2 b:2, N=4
     // score: "a a" -> bigram (a,a) unseen, a seen -> S = 0.4 * 2/4 = 0.2
