@@ -540,6 +540,46 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("t23_bpe_pairs: the corpus pass ends at word counts; pairs expand over the vocabulary") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("t23_bpe_pairs")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // every exchange carries word/pair-shaped rows, never document text,
+    // and the word-count aggregate must partial (map-side combine) before
+    // its shuffle
+    exchanges.foreach { e =>
+      assert(!e.child.schema.fieldNames.contains("text"),
+        s"document text on a BPE exchange: ${e.child.schema.treeString}")
+    }
+    val p = plan("t23_bpe_pairs")
+    assert(p.contains("partial_count") || p.contains("partial count")
+      || p.contains("Partial"), p)
+  }
+
+  test("t24_bigram_lm / t25_dsir: LM exchanges carry words and counts, never text") {
+    for (q <- Seq("t24_bigram_lm", "t25_dsir")) {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      val exchanges = try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      assert(exchanges.nonEmpty, q)
+      exchanges.foreach { e =>
+        val fields = e.child.schema.fieldNames
+        assert(!fields.contains("text") && !fields.contains("toks"),
+          s"$q ships text/token arrays: ${e.child.schema.treeString}")
+      }
+    }
+  }
+
   test("k9_zorder: three ntile windows, a 16-group aggregate, no joins") {
     val p = plan("k9_zorder")
     assert(p.contains("Window"), p)
