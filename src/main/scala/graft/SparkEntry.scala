@@ -1274,6 +1274,10 @@ object SparkEntry {
     "t25_dsir" -> ((s, dir) => // DSIR importance weights for data selection
       TextAnalysis.dsirWeights(Tables(s, dir, "documents"),
         col("source").isin(dsirTargetSources: _*)).orderBy("doc_id")),
+    "pipe4_dsir_select" -> ((s, dir) => // DSIR select-and-shard workflow
+      Sampling.dsirSelect(Tables(s, dir, "documents"),
+        col("source").isin(dsirTargetSources: _*), keepPct = 25, nShards = 8)
+        .orderBy("shard", "pos")),
     "t8_pack_sharded" -> ((s, dir) => // the per-shard packing plan 100 TB runs
       TextAnalysis.packSequencesSharded(Tables(s, dir, "documents"),
         budget = 512).orderBy("doc_id")),
@@ -2153,6 +2157,8 @@ object SparkEntry {
       "t23_bpe_pairs" -> TokenizerSql.bpePairCounts(50),
       "t24_bigram_lm" -> TextAnalysisSql.bigramLm(batchAPredSql),
       "t25_dsir" -> TextAnalysisSql.dsirWeights(dsirTargetPredSql),
+      "pipe4_dsir_select" ->
+        SamplingSql.dsirSelect(dsirTargetPredSql, 25, 8),
       "t12_tfidf" -> TextAnalysisSql.tfidf(tfidfTopK),
       "t13_bm25" -> TextAnalysisSql.bm25(bm25Query, bm25TopK),
       "p9_stratified_sample" ->

@@ -240,6 +240,37 @@ object Sampling {
       .where(col("keep")).select("doc_id", "source")
     shuffleShards(mixed, nShards, keep = Seq("source"))
   }
+
+  /** The DSIR paper's end-to-end selection workflow as one composed plan:
+    * importance weights ([[TextAnalysis.dsirWeights]]) → keep the top
+    * `keepPct`% of candidates by weight (deterministic `(log_ratio DESC,
+    * doc_id)` rank; keep count is the exact integer `n·pct div 100`) →
+    * hash-shard the survivors for the trainer ([[shuffleShards]]' rule).
+    * `(doc_id, log_ratio, shard, pos)`.
+    *
+    * Scale: the weight stage is [[TextAnalysis.dsirWeights]]' word-keyed
+    * joins; the rank is one global window over 16-byte `(doc_id,
+    * log_ratio)` rows (same lane as `p13_curriculum` — at 100 TB swap the
+    * exact rank for an approx-quantile cutpoint, documented there); the
+    * shard pass is narrow hashing plus a per-shard window. Document text
+    * never reaches any exchange past the first tokenize. */
+  def dsirSelect(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+      keepPct: Int = 25, nShards: Int = 8): DataFrame = {
+    require(keepPct > 0 && keepPct <= 100, s"keepPct in (0,100]: $keepPct")
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val all = Window.partitionBy()
+    val ranked = TextAnalysis.dsirWeights(docs, targetPred)
+      .withColumn("n_cand", count(lit(1)).over(all))
+      .withColumn("rnk",
+        row_number().over(all.orderBy(desc("log_ratio"), col("doc_id"))))
+      .where(expr(s"rnk <= n_cand * $keepPct div 100"))
+    ranked
+      .select(col("doc_id"), col("log_ratio"), rowHash(col("doc_id")).as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("h", "doc_id")))
+      .select("doc_id", "log_ratio", "shard", "pos")
+  }
 }
 
 /** DuckDB twins of [[Sampling]] — identical integer hash/weight
@@ -369,4 +400,21 @@ object SamplingSql {
        |  FROM (SELECT doc_id, source, ${Sampling.rowHashSql("doc_id")} AS h
        |        FROM mixed))
        |ORDER BY shard, pos""".stripMargin
+
+  /** Twin of [[Sampling.dsirSelect]]: the dsir twin as a CTE, the same
+    * exact integer keep rule, the same hash/shard arithmetic. */
+  def dsirSelect(targetPredSql: String, keepPct: Int, nShards: Int): String =
+    s"""WITH w AS (${TextAnalysisSql.dsirWeights(targetPredSql)}),
+       |ranked AS (
+       |  SELECT doc_id, log_ratio,
+       |         row_number() OVER (ORDER BY log_ratio DESC, doc_id) AS rnk,
+       |         count(*) OVER () AS n_cand
+       |  FROM w),
+       |sel AS (
+       |  SELECT doc_id, log_ratio, ${Sampling.rowHashSql("doc_id")} AS h
+       |  FROM ranked WHERE rnk <= n_cand * $keepPct // 100)
+       |SELECT doc_id, log_ratio, CAST(h % $nShards AS INT) AS shard,
+       |       row_number() OVER (PARTITION BY h % $nShards
+       |                          ORDER BY h, doc_id) AS pos
+       |FROM sel ORDER BY shard, pos""".stripMargin
 }

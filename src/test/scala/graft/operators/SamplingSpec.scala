@@ -177,4 +177,24 @@ class SamplingSpec extends SparkSuite {
     val shardOf = a.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
     assert((1L until 40L).exists(i => shardOf(i) != shardOf(i + 1)))
   }
+
+  test("dsirSelect: keeps exactly n*pct div 100 top-weighted candidates, sharded dense") {
+    // 2 target docs teach the LM "the cat sat"; 8 candidates: 4 echo the
+    // target phrasing, 4 are alien. keepPct=50 -> exactly 4 survivors,
+    // and they must be the 4 target-like ones.
+    val rows =
+      Seq((100L, "tgt", "the cat sat on the mat"),
+        (101L, "tgt", "the cat sat on the rug")) ++
+        (1L to 4L).map(i => (i, "raw", "the cat sat on the mat")) ++
+        (5L to 8L).map(i => (i, "raw", s"zq$i xv qj wk zq$i xv"))
+    val d = rows.toDF("doc_id", "source", "text")
+    val got = Sampling.dsirSelect(d, col("source") === "tgt",
+      keepPct = 50, nShards = 2).collect()
+    assert(got.length === 4) // 8 * 50 div 100
+    assert(got.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L, 3L, 4L))
+    // dense per-shard positions
+    got.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("pos")).sorted === (1 to rs.length).toArray)
+    }
+  }
 }
