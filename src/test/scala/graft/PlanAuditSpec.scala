@@ -580,6 +580,23 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("pipe4_dsir_select: selection and sharding never put text back on the wire") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("pipe4_dsir_select")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val fields = e.child.schema.fieldNames
+      assert(!fields.contains("text") && !fields.contains("toks"),
+        s"pipe4 ships text/token arrays: ${e.child.schema.treeString}")
+    }
+  }
+
   test("k9_zorder: three ntile windows, a 16-group aggregate, no joins") {
     val p = plan("k9_zorder")
     assert(p.contains("Window"), p)
