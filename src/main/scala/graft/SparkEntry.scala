@@ -1593,6 +1593,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.corpusIngest(s, dir)),
     "st14_stream_lm" -> ((s, dir) => // t21's LM scoring as an ingest stream
       graft.streaming.StreamingQueries.lmScore(s, dir)),
+    "st15_stream_dsir" -> ((s, dir) => // t25's DSIR weights as an ingest stream
+      graft.streaming.StreamingQueries.dsirScore(s, dir, dsirTargetSources)),
     "st3_stream_bloom_probe" -> ((s, dir) =>
       graft.streaming.StreamingQueries.bloomProbe(s, dir)),
     "st4_stream_append" -> ((s, dir) => // append mode: finalized windows only
@@ -2132,6 +2134,8 @@ object SparkEntry {
       "t21_unigram_lm" -> TextAnalysisSql.unigramLm,
       // the drained stream must reproduce the batch LM scores exactly
       "st14_stream_lm" -> TextAnalysisSql.unigramLm,
+      // the drained stream must reproduce the batch DSIR weights exactly
+      "st15_stream_dsir" -> TextAnalysisSql.dsirWeights(dsirTargetPredSql),
       "dedup_exact" -> s"${DedupSql.exactKeepers} ORDER BY doc_id",
       "dedup_bloom_xbatch" ->
         DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),

@@ -594,8 +594,10 @@ object TextAnalysis {
   }
 
   /** Adjacent token bigrams of a token-array column as `(prev, cur)`
-    * structs — a narrow per-row derivation (no self-join on position). */
-  private def bigrams(toksCol: String): Column =
+    * structs — a narrow per-row derivation (no self-join on position).
+    * `private[graft]`: the streaming DSIR face keys its state on the
+    * same derivation. */
+  private[graft] def bigrams(toksCol: String): Column =
     expr(
       s"""transform(sequence(1, size($toksCol) - 1),
          |  i -> struct(element_at($toksCol, i) AS prev,

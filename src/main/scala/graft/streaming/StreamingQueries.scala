@@ -209,6 +209,95 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming DSIR (`t25_dsir` as an ingest stream): the stream
+    * maintains ONE stateful aggregate — per-`(doc, in_target, kind, key)`
+    * counts, where `kind` tags unigram vs bigram occurrences and `key`
+    * is the token or the space-joined bigram (tokens are `[a-z0-9]+`, so
+    * the join is unambiguous). Both LMs' count tables, the candidate
+    * relation, and the importance-ratio arithmetic all finish on the
+    * drained state with `t25_dsir`'s exact term order, so the result
+    * equals the batch query row for row and SHARES its oracle. At
+    * serving scale the finishing step is where pretrained target/raw LM
+    * artifacts would join instead; training on the drained batch keeps
+    * t25's self-normalized semantics. */
+  def dsirScore(outer: SparkSession, dir: String,
+      targetSources: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val spark = childSession(outer)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val name = "st15_dsir_" + math.abs(dir.hashCode)
+    val toked = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"),
+        col("source").isin(targetSources: _*).as("in_target"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+    val uniPart = toked
+      .select(col("doc_id"), col("in_target"), lit("u").as("kind"),
+        explode(col("toks")).as("key"))
+    val biPart = toked.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("in_target"), lit("b").as("kind"),
+        explode(graft.operators.TextAnalysis.bigrams("toks")).as("bg"))
+      .select(col("doc_id"), col("in_target"), col("kind"),
+        concat_ws(" ", col("bg.prev"), col("bg.cur")).as("key"))
+    val counts = uniPart.unionByName(biPart)
+      .groupBy("doc_id", "in_target", "kind", "key").agg(cnt("*").as("c"))
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = spark.table(name)
+
+    def uniOf(target: Boolean, keyName: String, cName: String) =
+      state.where(col("kind") === "u" && col("in_target") === target)
+        .groupBy("key").agg(sum("c").as(cName))
+        .withColumnRenamed("key", keyName)
+    def biOf(target: Boolean, cName: String) =
+      state.where(col("kind") === "b" && col("in_target") === target)
+        .groupBy("key").agg(sum("c").as(cName))
+        .select(element_at(split(col("key"), " "), 1).as("prev"),
+          element_at(split(col("key"), " "), 2).as("cur"), col(cName))
+
+    val db = state.where(col("kind") === "b" && !col("in_target"))
+      .select(col("doc_id"),
+        element_at(split(col("key"), " "), 1).as("prev"),
+        element_at(split(col("key"), " "), 2).as("cur"),
+        col("c").as("c_db"))
+    val totT = uniOf(target = true, "tt_token", "tt_c")
+      .agg(sum("tt_c").cast("double").as("n_tot_t"))
+    val totR = uniOf(target = false, "tr_token", "tr_c")
+      .agg(sum("tr_c").cast("double").as("n_tot_r"))
+
+    db
+      .join(biOf(target = true, "c_bi_t"), Seq("prev", "cur"), "left")
+      .join(uniOf(target = true, "prev", "c_prev_t"), Seq("prev"), "left")
+      .join(uniOf(target = true, "cur", "c_cur_t"), Seq("cur"), "left")
+      .join(biOf(target = false, "c_bi_r"), Seq("prev", "cur"), "left")
+      .join(uniOf(target = false, "prev", "c_prev_r"), Seq("prev"), "left")
+      .join(uniOf(target = false, "cur", "c_cur_r"), Seq("cur"), "left")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .withColumn("s_t",
+        when(col("c_bi_t").isNotNull,
+          col("c_bi_t").cast("double") / col("c_prev_t"))
+          .when(col("c_cur_t").isNotNull,
+            lit(0.4) * col("c_cur_t").cast("double") / col("n_tot_t"))
+          .otherwise(lit(0.4) / col("n_tot_t")))
+      .withColumn("s_r",
+        when(col("c_bi_r").isNotNull,
+          col("c_bi_r").cast("double") / col("c_prev_r"))
+          .when(col("c_cur_r").isNotNull,
+            lit(0.4) * col("c_cur_r").cast("double") / col("n_tot_r"))
+          .otherwise(lit(0.4) / col("n_tot_r")))
+      .groupBy("doc_id")
+      .agg(
+        sum("c_db").cast("long").as("n_bigrams"),
+        round((sum(col("c_db") * log(col("s_t")))
+          - sum(col("c_db") * log(col("s_r")))) / sum(col("c_db")), 6)
+          .as("log_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Stream-stream inner join: `click` events joined to later `purchase`
     * events of the same user within 1 hour — the funnel-attribution shape.
     * Both sides are watermarked and the join carries a time-range

@@ -104,6 +104,19 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("dsirScore stream equals the batch DSIR weights row for row") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val target = Seq("src0", "src1")
+    val streamed = StreamingQueries.dsirScore(spark, dir, target).collect()
+    val batch = graft.operators.TextAnalysis
+      .dsirWeights(Tables(spark, dir, "documents"),
+        col("source").isin(target: _*))
+      .orderBy("doc_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("bloomProbe stream: zero false negatives -> hits == total per group") {
     val dir = "/root/testdata/sf0.001"
     val rows = StreamingQueries.bloomProbe(spark, dir).collect()
