@@ -763,6 +763,37 @@ object SparkEntry {
           "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
         .groupBy("hour", "event_type").agg(count("*").as("n"))
         .orderBy("hour", "event_type")),
+    "e4_funnel" -> ((s, dir) => {
+      // strict sequential funnel view -> click -> purchase per user:
+      // each stage's first qualifying event must be STRICTLY after the
+      // previous stage's. Three user-keyed min-aggregates chained by
+      // user-keyed joins over (user_id, ts) rows — at 100 TB every
+      // exchange carries 16 bytes/row and the per-stage relations only
+      // shrink. Counts + rounded conversion rates, one row.
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          when(col("n_view") > 0,
+            round(col("n_click").cast("double") / col("n_view"), 6))
+            .as("view_to_click"),
+          when(col("n_click") > 0,
+            round(col("n_purchase").cast("double") / col("n_click"), 6))
+            .as("click_to_purchase"))
+    }),
+    "t26_char_entropy" -> ((s, dir) => // char-distribution gibberish signal
+      TextAnalysis.charEntropy(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
     "e3_gapfill" -> ((s, dir) => {
       // time-series gap fill: a generated hour spine (min..max hour ×
       // event types) left-joins the sparse counts, missing cells become
@@ -1978,6 +2009,24 @@ object SparkEntry {
           |FROM orders
           |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
           |ORDER BY priority, status""".stripMargin,
+      "e4_funnel" ->
+        """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+          |           WHERE event_type = 'view' GROUP BY 1),
+          |c AS (SELECT e.user_id, min(e.ts) AS t_click
+          |      FROM events e JOIN v USING (user_id)
+          |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+          |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          |      FROM events e JOIN c USING (user_id)
+          |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+          |SELECT nv AS n_view, nc AS n_click, np AS n_purchase,
+          |       CASE WHEN nv > 0
+          |         THEN round(CAST(nc AS DOUBLE) / nv, 6) END AS view_to_click,
+          |       CASE WHEN nc > 0
+          |         THEN round(CAST(np AS DOUBLE) / nc, 6) END AS click_to_purchase
+          |FROM (SELECT count(*) AS nv FROM v),
+          |     (SELECT count(*) AS nc FROM c),
+          |     (SELECT count(*) AS np FROM p)""".stripMargin,
+      "t26_char_entropy" -> TextAnalysisSql.charEntropy,
       "e2_sessionize" -> // lag/gap/cumsum replicates session_window exactly:
         // an event starts a new session iff it is STRICTLY more than the
         // gap after the previous one (an event at exactly last+gap merges

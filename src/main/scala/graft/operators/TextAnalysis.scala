@@ -660,6 +660,29 @@ object TextAnalysis {
           .as("xent"))
   }
 
+  /** Per-document Shannon entropy of the normalized character
+    * distribution, in nats — the cheap gibberish detector corpus
+    * pipelines pair with the LM scorers (low = repeated-char junk, high
+    * = uniform noise; natural text sits in a band). Uses the closed form
+    * `H = ln(n) − (Σ c·ln c)/n` so one `(doc, char)` count aggregate and
+    * one per-doc aggregate compute it — no window, no second pass. The
+    * per-char expansion is narrow (explode over positions); both
+    * aggregates combine map-side. `(doc_id, n_chars, entropy)`. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), normalized(col("text")).as("norm"))
+      .where(length(col("norm")) > 0)
+      .select(col("doc_id"), col("norm"),
+        explode(expr("sequence(1, length(norm))")).as("i"))
+      .select(col("doc_id"), expr("substring(norm, i, 1)").as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id").agg(
+      sum("c").cast("long").as("n_chars"),
+      round(log(sum("c").cast("double"))
+        - sum(col("c") * log(col("c").cast("double"))) / sum("c"), 6)
+        .as("entropy"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-candidate-document
     * average log-likelihood ratio between a TARGET-domain LM (trained on
@@ -1084,6 +1107,27 @@ object TextAnalysisSql {
        |LEFT JOIN (SELECT token AS prev, c_u AS c_prev FROM uni) USING (prev)
        |LEFT JOIN (SELECT token AS cur, c_u AS c_cur FROM uni) USING (cur)
        |CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[TextAnalysis.charEntropy]]: the same per-position char
+    * expansion ([[TokenizerSql]]'s `unnest(generate_series)` idiom) and
+    * the same closed-form entropy arithmetic. */
+  val charEntropy: String =
+    s"""SELECT doc_id,
+       |       CAST(sum(c) AS BIGINT) AS n_chars,
+       |       round(ln(CAST(sum(c) AS DOUBLE))
+       |             - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+       |FROM (
+       |  SELECT doc_id, ch, count(*) AS c
+       |  FROM (
+       |    SELECT doc_id, substr(norm, i, 1) AS ch
+       |    FROM (
+       |      SELECT doc_id, norm,
+       |             unnest(generate_series(1, length(norm))) AS i
+       |      FROM (SELECT doc_id, array_to_string($toks, ' ') AS norm
+       |            FROM documents)
+       |      WHERE length(norm) > 0))
+       |  GROUP BY doc_id, ch)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Twin of [[TextAnalysis.dsirWeights]]: two model CTE families (target

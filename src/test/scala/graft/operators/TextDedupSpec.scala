@@ -28,6 +28,24 @@ class TextDedupSpec extends SparkSuite {
     assert(sh4 === Seq("one two three", "two three four"))
   }
 
+  test("charEntropy: closed form matches hand-computed distributions") {
+    // "aaaa" -> norm "aaaa": H = 0; "abab" -> uniform over {a,b}: H = ln 2
+    // "ab" + junk punctuation -> norm "ab": H = ln 2 over 2 chars
+    val got = TextAnalysis.charEntropy(docs(
+      1L -> "aaaa", 2L -> "abab", 3L -> "A!b?", 4L -> ""))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Double]("entropy")))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L)) // empty doc has no distribution
+    assert(got(1L) === ((4L, 0.0)))
+    assert(got(2L)._1 === 4L)
+    assert(math.abs(got(2L)._2 - math.log(2.0)) < 1e-6)
+    // norm of "A!b?" is "a b": 3 chars, counts {a:1, ' ':1, b:1} -> ln 3
+    assert(got(3L)._1 === 3L)
+    assert(math.abs(got(3L)._2 - math.log(3.0)) < 1e-6)
+    // repeated-char junk scores strictly below mixed text: the signal
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
   test("tokenDrift: JS contributions match the closed-form per-token values") {
     // batch A (doc 1): "x x y" -> tot_a=3; batch B (doc 2): "x y y y" ->
     // tot_b=4. Counts: x (2,1), y (1,3).
