@@ -67,6 +67,22 @@ class TokenizerSpec extends SparkSuite {
     assert(firstMerge.getLong(3) === pairHead.getLong(2))
   }
 
+  test("bpeTrain matches the reference on a seeded random corpus (fold sweep)") {
+    // 200 random words over a 4-char alphabet maximize merge collisions
+    // (repeated chars, overlapping pairs) — the fold's hard cases — in
+    // ONE distributed run against the reference trainer
+    val rnd = new scala.util.Random(20260813L)
+    val words = Seq.fill(200)(
+      (0 until (1 + rnd.nextInt(7))).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+    val corpus = docs(words.grouped(20).map(_.mkString(" ")).toSeq: _*)
+    val got = Tokenizer.bpeTrain(corpus, nMerges = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val wc = Tokenizer.wordCounts(corpus)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.toSeq === Tokenizer.bpeTrainReference(wc, nMerges = 5))
+  }
+
   test("bpeTrain stops early when no pair remains") {
     // single-char words only: zero pairs, zero merges
     val got = Tokenizer.bpeTrain(docs("a b c a"), nMerges = 4).collect()
