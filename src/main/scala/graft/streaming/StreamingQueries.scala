@@ -247,7 +247,13 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the drained state feeds SEVEN derivations (two uni/bi models, the
+    // candidate relation, two totals) — persist the one bounded count
+    // relation instead of re-materializing the memory sink per branch.
+    // Released by the harness's per-query clearCache (Bench/Verify
+    // contract — see Dedup.nearDupPairs note).
     val state = spark.table(name)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def uniOf(target: Boolean, keyName: String, cName: String) =
       state.where(col("kind") === "u" && col("in_target") === target)
