@@ -116,6 +116,14 @@ object SparkEntry {
       Tables(s, dir, "documents").repartition(64)
         .write.mode("overwrite").parquet(path)
     }),
+    "bpe_merges" -> ((s, dir) => ensureFixture(dir, "bpe_merges") { path =>
+      // the tokenizer-training artifact: 8 BPE merges learned once from
+      // the corpus (Tokenizer.bpeTrain), persisted like every other
+      // train-once/serve-many model in the repo; the encode query and
+      // its spec gate load this same artifact.
+      Tokenizer.bpeTrain(Tables(s, dir, "documents"), nMerges = 8)
+        .write.mode("overwrite").parquet(path)
+    }),
     "pq_codebook" -> ((s, dir) => ensureFixture(dir, "pq_codebook") { path =>
       // the ANN layer's model artifact: the PQ codebook trains OFFLINE
       // once (spherical k-means over the corpus) and every encode/search
@@ -763,6 +771,24 @@ object SparkEntry {
           "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
         .groupBy("hour", "event_type").agg(count("*").as("n"))
         .orderBy("hour", "event_type")),
+    "e5_retention" -> ((s, dir) => {
+      // cohort retention: users grouped by first-seen day, activity
+      // counted per day offset — the classic growth-analytics matrix.
+      // Two user-keyed aggregates and one user-keyed join over narrow
+      // rows; distinct-user counting shuffles (cohort, offset, user)
+      // triples, never event payloads.
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      ev.join(first, "user_id")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("day"), col("cohort")).as("day_offset"),
+          col("user_id"))
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort", "day_offset")
+    }),
     "e4_funnel" -> ((s, dir) => {
       // strict sequential funnel view -> click -> purchase per user:
       // each stage's first qualifying event must be STRICTLY after the
@@ -1299,6 +1325,15 @@ object SparkEntry {
       // equal the oracle-checked t23_bpe_pairs head
       Tokenizer.bpeTrain(Tables(s, dir, "documents"), nMerges = 8)
         .orderBy("rank")),
+    "t27_bpe_encode" -> ((s, dir) => { // serve the learned BPE artifact
+      // merge list is the bounded trained artifact (8 rows) — loading it
+      // driver-side is the PQ-codebook lifecycle, not a corpus collect
+      val ms = s.read.parquet(fixtures("bpe_merges")(s, dir))
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      Tokenizer.encodeWithMerges(Tables(s, dir, "documents"), ms.toSeq)
+        .orderBy("doc_id")
+    }),
     "t24_bigram_lm" -> ((s, dir) => // stupid-backoff bigram LM scoring
       TextAnalysis.bigramLmScore(Tables(s, dir, "documents"),
         col("source").isin(batchASources: _*)).orderBy("doc_id")),
@@ -2009,6 +2044,15 @@ object SparkEntry {
           |FROM orders
           |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
           |ORDER BY priority, status""".stripMargin,
+      "e5_retention" ->
+        """WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+          |            FROM events),
+          |first AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1)
+          |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+          |       date_diff('day', cohort, day) AS day_offset,
+          |       count(DISTINCT user_id) AS n_active
+          |FROM ev JOIN first USING (user_id)
+          |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
       "e4_funnel" ->
         """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
           |           WHERE event_type = 'view' GROUP BY 1),

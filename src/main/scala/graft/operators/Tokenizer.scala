@@ -128,6 +128,47 @@ object Tokenizer {
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "n")
   }
 
+  /** Encode the corpus with a LEARNED merge list (the serve side of the
+    * [[bpeTrain]] artifact lifecycle): apply the merges in rank order and
+    * report per-document `(n_tokens, n_chars, n_subwords)` — the
+    * compression the tokenizer actually buys, the number a token-budget
+    * planner consumes. Invariant: `n_tokens ≤ n_subwords ≤ n_chars`.
+    *
+    * Scale shape: the merges apply to the VOCABULARY relation (distinct
+    * words — sublinear in corpus size), not to every occurrence; the
+    * corpus pays one word-keyed join against that bounded encoded vocab.
+    * The merge chain is `merges.size` statically-inlined folds over each
+    * vocab word's symbol array — narrow, codegen'd, zero exchanges. */
+  def encodeWithMerges(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wordsPerDoc = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("word"))
+    val encoded = merges.zipWithIndex.foldLeft(
+      wordsPerDoc.select(col("word")).distinct()
+        .withColumn("syms", expr("split(word, '')"))) {
+      case (d, ((l, r), _)) => d.withColumn("syms", mergeOnce("syms", l, r))
+    }.select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    wordsPerDoc.join(encoded, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum("n_sub").cast("long").as("n_subwords"))
+  }
+
+  /** Reference encoder for the spec gate: greedy left-to-right merge
+    * application in rank order, per word. */
+  private[operators] def encodeReference(word: String,
+      merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) { case (syms, (l, r)) =>
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (s <- syms) {
+        if (acc.nonEmpty && acc.last == l && s == r)
+          acc(acc.length - 1) = l + r
+        else acc += s
+      }
+      acc.toSeq
+    }
+
   /** In-memory reference BPE trainer over collected word counts — the
     * independent implementation `TokenizerSpec` gates [[bpeTrain]]
     * against. Same tie-break, same greedy left-to-right merge. */

@@ -83,6 +83,35 @@ class TokenizerSpec extends SparkSuite {
     assert(got.toSeq === Tokenizer.bpeTrainReference(wc, nMerges = 5))
   }
 
+  test("encodeWithMerges equals the reference encoder and honors its bounds") {
+    val corpus = docs(
+      "low low low lower lowest",
+      "new newer newest news",
+      "low news lower newer")
+    val merges = Tokenizer.bpeTrain(corpus, nMerges = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Tokenizer.encodeWithMerges(corpus, merges)
+      .orderBy("doc_id").collect()
+
+    // independent recomputation: reference-encode every word per doc
+    val texts = corpus.orderBy("doc_id").collect().map(_.getString(1))
+    got.zip(texts).foreach { case (r, text) =>
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val wantSub = words.map(w =>
+        Tokenizer.encodeReference(w, merges).length.toLong).sum
+      assert(r.getAs[Long]("n_tokens") === words.length.toLong)
+      assert(r.getAs[Long]("n_chars") === words.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("n_subwords") === wantSub)
+      // merges can only compress: tokens <= subwords <= chars
+      assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_subwords"))
+      assert(r.getAs[Long]("n_subwords") <= r.getAs[Long]("n_chars"))
+    }
+    // the learned merges actually compress this corpus
+    assert(got.map(_.getAs[Long]("n_subwords")).sum
+      < got.map(_.getAs[Long]("n_chars")).sum)
+  }
+
   test("bpeTrain stops early when no pair remains") {
     // single-char words only: zero pairs, zero merges
     val got = Tokenizer.bpeTrain(docs("a b c a"), nMerges = 4).collect()
