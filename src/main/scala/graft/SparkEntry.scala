@@ -1442,6 +1442,9 @@ object SparkEntry {
       // at any threshold
       Dedup.jaccardPairsExact(Tables(s, dir, "documents"), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
+    "dedup_containment" -> ((s, dir) => // asymmetric subset-dup detector
+      Dedup.containmentPairs(Tables(s, dir, "documents"), threshold = 0.8)
+        .orderBy("doc_a", "doc_b")),
     "dedup_clusters" -> ((s, dir) => // connected components over near-dups
       Dedup.nearDupClusters(Tables(s, dir, "documents")).orderBy("doc_id")),
     "dedup_embedding_cos" -> ((s, dir) =>
@@ -2233,6 +2236,7 @@ object SparkEntry {
       "dedup_bloom_xbatch" ->
         DedupSql.bloomNewDocs(batchAPredSql, s"NOT $batchAPredSql"),
       "dedup_minhash_lsh" -> DedupSql.minhashLshPairs(0.8, 3),
+      "dedup_containment" -> DedupSql.containmentAllPairs(0.8, 3),
       "dedup_clusters" -> DedupSql.nearDupClusters(0.8, 3),
       "pipe1_clean_corpus" -> DedupSql.cleanCorpus(0.5),
       "pipe2_pretrain_corpus" -> DedupSql.pretrainCorpus("doc_id % 100 = 0", 0.5),

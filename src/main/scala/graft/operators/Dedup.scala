@@ -394,6 +394,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle containment `C(A→B) = |A∩B| / |A| ≥ θ` — the
+    * subset-duplicate detector symmetric Jaccard misses: a short document
+    * quoted whole inside a long one has high containment but low Jaccard
+    * (quote expansion, boilerplate wrappers, doc-in-collection). Output is
+    * every ORDERED pair `(doc_a, doc_b, containment)`, doc_a the contained
+    * side, `doc_a != doc_b`.
+    *
+    * Exactness by the prefix-filter argument: if `C(A→B) ≥ θ` then A and B
+    * share ≥ `⌈θ·|A|⌉` shingles, so B must hit A's first
+    * `|A| − ⌈θ·|A|⌉ + 1` shingles under ANY global shingle order — the
+    * same (df, shingle) canonical order [[jaccardPairsExact]] uses. Only
+    * the CONTAINED side takes a prefix; the containing side has no size
+    * bound, so it contributes its full inverted list — that full index is
+    * the honest scale cost of asymmetric containment (the exchange
+    * carries 8-byte shingle hashes, and hot-shingle buckets are the skew
+    * lane AQE splits; a df cap would trade recall, so none is applied).
+    * The exact verify join then computes `|A∩B|/|A|` on the real shingle
+    * arrays — hash collisions in candidate generation only ADD candidates.
+    * Float boundaries use [[jaccardPairsExact]]'s keep-biased epsilon. */
+  def containmentPairs(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+
+    val base = shingleSets(docs, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = base.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val freq = inv.groupBy("shingle").agg(count("*").as("df"))
+    val eps = 1e-9
+
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val keyed = inv.join(freq, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("sz"), col("pos"),
+        xxhash64(col("shingle")).as("sh_key"))
+      // both the contained-side prefix and the containing-side full index
+      // derive from this one relation (Bench/Verify clearCache contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixA = keyed
+      .where(col("pos") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
+
+    val candidates = prefixA.as("a")
+      .join(keyed.as("b"),
+        col("a.sh_key") === col("b.sh_key")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    candidates
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Cross-checkable SimHash invariant: every EXACT duplicate pair (same
     * normalized text, both docs tokenizable) has SimHash Hamming distance
     * 0, so [[simhashPairs]] must surface it. Output is one row
@@ -843,6 +904,21 @@ object DedupSql {
        |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Twin of [[Dedup.containmentPairs]]: brute-force over all ordered
+    * pairs — the pruning on the Spark side is recall-lossless by the
+    * prefix-filter argument, so outputs match row for row. */
+  def containmentAllPairs(threshold: Double, shingleN: Int): String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, ${shinglesSql(shingleN)} AS sh
+       |  FROM documents WHERE len($toks) > 0)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / len(a.sh) AS containment
+       |FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(a.sh) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Twin of [[Dedup.cleanCorpus]]: quality subquery reuses

@@ -28,6 +28,21 @@ class TextDedupSpec extends SparkSuite {
     assert(sh4 === Seq("one two three", "two three four"))
   }
 
+  test("containmentPairs: catches the subset dup symmetric Jaccard misses") {
+    // doc 1 is quoted WHOLE inside doc 2's wrapper: containment(1->2) = 1
+    // but Jaccard is low (2 has many extra shingles). doc 3 is unrelated.
+    val quoted = "the quick brown fox jumps over the lazy dog"
+    val wrapper = ("intro paragraph one " * 5) + quoted + (" closing remarks here " * 5)
+    val d = docs(1L -> quoted, 2L -> wrapper, 3L -> "completely different text corpus")
+    val got = Dedup.containmentPairs(d, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1 contained in 2, full containment; no reverse pair, no doc 3
+    assert(got.map(t => (t._1, t._2)).toSet === Set((1L, 2L)))
+    assert(got(0)._3 === 1.0)
+    // and symmetric Jaccard indeed misses it at the same threshold
+    assert(Dedup.jaccardPairsExact(d, threshold = 0.8).collect().isEmpty)
+  }
+
   test("charEntropy: closed form matches hand-computed distributions") {
     // "aaaa" -> norm "aaaa": H = 0; "abab" -> uniform over {a,b}: H = ln 2
     // "ab" + junk punctuation -> norm "ab": H = ln 2 over 2 chars
