@@ -33,7 +33,7 @@ object Sampling {
     * sides land in [0, M) for every Long id, negative ids included
     * (`((r+M)·p) mod M == (r·p) mod M`, so the fold changes nothing for
     * the non-negative ids the testdata has). */
-  private def rowHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def rowHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(pmod(id, lit(hashMod)) * (hashPrime % hashMod), lit(hashMod))
 
   /** The mod-reduced hash as SQL, shared by every twin; non-negative for
@@ -270,6 +270,42 @@ object Sampling {
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard").orderBy("h", "doc_id")))
       .select("doc_id", "log_ratio", "shard", "pos")
+  }
+
+  /** Fixed-size weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    * row draws `u ∈ (0,1]` from the deterministic row hash and gets
+    * priority `u^(1/w)`; the k LARGEST priorities are exactly a weighted
+    * sample without replacement — the one-pass, mergeable alternative to
+    * the rate-based [[temperatureKeep]] when the pipeline needs an exact
+    * sample SIZE (eval-set carving, human-review draws) rather than an
+    * expected rate. `(doc_id, source, <weight>, rank)`.
+    *
+    * Cross-engine caveat (documented, not hidden): the priority is a
+    * `pow` of the exact integer hash — the one operator family whose
+    * twins lean on libm agreement rather than exact integer arithmetic.
+    * The comparison is safe in practice because adjacent top-k
+    * priorities differ by ~1e-4 while cross-libm `pow` disagreement is
+    * ≤1 ulp (~1e-16); the priority itself is NOT in the output, so only
+    * the selected set and its order must agree.
+    *
+    * Scale shape: `orderBy(priority).limit(k)` plans as a distributed
+    * TakeOrdered — O(log k) heap work per row, k rows per partition to
+    * the driver, NO global sort — then the rank window runs on the k
+    * collected rows only. One scan at 100 TB. */
+  def weightedSample(docs: DataFrame, k: Int = 100,
+      weightCol: String = "n_chars"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (rowHash(col("doc_id")) + 1).cast("double") / hashMod
+    val priority =
+      pow(u, lit(1.0) / greatest(col(weightCol), lit(1L)).cast("double"))
+    docs.select(col("doc_id"), col("source"), col(weightCol),
+        priority.as("es_key"))
+      .orderBy(desc("es_key"), col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy().orderBy(desc("es_key"), col("doc_id"))))
+      .select("doc_id", "source", weightCol, "rank")
   }
 }
 

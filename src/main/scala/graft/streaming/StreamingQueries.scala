@@ -213,13 +213,20 @@ object StreamingQueries {
     * maintains ONE stateful aggregate — per-`(doc, in_target, kind, key)`
     * counts, where `kind` tags unigram vs bigram occurrences and `key`
     * is the token or the space-joined bigram (tokens are `[a-z0-9]+`, so
-    * the join is unambiguous). Both LMs' count tables, the candidate
-    * relation, and the importance-ratio arithmetic all finish on the
-    * drained state with `t25_dsir`'s exact term order, so the result
-    * equals the batch query row for row and SHARES its oracle. At
-    * serving scale the finishing step is where pretrained target/raw LM
-    * artifacts would join instead; training on the drained batch keeps
-    * t25's self-normalized semantics. */
+    * the join is unambiguous). The doc column is COLLAPSED to -1 for
+    * every row the finishing step never reads at doc granularity: the
+    * candidate relation is the non-target bigrams only, so target docs
+    * and all unigram rows fold into corpus-level model counts before
+    * they reach the state store — the stream's state (and the complete-
+    * mode sink it rewrites every batch) holds vocab-sized model rows
+    * plus only the raw-side doc×bigram rows, not every doc×token pair.
+    * Both LMs' count tables, the candidate relation, and the
+    * importance-ratio arithmetic all finish on the drained state with
+    * `t25_dsir`'s exact term order, so the result equals the batch
+    * query row for row and SHARES its oracle. At serving scale the
+    * finishing step is where pretrained target/raw LM artifacts would
+    * join instead; training on the drained batch keeps t25's
+    * self-normalized semantics. */
   def dsirScore(outer: SparkSession, dir: String,
       targetSources: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
@@ -231,15 +238,30 @@ object StreamingQueries {
       .select(col("doc_id"),
         col("source").isin(targetSources: _*).as("in_target"),
         graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
-    val uniPart = toked
-      .select(col("doc_id"), col("in_target"), lit("u").as("kind"),
-        explode(col("toks")).as("key"))
-    val biPart = toked.where(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("in_target"), lit("b").as("kind"),
-        explode(graft.operators.TextAnalysis.bigrams("toks")).as("bg"))
-      .select(col("doc_id"), col("in_target"), col("kind"),
-        concat_ws(" ", col("bg.prev"), col("bg.cur")).as("key"))
-    val counts = uniPart.unionByName(biPart)
+    // ONE scan, ONE tokenize pass: unigram and bigram (kind, key) rows
+    // come out of a single explode (a union of two branches would scan
+    // and re-tokenize the stream twice). The zip_with(toks, tail) pair
+    // construction is total: short/empty docs yield an empty bigram
+    // array via the null-cur filter, no size() guard branch needed.
+    val rows = toked.select(col("doc_id"), col("in_target"),
+        explode(expr(
+          """concat(
+            |  transform(toks, t -> struct('u' AS kind, t AS key)),
+            |  transform(
+            |    filter(zip_with(toks, slice(toks, 2, size(toks)),
+            |             (a, b) -> struct(a AS prev, b AS cur)),
+            |           p -> p.cur IS NOT NULL),
+            |    p -> struct('b' AS kind,
+            |                concat_ws(' ', p.prev, p.cur) AS key)))"""
+            .stripMargin)).as("kk"))
+      .select(
+        // unigrams feed model counts only, and per-doc rows are only
+        // read for the NON-target bigram side (the candidate relation
+        // `db`) — collapse doc_id everywhere else
+        when(col("in_target") || col("kk.kind") === "u", lit(-1L))
+          .otherwise(col("doc_id")).as("doc_id"),
+        col("in_target"), col("kk.kind").as("kind"), col("kk.key").as("key"))
+    val counts = rows
       .groupBy("doc_id", "in_target", "kind", "key").agg(cnt("*").as("c"))
     val q = counts.writeStream
       .format("memory").queryName(name)
