@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Layout, LayoutSql, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -322,6 +322,21 @@ object SparkEntry {
           (abs(col("approx") - col("exact_docs")).cast("double")
             / col("exact_docs") <= 0.05).as("merge_ok"))
     }),
+
+    "a13_kmv_distinct" -> ((s, dir) =>
+      // KMV distinct sketch (exact-arithmetic twin in KmvSql): unlike
+      // a7/a9's HLL lane, the k-min-values sketch itself is
+      // oracle-checkable — hash, rank filter and estimator are all
+      // deterministic integer arithmetic until one rounded division.
+      Kmv.distinctEstimate(Tables(s, dir, "events"), "event_type",
+        "user_id")),
+    "a14_kmv_jaccard" -> ((s, dir) =>
+      // What KMV buys over HLL: sketch SET ALGEBRA. Merged k-min
+      // sketches estimate pairwise Jaccard/overlap between the groups'
+      // key sets — the cross-shard overlap triage a corpus runs before
+      // paying for full dedup; the exact hashed-set Jaccard rides along.
+      Kmv.jaccardEstimate(Tables(s, dir, "events"), "event_type",
+        "user_id")),
 
     "a11_histogram" -> ((s, dir) =>
       // Fixed-width histogram by integer bin arithmetic — the profiling
@@ -1298,6 +1313,8 @@ object SparkEntry {
     "p13_curriculum" -> ((s, dir) => // quality-ordered training phases
       Sampling.curriculumPhases(Tables(s, dir, "documents"), nPhases = 4)
         .orderBy("doc_id")),
+    "p14_weighted_sample" -> ((s, dir) => // fixed-SIZE weighted draw (E-S)
+      Sampling.weightedSample(Tables(s, dir, "documents"), k = 100)),
     "t19_oov_rate" -> ((s, dir) => // tokenizer-coverage audit vs top-K vocab
       TextAnalysis.oovRate(Tables(s, dir, "documents"), topK = 50)
         .orderBy("doc_id")),
@@ -1822,6 +1839,12 @@ object SparkEntry {
       "a9_hll_merge" -> // per-group sketches union to the global distinct
         """SELECT count(DISTINCT doc_id) AS exact_docs,
           |       TRUE AS merge_ok FROM documents""".stripMargin,
+      // the KMV sketch is deterministic integer arithmetic end to end:
+      // the oracle checks the sketch itself, not just an accuracy band
+      "a13_kmv_distinct" ->
+        KmvSql.distinctEstimate("events", "event_type", "user_id"),
+      "a14_kmv_jaccard" ->
+        KmvSql.jaccardEstimate("events", "event_type", "user_id"),
       "w5_ffill" -> // last_value IGNORE NULLS carries readings forward
         """SELECT user_id, event_id, reading,
           |       last_value(reading IGNORE NULLS) OVER (
@@ -2224,6 +2247,7 @@ object SparkEntry {
       "t18_quality_calibrate" -> SamplingSql.calibrateQuality(30),
       "p13_curriculum" ->
         s"${SamplingSql.curriculumPhases(4)} ORDER BY doc_id",
+      "p14_weighted_sample" -> SamplingSql.weightedSample(100),
       "t19_oov_rate" -> s"${TextAnalysisSql.oovRate(50)} ORDER BY doc_id",
       "t20_token_drift" ->
         s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",

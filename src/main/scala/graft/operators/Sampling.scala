@@ -453,4 +453,18 @@ object SamplingSql {
        |       row_number() OVER (PARTITION BY h % $nShards
        |                          ORDER BY h, doc_id) AS pos
        |FROM sel ORDER BY shard, pos""".stripMargin
+
+  /** Twin of [[Sampling.weightedSample]]: same hash-drawn uniform, same
+    * `u^(1/w)` priority (the one libm-dependent twin — see the operator
+    * scaladoc for why the comparison is safe), same desc/doc_id order. */
+  def weightedSample(k: Int, weightCol: String = "n_chars"): String =
+    s"""SELECT doc_id, source, $weightCol, rank FROM (
+       |  SELECT doc_id, source, $weightCol,
+       |         row_number() OVER (
+       |           ORDER BY pow((${Sampling.rowHashSql("doc_id")} + 1)
+       |                          / ${Sampling.hashMod}.0,
+       |                        1.0 / greatest($weightCol, 1)) DESC,
+       |                    doc_id) AS rank
+       |  FROM documents)
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
 }

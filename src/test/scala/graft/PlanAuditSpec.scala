@@ -622,4 +622,22 @@ class PlanAuditSpec extends SparkSuite {
         s"document text on the wire: ${e.child.schema.treeString}")
     }
   }
+
+  test("p14: the weighted draw is a TakeOrdered top-k, not a global sort") {
+    val p = plan("p14_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the rank window runs AFTER the limit, on k collected rows — the
+    // single-partition window must never see the corpus side
+    assert(p.indexOf("TakeOrderedAndProject") > p.indexOf("Window"),
+      "window must sit above the top-k in the formatted plan")
+  }
+
+  test("a14: the pair table broadcasts into the hash relation, never the reverse") {
+    val p = plan("a14_kmv_jaccard")
+    // BuildRight = the pairs relation (the join's right side) is what
+    // ships; the corpus-sized hash relation streams through
+    assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

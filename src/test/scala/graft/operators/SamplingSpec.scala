@@ -197,4 +197,23 @@ class SamplingSpec extends SparkSuite {
       assert(rs.map(_.getAs[Int]("pos")).sorted === (1 to rs.length).toArray)
     }
   }
+
+  test("weightedSample: exact size, dense ranks, weight-biased, deterministic") {
+    // 200 light docs (w=10) vs 200 heavy (w=1000): E-S priorities
+    // u^(1/w) concentrate near 1 for heavy docs, so the sample must
+    // over-represent them strongly
+    val d = (1L to 200L).map(i => (i, "light", 10L))
+      .++((201L to 400L).map(i => (i, "heavy", 1000L)))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Sampling.weightedSample(d, k = 50).collect()
+    assert(got.length === 50)
+    assert(got.map(_.getAs[Int]("rank")).sorted === (1 to 50).toArray)
+    val heavy = got.count(_.getAs[String]("source") == "heavy")
+    // E[heavy] ≈ 50·(1000/1010-ish) — anything over 40 proves the bias;
+    // the draw is deterministic, so no flake margin is needed
+    assert(heavy >= 40, s"heavy docs in sample: $heavy of 50")
+    // reproducible bit for bit (the property the hash-drawn u exists for)
+    val again = Sampling.weightedSample(d, k = 50).collect()
+    assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
