@@ -1672,6 +1672,8 @@ object SparkEntry {
     // the incremental engine must reproduce the batch answer exactly
     "st1_stream_hourly" -> ((s, dir) =>
       graft.streaming.StreamingQueries.eventHourly(s, dir)),
+    "st16_stream_kmv" -> ((s, dir) => // modulus-bounded cardinality monitor
+      graft.streaming.StreamingQueries.kmvState(s, dir)),
     "st2_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingQueries.dedupState(s, dir)),
     "st13_stream_corpus" -> ((s, dir) => // streaming corpus ingest: model
@@ -2363,6 +2365,10 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
           |       event_type, count(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      // drained (grp, h) state -> the batch sketch, minus the exact
+      // column the bounded-state stream deliberately does not keep
+      "st16_stream_kmv" ->
+        KmvSql.distinctSketch("events", "event_type", "user_id"),
       "st2_stream_dedup" -> // coalesce: Spark's concat_ws key maps NULL
         // text to "" while count(DISTINCT) would skip a NULL outright
         s"""SELECT count(*) AS n_docs,

@@ -38,27 +38,35 @@ object Kmv {
         Sampling.rowHash(col(keyCol)).as("h"))
       .distinct()
 
+  /** The estimator half, shared with the streaming face
+    * ([[graft.streaming.StreamingQueries]]'s st16, which feeds it the
+    * DRAINED distinct-hash state): `(grp, h)` distinct rows in, per-group
+    * `(grp, n_h, kmv_est)` out — `kmv_est = (k-1)·M / h_k` when the
+    * group fills the sketch; below k the sketch IS the exact set and the
+    * estimate equals `n_h`. */
+  private[graft] def sketchFinish(uh: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k >= 2: $k")
+    val ranked = uh.withColumn("r", row_number().over(
+      Window.partitionBy("grp").orderBy("h")))
+    ranked.groupBy("grp").agg(
+        count(lit(1)).as("n_h"),
+        max(when(col("r") === k, col("h"))).as("h_k"))
+      .select(col("grp"), col("n_h"),
+        when(col("n_h") >= k,
+            round(lit((k - 1).toDouble * Sampling.hashMod) / col("h_k"), 6))
+          .otherwise(col("n_h").cast("double")).as("kmv_est"))
+  }
+
   /** Per-group KMV distinct estimate, k smallest of the hashed key set.
-    * `(grp, n_h, kmv_est, exact_keys)`: `n_h` distinct hash values,
-    * `kmv_est = (k-1)·M / h_k` when the group fills the sketch (the
-    * sketch IS the exact set below k — the estimate equals `n_h`), and
-    * the exact distinct-key count the estimate should bracket. */
+    * `(grp, n_h, kmv_est, exact_keys)` — the sketch plus the exact
+    * distinct-key count the estimate should bracket. */
   def distinctEstimate(rows: DataFrame, groupCol: String, keyCol: String,
       k: Int = 64): DataFrame = {
-    require(k >= 2, s"k >= 2: $k")
-    val ranked = distinctHashes(rows, groupCol, keyCol)
-      .withColumn("r", row_number().over(
-        Window.partitionBy("grp").orderBy("h")))
-    val sketch = ranked.groupBy("grp").agg(
-      count(lit(1)).as("n_h"),
-      max(when(col("r") === k, col("h"))).as("h_k"))
+    val sketch = sketchFinish(distinctHashes(rows, groupCol, keyCol), k)
     val exact = rows.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(keyCol)).as("exact_keys"))
     sketch.join(exact, "grp")
-      .select(col("grp").as(groupCol), col("n_h"),
-        when(col("n_h") >= k,
-            round(lit((k - 1).toDouble * Sampling.hashMod) / col("h_k"), 6))
-          .otherwise(col("n_h").cast("double")).as("kmv_est"),
+      .select(col("grp").as(groupCol), col("n_h"), col("kmv_est"),
         col("exact_keys"))
       .orderBy(groupCol)
   }
@@ -116,24 +124,42 @@ object KmvSql {
     s"""SELECT DISTINCT $groupCol AS grp,
        |       ${Sampling.rowHashSql(keyCol)} AS h FROM $table""".stripMargin
 
-  def distinctEstimate(table: String, groupCol: String, keyCol: String,
-      k: Int = 64): String =
-    s"""WITH uh AS (${hashes(table, groupCol, keyCol)}),
+  private def sketchCtes(table: String, groupCol: String, keyCol: String,
+      k: Int) =
+    s"""uh AS (${hashes(table, groupCol, keyCol)}),
        |r AS (SELECT grp, h,
        |             row_number() OVER (PARTITION BY grp ORDER BY h) AS r
        |      FROM uh),
        |sk AS (SELECT grp, count(*) AS n_h,
        |              max(CASE WHEN r = $k THEN h END) AS h_k
-       |       FROM r GROUP BY grp),
+       |       FROM r GROUP BY grp)""".stripMargin
+
+  private def estCol(k: Int) =
+    s"""CASE WHEN n_h >= $k
+       |            THEN round(${(k - 1).toDouble * Sampling.hashMod} / h_k, 6)
+       |            ELSE CAST(n_h AS DOUBLE) END AS kmv_est""".stripMargin
+
+  def distinctEstimate(table: String, groupCol: String, keyCol: String,
+      k: Int = 64): String =
+    s"""WITH ${sketchCtes(table, groupCol, keyCol, k)},
        |ex AS (SELECT $groupCol AS grp,
        |              count(DISTINCT $keyCol) AS exact_keys
        |       FROM $table GROUP BY 1)
        |SELECT sk.grp AS $groupCol, n_h,
-       |       CASE WHEN n_h >= $k
-       |            THEN round(${(k - 1).toDouble * Sampling.hashMod} / h_k, 6)
-       |            ELSE CAST(n_h AS DOUBLE) END AS kmv_est,
+       |       ${estCol(k)},
        |       exact_keys
        |FROM sk JOIN ex ON sk.grp = ex.grp
+       |ORDER BY $groupCol""".stripMargin
+
+  /** Sketch-only twin (no exact column) — the st16 streaming face's
+    * oracle: the drained state is the sketch, the exact count is the
+    * unbounded-state half the stream deliberately does not keep. */
+  def distinctSketch(table: String, groupCol: String, keyCol: String,
+      k: Int = 64): String =
+    s"""WITH ${sketchCtes(table, groupCol, keyCol, k)}
+       |SELECT grp AS $groupCol, n_h,
+       |       ${estCol(k)}
+       |FROM sk
        |ORDER BY $groupCol""".stripMargin
 
   def jaccardEstimate(table: String, groupCol: String, keyCol: String,

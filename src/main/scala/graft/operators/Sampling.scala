@@ -33,7 +33,7 @@ object Sampling {
     * sides land in [0, M) for every Long id, negative ids included
     * (`((r+M)·p) mod M == (r·p) mod M`, so the fold changes nothing for
     * the non-negative ids the testdata has). */
-  private[operators] def rowHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def rowHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(pmod(id, lit(hashMod)) * (hashPrime % hashMod), lit(hashMod))
 
   /** The mod-reduced hash as SQL, shared by every twin; non-negative for

@@ -133,6 +133,38 @@ object StreamingQueries {
       .agg(sum("n").as("n_docs"), count("*").as("n_distinct"))
   }
 
+  /** Streaming KMV sketch (`a13_kmv_distinct`'s sketch as an always-on
+    * cardinality monitor): the stream's only state is the distinct
+    * `(group, hash)` relation — BOUNDED BY THE HASH MODULUS per group
+    * (~1e6 fixed-width rows max) no matter how long the stream runs,
+    * which is why a KMV monitor can stay up forever where an exact
+    * distinct count cannot. The estimator half
+    * ([[graft.operators.Kmv.sketchFinish]] — the same code the batch
+    * query runs) finishes on the drained state; the oracle is the batch
+    * sketch SQL minus the exact column the stream deliberately does not
+    * keep. `(event_type, n_h, kmv_est)`. */
+  def kmvState(outer: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val spark = childSession(outer)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "st16_kmv_" + math.abs(dir.hashCode)
+    val hashes = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_type").as("grp"),
+        graft.operators.Sampling.rowHash(col("user_id")).as("h"))
+      .groupBy("grp", "h").agg(cnt("*").as("n_seen"))
+    val q = hashes.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Kmv.sketchFinish(
+        spark.table(name).select("grp", "h"), k)
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type")
+  }
+
   /** Streaming corpus ingestion — the composition layer's ingest face:
     * the hashed-LR model gate runs INSIDE the stream (a native expression
     * gates batch and stream with the same one-pass kernel), and the dedup

@@ -117,6 +117,17 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("kmvState stream equals the batch KMV sketch per group") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.kmvState(spark, dir).collect()
+    val batch = graft.operators.Kmv
+      .distinctEstimate(Tables(spark, dir, "events"), "event_type",
+        "user_id")
+      .select("event_type", "n_h", "kmv_est").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("bloomProbe stream: zero false negatives -> hits == total per group") {
     val dir = "/root/testdata/sf0.001"
     val rows = StreamingQueries.bloomProbe(spark, dir).collect()
