@@ -153,6 +153,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .write.mode("overwrite").json(path)
     }),
+    "docs_jsonl_dirty" -> ((s, dir) =>
+      ensureFixture(dir, "docs_jsonl_dirty") { path =>
+        // every 50th doc's line loses its closing chars -> malformed
+        // JSON, the s5 PERMISSIVE corrupt-record lane's input
+        val js = "to_json(struct(doc_id, lang, n_chars))"
+        Tables(s, dir, "documents")
+          .select(when(col("doc_id") % 50 === 0,
+              expr(s"substring($js, 1, length($js) - 2)"))
+            .otherwise(expr(js)).as("value"))
+          .write.mode("overwrite").text(path)
+      }),
     "events_by_type" -> ((s, dir) => ensureFixture(dir, "events_by_type") { path =>
       Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
@@ -1073,6 +1084,15 @@ object SparkEntry {
           col("f").getItem(1).cast("bigint").as("n"))
         .orderBy("rating")
     }),
+    "s5_json_malformed" -> ((s, dir) => {
+      // §2.6 for the JSONL corpus lane: PERMISSIVE + _corrupt_record,
+      // corrupt count observed on the same job, clean rows returned.
+      // The oracle knows which lines the fixture broke (doc_id % 50).
+      val path = fixtures("docs_jsonl_dirty")(s, dir)
+      Ingest.readDocsJsonObserved(s, path,
+          new org.apache.spark.sql.Observation())
+        .orderBy("doc_id")
+    }),
     "s2_jsonl_ingest" -> ((s, dir) => {
       // JSONL sink + scan round trip — the fourth corpus format next to
       // parquet (Tables), TSV (s1) and text (k1); schema-explicit read so
@@ -1315,6 +1335,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "p14_weighted_sample" -> ((s, dir) => // fixed-SIZE weighted draw (E-S)
       Sampling.weightedSample(Tables(s, dir, "documents"), k = 100)),
+    "p15_stratified_es" -> ((s, dir) => // k-per-source draw, same priority
+      Sampling.stratifiedWeightedSample(Tables(s, dir, "documents"),
+        kPerGroup = 5)),
     "t19_oov_rate" -> ((s, dir) => // tokenizer-coverage audit vs top-K vocab
       TextAnalysis.oovRate(Tables(s, dir, "documents"), topK = 50)
         .orderBy("doc_id")),
@@ -2233,6 +2256,9 @@ object SparkEntry {
           |FROM lineitem WHERE l_quantity >= 2.5""".stripMargin,
       "s2_jsonl_ingest" ->
         "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+      "s5_json_malformed" -> // the fixture breaks exactly the %50 lines
+        """SELECT doc_id, lang, n_chars FROM documents
+          |WHERE doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin,
       "t1_token_stats" -> s"${TextAnalysisSql.tokenStats} ORDER BY doc_id",
       "t2_quality" -> s"${TextAnalysisSql.qualityScore} ORDER BY doc_id",
       "t3_langid" -> s"${TextAnalysisSql.langId} ORDER BY doc_id",
@@ -2250,6 +2276,7 @@ object SparkEntry {
       "p13_curriculum" ->
         s"${SamplingSql.curriculumPhases(4)} ORDER BY doc_id",
       "p14_weighted_sample" -> SamplingSql.weightedSample(100),
+      "p15_stratified_es" -> SamplingSql.stratifiedWeightedSample(5),
       "t19_oov_rate" -> s"${TextAnalysisSql.oovRate(50)} ORDER BY doc_id",
       "t20_token_drift" ->
         s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",

@@ -57,4 +57,37 @@ object Ingest {
         col("movieId"),
         floor(col("averageRating") + 0.5).cast("int").as("rating"))
   }
+
+  /** The same §2.6 drop-with-metric policy for the JSONL corpus format:
+    * PERMISSIVE parse routes unparseable lines to `_corrupt_record`
+    * (fields null), the corrupt count rides the SAME job as an observed
+    * metric, clean rows come back typed. The corrupt column must be in
+    * the explicit read schema — Spark only materializes it on request —
+    * and the filter references the data columns alongside it, which is
+    * what keeps the "corrupt-column-only query" restriction away.
+    *
+    * Metric-consumer caveat (applies to [[readRatingsTsvObserved]]
+    * too): run the action BEFORE any global sort of this result — a
+    * sort's range-partition sampling pass re-executes the observe
+    * subtree, so the metrics double. Sorting downstream of a shuffle
+    * boundary (or driver-side) leaves them exactly-once. */
+  val docsJsonSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true),
+    StructField("_corrupt_record", StringType, nullable = true)))
+
+  def readDocsJsonObserved(
+      spark: SparkSession, path: String,
+      observation: org.apache.spark.sql.Observation): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .schema(docsJsonSchema)
+      .json(path)
+      .observe(observation,
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("corrupt_rows"),
+        count(lit(1)).as("total_rows"))
+      .where(col("_corrupt_record").isNull)
+      .select("doc_id", "lang", "n_chars")
 }

@@ -307,6 +307,29 @@ object Sampling {
         Window.partitionBy().orderBy(desc("es_key"), col("doc_id"))))
       .select("doc_id", "source", weightCol, "rank")
   }
+
+  /** Per-group [[weightedSample]]: k docs per source, same E-S priority.
+    * The eval-set carve every mixture pipeline runs — a fixed-size draw
+    * from EACH source so small sources aren't starved by a global top-k.
+    *
+    * Scale shape: rank-filtered window → Spark inserts WindowGroupLimit
+    * (plan-audited), so each map task pre-prunes to its own top-k per
+    * group before the exchange — the shuffle carries ~k rows per
+    * (group × task), not the corpus. */
+  def stratifiedWeightedSample(docs: DataFrame, kPerGroup: Int = 5,
+      weightCol: String = "n_chars"): DataFrame = {
+    require(kPerGroup > 0, s"kPerGroup must be positive: $kPerGroup")
+    val u = (rowHash(col("doc_id")) + 1).cast("double") / hashMod
+    val priority =
+      pow(u, lit(1.0) / greatest(col(weightCol), lit(1L)).cast("double"))
+    docs.select(col("doc_id"), col("source"), col(weightCol),
+        priority.as("es_key"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(desc("es_key"), col("doc_id"))))
+      .where(col("rank") <= kPerGroup)
+      .select("doc_id", "source", weightCol, "rank")
+      .orderBy("source", "rank")
+  }
 }
 
 /** DuckDB twins of [[Sampling]] — identical integer hash/weight
@@ -467,4 +490,17 @@ object SamplingSql {
        |                    doc_id) AS rank
        |  FROM documents)
        |WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  /** Twin of [[Sampling.stratifiedWeightedSample]]. */
+  def stratifiedWeightedSample(kPerGroup: Int,
+      weightCol: String = "n_chars"): String =
+    s"""SELECT doc_id, source, $weightCol, rank FROM (
+       |  SELECT doc_id, source, $weightCol,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY pow((${Sampling.rowHashSql("doc_id")} + 1)
+       |                          / ${Sampling.hashMod}.0,
+       |                        1.0 / greatest($weightCol, 1)) DESC,
+       |                    doc_id) AS rank
+       |  FROM documents)
+       |WHERE rank <= $kPerGroup ORDER BY source, rank""".stripMargin
 }

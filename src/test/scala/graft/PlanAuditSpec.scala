@@ -632,6 +632,11 @@ class PlanAuditSpec extends SparkSuite {
       "window must sit above the top-k in the formatted plan")
   }
 
+  test("p15: rank filter inserts WindowGroupLimit — map-side top-k pruning") {
+    val p = plan("p15_stratified_es")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("a14: the pair table broadcasts into the hash relation, never the reverse") {
     val p = plan("a14_kmv_jaccard")
     // BuildRight = the pairs relation (the join's right side) is what

@@ -59,6 +59,28 @@ class IngestSpec extends SparkSuite {
     assert(obs.get("total_rows") === 6L)
   }
 
+  test("JSONL corrupt-record lane: malformed lines dropped with metric") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_jsonl_dirty")
+    val lines = Seq(
+      """{"doc_id":1,"lang":"en","n_chars":10}""",
+      """{"doc_id":2,"lang":"fr","n_chars":20""", // truncated -> corrupt
+      """not json at all""",
+      """{"doc_id":4,"lang":"de","n_chars":40}""")
+    Files.write(dir.resolve("part-0.json"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val obs = new org.apache.spark.sql.Observation("jsonl")
+    val clean = Ingest.readDocsJsonObserved(spark, dir.toString, obs)
+    // no orderBy before the action: a sort's range-partition sampling
+    // pass re-executes the observe subtree and doubles the metrics
+    // (see the reader's scaladoc) — sort driver-side instead
+    val got = clean.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(got === Array((1L, "en", 10L), (4L, "de", 40L)))
+    assert(obs.get("corrupt_rows") === 2L)
+    assert(obs.get("total_rows") === 4L)
+  }
+
   test("reading a TSV written by the engine round-trips (S1+K1 parity)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ingest_rt").toString

@@ -216,4 +216,15 @@ class SamplingSpec extends SparkSuite {
     val again = Sampling.weightedSample(d, k = 50).collect()
     assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("stratifiedWeightedSample: k per group, dense per-group ranks") {
+    val d = (1L to 100L).map(i => (i, s"src${i % 4}", 10L + i))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Sampling.stratifiedWeightedSample(d, kPerGroup = 3).collect()
+    assert(got.length === 12) // 4 sources x 3
+    got.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.length === 3, src)
+      assert(rs.map(_.getAs[Int]("rank")).sorted === Array(1, 2, 3))
+    }
+  }
 }
