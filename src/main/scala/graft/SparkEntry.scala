@@ -1341,6 +1341,8 @@ object SparkEntry {
     "t19_oov_rate" -> ((s, dir) => // tokenizer-coverage audit vs top-K vocab
       TextAnalysis.oovRate(Tables(s, dir, "documents"), topK = 50)
         .orderBy("doc_id")),
+    "t28_vocab_growth" -> ((s, dir) => // Heaps'-law curve: vocab vs corpus
+      TextAnalysis.vocabGrowth(Tables(s, dir, "documents"), nBuckets = 10)),
     "t20_token_drift" -> ((s, dir) => // crawl-over-crawl distribution drift
       TextAnalysis.tokenDrift(Tables(s, dir, "documents"),
         col("source").isin(batchASources: _*), topK = 50).orderBy("token")),
@@ -2278,6 +2280,7 @@ object SparkEntry {
       "p14_weighted_sample" -> SamplingSql.weightedSample(100),
       "p15_stratified_es" -> SamplingSql.stratifiedWeightedSample(5),
       "t19_oov_rate" -> s"${TextAnalysisSql.oovRate(50)} ORDER BY doc_id",
+      "t28_vocab_growth" -> TextAnalysisSql.vocabGrowth(10),
       "t20_token_drift" ->
         s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",
       "t21_unigram_lm" -> TextAnalysisSql.unigramLm,

@@ -171,6 +171,46 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
 
+  /** Vocabulary-growth curve (the Heaps'-law audit): distinct-token
+    * count after each id-range slice of the corpus in doc_id order —
+    * how fast the vocabulary is still growing tells a pipeline whether
+    * more data buys coverage or just repetition, and an anomalous jump
+    * localizes a crawl segment that changed character.
+    * `(bucket, n_docs_cum, new_tokens, vocab)` for `nBuckets` slices.
+    *
+    * Buckets are PURE ARITHMETIC over the id range — `(doc_id − lo)·k
+    * div span` against a broadcast one-row (lo, span) aggregate — not a
+    * global rank window: an ntile over the corpus would single-partition
+    * sort 100 TB for what the dense ingest ids already encode. Each
+    * token folds to its FIRST doc (one vocabulary-width aggregate, the
+    * same shuffle class as [[vocabulary]]), first-doc maps to its bucket
+    * by the same arithmetic, and the cumulative sums run on the k-row
+    * bucket relation. */
+  def vocabGrowth(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val stats = docs.agg(min("doc_id").as("lo"),
+      (max("doc_id") - min("doc_id") + 1).as("span"))
+    def bucketOf(idCol: String) =
+      expr(s"($idCol - lo) * $nBuckets div span").as("bucket")
+    val docsPer = docs.crossJoin(broadcast(stats))
+      .select(bucketOf("doc_id"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val newToks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(stats))
+      .select(bucketOf("first_doc"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPer.join(newToks, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_tokens"))
+      .select(col("bucket"), sum("n_docs").over(cum).as("n_docs_cum"),
+        col("new_tokens"), sum("new_tokens").over(cum).as("vocab"))
+      .orderBy("bucket")
+  }
+
   /** Out-of-vocabulary rate per document against the corpus's own top-K
     * vocabulary — the tokenizer-coverage audit a pipeline runs before
     * committing to a vocab size: `(doc_id, n_tokens, oov_rate)` for every
@@ -826,6 +866,32 @@ object TextAnalysisSql {
     s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
        |FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
        |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
+
+  /** Twin of [[TextAnalysis.vocabGrowth]] — same id-range bucket
+    * arithmetic (`//` mirrors Spark's `div` for the non-negative
+    * operands), same first-seen fold, same cumulative windows. */
+  def vocabGrowth(nBuckets: Int): String =
+    s"""WITH st AS (SELECT min(doc_id) AS lo,
+       |                   max(doc_id) - min(doc_id) + 1 AS span
+       |            FROM documents),
+       |dp AS (SELECT (doc_id - lo) * $nBuckets // span AS bucket,
+       |              count(*) AS n_docs
+       |       FROM documents, st GROUP BY 1),
+       |nt AS (SELECT (first_doc - lo) * $nBuckets // span AS bucket,
+       |              count(*) AS new_tokens
+       |       FROM (SELECT token, min(doc_id) AS first_doc
+       |             FROM (SELECT doc_id, unnest($toks) AS token
+       |                   FROM documents)
+       |             GROUP BY token), st
+       |       GROUP BY 1)
+       |SELECT dp.bucket,
+       |       CAST(sum(dp.n_docs) OVER (ORDER BY dp.bucket) AS BIGINT)
+       |         AS n_docs_cum,
+       |       CAST(coalesce(nt.new_tokens, 0) AS BIGINT) AS new_tokens,
+       |       CAST(sum(coalesce(nt.new_tokens, 0)) OVER (ORDER BY dp.bucket)
+       |         AS BIGINT) AS vocab
+       |FROM dp LEFT JOIN nt ON dp.bucket = nt.bucket
+       |ORDER BY dp.bucket""".stripMargin
 
   /** Twin of [[TextAnalysis.tokenDrift]]: identical count, ratio, and
     * JS-term nesting so every double op runs in the same order. */

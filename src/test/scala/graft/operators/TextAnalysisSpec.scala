@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Unit coverage for [[TextAnalysis]] derivations whose corpus faces are
+  * oracle-checked — these pin the semantics on hand-checkable inputs. */
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("vocabGrowth: first-seen accounting on a hand-checked corpus") {
+    // bucket 0 = docs {0,1}: tokens a,b then a,c -> 3 new
+    // bucket 1 = docs {2,3}: d d (1 new), a b (0 new)
+    val d = Seq((0L, "a b"), (1L, "a c"), (2L, "d d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(d, nBuckets = 2).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs_cum"),
+        r.getAs[Long]("new_tokens"), r.getAs[Long]("vocab")))
+    assert(got === Array((0L, 2L, 3L, 3L), (1L, 4L, 1L, 4L)))
+  }
+
+  test("vocabGrowth: monotone vocab, final point equals corpus distinct") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val rows = TextAnalysis.vocabGrowth(d, nBuckets = 10).collect()
+    val vocabs = rows.map(_.getAs[Long]("vocab"))
+    assert(vocabs.sorted === vocabs) // cumulative by construction
+    val exact = d
+      .select(org.apache.spark.sql.functions.explode(
+        TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")))
+        .as("t"))
+      .distinct().count()
+    assert(vocabs.last === exact)
+    assert(rows.map(_.getAs[Long]("n_docs_cum")).last === d.count())
+  }
+}
