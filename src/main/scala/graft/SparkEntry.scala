@@ -1343,6 +1343,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     "t28_vocab_growth" -> ((s, dir) => // Heaps'-law curve: vocab vs corpus
       TextAnalysis.vocabGrowth(Tables(s, dir, "documents"), nBuckets = 10)),
+    "t29_zipf_slope" -> ((s, dir) => // rank-frequency head fit (Zipf audit)
+      TextAnalysis.zipfSlope(Tables(s, dir, "documents"), topK = 100)),
     "t20_token_drift" -> ((s, dir) => // crawl-over-crawl distribution drift
       TextAnalysis.tokenDrift(Tables(s, dir, "documents"),
         col("source").isin(batchASources: _*), topK = 50).orderBy("token")),
@@ -2281,6 +2283,7 @@ object SparkEntry {
       "p15_stratified_es" -> SamplingSql.stratifiedWeightedSample(5),
       "t19_oov_rate" -> s"${TextAnalysisSql.oovRate(50)} ORDER BY doc_id",
       "t28_vocab_growth" -> TextAnalysisSql.vocabGrowth(10),
+      "t29_zipf_slope" -> TextAnalysisSql.zipfSlope(100),
       "t20_token_drift" ->
         s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",
       "t21_unigram_lm" -> TextAnalysisSql.unigramLm,

@@ -211,6 +211,43 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Zipf rank-frequency slope (the companion audit to [[vocabGrowth]]):
+    * least-squares fit of `ln(freq)` on `ln(rank)` over the top-K head
+    * of the frequency table — natural text sits near slope −1; a corpus
+    * of boilerplate or generated spam bends the head measurably. One
+    * row: `(n_used, slope, intercept)`.
+    *
+    * The fit is the CLOSED FORM `(N·Σxy − Σx·Σy) / (N·Σxx − (Σx)²)` over
+    * the bounded, deterministically-selected head (count desc, token
+    * tiebreak), so both engines fit the identical point set; the only
+    * cross-engine surface is double summation order over ≤K values,
+    * orders of magnitude inside the 6-place rounding.
+    *
+    * Scale shape: one vocabulary-width count aggregate, a top-K
+    * TakeOrdered, then all arithmetic on K rows. */
+  def zipfSlope(docs: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 2, s"topK >= 2: $topK")
+    val head = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))))
+    head
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n_used"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_used"),
+        round((col("n_used") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_used") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") - ((col("n_used") * col("sxy") - col("sx") * col("sy"))
+            / (col("n_used") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+          / col("n_used"), 6).as("intercept"))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus's own top-K
     * vocabulary — the tokenizer-coverage audit a pipeline runs before
     * committing to a vocab size: `(doc_id, n_tokens, oov_rate)` for every
@@ -892,6 +929,29 @@ object TextAnalysisSql {
        |         AS BIGINT) AS vocab
        |FROM dp LEFT JOIN nt ON dp.bucket = nt.bucket
        |ORDER BY dp.bucket""".stripMargin
+
+  /** Twin of [[TextAnalysis.zipfSlope]]: the same deterministic head
+    * selection and the same closed-form nesting. */
+  def zipfSlope(topK: Int): String =
+    s"""WITH head AS (
+       |  SELECT token, count(*) AS n
+       |  FROM (SELECT unnest($toks) AS token FROM documents)
+       |  GROUP BY token ORDER BY n DESC, token LIMIT $topK),
+       |pts AS (
+       |  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token)
+       |             AS DOUBLE)) AS x,
+       |         ln(CAST(n AS DOUBLE)) AS y
+       |  FROM head),
+       |s AS (SELECT count(*) AS n_used, sum(x) AS sx, sum(y) AS sy,
+       |             sum(x * y) AS sxy, sum(x * x) AS sxx
+       |      FROM pts)
+       |SELECT n_used,
+       |       round((n_used * sxy - sx * sy)
+       |             / (n_used * sxx - sx * sx), 6) AS slope,
+       |       round((sy - ((n_used * sxy - sx * sy)
+       |                    / (n_used * sxx - sx * sx)) * sx)
+       |             / n_used, 6) AS intercept
+       |FROM s""".stripMargin
 
   /** Twin of [[TextAnalysis.tokenDrift]]: identical count, ratio, and
     * JS-term nesting so every double op runs in the same order. */

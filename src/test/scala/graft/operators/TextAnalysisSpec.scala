@@ -18,6 +18,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got === Array((0L, 2L, 3L, 3L), (1L, 4L, 1L, 4L)))
   }
 
+  test("zipfSlope: recovers the exponent of an exact power-law corpus") {
+    // token t_r appears round(64 / r^1.5) times for r = 1..8 — a corpus
+    // whose head is (approximately, integer-rounded) freq ∝ rank^-1.5
+    val freqs = (1 to 8).map(r => r -> math.round(64.0 / math.pow(r, 1.5)).toInt)
+    val text = freqs.flatMap { case (r, n) => Seq.fill(n)(s"tok$r") }
+      .mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfSlope(d, topK = 8).collect().head
+    assert(row.getAs[Long]("n_used") === 8L)
+    val slope = row.getAs[Double]("slope")
+    // integer rounding of the counts perturbs the exact -1.5 slightly
+    assert(math.abs(slope - (-1.5)) < 0.05, s"slope $slope")
+  }
+
   test("vocabGrowth: monotone vocab, final point equals corpus distinct") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val rows = TextAnalysis.vocabGrowth(d, nBuckets = 10).collect()
