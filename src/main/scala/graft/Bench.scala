@@ -81,7 +81,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // date_format / window boundaries must render identically to the
+      // UTC-based Verify run regardless of host timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the status stores retain plan graphs/metrics per execution even
       // with the UI off; across 100+ measured queries that accrual becomes

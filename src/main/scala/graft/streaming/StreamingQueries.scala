@@ -54,8 +54,9 @@ object StreamingQueries {
 
     // the file source requires a directory: stream the table dir with a
     // glob filter (the testdata table is a single parquet file)
-    val counts = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val counts = graft.operators.Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       // integer `div`, not double division: nanos ~1.7e18 exceed double's
       // 53-bit mantissa, so (ts/1000).cast(long) can misplace an event
       // that sits within ~128ns of an hour boundary
@@ -90,8 +91,9 @@ object StreamingQueries {
     val schema = spark.read.parquet(path).schema
     val name = "st4_events_append_" + math.abs(dir.hashCode)
 
-    val counts = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val counts = graft.operators.Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
         col("event_type"))
       .withWatermark("event_time", "1 hour")
@@ -375,8 +377,9 @@ object StreamingQueries {
     val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st5_funnel_" + math.abs(dir.hashCode)
-    def side(tag: String) = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def side(tag: String) = graft.operators.Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       .where(col("event_type") === tag)
       .select(col("user_id").as(s"${tag}_user"),
         timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
@@ -420,8 +423,9 @@ object StreamingQueries {
     val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st8_abandon_" + math.abs(dir.hashCode)
-    def side(tag: String) = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def side(tag: String) = graft.operators.Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       .where(col("event_type") === tag)
       .select(col("user_id").as(s"${tag}_user"),
         timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
@@ -461,8 +465,9 @@ object StreamingQueries {
     val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st7_dropdup_" + math.abs(dir.hashCode)
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def src = graft.operators.Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       .select(col("event_id"),
         timestamp_micros(expr("ts div 1000")).as("event_time"),
         col("event_type"))
@@ -607,8 +612,9 @@ object StreamingQueries {
     val schema = spark.read.parquet(path).schema
     val name = "st12_sessions_" + math.abs(dir.hashCode)
 
-    val sessions = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val sessions = graft.operators.Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
         col("user_id"))
       .withWatermark("event_time", "1 hour")
