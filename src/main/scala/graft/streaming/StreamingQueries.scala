@@ -227,13 +227,19 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // stream drained: widen the shuffle for the batch finishing joins
+    // (the 8-partition child sizing is state-commit right-sizing only)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      outer.sessionState.conf.numShufflePartitions)
     val dt = spark.table(name)
     // the memory table appears on both sides of the join: rename the
     // freq-side key so the self-join attributes cannot collide
     val freq = dt.groupBy("token").agg(sum("c_dt").as("c_t"))
       .withColumnRenamed("token", "f_token")
     val total = freq.agg(sum(col("c_t")).cast("double").as("n_total"))
-    dt.join(freq, col("token") === col("f_token"))
+    // freq is the vocab-bounded LM artifact — broadcast it (stat-less
+    // memory-sink derivation would otherwise plan a sort-merge join)
+    dt.join(broadcast(freq), col("token") === col("f_token"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
@@ -243,30 +249,52 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
-  /** Streaming DSIR (`t25_dsir` as an ingest stream): the stream
-    * maintains ONE stateful aggregate — per-`(doc, in_target, kind, key)`
-    * counts, where `kind` tags unigram vs bigram occurrences and `key`
-    * is the token or the space-joined bigram (tokens are `[a-z0-9]+`, so
-    * the join is unambiguous). The doc column is COLLAPSED to -1 for
-    * every row the finishing step never reads at doc granularity: the
-    * candidate relation is the non-target bigrams only, so target docs
-    * and all unigram rows fold into corpus-level model counts before
-    * they reach the state store — the stream's state (and the complete-
-    * mode sink it rewrites every batch) holds vocab-sized model rows
-    * plus only the raw-side doc×bigram rows, not every doc×token pair.
-    * Both LMs' count tables, the candidate relation, and the
-    * importance-ratio arithmetic all finish on the drained state with
-    * `t25_dsir`'s exact term order, so the result equals the batch
-    * query row for row and SHARES its oracle. At serving scale the
-    * finishing step is where pretrained target/raw LM artifacts would
-    * join instead; training on the drained batch keeps t25's
+  /** Streaming DSIR (`t25_dsir` as an ingest stream): each micro-batch
+    * folds its slice to per-`(doc, in_target, kind, key)` counts, where
+    * `kind` tags unigram vs bigram occurrences and `key` is the token or
+    * the space-joined bigram (tokens are `[a-z0-9]+`, so the join is
+    * unambiguous), and APPENDS them to an idempotent parquet count
+    * artifact (`foreachBatch` + overwrite-by-batch-id, the st9 recipe).
+    * The doc column is COLLAPSED to -1 for every row the finishing step
+    * never reads at doc granularity: the candidate relation is the
+    * non-target bigrams only, so target docs and all unigram rows fold
+    * into corpus-level model counts inside their batch. No state store
+    * holds the doc×key relation — per-doc counts are BATCH-LOCAL (the
+    * file source admits whole files, and a document is one row, so its
+    * counts cannot span batches), which is the shape an unbounded 100 TB
+    * ingest can actually sustain: the earlier stateful-aggregate variant
+    * re-committed the full doc×bigram relation to the state store and
+    * rewrote it through a complete-mode sink every batch (profiled: 2.2s
+    * of a 6.4s query at sf0.1 — and unbounded growth at scale, since
+    * per-doc state never evicts). Both LMs' count tables, the candidate
+    * relation, and the importance-ratio arithmetic finish on the drained
+    * artifact with `t25_dsir`'s exact term order, so the result equals
+    * the batch query row for row and SHARES its oracle. At serving scale
+    * the finishing step is where pretrained target/raw LM artifacts
+    * would join instead; training on the drained corpus keeps t25's
     * self-normalized semantics. */
   def dsirScore(outer: SparkSession, dir: String,
       targetSources: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
+    val dbg = sys.env.contains("GRAFT_STREAM_DEBUG")
+    val t0 = System.nanoTime()
+    def mark(what: String): Unit = if (dbg)
+      System.err.println(f"[st15-phase] $what at ${(System.nanoTime - t0) / 1e9}%.2fs")
     val spark = childSession(outer)
+    // no state store here (see scaladoc) — the width that matters is the
+    // per-batch fold's aggregation, which wants the full core count
+    spark.conf.set("spark.sql.shuffle.partitions",
+      outer.sessionState.conf.numShufflePartitions)
+    mark("child session")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val name = "st15_dsir_" + math.abs(dir.hashCode)
+    mark("schema read")
+    // PID-scoped artifact path (two JVMs over the same dir must not
+    // clobber each other's counts mid-read — the st9/st11 convention)
+    val out = s"${sys.props("java.io.tmpdir")}/graft_st15_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true) // idempotent re-run
     val toked = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(col("doc_id"),
@@ -295,50 +323,81 @@ object StreamingQueries {
         when(col("in_target") || col("kk.kind") === "u", lit(-1L))
           .otherwise(col("doc_id")).as("doc_id"),
         col("in_target"), col("kk.kind").as("kind"), col("kk.key").as("key"))
-    val counts = rows
-      .groupBy("doc_id", "in_target", "kind", "key").agg(cnt("*").as("c"))
-    val q = counts.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
+    mark("plan built")
+    // per-batch fold + append: each batch's counts are final for its
+    // docs (doc-local, see scaladoc); model (-1) rows from different
+    // batches re-aggregate at finish
+    val q = rows.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          batch.groupBy("doc_id", "in_target", "kind", "key")
+            .agg(cnt("*").as("c"))
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      }
       .trigger(Trigger.AvailableNow())
       .start()
+    mark("stream started")
     q.awaitTermination()
-    // the drained state feeds SEVEN derivations (two uni/bi models, the
-    // candidate relation, two totals) — persist the one bounded count
-    // relation instead of re-materializing the memory sink per branch.
-    // Released by the harness's per-query clearCache (Bench/Verify
-    // contract — see Dedup.nearDupPairs note).
-    val state = spark.table(name)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mark("stream drained")
+    if (dbg) q.recentProgress.foreach { p =>
+      System.err.println(s"[st15-batch ${p.batchId}] rows=${p.numInputRows} " +
+        s"durations=${p.durationMs}")
+    }
+    // The drained artifact feeds seven derivations (two uni/bi models,
+    // the candidate relation, two totals). Materializing each model slice
+    // as its own distributed branch cost a JOB PER BRANCH (six broadcast
+    // builds + two totals + the final plan — profiled at ~3s of a 6s
+    // query, pure scheduling overhead at toy scale). Instead, ONE
+    // aggregate folds the complete LM artifact out of the counts; the
+    // result is VOCABULARY-bounded, so collecting it to the driver is the
+    // trained-artifact contract (cf. BloomPipeline.collectFilters), and
+    // the slices re-enter the final — single — job as pre-built local
+    // relations under broadcast hash joins. Arithmetic unchanged.
+    val counts = spark.read.parquet(out)
+    val modelRows = counts
+      .groupBy("in_target", "kind", "key").agg(sum("c").as("c"))
+      .collect()
+    mark("model collected")
+    import spark.implicits._
+    def uni(target: Boolean): Seq[(String, Long)] = modelRows.iterator
+      .filter(r => r.getBoolean(0) == target && r.getString(1) == "u")
+      .map(r => (r.getString(2), r.getLong(3))).toSeq
+    def bi(target: Boolean): Seq[(String, String, Long)] = modelRows.iterator
+      .filter(r => r.getBoolean(0) == target && r.getString(1) == "b")
+      .map { r =>
+        val Array(p, c) = r.getString(2).split(" ", 2)
+        (p, c, r.getLong(3))
+      }.toSeq
+    // the totals are plain sums of the collected unigram model — exact
+    // long arithmetic on the driver, identical to the former agg branch
+    val nTotT = uni(target = true).iterator.map(_._2).sum.toDouble
+    val nTotR = uni(target = false).iterator.map(_._2).sum.toDouble
 
-    def uniOf(target: Boolean, keyName: String, cName: String) =
-      state.where(col("kind") === "u" && col("in_target") === target)
-        .groupBy("key").agg(sum("c").as(cName))
-        .withColumnRenamed("key", keyName)
-    def biOf(target: Boolean, cName: String) =
-      state.where(col("kind") === "b" && col("in_target") === target)
-        .groupBy("key").agg(sum("c").as(cName))
-        .select(element_at(split(col("key"), " "), 1).as("prev"),
-          element_at(split(col("key"), " "), 2).as("cur"), col(cName))
-
-    val db = state.where(col("kind") === "b" && !col("in_target"))
+    // per-(doc, key) rows are globally unique (doc-local batches), so the
+    // candidate counts read straight off the artifact — no re-aggregation
+    val db = counts
+      .where(col("kind") === "b" && !col("in_target"))
       .select(col("doc_id"),
         element_at(split(col("key"), " "), 1).as("prev"),
         element_at(split(col("key"), " "), 2).as("cur"),
         col("c").as("c_db"))
-    val totT = uniOf(target = true, "tt_token", "tt_c")
-      .agg(sum("tt_c").cast("double").as("n_tot_t"))
-    val totR = uniOf(target = false, "tr_token", "tr_c")
-      .agg(sum("tr_c").cast("double").as("n_tot_r"))
 
     db
-      .join(biOf(target = true, "c_bi_t"), Seq("prev", "cur"), "left")
-      .join(uniOf(target = true, "prev", "c_prev_t"), Seq("prev"), "left")
-      .join(uniOf(target = true, "cur", "c_cur_t"), Seq("cur"), "left")
-      .join(biOf(target = false, "c_bi_r"), Seq("prev", "cur"), "left")
-      .join(uniOf(target = false, "prev", "c_prev_r"), Seq("prev"), "left")
-      .join(uniOf(target = false, "cur", "c_cur_r"), Seq("cur"), "left")
-      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .join(broadcast(bi(target = true).toDF("prev", "cur", "c_bi_t")),
+        Seq("prev", "cur"), "left")
+      .join(broadcast(uni(target = true).toDF("prev", "c_prev_t")),
+        Seq("prev"), "left")
+      .join(broadcast(uni(target = true).toDF("cur", "c_cur_t")),
+        Seq("cur"), "left")
+      .join(broadcast(bi(target = false).toDF("prev", "cur", "c_bi_r")),
+        Seq("prev", "cur"), "left")
+      .join(broadcast(uni(target = false).toDF("prev", "c_prev_r")),
+        Seq("prev"), "left")
+      .join(broadcast(uni(target = false).toDF("cur", "c_cur_r")),
+        Seq("cur"), "left")
+      .withColumn("n_tot_t", lit(nTotT))
+      .withColumn("n_tot_r", lit(nTotR))
       .withColumn("s_t",
         when(col("c_bi_t").isNotNull,
           col("c_bi_t").cast("double") / col("c_prev_t"))
