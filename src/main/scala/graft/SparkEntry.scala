@@ -552,6 +552,26 @@ object SparkEntry {
           col("last.value").as("value"))
         .orderBy("user_id")),
 
+    "d4_incremental_mv" -> ((s, dir) => {
+      // incremental materialized-view maintenance: the hourly rollup is
+      // kept as MERGEABLE partial aggregates — a delta slice (a tenth of
+      // the events, standing in for newly-arrived data) aggregates
+      // SEPARATELY and merges into the base rollup by key, exactly how a
+      // 100 TB MV refreshes without re-scanning history (count and sum
+      // are the canonical self-merging states; the oracle recomputes from
+      // scratch, pinning merge == recompute).
+      val ev = Tables(s, dir, "events").select(
+        expr("ts div 3600000000000").as("hr"), col("event_type"),
+        col("value"), (col("event_id") % 10 === 0).as("is_delta"))
+      def partial(p: org.apache.spark.sql.Column) = ev.where(p)
+        .groupBy("hr", "event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      partial(!col("is_delta")).unionByName(partial(col("is_delta")))
+        .groupBy("hr", "event_type")
+        .agg(sum("n").as("n"), round(sum("sv"), 2).as("sum_value"))
+        .orderBy("hr", "event_type")
+    }),
+
     "u5_lateral" -> ((s, dir) => {
       // LATERAL correlated subquery (Spark 4 SQL surface): per-nation
       // top-2 customers — the parser/analyzer turn the per-row subquery
@@ -914,6 +934,41 @@ object SparkEntry {
         .withColumn("filled", last("reading", ignoreNulls = true).over(w))
         .select("user_id", "event_id", "reading", "filled")
         .orderBy("user_id", "event_id")
+    }),
+
+    "w6_ewma" -> ((s, dir) => {
+      // Exponentially-weighted moving average per user over the 32 most
+      // recent events — the time-decayed feature engineering op (fraud /
+      // engagement scoring). α = 1/2 on purpose: every decay weight is a
+      // power of two, so the scale factors are EXACT in binary floating
+      // point and the only rounding is the ordered cumulative sum, which
+      // both engines execute in the identical (ts, event_id) frame order
+      // — cross-engine exact like the w3 frames. The closed form of
+      // s_i = α·x_i + (1−α)·s_{i−1}, s_1 = x_1 over m rows is
+      // (2·x_1 + Σ_{i≥2} x_i·2^{i−1}) / 2^m. Bounding history to 32
+      // events bounds the weights (and is the production shape: a
+      // decayed feature over unbounded history is state, over a bounded
+      // suffix it's a window). One shuffle on user_id for both windows.
+      import org.apache.spark.sql.expressions.Window
+      val recentW = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val seqW = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val cumW = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("rd", row_number().over(recentW))
+        .where(col("rd") <= 32)
+        .withColumn("i", row_number().over(seqW))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("cum",
+          sum(col("value") *
+            when(col("i") === 1, lit(2.0)).otherwise(pow(lit(2.0), col("i") - 1)))
+            .over(cumW))
+        .where(col("i") === col("m"))
+        .select(col("user_id"), col("m").as("n_events"),
+          round(col("cum") / pow(lit(2.0), col("m")), 6).as("ewma"))
+        .orderBy("user_id")
     }),
     "w3_frames" -> ((s, dir) => {
       // rows-frame running aggregates + lag over a unique total order per
@@ -1380,6 +1435,9 @@ object SparkEntry {
     }),
     "t24_bigram_lm" -> ((s, dir) => // stupid-backoff bigram LM scoring
       TextAnalysis.bigramLmScore(Tables(s, dir, "documents"),
+        col("source").isin(batchASources: _*)).orderBy("doc_id")),
+    "t30_kneser_ney" -> ((s, dir) => // interpolated Kneser-Ney bigram LM
+      TextAnalysis.kneserNeyScore(Tables(s, dir, "documents"),
         col("source").isin(batchASources: _*)).orderBy("doc_id")),
     "t25_dsir" -> ((s, dir) => // DSIR importance weights for data selection
       TextAnalysis.dsirWeights(Tables(s, dir, "documents"),
@@ -1884,6 +1942,28 @@ object SparkEntry {
           |                  ELSE value END AS reading
           |      FROM events WHERE user_id <= 200)
           |ORDER BY user_id, event_id""".stripMargin,
+      "w6_ewma" -> // identical power-of-two weights, identical frame order
+        """WITH recent AS (
+          |  SELECT user_id, ts, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rd
+          |  FROM events),
+          |seq AS (
+          |  SELECT user_id, ts, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts, event_id) AS i,
+          |         count(*) OVER (PARTITION BY user_id) AS m
+          |  FROM recent WHERE rd <= 32),
+          |cum AS (
+          |  SELECT user_id, i, m,
+          |         sum(value * (CASE WHEN i = 1 THEN 2.0
+          |                           ELSE pow(2.0, i - 1) END)) OVER (
+          |           PARTITION BY user_id ORDER BY i
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          |  FROM seq)
+          |SELECT user_id, CAST(m AS BIGINT) AS n_events,
+          |       round(c / pow(2.0, m), 6) AS ewma
+          |FROM cum WHERE i = m ORDER BY user_id""".stripMargin,
       "u5_lateral" -> // identical SQL: the LATERAL subquery cross-engine
         """SELECT n.n_name, l.c_name, l.c_acctbal
           |FROM nation n,
@@ -2192,6 +2272,10 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
           |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
           |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "d4_incremental_mv" -> // merge of partials == full recompute
+        """SELECT epoch_ns(ts) // 3600000000000 AS hr, event_type,
+          |       count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
       "w1_window_share" ->
         s"""SELECT rating, n, round(n / sum(n) OVER (), 6) AS share
            |FROM (SELECT rating, count(*) AS n FROM ($li) GROUP BY rating)
@@ -2316,6 +2400,7 @@ object SparkEntry {
         s"${TextAnalysisSql.chunkDocuments(32, 8)} ORDER BY doc_id, chunk_id",
       "t23_bpe_pairs" -> TokenizerSql.bpePairCounts(50),
       "t24_bigram_lm" -> TextAnalysisSql.bigramLm(batchAPredSql),
+      "t30_kneser_ney" -> TextAnalysisSql.kneserNey(batchAPredSql),
       "t25_dsir" -> TextAnalysisSql.dsirWeights(dsirTargetPredSql),
       "pipe4_dsir_select" ->
         SamplingSql.dsirSelect(dsirTargetPredSql, 25, 8),

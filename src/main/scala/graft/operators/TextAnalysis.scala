@@ -737,6 +737,73 @@ object TextAnalysis {
           .as("xent"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999 with fixed absolute
+    * discount d = 0.75) — the smoothing production n-gram pipelines
+    * actually ship, next to [[bigramLmScore]]'s stupid backoff. Same
+    * train/score split; per scored position `(v, w)`:
+    *
+    *   - `w` unseen as a continuation anywhere: `d / B` (deterministic
+    *     floor — KN assigns such a token zero continuation mass, and a
+    *     fixed floor keeps the cross-entropy finite and cross-engine
+    *     exact)
+    *   - context `v` unseen: `Pc(w) = N1+(·w) / B` (pure continuation
+    *     probability — KN's signature: how many contexts `w` completes,
+    *     not how often it occurs)
+    *   - otherwise: `max(c(vw) − d, 0)/c(v) + d·N1+(v·)/c(v) · Pc(w)`
+    *
+    * with `c(v) = Σ_w c(vw)`, `N1+(v·)` = distinct continuations of `v`,
+    * `N1+(·w)` = distinct contexts of `w`, `B` = total distinct bigram
+    * types. Every input is an exact integer count; the double arithmetic
+    * runs in one fixed order and rounds to 6 — the DuckDB twin matches
+    * bit for bit. `(doc_id, n_bigrams, xent)`.
+    *
+    * Scale: the KN statistics add two distinct-count aggregates over the
+    * BIGRAM TYPE relation (vocabulary-sized, not corpus-sized); scoring
+    * keeps [[bigramLmScore]]'s shape — per-(doc, prev, cur)
+    * pre-aggregation, three word-keyed lookup joins, one-row broadcast
+    * for `B`. */
+  def kneserNeyScore(docs: DataFrame, trainPred: Column,
+      d: Double = 0.75): DataFrame = {
+    val toked = docs.select(col("doc_id"), trainPred.as("in_train"),
+      tokens(col("text")).as("toks"))
+    val bi = toked.where(col("in_train") && size(col("toks")) >= 2)
+      .select(explode(bigrams("toks")).as("bg"))
+      .groupBy(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("c_bi"))
+    // context statistics c(v), N1+(v·) — one pass over the type relation
+    val ctx = bi.groupBy("prev")
+      .agg(sum("c_bi").as("c_prev"), count(lit(1)).as("n_follow"))
+    // continuation statistics N1+(·w); B = Σ_w N1+(·w) = bigram types
+    val cont = bi.groupBy("cur").agg(count(lit(1)).as("n_precede"))
+    val types = cont.agg(sum("n_precede").cast("double").as("b_types"))
+
+    val db = toked.where(!col("in_train") && size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigrams("toks")).as("bg"))
+      .groupBy(col("doc_id"), col("bg.prev").as("prev"),
+        col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("c_db"))
+
+    db.join(bi, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(cont, Seq("cur"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("p",
+        when(col("n_precede").isNull, lit(d) / col("b_types"))
+          .when(col("c_prev").isNull,
+            col("n_precede").cast("double") / col("b_types"))
+          .otherwise(
+            greatest(coalesce(col("c_bi"), lit(0L)).cast("double") - lit(d),
+              lit(0.0)) / col("c_prev")
+              + lit(d) * col("n_follow").cast("double") / col("c_prev")
+                * (col("n_precede").cast("double") / col("b_types"))))
+      .groupBy("doc_id")
+      .agg(
+        sum("c_db").cast("long").as("n_bigrams"),
+        round(-sum(col("c_db") * log(col("p"))) / sum(col("c_db")), 6)
+          .as("xent"))
+  }
+
   /** Per-document Shannon entropy of the normalized character
     * distribution, in nats — the cheap gibberish detector corpus
     * pipelines pair with the LM scorers (low = repeated-char junk, high
@@ -1232,6 +1299,49 @@ object TextAnalysisSql {
        |LEFT JOIN bi USING (prev, cur)
        |LEFT JOIN (SELECT token AS prev, c_u AS c_prev FROM uni) USING (prev)
        |LEFT JOIN (SELECT token AS cur, c_u AS c_cur FROM uni) USING (cur)
+       |CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[TextAnalysis.kneserNeyScore]]: same type-relation
+    * statistics, same three-way CASE, and every double op in the same
+    * order (the continuation probability stays parenthesized as a unit
+    * so the multiply order matches the Spark expression tree). */
+  def kneserNey(trainPredSql: String, d: Double = 0.75): String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, ($trainPredSql) AS in_train, $toks AS toks
+       |  FROM documents),
+       |bi AS (
+       |  SELECT toks[i] AS prev, toks[i + 1] AS cur, count(*) AS c_bi
+       |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM toked WHERE in_train AND len(toks) >= 2)
+       |  GROUP BY 1, 2),
+       |ctx AS (SELECT prev, sum(c_bi) AS c_prev, count(*) AS n_follow
+       |        FROM bi GROUP BY prev),
+       |cont AS (SELECT cur, count(*) AS n_precede FROM bi GROUP BY cur),
+       |tot AS (SELECT CAST(sum(n_precede) AS DOUBLE) AS b_types FROM cont),
+       |db AS (
+       |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur,
+       |         count(*) AS c_db
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM toked WHERE NOT in_train AND len(toks) >= 2)
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id,
+       |       CAST(sum(c_db) AS BIGINT) AS n_bigrams,
+       |       round(-sum(c_db * ln(
+       |           CASE WHEN n_precede IS NULL THEN $d / b_types
+       |                WHEN c_prev IS NULL
+       |                  THEN CAST(n_precede AS DOUBLE) / b_types
+       |                ELSE greatest(
+       |                       CAST(coalesce(c_bi, 0) AS DOUBLE) - $d, 0.0)
+       |                     / c_prev
+       |                     + $d * CAST(n_follow AS DOUBLE) / c_prev
+       |                       * (CAST(n_precede AS DOUBLE) / b_types)
+       |           END)) / sum(c_db), 6) AS xent
+       |FROM db
+       |LEFT JOIN bi USING (prev, cur)
+       |LEFT JOIN ctx USING (prev)
+       |LEFT JOIN cont USING (cur)
        |CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

@@ -45,4 +45,58 @@ class TextAnalysisSpec extends SparkSuite {
     assert(vocabs.last === exact)
     assert(rows.map(_.getAs[Long]("n_docs_cum")).last === d.count())
   }
+
+  test("kneserNeyScore: hand-checked probabilities on a tiny corpus") {
+    import org.apache.spark.sql.functions.col
+    // train: "a b", "a b", "a c", "c b"  (in_train = doc_id < 4)
+    // bigram types: (a,b) c=2, (a,c) c=1, (c,b) c=1 -> B = 3
+    // ctx:  a: c_prev=3, n_follow=2;  c: c_prev=1, n_follow=1
+    // cont: b: n_precede=2;           c: n_precede=1
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "c b"),
+      (4L, "a b"), (5L, "b c"), (6L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyScore(docs, col("doc_id") < 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent"))).toMap
+    val d = 0.75
+    // doc 4 "a b": seen (a,b): (2-d)/3 + d*2/3*(2/3)
+    val p4 = (2 - d) / 3 + d * 2 / 3 * (2.0 / 3)
+    assert(got(4L) === (1L, BigDecimal(-math.log(p4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // doc 5 "b c": context b unseen -> pure continuation Pc(c) = 1/3
+    val p5 = 1.0 / 3
+    assert(got(5L) === (1L, BigDecimal(-math.log(p5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // doc 6 "x y": y never a continuation -> floor d/B
+    val p6 = d / 3
+    assert(got(6L) === (1L, BigDecimal(-math.log(p6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("kneserNeyScore: per-context probability mass is bounded by 1") {
+    import org.apache.spark.sql.functions._
+    // over the real corpus: for every SEEN context v, the discounted
+    // bigram mass plus the interpolation weight's continuation mass must
+    // sum to <= 1 (equality holds when every continuation of v is in the
+    // continuation vocabulary; <= covers the floor/OOV paths)
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val toked = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val bi = toked.where(size(col("toks")) >= 2)
+      .select(explode(TextAnalysis.bigrams("toks")).as("bg"))
+      .groupBy(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("c_bi"))
+    val cont = bi.groupBy("cur").agg(count(lit(1)).as("n_precede"))
+    val b = cont.agg(sum("n_precede")).head.getLong(0).toDouble
+    val d = 0.75
+    val mass = bi
+      .join(cont, Seq("cur"))
+      .groupBy("prev")
+      .agg((sum(greatest(col("c_bi").cast("double") - lit(d), lit(0.0)))
+          / sum("c_bi")
+        + lit(d) * count(lit(1)) / sum("c_bi")
+          * (sum(col("n_precede")) / lit(b))).as("m"))
+    val bad = mass.where(col("m") > 1.0 + 1e-9).count()
+    assert(bad === 0L, s"$bad contexts with probability mass > 1")
+  }
 }
