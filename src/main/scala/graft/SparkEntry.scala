@@ -359,6 +359,33 @@ object SparkEntry {
           .cast("long").as("bin"))
         .groupBy("bin").agg(count("*").as("n"))
         .orderBy("bin")),
+    "a15_equidepth_hist" -> ((s, dir) => {
+      // Equi-DEPTH histogram — the skew-robust profiling twin of a11's
+      // equi-width bins (same count per bucket, data-driven edges). Scale
+      // shape: ONE exact-percentile aggregate produces the 19 boundaries
+      // (a bounded artifact, collected and inlined like the PQ
+      // codebooks), and bucket assignment is a branch-free comparison
+      // sum in the scan projection — no global ntile sort, which is what
+      // the naive formulation would single-partition at 100 TB.
+      // Boundaries round to 6 in BOTH engines before comparing, so a
+      // last-ulp percentile difference can't flip a row's bucket; a row
+      // exactly ON a boundary buckets by strict '<' in both.
+      val qs = (1 to 19).map(_ / 20.0)
+      val bounds = Tables(s, dir, "lineitem")
+        .agg(expr(s"percentile(l_extendedprice, array(${qs.mkString(", ")}))"))
+        .head.getSeq[Double](0)
+        .map(b =>
+          BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val bucket = bounds
+        .map(b => when(col("l_extendedprice") > b, 1).otherwise(0))
+        .reduce(_ + _)
+      Tables(s, dir, "lineitem")
+        .select(bucket.cast("long").as("bucket"), col("l_extendedprice"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          round(min("l_extendedprice"), 2).as("lo"),
+          round(max("l_extendedprice"), 2).as("hi"))
+        .orderBy("bucket")
+    }),
     "a12_profile" -> ((s, dir) =>
       // One-pass corpus profile — the dbt/Deequ-style health row every
       // ingest emits: row count, per-column null counts, key cardinality,
@@ -817,6 +844,23 @@ object SparkEntry {
           "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
         .groupBy("hour", "event_type").agg(count("*").as("n"))
         .orderBy("hour", "event_type")),
+    "e6_sliding" -> ((s, dir) =>
+      // Hopping (sliding) event-time windows — 1 h windows advancing
+      // every 15 min, so each event lands in exactly 4 overlapping
+      // windows: the trend-detection shape e1's tumbling windows can't
+      // express. Spark's window() plans the 4 assignments as a narrow
+      // explode in the scan projection (no self-join); the aggregate
+      // stays one partial/final pair keyed by (window, type). The
+      // oracle regenerates the same 4 hops per event with integer
+      // arithmetic on epoch micros.
+      Tables(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("t"),
+          col("event_type"))
+        .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(expr("unix_micros(window.start)").as("w_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("w_start_us", "event_type")),
     "e5_retention" -> ((s, dir) => {
       // cohort retention: users grouped by first-seen day, activity
       // counted per day offset — the classic growth-analytics matrix.
@@ -1757,6 +1801,8 @@ object SparkEntry {
     // the incremental engine must reproduce the batch answer exactly
     "st1_stream_hourly" -> ((s, dir) =>
       graft.streaming.StreamingQueries.eventHourly(s, dir)),
+    "st17_stream_sliding" -> ((s, dir) => // hopping windows, e6's twin
+      graft.streaming.StreamingQueries.eventSliding(s, dir)),
     "st16_stream_kmv" -> ((s, dir) => // modulus-bounded cardinality monitor
       graft.streaming.StreamingQueries.kmvState(s, dir)),
     "st2_stream_dedup" -> ((s, dir) =>
@@ -1903,6 +1949,20 @@ object SparkEntry {
         """SELECT CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT)
           |         AS bin, count(*) AS n
           |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
+      "a15_equidepth_hist" -> { // same rounded boundaries, strict-< bucketing
+        val qs = (1 to 19).map(i => (i / 20.0).toString).mkString(", ")
+        s"""WITH bounds AS (
+           |  SELECT round(unnest(quantile_cont(l_extendedprice, [$qs])), 6)
+           |           AS b
+           |  FROM lineitem),
+           |bucketed AS (
+           |  SELECT l_extendedprice AS v,
+           |         (SELECT count(*) FROM bounds WHERE b < v) AS bucket
+           |  FROM lineitem)
+           |SELECT bucket, count(*) AS n,
+           |       round(min(v), 2) AS lo, round(max(v), 2) AS hi
+           |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
+      },
       "a12_profile" -> // the one-row corpus health profile
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,
           |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -2155,6 +2215,16 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
           |       event_type, count(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "e6_sliding" -> // the same 4 hops per event via integer micros
+        """WITH ev AS (SELECT epoch_ns(ts) // 1000 AS us, event_type
+          |            FROM events),
+          |hops AS (
+          |  SELECT ((us // 900000000) - k) * 900000000 AS w_start_us,
+          |         event_type
+          |  FROM ev, (SELECT unnest(generate_series(0, 3)) AS k))
+          |SELECT w_start_us, event_type, count(*) AS n
+          |FROM hops GROUP BY 1, 2
+          |ORDER BY w_start_us, event_type""".stripMargin,
       "g1_rollup" ->
         """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
           |       coalesce(o_orderstatus, 'ALL') AS status,
@@ -2483,6 +2553,16 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
           |       event_type, count(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "st17_stream_sliding" -> // drained complete state == batch e6
+        """WITH ev AS (SELECT epoch_ns(ts) // 1000 AS us, event_type
+          |            FROM events),
+          |hops AS (
+          |  SELECT ((us // 900000000) - k) * 900000000 AS w_start_us,
+          |         event_type
+          |  FROM ev, (SELECT unnest(generate_series(0, 3)) AS k))
+          |SELECT w_start_us, event_type, count(*) AS n
+          |FROM hops GROUP BY 1, 2
+          |ORDER BY w_start_us, event_type""".stripMargin,
       // drained (grp, h) state -> the batch sketch, minus the exact
       // column the bounded-state stream deliberately does not keep
       "st16_stream_kmv" ->

@@ -111,6 +111,36 @@ object StreamingQueries {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** Hopping (sliding) event-time windows as a stream — `e6_sliding`
+    * through the incremental engine: 1 h windows every 15 min, each event
+    * expanding to its 4 window assignments in the stateless projection,
+    * state keyed by (window, type) exactly like [[eventHourly]] (4× the
+    * rows, same bound: time × cardinality, never input size). Drained
+    * complete with `AvailableNow`, the result equals the batch query and
+    * shares its oracle. */
+  def eventSliding(outer: SparkSession, dir: String): DataFrame = {
+    val spark = childSession(outer)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "st17_sliding_" + math.abs(dir.hashCode)
+    val counts = graft.operators.Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(timestamp_micros(expr("ts div 1000")).as("t"),
+        col("event_type"))
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(window.start)").as("w_start_us"),
+        col("event_type"), col("n"))
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("w_start_us", "event_type")
+  }
+
   /** Streaming dedup state over the documents corpus: keyed aggregation on
     * the normalized text (the exact-dup key), drained and summarized to
     * `(n_docs, n_distinct)`. The state is exactly what an always-on

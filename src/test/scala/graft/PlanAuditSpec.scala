@@ -645,4 +645,39 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("a15: equi-depth bucketing is a projection — no ntile, no join") {
+    // the naive formulation (global ntile window) would single-partition
+    // the whole table; the boundary-artifact formulation must plan as a
+    // comparison-sum projection feeding one aggregate
+    val p = plan("a15_equidepth_hist")
+    assert(!p.contains("ntile"), "no global ntile window:\n" + p)
+    assert(!p.contains("Join"), "bucketing must not join:\n" + p)
+    assert(nodeCount(p, "Window") === 0, "no window operator:\n" + p)
+  }
+
+  test("e6: hopping windows expand in-scan — no self-join, 4x explode") {
+    val p = plan("e6_sliding")
+    assert(p.contains("Expand") || p.contains("Generate"),
+      "the 4 hop assignments must come from an explode/expand:\n" + p)
+    assert(!p.contains("Join"), "hop assignment must not self-join:\n" + p)
+    assert(nodeCount(p, "Scan parquet") === 1, "one scan:\n" + p)
+  }
+
+  test("t30: KN model relations stay word-keyed; candidates never rescan text") {
+    val p = plan("t30_kneser_ney")
+    // four model lookups (bi, ctx, cont, B) + the candidate relation all
+    // derive from tokenized slices; no exchange may carry the text column
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text")),
+      "no exchange carries document text:\n" + p)
+  }
+
+  test("d4: the MV merge is two partial aggregates union-merged, one scan each") {
+    val p = plan("d4_incremental_mv")
+    // base + delta slices each scan+aggregate, the merge re-aggregates by
+    // key — no join anywhere in the maintenance path
+    assert(!p.contains("Join"), "MV merge must not join:\n" + p)
+    assert(p.contains("Union"), p)
+  }
 }
