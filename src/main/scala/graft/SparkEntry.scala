@@ -1803,6 +1803,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.eventHourly(s, dir)),
     "st17_stream_sliding" -> ((s, dir) => // hopping windows, e6's twin
       graft.streaming.StreamingQueries.eventSliding(s, dir)),
+    "st18_stream_mv" -> ((s, dir) => // incremental MV merges across batches
+      graft.streaming.StreamingQueries.incrementalMv(s, dir)),
     "st16_stream_kmv" -> ((s, dir) => // modulus-bounded cardinality monitor
       graft.streaming.StreamingQueries.kmvState(s, dir)),
     "st2_stream_dedup" -> ((s, dir) =>
@@ -2343,6 +2345,10 @@ object SparkEntry {
           |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
           |WHERE rn = 1 ORDER BY user_id""".stripMargin,
       "d4_incremental_mv" -> // merge of partials == full recompute
+        """SELECT epoch_ns(ts) // 3600000000000 AS hr, event_type,
+          |       count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+      "st18_stream_mv" -> // 4-batch MV merge chain == full recompute
         """SELECT epoch_ns(ts) // 3600000000000 AS hr, event_type,
           |       count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,

@@ -104,6 +104,21 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("incrementalMv: the MV merges across >1 versions to the full rollup") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.incrementalMv(spark, dir).collect()
+    assert(StreamingQueries.lastMvVersions.get() > 1,
+      s"expected a multi-version merge chain, got ${StreamingQueries.lastMvVersions.get()}")
+    val batch = Tables(spark, dir, "events")
+      .select(expr("ts div 3600000000000").as("hr"), col("event_type"),
+        col("value"))
+      .groupBy("hr", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hr", "event_type").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("dsirScore stream equals the batch DSIR weights row for row") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
