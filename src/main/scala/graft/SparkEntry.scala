@@ -174,6 +174,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .write.mode("overwrite").partitionBy("lang").parquet(path)
     }),
+    "docs_evolved" -> ((s, dir) => ensureFixture(dir, "docs_evolved") { path =>
+      // two dataset generations with DIFFERENT schemas: gen=1 predates
+      // the n_chars column, gen=2 carries it — the evolved-over-years
+      // source layout s6 reads back through one mergeSchema scan
+      val d = Tables(s, dir, "documents")
+      d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+    }),
     "docs_orc" -> ((s, dir) => ensureFixture(dir, "docs_orc") { path =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -740,6 +752,38 @@ object SparkEntry {
         .orderBy("user_id", "valid_from_us", "event_id")
     }),
 
+    "j10_interval_lookup" -> ((s, dir) => {
+      // Point-in-time lookup against the SCD-2 dimension d3 materializes
+      // — the canonical temporal-dimension join of warehouse fact loads.
+      // Probes sit 1 µs BEFORE each change record, so each one must
+      // resolve to the user's PREVIOUS version (half-open [from, to)
+      // semantics exercised at the boundary; a user's first event probes
+      // before any interval and left-joins to NULL). The equi-key
+      // (user_id) makes this a hash/sort-merge join with the interval
+      // predicate as a residual — never a nested loop; intervals per key
+      // are disjoint, so at most one dimension row matches a probe.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("d_user").orderBy("d_ts", "dim_event_id")
+      val dim = Tables(s, dir, "events")
+        .select(col("user_id").as("d_user"), col("ts").as("d_ts"),
+          col("event_id").as("dim_event_id"), col("value").as("dim_value"),
+          expr("ts div 1000").as("valid_from_us"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .drop("d_ts")
+      val probes = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id").as("probe_event_id"),
+          (expr("ts div 1000") - 1).as("probe_us"))
+      probes.join(dim,
+          col("user_id") === col("d_user")
+            && col("probe_us") >= col("valid_from_us")
+            && (col("valid_to_us").isNull
+              || col("probe_us") < col("valid_to_us")),
+          "left")
+        .select(col("user_id"), col("probe_event_id"),
+          col("dim_event_id"), col("dim_value"))
+        .orderBy("user_id", "probe_event_id")
+    }),
+
     // --- X: skew-salted join (scale technique; oracle is the UNSALTED
     // join, proving the rewrite is semantics-preserving)
     "x1_salted_join" -> ((s, dir) =>
@@ -1191,6 +1235,23 @@ object SparkEntry {
       Ingest.readDocsJsonObserved(s, path,
           new org.apache.spark.sql.Observation())
         .orderBy("doc_id")
+    }),
+    "s6_schema_evolution" -> ((s, dir) => {
+      // Schema evolution at the source: two dataset generations written
+      // with different schemas (gen=1 predates n_chars) read back in ONE
+      // mergeSchema scan — the 100 TB reality where years of files
+      // differ. Partition discovery supplies `gen`; the missing column
+      // null-fills, and the rollup proves both the union and the fill
+      // (non-null counts only on gen=2). mergeSchema costs one footer
+      // read per file at planning — at real scale the merged schema
+      // lives in a catalog and the per-file cost disappears.
+      val path = fixtures("docs_evolved")(s, dir)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("gen").cast("long").as("gen"))
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("gen")
     }),
     "s2_jsonl_ingest" -> ((s, dir) => {
       // JSONL sink + scan round trip — the fourth corpus format next to
@@ -2348,6 +2409,24 @@ object SparkEntry {
         """SELECT epoch_ns(ts) // 3600000000000 AS hr, event_type,
           |       count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+      "j10_interval_lookup" -> // same intervals, same half-open boundary
+        """WITH dim AS (
+          |  SELECT user_id AS d_user, event_id AS dim_event_id,
+          |         value AS dim_value,
+          |         epoch_ns(ts) // 1000 AS valid_from_us,
+          |         lead(epoch_ns(ts) // 1000) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id)
+          |           AS valid_to_us
+          |  FROM events),
+          |probes AS (
+          |  SELECT user_id, event_id AS probe_event_id,
+          |         epoch_ns(ts) // 1000 - 1 AS probe_us
+          |  FROM events)
+          |SELECT p.user_id, p.probe_event_id, d.dim_event_id, d.dim_value
+          |FROM probes p LEFT JOIN dim d
+          |  ON p.user_id = d.d_user AND p.probe_us >= d.valid_from_us
+          |  AND (d.valid_to_us IS NULL OR p.probe_us < d.valid_to_us)
+          |ORDER BY p.user_id, p.probe_event_id""".stripMargin,
       "st18_stream_mv" -> // 4-batch MV merge chain == full recompute
         """SELECT epoch_ns(ts) // 3600000000000 AS hr, event_type,
           |       count(*) AS n, round(sum(value), 2) AS sum_value
@@ -2420,6 +2499,13 @@ object SparkEntry {
           |FROM lineitem WHERE l_quantity >= 2.5""".stripMargin,
       "s2_jsonl_ingest" ->
         "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+      "s6_schema_evolution" -> // gen=1 predates n_chars -> null-filled
+        """SELECT CAST(1 + doc_id % 2 AS BIGINT) AS gen, count(*) AS n,
+          |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n_with_chars,
+          |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+          |         AS BIGINT) AS total_chars
+          |FROM documents GROUP BY 1 ORDER BY gen""".stripMargin,
       "s5_json_malformed" -> // the fixture breaks exactly the %50 lines
         """SELECT doc_id, lang, n_chars FROM documents
           |WHERE doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin,

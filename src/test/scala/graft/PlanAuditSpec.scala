@@ -673,6 +673,15 @@ class PlanAuditSpec extends SparkSuite {
       "no exchange carries document text:\n" + p)
   }
 
+  test("j10: interval lookup keeps the user_id equi-key — never a nested loop") {
+    val p = plan("j10_interval_lookup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "interval predicate must ride an equi-join as a residual:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p)
+  }
+
   test("d4: the MV merge is two partial aggregates union-merged, one scan each") {
     val p = plan("d4_incremental_mv")
     // base + delta slices each scan+aggregate, the merge re-aggregates by
