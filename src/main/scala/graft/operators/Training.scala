@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine training of the hashed-feature text classifier — the missing
+  * half of `t16_hashed_lr`, which only SCORES with fixed weights. Batch
+  * gradient descent for logistic regression over a hashed bag-of-tokens
+  * presence vector (the fastText-style supervised setup corpus pipelines
+  * use for language/quality gates), expressed entirely as DataFrame
+  * aggregates:
+  *
+  *  - the corpus tokenizes ONCE into a persisted sparse `(doc, idx)`
+  *    presence relation (idx = hashed token mod dim) — every iteration
+  *    reuses it, the text is never rescanned;
+  *  - features are CENTERED against the train-split bucket frequencies:
+  *    the shared common-token direction otherwise dominates the Hessian
+  *    spectrum and fixed-step batch GD oscillates (measured: loss
+  *    non-monotone, holdout accuracy swinging 0.29–1.0 across scale
+  *    factors; centered, the same step is monotone with accuracy 1.0 at
+  *    every SF). Centering stays SPARSE: the centered dot product is
+  *    `Σ_live w_j − w·μ` (one driver scalar per iteration) and the
+  *    centered gradient is the live-bucket error sum minus `μ_j · Σe` —
+  *    no densification, no extra shuffle;
+  *  - one iteration = two jobs over the persisted relation: doc-keyed
+  *    score/loss aggregate against the BROADCAST weight vector (a
+  *    literal array — the model is a driver-side artifact of dim+1
+  *    doubles, the bounded-artifact contract of the bloom filters and PQ
+  *    codebooks), then an idx-keyed gradient aggregate;
+  *  - the weight update runs on the driver (dim doubles), never in a job.
+  *
+  * At 100 TB nothing changes shape: the sparse relation is the corpus
+  * pass, gradients are dim-sized rows, and iteration count is the only
+  * multiplier. Floating-point sums across partitions make the learned
+  * weights engine-specific, so the history query ships rows-only and
+  * [[lrVerify]] gates the exact-valued invariants instead: monotone
+  * loss, a ≥2× loss drop, holdout accuracy against a label the synthetic
+  * corpus genuinely encodes (a known lexical rule — `lang` is
+  * text-independent in this testdata, so a token-derived label is the
+  * honest learnable target), and exact split counts.
+  */
+object Training {
+
+  /** Per-iteration training history: `(iter, loss, train_acc)`. */
+  def lrTrainHistory(docs: DataFrame, labelPred: Column, dim: Int = 256,
+      iters: Int = 6, step: Double = 5.0): DataFrame = {
+    val r = fit(docs, labelPred, dim, iters, step)
+    import r.spark.implicits._
+    r.history.toDF("iter", "loss", "train_acc")
+      .select(col("iter"), round(col("loss"), 6).as("loss"),
+        round(col("train_acc"), 4).as("train_acc"))
+  }
+
+  /** The exact-valued gate row: split counts are integers (oracle-able);
+    * the learning invariants are booleans robust to last-ulp float
+    * variation. `(n_train, n_holdout, loss_monotone, loss_halved,
+    * holdout_acc_ok)`. */
+  def lrVerify(docs: DataFrame, labelPred: Column, dim: Int = 256,
+      iters: Int = 6, step: Double = 5.0, minAcc: Double = 0.9): DataFrame = {
+    val r = fit(docs, labelPred, dim, iters, step)
+    import r.spark.implicits._
+    val losses = r.history.map(_._2)
+    Seq((r.nTrain, r.nHoldout,
+        losses.zip(losses.tail).forall { case (a, b) => b < a },
+        losses.last < 0.5 * losses.head,
+        r.holdoutAcc >= minAcc))
+      .toDF("n_train", "n_holdout", "loss_monotone", "loss_halved",
+        "holdout_acc_ok")
+  }
+
+  private case class Fit(history: Seq[(Int, Double, Double)], nTrain: Long,
+      nHoldout: Long, holdoutAcc: Double,
+      spark: org.apache.spark.sql.SparkSession)
+
+  private def fit(docs: DataFrame, labelPred: Column, dim: Int,
+      iters: Int, step: Double): Fit = {
+    val spark = docs.sparkSession
+    val base = docs
+      .select(col("doc_id"), labelPred.cast("double").as("y"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("is_holdout", col("doc_id") % 5 === 0)
+    val sparse = base
+      .select(col("doc_id"), col("y"), col("is_holdout"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("y"), col("is_holdout"),
+        pmod(xxhash64(col("tok")), lit(dim.toLong)).cast("int").as("idx"))
+      .agg(count(lit(1)).as("c")) // presence: c unused beyond dedup
+      .select("doc_id", "y", "is_holdout", "idx")
+      .persist()
+    val train = sparse.where(!col("is_holdout"))
+    val nTrain = train.select("doc_id").distinct().count()
+    val nHoldout = sparse.where(col("is_holdout"))
+      .select("doc_id").distinct().count()
+
+    // train-split bucket frequencies — the centering vector μ, a
+    // dim-sized driver artifact like the weights themselves
+    val mu = Array.fill(dim)(0.0)
+    train.groupBy("idx").agg(count(lit(1)).as("n")).collect()
+      .foreach(r => mu(r.getAs[Int]("idx")) = r.getAs[Long]("n").toDouble / nTrain)
+
+    var w = Array.fill(dim)(0.0)
+    var b = 0.0
+    val gamma = 0.8
+    val vw = Array.fill(dim)(0.0)
+    var vb = 0.0
+    import spark.implicits._
+    // The model enters each iteration's plan as DATA (a broadcast
+    // dim-row weight relation + a one-row bias/center relation), not as
+    // literals: inlined literal weights change the generated code every
+    // iteration, and the per-iteration whole-stage-codegen recompile
+    // dominated the runtime (benched ~1s/iteration of pure compilation).
+    // Data-shaped plans are identical across iterations — compile once.
+    def scores(slice: DataFrame): DataFrame = {
+      val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("idx", "wv")
+      val center = w.zip(mu).map { case (wj, mj) => wj * mj }.sum
+      val scalarDf = Seq(b - center).toDF("bc")
+      slice.join(broadcast(wDf), Seq("idx"))
+        .groupBy("doc_id", "y").agg(sum("wv").as("dot"))
+        .crossJoin(broadcast(scalarDf))
+        .select(col("doc_id"), col("y"),
+          (lit(1.0) / (lit(1.0) + exp(-(col("dot") + col("bc"))))).as("s"))
+    }
+    def lossAcc(sc: DataFrame): (Double, Double) = {
+      // clamp inside the log: a saturated score would otherwise produce
+      // -inf loss and poison the monotonicity gate
+      val r = sc.agg(
+        avg(-(col("y") * log(greatest(col("s"), lit(1e-12)))
+          + (lit(1.0) - col("y"))
+            * log(greatest(lit(1.0) - col("s"), lit(1e-12))))).as("loss"),
+        avg(when((col("s") >= 0.5) === (col("y") === 1.0), 1.0)
+          .otherwise(0.0)).as("acc")).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+
+    val hist = (1 to iters).map { it =>
+      // ONE action per iteration: the per-bucket gradient rows, the
+      // loss/accuracy totals (idx = -1), and the error sum (idx = -2)
+      // union into a single tagged relation and collect together — the
+      // job-per-branch variant benched 4× slower on pure scheduling
+      // overhead (36 sub-second jobs for 8 iterations)
+      // persisted: the loss, error-sum, and gradient branches of the
+      // union below all read err — uncached, each branch re-ran the
+      // whole scores subtree (scan + join + aggregate)
+      val err = scores(train).select(col("doc_id"), col("y"), col("s"),
+        (col("s") - col("y")).as("e")).persist()
+      val gradRows = train.join(broadcast(err.select("doc_id", "e")), "doc_id")
+        .groupBy("idx").agg(sum(col("e")).as("a"), lit(0.0).as("b"))
+      val lossRow = err.agg(
+        sum(-(col("y") * log(greatest(col("s"), lit(1e-12)))
+          + (lit(1.0) - col("y"))
+            * log(greatest(lit(1.0) - col("s"), lit(1e-12))))).as("a"),
+        sum(when((col("s") >= 0.5) === (col("y") === 1.0), 1.0)
+          .otherwise(0.0)).as("b"))
+        .select(lit(-1).as("idx"), col("a"), col("b"))
+      val sumERow = err.agg(sum("e").as("a"))
+        .select(lit(-2).as("idx"), col("a"), lit(0.0).as("b"))
+      val rows = gradRows.select(col("idx"), col("a"), col("b"))
+        .unionByName(lossRow).unionByName(sumERow).collect()
+      err.unpersist()
+
+      val loss = rows.find(_.getInt(0) == -1).get.getDouble(1) / nTrain
+      val acc = rows.find(_.getInt(0) == -1).get.getDouble(2) / nTrain
+      val sumE = rows.find(_.getInt(0) == -2).get.getDouble(1)
+      // centered gradient: live-bucket error sum minus μ_j · Σe; buckets
+      // never live in train have μ_j = 0 and stay untouched
+      val g = Array.tabulate(dim)(j => -mu(j) * sumE / nTrain)
+      rows.filter(_.getInt(0) >= 0).foreach { r =>
+        g(r.getInt(0)) += r.getDouble(1) / nTrain
+      }
+      // heavy-ball momentum (γ = 0.8): converges in ~6 iterations where
+      // plain centered GD needed 8+ — on Spark the iteration count IS the
+      // cost (each is a fixed-overhead distributed pass), so fewer,
+      // heavier steps win
+      (0 until dim).foreach { j =>
+        vw(j) = gamma * vw(j) + g(j)
+        w(j) -= step * vw(j)
+      }
+      vb = gamma * vb + sumE / nTrain
+      b -= step * vb
+      (it, loss, acc)
+    }
+    val (_, holdoutAcc) = lossAcc(scores(sparse.where(col("is_holdout"))))
+    sparse.unpersist()
+    Fit(hist, nTrain, nHoldout, holdoutAcc, spark)
+  }
+}
