@@ -985,6 +985,28 @@ object SparkEntry {
           max("n").as("max_session_events"))
         .orderBy("user_id")
     }),
+    "e7_dynamic_sessions" -> ((s, dir) => {
+      // DYNAMIC-gap sessionization: the inactivity window depends on the
+      // event itself (engagement events hold a session open 15 min,
+      // everything else 45) — session_window's expression-gap form, a
+      // different planner path from e2's static gap (per-row window
+      // construction feeding the same merging state). The oracle
+      // rebuilds the islands with a running max of per-event window
+      // ends, the exact merge rule the variable gap induces.
+      val ev = Tables(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+          col("user_id"),
+          when(col("event_type").isin("view", "click"), lit("15 minutes"))
+            .otherwise(lit("45 minutes")).as("gap"))
+      ev.groupBy(col("user_id"),
+          session_window(col("event_time"), col("gap")))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n").as("n_events"),
+          max("n").as("max_session_events"))
+        .orderBy("user_id")
+    }),
 
     // --- W: window functions (beyond the reference; SURVEY §2.7 gap)
     "w1_window_share" -> ((s, dir) => {
@@ -2369,6 +2391,33 @@ object SparkEntry {
           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           |  FROM o),
           |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+          |       CAST(sum(n) AS BIGINT) AS n_events,
+          |       CAST(max(n) AS BIGINT) AS max_session_events
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "e7_dynamic_sessions" -> // islands via running max of per-event ends
+        """WITH ev AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN event_type IN ('view', 'click')
+          |                THEN INTERVAL 15 MINUTE
+          |              ELSE INTERVAL 45 MINUTE END AS gap
+          |  FROM events),
+          |m AS (
+          |  SELECT user_id, ts,
+          |         max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |           AS prev_end
+          |  FROM ev),
+          |o AS (SELECT user_id, ts,
+          |             CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1
+          |                  ELSE 0 END AS new_s
+          |      FROM m),
+          |s AS (SELECT user_id,
+          |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |               AS sid
+          |      FROM o),
+          |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
           |       CAST(sum(n) AS BIGINT) AS n_events,
           |       CAST(max(n) AS BIGINT) AS max_session_events
