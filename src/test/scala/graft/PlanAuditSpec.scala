@@ -689,4 +689,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"), "MV merge must not join:\n" + p)
     assert(p.contains("Union"), p)
   }
+
+  test("w6: both EWMA windows share one user_id exchange; no join") {
+    val p = plan("w6_ewma")
+    assert(!p.contains("Join"), p)
+    // recency filter + sequence + cumulative windows, plus the final
+    // presentation sort: at most the keyed exchange and the sort
+    assert(nodeCount(p, "Exchange") <= 2,
+      s"EWMA must not re-shuffle between its windows:\n$p")
+  }
+
+  test("e7: dynamic-gap sessions plan as MergingSessions, not a self-join") {
+    val p = plan("e7_dynamic_sessions")
+    assert(p.contains("MergingSessions") || p.contains("Session"),
+      "dynamic gap must still ride the session-merge operator:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
 }

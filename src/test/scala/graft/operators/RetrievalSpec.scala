@@ -76,4 +76,24 @@ class RetrievalSpec extends SparkSuite {
     assert(sessions(1L) === 2L)
     assert(sessions(2L) === 1L)
   }
+
+  test("dynamic-gap session_window: each event extends by ITS OWN gap") {
+    // user 1: a 'short' event (15-min gap) followed 20 min later -> the
+    // first event's window closed at +15, so a NEW session; user 2: a
+    // 'long' event (45-min gap) followed 20 min later -> merges. The
+    // e7 oracle models exactly this running-max-of-own-ends rule.
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def plusMin(m: Long) = new java.sql.Timestamp(t0.getTime + m * 60000)
+    val ev = Seq(
+      (1L, t0, "15 minutes"), (1L, plusMin(20), "15 minutes"),
+      (2L, t0, "45 minutes"), (2L, plusMin(20), "45 minutes")
+    ).toDF("user_id", "event_time", "gap")
+    val sessions = ev
+      .groupBy(col("user_id"), session_window(col("event_time"), col("gap")))
+      .agg(count("*").as("n"))
+      .groupBy("user_id").agg(count("*").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(sessions(1L) === 2L, "15-min gap must split a 20-min pause")
+    assert(sessions(2L) === 1L, "45-min gap must bridge a 20-min pause")
+  }
 }
