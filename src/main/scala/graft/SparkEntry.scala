@@ -1900,6 +1900,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.eventSliding(s, dir)),
     "st18_stream_mv" -> ((s, dir) => // incremental MV merges across batches
       graft.streaming.StreamingQueries.incrementalMv(s, dir)),
+    "st19_checkpoint_resume" -> ((s, dir) => // exactly-once across restart
+      graft.streaming.StreamingQueries.checkpointResume(s, dir)),
     "st16_stream_kmv" -> ((s, dir) => // modulus-bounded cardinality monitor
       graft.streaming.StreamingQueries.kmvState(s, dir)),
     "st2_stream_dedup" -> ((s, dir) =>
@@ -2492,6 +2494,9 @@ object SparkEntry {
         """SELECT epoch_ns(ts) // 3600000000000 AS hr, event_type,
           |       count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+      "st19_checkpoint_resume" -> // two checkpointed runs == one batch pass
+        """SELECT event_type, count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
       "w1_window_share" ->
         s"""SELECT rating, n, round(n / sum(n) OVER (), 6) AS share
            |FROM (SELECT rating, count(*) AS n FROM ($li) GROUP BY rating)

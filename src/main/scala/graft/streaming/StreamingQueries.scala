@@ -723,6 +723,59 @@ object StreamingQueries {
     spark.table(name).orderBy("user_id", "s_start_us")
   }
 
+  /** Checkpoint recovery — the property every production stream lives
+    * on: the SAME query drains in TWO separate runs over one checkpoint,
+    * and the offsets log guarantees each source file is processed
+    * exactly once across the restart. Run 1 sees only the first half of
+    * the re-laid source files and drains (`AvailableNow`); the second
+    * half is then written and run 2 restarts FROM THE CHECKPOINT — the
+    * file-source offsets log skips everything run 1 committed (pinned:
+    * run 2's input-row count is exposed for the spec), and the parquet
+    * sink's `_spark_metadata` commit log makes the two runs' output read
+    * back as one exactly-once dataset. The rollup of that sink must
+    * equal the batch answer over the whole table — the oracle. */
+  def checkpointResume(outer: SparkSession, dir: String): DataFrame = {
+    val spark = childSession(outer)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_st19_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val src = s"$base/src"
+    val all = graft.operators.Tables.normalizeEvents(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_id"), col("event_type"))
+    // half the rows now; the other half arrives "later", between runs
+    all.where(col("event_id") % 2 === 0).repartition(2)
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    def drain(): Long = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    drain() // run 1: first half only
+    all.where(col("event_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(src)
+    lastResumeRows.set(drain()) // run 2: MUST see only the new files
+
+    spark.read.parquet(s"$base/out")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Rows run 2 of [[checkpointResume]] ingested (spec observability:
+    * exactly the second half — nothing reprocessed across the restart). */
+  val lastResumeRows = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Incremental materialized-view maintenance as a stream — the
     * production face of `d4_incremental_mv`: the hourly rollup lives as a
     * parquet MV, and each micro-batch folds its slice to partial

@@ -119,6 +119,21 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("checkpointResume: restart processes ONLY the unseen files") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.checkpointResume(spark, dir).collect()
+    val secondHalf = Tables(spark, dir, "events")
+      .where(col("event_id") % 2 === 1).count()
+    assert(StreamingQueries.lastResumeRows.get() === secondHalf,
+      s"run 2 must ingest exactly the new rows ($secondHalf), got " +
+        s"${StreamingQueries.lastResumeRows.get()} — offsets log ignored?")
+    val batch = Tables(spark, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("dsirScore stream equals the batch DSIR weights row for row") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
