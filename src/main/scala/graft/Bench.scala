@@ -37,13 +37,51 @@ import org.apache.spark.sql.SparkSession
   *    estimator change with real speedups (see VERDICT r5 advice).
   *  - a failing query contributes `ok=false` instead of silently
   *    contributing a fast time.
-  *  - the full per-query detail (every run of every query) is written to
-  *    `BENCH_DETAIL.json` in the working directory — stdout tail-capture
-  *    truncates, the file doesn't.
+  *  - MULTI-DRAW protocol (r8, per the r7 verdict's #1 ask): the whole
+  *    measured suite runs `SPARK_GRAFT_DRAWS` times (default 3) in one
+  *    process, and the OFFICIAL per-query number is the MEDIAN of its
+  *    per-draw values (each per-draw value is still the min-of-3 rule
+  *    above). Rationale: the r7 official draw recorded dedup_containment
+  *    at 21.3s while five sibling draws put it at 2–4s — within one draw
+  *    the interference is sometimes STICKY (all three intra-draw runs
+  *    land inside the same noise event), so only a cross-draw estimator
+  *    kills it; the median keeps one bad draw from ever being the
+  *    committed number. Draw totals and their spread are published in the
+  *    output (`draws`, `draws_median`), so the grading error bar is
+  *    visible in the artifact itself. A wall-clock budget
+  *    (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 1800) stops admitting new
+  *    draws when the next one would overrun — at least one draw always
+  *    completes. NOTE for cross-round comparison: r5–r7 published a
+  *    single draw; one noisy draw could dominate a round delta there.
+  *  - OUTLIER GUARD (r7 verdict ask #6): if the official total deviates
+  *    >25% above the session's best draw total, the detail artifact is
+  *    diverted to `BENCH_DETAIL_OUTLIER.json` unless `--force` is passed
+  *    — publishing a noise-dominated number as the committed detail file
+  *    is a deliberate act, never an accident.
+  *  - the full per-query detail (every run of every query in every draw)
+  *    is written to `BENCH_DETAIL.json` in the working directory — stdout
+  *    tail-capture truncates, the file doesn't.
   */
 object Bench {
   private val warmupDir = "/root/testdata/sf0.001"
   private val heavySecs = 1.5
+
+  /** Median (numeric: mean of the two middles for even counts). */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** The outlier guard, pure for unit testing: where does the detail
+    * artifact go? >25% above the best draw without --force → diverted. */
+  private[graft] def detailPath(officialTotal: Double,
+      drawTotals: Seq[Double], force: Boolean): String =
+    if (!force && drawTotals.nonEmpty
+        && officialTotal > 1.25 * drawTotals.min)
+      "BENCH_DETAIL_OUTLIER.json"
+    else "BENCH_DETAIL.json"
 
   private def runOne(spark: SparkSession, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -74,9 +112,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val force = args.contains("--force")
     // optional local-iteration filter: bench only the named queries
-    val only: Option[Set[String]] =
-      if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None
+    val only: Option[Set[String]] = args.filterNot(_.startsWith("--"))
+      .headOption.map(_.split(",").map(_.trim).toSet)
+    val draws = sys.env.getOrElse("SPARK_GRAFT_DRAWS", "3").toInt.max(1)
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -137,40 +179,72 @@ object Bench {
       }
     }
 
-    val allRuns = selected.map { case (name, fn) =>
-      val first = runOne(spark, name, fn, sfDir)
-      val runs =
-        if (first._2 && first._1 > heavySecs)
-          Seq(first, runOne(spark, name, fn, sfDir), runOne(spark, name, fn, sfDir))
-        else Seq(first)
-      name -> runs
+    // ---- multi-draw measurement ----
+    val benchT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
+    // draw = one full pass over the suite; per-draw per-query value keeps
+    // the intra-draw min-of-3 rule for the heavy tail
+    def oneDraw(): Seq[(String, (Double, Boolean, Seq[Double]))] =
+      selected.map { case (name, fn) =>
+        val first = runOne(spark, name, fn, sfDir)
+        val runs =
+          if (first._2 && first._1 > heavySecs)
+            Seq(first, runOne(spark, name, fn, sfDir), runOne(spark, name, fn, sfDir))
+          else Seq(first)
+        name -> (runs.map(_._1).min, runs.forall(_._2), runs.map(_._1))
+      }
+    val drawsDone =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(String, (Double, Boolean, Seq[Double]))]]
+    var lastDrawWall = 0.0
+    while (drawsDone.size < draws
+        && (drawsDone.isEmpty || elapsed + lastDrawWall <= budgetSec)) {
+      val t0 = System.nanoTime()
+      drawsDone += oneDraw()
+      lastDrawWall = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] draw ${drawsDone.size} done in " +
+        f"$lastDrawWall%.1fs (total measured " +
+        f"${drawsDone.last.map(_._2._1).sum}%.1fs)")
     }
-    val results = allRuns.map { case (name, runs) =>
-      name -> (runs.map(_._1).min, runs.forall(_._2))
+
+    // official per-query = median across draws; ok = every draw green
+    val names = selected.map(_._1)
+    val results = names.map { k =>
+      val per = drawsDone.map(_.find(_._1 == k).get._2)
+      k -> (median(per.map(_._1).toSeq), per.forall(_._2))
     }
+    val drawTotals = drawsDone.map(_.map(_._2._1).sum).toSeq
     val qs = results.map { case (k, (t, _)) => s"\"$k\":$t" }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, (_, ok)) => s"\"$k\":$ok" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    val drawsJson = drawTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val drawsMedian = median(drawTotals)
 
-    // lossless per-query artifact: every run of every query, parseable
-    // regardless of the driver's stdout tail window
+    // lossless per-query artifact: every run of every query in every
+    // draw, parseable regardless of the driver's stdout tail window
     val detail = results.map { case (k, (t, ok)) =>
-      val runsJson = allRuns.find(_._1 == k).get._2.map(r => f"${r._1}%.3f")
+      val per = drawsDone.map(_.find(_._1 == k).get._2)
+      val perDraw = per.map(p => f"${p._1}%.3f").mkString("[", ",", "]")
+      val runsJson = per.map(_._3.map(r => f"$r%.3f").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
-      s""""$k":{"sec":$t,"ok":$ok,"runs":$runsJson}"""
+      s""""$k":{"sec":$t,"ok":$ok,"draws":$perDraw,"runs":$runsJson}"""
     }.mkString("{", ",", "}")
+    val target = detailPath(total, drawTotals, force)
+    if (target != "BENCH_DETAIL.json")
+      System.err.println(f"[bench] OUTLIER GUARD: official total $total%.1fs " +
+        f"is >25%% above best draw ${drawTotals.min}%.1fs - detail diverted " +
+        s"to $target (pass --force to publish anyway)")
     try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      val w = new java.io.PrintWriter(target)
       try w.println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"sf":"$sfDir","queries":$detail}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"ndraws":${drawsDone.size},"draws":$drawsJson,"draws_median":$drawsMedian%.2f,"sf":"$sfDir","queries":$detail}""")
       finally w.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ndraws":${drawsDone.size},"draws":$drawsJson,"queries":$qs,"ok":$oks,"sf":"$sfDir"}"""
 
     // The driver keeps only the LAST ~2000 bytes of stdout and json-parses
     // line by line; the full-detail line above is ~5 KB and its head gets
@@ -181,7 +255,7 @@ object Bench {
     val sorted = results.toSeq.sortBy { case (_, (t, _)) => -t }
       .map { case (k, (t, _)) => f""""$k":$t%.2f""" }
     val tailLen = s""","omitted":0,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""".length + 8
-    val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"queries":{"""
+    val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"ndraws":${drawsDone.size},"draws":$drawsJson,"draws_median":$drawsMedian%.2f,"queries":{"""
     val budget = 1900 - head.length - tailLen
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0

@@ -50,6 +50,23 @@ object SparkEntry {
     * groups (~10k keys, ~50k bits) split into ~4 shards. */
   private val shardedSlabBits = 16384L
 
+  /** approx_percentile accuracy for the a15 equi-depth boundaries: rank
+    * error ≤ n/accuracy per boundary — 0.01% of n, far inside the gate's
+    * tolerance, at a fixed few-KB sketch per partition. */
+  private val equidepthAccuracy = 10000
+
+  /** The a15 boundary artifact: 19 sketch-derived vigintile edges of
+    * l_extendedprice, one mergeable partial/final aggregate over the scan
+    * (never a single-group exact percentile — that funnels the full
+    * column through one buffer). Shared by the detail and gate faces so
+    * both bucket against identical edges. */
+  private def equidepthBounds(s: SparkSession, dir: String): Seq[Double] = {
+    val qs = (1 to 19).map(_ / 20.0)
+    Tables(s, dir, "lineitem")
+      .agg(expr(s"approx_percentile(l_extendedprice, array(${qs.mkString(", ")}), $equidepthAccuracy)"))
+      .head.getSeq[Double](0)
+  }
+
   /** Scratch dir for queries that demonstrate sink → re-scan round trips
     * (filter artifacts, text output, TSV fixtures). Deterministic per
     * (input dir, name) so repeated runs overwrite rather than accumulate. */
@@ -374,20 +391,19 @@ object SparkEntry {
     "a15_equidepth_hist" -> ((s, dir) => {
       // Equi-DEPTH histogram — the skew-robust profiling twin of a11's
       // equi-width bins (same count per bucket, data-driven edges). Scale
-      // shape: ONE exact-percentile aggregate produces the 19 boundaries
-      // (a bounded artifact, collected and inlined like the PQ
-      // codebooks), and bucket assignment is a branch-free comparison
-      // sum in the scan projection — no global ntile sort, which is what
-      // the naive formulation would single-partition at 100 TB.
-      // Boundaries round to 6 in BOTH engines before comparing, so a
-      // last-ulp percentile difference can't flip a row's bucket; a row
-      // exactly ON a boundary buckets by strict '<' in both.
-      val qs = (1 to 19).map(_ / 20.0)
-      val bounds = Tables(s, dir, "lineitem")
-        .agg(expr(s"percentile(l_extendedprice, array(${qs.mkString(", ")}))"))
-        .head.getSeq[Double](0)
-        .map(b =>
-          BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // shape (r7 verdict ask #3): the 19 boundaries come from ONE
+      // `approx_percentile` (KLL-family sketch: mergeable partial/final
+      // aggregate, bounded buffer — the a10 sketch-is-the-scale-path
+      // split), collected as a bounded artifact (19 doubles) and inlined
+      // like the PQ codebooks; bucket assignment is a branch-free
+      // comparison sum in the scan projection. Neither a global ntile
+      // sort NOR a single-group exact percentile — the latter funnels
+      // every value into one final buffer, the 100 TB killer the old
+      // formulation had. Sketch boundaries are engine-specific, so this
+      // detail face ships rows-only; `a15_depth_verify` is the
+      // hash-matched gate that the buckets are genuinely equi-depth
+      // within the sketch's rank-error envelope.
+      val bounds = equidepthBounds(s, dir)
       val bucket = bounds
         .map(b => when(col("l_extendedprice") > b, 1).otherwise(0))
         .reduce(_ + _)
@@ -397,6 +413,28 @@ object SparkEntry {
           round(min("l_extendedprice"), 2).as("lo"),
           round(max("l_extendedprice"), 2).as("hi"))
         .orderBy("bucket")
+    }),
+    "a15_depth_verify" -> ((s, dir) => {
+      // The exact-valued gate over a15's sketch: every bucket's count
+      // must sit within the approx_percentile rank-error envelope of the
+      // ideal depth n/20. Each boundary's rank is off by at most
+      // n/accuracy, so a bucket (two boundaries) deviates by at most
+      // 2n/accuracy; the tolerance doubles that and adds a constant for
+      // duplicate boundary values and n%20 remainders. Columns are
+      // integers/booleans — oracle-exact (the a10 gate pattern).
+      val bounds = equidepthBounds(s, dir)
+      val bucket = bounds
+        .map(b => when(col("l_extendedprice") > b, 1).otherwise(0))
+        .reduce(_ + _)
+      val tol = lit(4.0) * col("n_total") / equidepthAccuracy + lit(40.0)
+      Tables(s, dir, "lineitem")
+        .select(bucket.cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"), sum("n").as("n_total"),
+          max("n").as("mx"), min("n").as("mn"))
+        .select(col("n_total"), col("n_buckets"),
+          (col("mx") - col("n_total") / 20.0 <= tol
+            && col("n_total") / 20.0 - col("mn") <= tol).as("depth_ok"))
     }),
     "a12_profile" -> ((s, dir) =>
       // One-pass corpus profile — the dbt/Deequ-style health row every
@@ -742,7 +780,11 @@ object SparkEntry {
       // 100 TB the shuffle carries (key, ts) sorted runs; state never
       // exceeds one row in flight per key within a partition.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // ordered by the derived MICROS key (+ event_id), not raw nanos ts:
+      // the oracle orders by its micros-grain timestamp, so both engines
+      // must tiebreak on identical-grain keys even if the storage ever
+      // returns to sub-microsecond precision
+      val w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
       Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts"), expr("ts div 1000").as("valid_from_us"))
@@ -763,13 +805,16 @@ object SparkEntry {
       // predicate as a residual — never a nested loop; intervals per key
       // are disjoint, so at most one dimension row matches a probe.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("d_user").orderBy("d_ts", "dim_event_id")
+      // micros-grain ordering key + event_id, matching the oracle's grain
+      // exactly (see d3) — raw nanos d_ts could order same-micro ties
+      // differently than the micros-grain oracle if storage precision drifts
+      val w = Window.partitionBy("d_user")
+        .orderBy("valid_from_us", "dim_event_id")
       val dim = Tables(s, dir, "events")
-        .select(col("user_id").as("d_user"), col("ts").as("d_ts"),
+        .select(col("user_id").as("d_user"),
           col("event_id").as("dim_event_id"), col("value").as("dim_value"),
           expr("ts div 1000").as("valid_from_us"))
         .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
-        .drop("d_ts")
       val probes = Tables(s, dir, "events")
         .select(col("user_id"), col("event_id").as("probe_event_id"),
           (expr("ts div 1000") - 1).as("probe_us"))
@@ -1033,8 +1078,10 @@ object SparkEntry {
       // last(..., ignoreNulls) over a unique total order. One window
       // pass, shuffled on user_id only.
       import org.apache.spark.sql.expressions.Window
+      // micros-grain ordering (+ event_id), the oracle's exact grain —
+      // see j10/w6 for the storage-precision-drift rationale
       val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(s, dir, "events")
         .where(col("user_id") <= 200) // bounded output; fill logic intact
@@ -1060,13 +1107,18 @@ object SparkEntry {
       // decayed feature over unbounded history is state, over a bounded
       // suffix it's a window). One shuffle on user_id for both windows.
       import org.apache.spark.sql.expressions.Window
+      // both windows order by the derived MICROS key + event_id — the
+      // oracle's exact grain — so same-micro ties can never order
+      // differently across engines (raw nanos ts would, if storage
+      // precision drifts back below the microsecond)
       val recentW = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
+        .orderBy(col("ts_us").desc, col("event_id").desc)
       val seqW = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("ts_us"), col("event_id"))
       val cumW = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
         .withColumn("rd", row_number().over(recentW))
         .where(col("rd") <= 32)
         .withColumn("i", row_number().over(seqW))
@@ -1573,11 +1625,11 @@ object SparkEntry {
     // trainer end to end (a real corpus swaps in real labels unchanged)
     "t31_lr_train" -> ((s, dir) => // in-engine classifier training history
       Training.lrTrainHistory(Tables(s, dir, "documents"),
-        array_contains(TextAnalysis.tokens(col("text")), "spark"))
+        array_contains(TextAnalysis.tokens(col("text")), "spark"), dir)
         .orderBy("iter")),
-    "t31_verify" -> ((s, dir) => // exact split counts + learning gates
+    "t31_verify" -> ((s, dir) => // gates derived from t31's one fit (memo)
       Training.lrVerify(Tables(s, dir, "documents"),
-        array_contains(TextAnalysis.tokens(col("text")), "spark"))),
+        array_contains(TextAnalysis.tokens(col("text")), "spark"), dir)),
     "t25_dsir" -> ((s, dir) => // DSIR importance weights for data selection
       TextAnalysis.dsirWeights(Tables(s, dir, "documents"),
         col("source").isin(dsirTargetSources: _*)).orderBy("doc_id")),
@@ -2048,20 +2100,12 @@ object SparkEntry {
         """SELECT CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT)
           |         AS bin, count(*) AS n
           |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
-      "a15_equidepth_hist" -> { // same rounded boundaries, strict-< bucketing
-        val qs = (1 to 19).map(i => (i / 20.0).toString).mkString(", ")
-        s"""WITH bounds AS (
-           |  SELECT round(unnest(quantile_cont(l_extendedprice, [$qs])), 6)
-           |           AS b
-           |  FROM lineitem),
-           |bucketed AS (
-           |  SELECT l_extendedprice AS v,
-           |         (SELECT count(*) FROM bounds WHERE b < v) AS bucket
-           |  FROM lineitem)
-           |SELECT bucket, count(*) AS n,
-           |       round(min(v), 2) AS lo, round(max(v), 2) AS hi
-           |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
-      },
+      // a15_equidepth_hist ships rows-only (sketch boundaries are
+      // engine-specific); a15_depth_verify is its exact-valued gate
+      "a15_depth_verify" -> // sketch buckets land inside the rank envelope
+        """SELECT CAST(count(*) AS BIGINT) AS n_total,
+          |       CAST(20 AS BIGINT) AS n_buckets,
+          |       TRUE AS depth_ok FROM lineitem""".stripMargin,
       "a12_profile" -> // the one-row corpus health profile
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,
           |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -41,11 +41,35 @@ import org.apache.spark.sql.functions._
   */
 object Training {
 
+  /** The model is trained ONCE per distinct `(memoKey, dim, iters, step)`
+    * and both registered queries (`t31_lr_train`, `t31_verify`) derive
+    * their result frames from that single [[Fit]] (round-7 verdict ask #2:
+    * two registered queries must not pay two full GD runs). Semantics of
+    * the memo, chosen to keep the bench honest:
+    *  - [[lrTrainHistory]] ALWAYS recomputes and refreshes the memo — the
+    *    training query's benched time is a real training run, never a
+    *    cache hit;
+    *  - [[lrVerify]] reads the memo when present (the gate is derived
+    *    observability over an existing fit, like every other train-once /
+    *    serve-many artifact in the repo) and fits only when it runs before
+    *    any training query has (standalone Verify order independence).
+    * Callers pass `memoKey` = the data directory; keying by the input
+    * location is sound because the harness treats each testdata dir as
+    * immutable. Single-JVM assumption, same as [[graft.SparkEntry]]'s
+    * on-disk fixtures. */
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Double), Fit]
+
+  /** Count of full GD runs executed (spec observability: the
+    * history+verify pair over one memo key must fit exactly once more). */
+  private[operators] val fitCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Per-iteration training history: `(iter, loss, train_acc)`. */
-  def lrTrainHistory(docs: DataFrame, labelPred: Column, dim: Int = 256,
-      iters: Int = 6, step: Double = 5.0): DataFrame = {
+  def lrTrainHistory(docs: DataFrame, labelPred: Column, memoKey: String,
+      dim: Int = 256, iters: Int = 6, step: Double = 5.0): DataFrame = {
     val r = fit(docs, labelPred, dim, iters, step)
-    import r.spark.implicits._
+    fitMemo.put((memoKey, dim, iters, step), r)
+    import docs.sparkSession.implicits._
     r.history.toDF("iter", "loss", "train_acc")
       .select(col("iter"), round(col("loss"), 6).as("loss"),
         round(col("train_acc"), 4).as("train_acc"))
@@ -55,10 +79,12 @@ object Training {
     * the learning invariants are booleans robust to last-ulp float
     * variation. `(n_train, n_holdout, loss_monotone, loss_halved,
     * holdout_acc_ok)`. */
-  def lrVerify(docs: DataFrame, labelPred: Column, dim: Int = 256,
-      iters: Int = 6, step: Double = 5.0, minAcc: Double = 0.9): DataFrame = {
-    val r = fit(docs, labelPred, dim, iters, step)
-    import r.spark.implicits._
+  def lrVerify(docs: DataFrame, labelPred: Column, memoKey: String,
+      dim: Int = 256, iters: Int = 6, step: Double = 5.0,
+      minAcc: Double = 0.9): DataFrame = {
+    val r = fitMemo.computeIfAbsent((memoKey, dim, iters, step),
+      _ => fit(docs, labelPred, dim, iters, step))
+    import docs.sparkSession.implicits._
     val losses = r.history.map(_._2)
     Seq((r.nTrain, r.nHoldout,
         losses.zip(losses.tail).forall { case (a, b) => b < a },
@@ -69,11 +95,11 @@ object Training {
   }
 
   private case class Fit(history: Seq[(Int, Double, Double)], nTrain: Long,
-      nHoldout: Long, holdoutAcc: Double,
-      spark: org.apache.spark.sql.SparkSession)
+      nHoldout: Long, holdoutAcc: Double)
 
   private def fit(docs: DataFrame, labelPred: Column, dim: Int,
       iters: Int, step: Double): Fit = {
+    fitCount.incrementAndGet()
     val spark = docs.sparkSession
     val base = docs
       .select(col("doc_id"), labelPred.cast("double").as("y"),
@@ -145,7 +171,12 @@ object Training {
       // whole scores subtree (scan + join + aggregate)
       val err = scores(train).select(col("doc_id"), col("y"), col("s"),
         (col("s") - col("y")).as("e")).persist()
-      val gradRows = train.join(broadcast(err.select("doc_id", "e")), "doc_id")
+      // no broadcast hint on err: it is one row PER TRAINING DOC — a
+      // corpus-sized relation that cannot be broadcast at 100 TB. At bench
+      // scale AQE broadcasts it anyway (it is far under the auto
+      // threshold); at cluster scale the planner falls back to a shuffle
+      // join on doc_id, which is the correct shape there.
+      val gradRows = train.join(err.select("doc_id", "e"), "doc_id")
         .groupBy("idx").agg(sum(col("e")).as("a"), lit(0.0).as("b"))
       val lossRow = err.agg(
         sum(-(col("y") * log(greatest(col("s"), lit(1e-12)))
@@ -183,6 +214,6 @@ object Training {
     }
     val (_, holdoutAcc) = lossAcc(scores(sparse.where(col("is_holdout"))))
     sparse.unpersist()
-    Fit(hist, nTrain, nHoldout, holdoutAcc, spark)
+    Fit(hist, nTrain, nHoldout, holdoutAcc)
   }
 }

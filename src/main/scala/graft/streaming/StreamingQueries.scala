@@ -31,6 +31,17 @@ object StreamingQueries {
   private[streaming] def childSession(outer: SparkSession): SparkSession = {
     val spark = outer.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // Production-posture state store, DEFAULT ON (r7 verdict ask #5): the
+    // HDFS-backed provider keeps every version of every key's state on
+    // the JVM heap — fine at sf0.1, memory-unbounded at 100 TB. RocksDB
+    // keeps state off-heap/on-disk with incremental checkpointing, the
+    // store a cluster deployment runs (st10's transformWithState already
+    // REQUIRES it). Every stateful query in this object flows through
+    // this one choke point, so Verify/Bench/specs all exercise the real
+    // provider; SPARK_GRAFT_STATE_STORE=hdfs opts out for A/B timing.
+    if (!sys.env.get("SPARK_GRAFT_STATE_STORE").exists(_.equalsIgnoreCase("hdfs")))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark
   }
 
@@ -765,7 +776,7 @@ object StreamingQueries {
     drain() // run 1: first half only
     all.where(col("event_id") % 2 === 1).repartition(2)
       .write.mode("append").parquet(src)
-    lastResumeRows.set(drain()) // run 2: MUST see only the new files
+    resumeRowsByDir.put(dir, drain()) // run 2: MUST see only the new files
 
     spark.read.parquet(s"$base/out")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -773,8 +784,15 @@ object StreamingQueries {
   }
 
   /** Rows run 2 of [[checkpointResume]] ingested (spec observability:
-    * exactly the second half — nothing reprocessed across the restart). */
-  val lastResumeRows = new java.util.concurrent.atomic.AtomicLong(0)
+    * exactly the second half — nothing reprocessed across the restart).
+    * Keyed by input dir so runs over different dirs can't clobber each
+    * other; two CONCURRENT runs over the same dir would still race — but
+    * they already share the dir-derived scratch/checkpoint paths, so
+    * same-dir invocations are sequential by construction. */
+  private val resumeRowsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]
+  def lastResumeRows(dir: String): Long =
+    resumeRowsByDir.getOrDefault(dir, -1L)
 
   /** Incremental materialized-view maintenance as a stream — the
     * production face of `d4_incremental_mv`: the hourly rollup lives as a
@@ -788,7 +806,12 @@ object StreamingQueries {
     * rebuilds v=i from the committed v=i-1) — the exactly-once recipe a
     * cluster deployment keeps, with the table format handling versions.
     * No state store: the MV itself is the state, bounded by key
-    * cardinality (time × type), never input rows. */
+    * cardinality (time × type), never input rows. The stream runs over a
+    * DURABLE checkpoint (`$base/ckpt`): overwrite-by-batch-id makes
+    * in-run task retries idempotent, and the checkpoint's offsets log is
+    * what makes a process RESTART resume at the committed batch id
+    * instead of rebuilding v=0 over a stale same-run MV chain — both
+    * halves of the exactly-once recipe, st19 proving the restart half. */
   def incrementalMv(outer: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
     val spark = childSession(outer)
@@ -808,6 +831,7 @@ object StreamingQueries {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
       .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
@@ -829,16 +853,21 @@ object StreamingQueries {
     val versions = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/mv"))
       .map(_.getPath.getName).filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
-    lastMvVersions.set(versions.length)
+    mvVersionsByDir.put(dir, versions.length)
     spark.read.parquet(s"$base/mv/v=${versions.max}")
       .select(col("hr"), col("event_type"), col("n"),
         round(col("sv"), 2).as("sum_value"))
       .orderBy("hr", "event_type")
   }
 
-  /** Number of MV versions the last [[incrementalMv]] run committed
-    * (driver-side observability for the spec; not part of the result). */
-  val lastMvVersions = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Number of MV versions the last [[incrementalMv]] run over `dir`
+    * committed (driver-side observability for the spec; not part of the
+    * result). Dir-keyed like [[lastResumeRows]] — same sequential
+    * same-dir assumption, enforced by the shared scratch paths. */
+  private val mvVersionsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]
+  def lastMvVersions(dir: String): Int =
+    mvVersionsByDir.getOrDefault(dir, -1)
 
   /** Multi-micro-batch stateful streaming: the single-file sources above
     * drain in ONE `AvailableNow` batch (the file source admits whole files),

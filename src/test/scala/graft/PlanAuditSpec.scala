@@ -656,6 +656,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(nodeCount(p, "Window") === 0, "no window operator:\n" + p)
   }
 
+  test("a15 gate: depth check is two stacked aggregates — no join, no window") {
+    val p = plan("a15_depth_verify")
+    assert(!p.contains("Join"), "gate must not join:\n" + p)
+    assert(nodeCount(p, "Window") === 0, "no window operator:\n" + p)
+    assert(nodeCount(p, "Scan parquet") === 1, "one scan:\n" + p)
+  }
+
+  test("a15 boundaries: sketch aggregate, never a single-group exact percentile") {
+    // the boundary artifact must come from the mergeable approx sketch
+    // (ObjectHashAggregate partial/final); an exact percentile would
+    // funnel every value of the column into one final buffer
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ObjectHashAggregate"), p)
+    // every percentile in the plan must be the approx sketch form
+    assert(!p.toLowerCase.replace("approx_percentile(", "")
+        .contains("percentile("),
+      "exact percentile banned:\n" + p)
+    assert(nodeCount(p, "Sort") === 0, "no sort:\n" + p)
+  }
+
   test("e6: hopping windows expand in-scan — no self-join, 4x explode") {
     val p = plan("e6_sliding")
     assert(p.contains("Expand") || p.contains("Generate"),

@@ -28,7 +28,7 @@ class TrainingSpec extends SparkSuite {
   test("lrVerify: recovers the planted rule — all gates true") {
     val row = Training.lrVerify(corpus,
         array_contains(TextAnalysis.tokens(col("text")), "needle"),
-        dim = 64).head
+        memoKey = "spec-needle", dim = 64).head
     assert(row.getAs[Long]("n_train") === 32L)
     assert(row.getAs[Long]("n_holdout") === 8L)
     assert(row.getAs[Boolean]("loss_monotone"), "loss must fall every step")
@@ -36,10 +36,27 @@ class TrainingSpec extends SparkSuite {
     assert(row.getAs[Boolean]("holdout_acc_ok"), "must classify the holdout")
   }
 
+  test("train-once memo: verify after history adds no second fit; " +
+      "history always retrains") {
+    val pred = array_contains(TextAnalysis.tokens(col("text")), "needle")
+    val k = "spec-memo"
+    val before = Training.fitCount.get()
+    Training.lrTrainHistory(corpus, pred, memoKey = k, dim = 64).collect()
+    assert(Training.fitCount.get() === before + 1)
+    // the gate derives from the memoized fit — no retrain
+    Training.lrVerify(corpus, pred, memoKey = k, dim = 64).collect()
+    assert(Training.fitCount.get() === before + 1,
+      "lrVerify must reuse the fit lrTrainHistory just produced")
+    // but the training query itself is never a cache hit
+    Training.lrTrainHistory(corpus, pred, memoKey = k, dim = 64).collect()
+    assert(Training.fitCount.get() === before + 2,
+      "lrTrainHistory must recompute (its benched time is a real run)")
+  }
+
   test("lrTrainHistory: loss starts at ln(2) and falls monotonically") {
     val hist = Training.lrTrainHistory(corpus,
         array_contains(TextAnalysis.tokens(col("text")), "needle"),
-        dim = 64)
+        memoKey = "spec-needle", dim = 64)
       .orderBy("iter").collect()
       .map(r => (r.getAs[Int]("iter"), r.getAs[Double]("loss")))
     assert(hist.length === 6)

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Proves the streaming lane's state genuinely lives in RocksDB (r7
+  * verdict ask #5), not just that a conf string is set: a stateful drain
+  * over an inspectable checkpoint must leave RocksDB's snapshot artifacts
+  * (`<version>.zip` per state partition) and NONE of the HDFS-backed
+  * provider's `.delta` files — while still matching the batch answer.
+  * Result correctness for the full st1–st19 surface under RocksDB is
+  * covered by StreamingQueriesSpec (every stateful query flows through
+  * `childSession`, which defaults the provider on).
+  */
+class RocksDbStateStoreSpec extends SparkSuite {
+
+  test("childSession defaults to the RocksDB state store provider") {
+    val child = StreamingQueries.childSession(spark)
+    assert(child.conf
+      .get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+  }
+
+  test("stateful drain writes RocksDB state artifacts and matches batch") {
+    val dir = "/root/testdata/sf0.001"
+    val spark2 = StreamingQueries.childSession(spark)
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_rocksdb_spec_ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark2.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+
+    val schema = spark2.read.parquet(s"$dir/events.parquet").schema
+    val name = "rocksdb_spec_counts"
+    val q = spark2.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark2.table(name).orderBy("event_type").collect()
+    val batch = spark2.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+
+    // walk the checkpoint's state dir: RocksDB snapshots are zip uploads;
+    // the heap-backed provider's .delta files must be absent
+    val stateFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else stateFiles += st.getPath.getName
+      }
+    walk(new org.apache.hadoop.fs.Path(s"$ckpt/state"))
+    assert(stateFiles.exists(_.endsWith(".zip")),
+      s"expected RocksDB snapshot zips in the state dir, saw: $stateFiles")
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      s"HDFS-backed provider artifacts present — RocksDB not engaged: $stateFiles")
+  }
+}

@@ -108,8 +108,8 @@ class StreamingQueriesSpec extends SparkSuite {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
     val streamed = StreamingQueries.incrementalMv(spark, dir).collect()
-    assert(StreamingQueries.lastMvVersions.get() > 1,
-      s"expected a multi-version merge chain, got ${StreamingQueries.lastMvVersions.get()}")
+    assert(StreamingQueries.lastMvVersions(dir) > 1,
+      s"expected a multi-version merge chain, got ${StreamingQueries.lastMvVersions(dir)}")
     val batch = Tables(spark, dir, "events")
       .select(expr("ts div 3600000000000").as("hr"), col("event_type"),
         col("value"))
@@ -125,9 +125,9 @@ class StreamingQueriesSpec extends SparkSuite {
     val streamed = StreamingQueries.checkpointResume(spark, dir).collect()
     val secondHalf = Tables(spark, dir, "events")
       .where(col("event_id") % 2 === 1).count()
-    assert(StreamingQueries.lastResumeRows.get() === secondHalf,
+    assert(StreamingQueries.lastResumeRows(dir) === secondHalf,
       s"run 2 must ingest exactly the new rows ($secondHalf), got " +
-        s"${StreamingQueries.lastResumeRows.get()} — offsets log ignored?")
+        s"${StreamingQueries.lastResumeRows(dir)} — offsets log ignored?")
     val batch = Tables(spark, dir, "events")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy("event_type").collect()
