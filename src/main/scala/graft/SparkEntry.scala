@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql, Training}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Graph, GraphSql, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql, Training}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -2064,7 +2064,16 @@ object SparkEntry {
         .orderBy("media_id")),
     "mm6_quantize" -> ((s, dir) => // int8 embedding compression audit
       Similarity.quantizeInt8Stats(Tables(s, dir, "embeddings"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ---- graph analytics over the event-derived interaction graph ----
+    // (edge contract + scale posture documented on graft.operators.Graph)
+    "gr1_degrees" -> ((s, dir) =>
+      Graph.degrees(Tables(s, dir, "events"))),
+    "gr2_triangles" -> ((s, dir) =>
+      Graph.triangles(Tables(s, dir, "events"))),
+    "gr3_pagerank" -> ((s, dir) =>
+      Graph.pagerank(Tables(s, dir, "events")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -2877,7 +2886,10 @@ object SparkEntry {
           |                        FROM orders GROUP BY o_orderstatus)
           |ORDER BY r_name, o_orderstatus""".stripMargin,
       "mm5_resize" -> MultimodalSql.resize(128),
-      "mm6_quantize" -> SimilaritySql.quantizeInt8Stats
+      "mm6_quantize" -> SimilaritySql.quantizeInt8Stats,
+      "gr1_degrees" -> GraphSql.degrees,
+      "gr2_triangles" -> GraphSql.triangles,
+      "gr3_pagerank" -> GraphSql.pagerank()
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible
       // (SURVEY.md §7.4.3) -> driver rows-only check; invariants covered by
       // bloom_zero_fn above + PipelineSpec/statistical e2e.

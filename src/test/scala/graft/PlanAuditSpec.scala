@@ -729,4 +729,30 @@ class PlanAuditSpec extends SparkSuite {
       "dynamic gap must still ride the session-merge operator:\n" + p)
     assert(!p.contains("Join"), p)
   }
+
+  test("gr2: triangle wedge joins stay equi-keyed — never a per-pair plan") {
+    val p = plan("gr2_triangles")
+    // the census stitches three ONE-ROW aggregates with scalar
+    // cross-joins (the repo's bounded-broadcast contract) — those plan as
+    // BroadcastNestedLoopJoin over single-row sides and are sanctioned;
+    // the edge-shaped wedge joins must be equi-joins and nothing may
+    // degenerate into an unbounded cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 2,
+      s"only the two one-row census stitches may nested-loop:\n$p")
+    val equiJoins = nodeCount(p, "SortMergeJoin") +
+      nodeCount(p, "ShuffledHashJoin") + nodeCount(p, "BroadcastHashJoin")
+    assert(equiJoins >= 2, s"wedge joins must ride equi-joins:\n$p")
+  }
+
+  test("gr1: the edge window partitions by hour bucket, never globally") {
+    val p = plan("gr1_degrees")
+    // a global lead() would surface as a single-partition Exchange
+    // (SinglePartition) feeding the Window — the 100 TB funnel the edge
+    // contract exists to avoid
+    val windowExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange") && l.contains("SinglePartition")).toSeq
+    assert(windowExchanges.isEmpty,
+      s"edge derivation must not serialize through one partition:\n$p")
+  }
 }

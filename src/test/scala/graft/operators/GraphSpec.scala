@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Graph lane: known-answer checks on a hand-built event stream plus
+  * structural invariants on the real testdata. The hand-built stream keeps
+  * every event inside ONE hour bucket so the expected edge set is exactly
+  * the consecutive-pair set. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** events(ts nanos LONG, event_id, user_id) for a fixed user sequence —
+    * schema-compatible with Tables' normalized contract. */
+  private def eventsOf(users: Seq[Long]): DataFrame =
+    users.zipWithIndex.map { case (u, i) =>
+      (1000000000L * i, i.toLong, u, "c", 1.0, "{}")
+    }.toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+
+  // sequence 1,2,3,1,2,4,1 → directed edges {1→2,2→3,3→1,1→2(dup),2→4,4→1}
+  // → distinct {1→2,2→3,3→1,2→4,4→1}; undirected {12,23,13,24,14};
+  // triangles on nodes {1,2,3,4}: {1,2,3} (12,23,13) and {1,2,4} (12,24,14)
+  private val seq1 = Seq(1L, 2L, 3L, 1L, 2L, 4L, 1L)
+
+  test("edges: consecutive distinct pairs, self-loops dropped") {
+    val ed = Graph.edges(eventsOf(Seq(1L, 1L, 2L, 2L, 3L, 1L)))
+      .as[(Long, Long)].collect().toSet
+    assert(ed === Set((1L, 2L), (2L, 3L), (3L, 1L)))
+  }
+
+  test("edges: hour-bucket boundary transitions are dropped by contract") {
+    val df = Seq(
+      (0L, 0L, 1L, "c", 1.0, "{}"),
+      (1L, 1L, 2L, "c", 1.0, "{}"), // same bucket: edge 1→2
+      (3600000000000L, 2L, 3L, "c", 1.0, "{}") // next bucket: no 2→3 edge
+    ).toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+    assert(Graph.edges(df).as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+  }
+
+  test("triangles: known-answer on the two-triangle graph") {
+    val row = Graph.triangles(eventsOf(seq1)).head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((4L, 5L, 2L)))
+  }
+
+  test("degrees: per-node profile matches the hand-derived edge set") {
+    val deg = Graph.degrees(eventsOf(seq1))
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    // directed {1→2,2→3,3→1,2→4,4→1}
+    assert(deg(1L) === ((1L, 2L, 3L))) // out=1 (→2), in=2 (3→,4→), und=3
+    assert(deg(2L) === ((2L, 1L, 3L)))
+    assert(deg(3L) === ((1L, 1L, 2L)))
+    assert(deg(4L) === ((1L, 1L, 2L)))
+  }
+
+  private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map { case (n, o, i, u) => n -> ((o, i, u)) }.toMap
+  }
+
+  test("pagerank: ranks are a probability distribution and loop converges") {
+    val df = Graph.pagerank(eventsOf(seq1), iters = 3)
+    val ranks = df.as[(Long, Double)].collect().toMap
+    assert(ranks.size === 4)
+    assert(ranks.values.forall(_ > 0))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    // node 1 has two in-edges from nodes that each split mass — it must
+    // outrank the single-in-edge tail nodes 3 and 4
+    assert(ranks(1L) > ranks(3L) && ranks(1L) > ranks(4L))
+  }
+
+  test("pagerank: dangling mass is redistributed (sum stays 1 with a sink)") {
+    // 1→2, 2 is a sink (sequence 1,2 then bucket ends)
+    val df = Graph.pagerank(eventsOf(Seq(1L, 2L)), iters = 2)
+    val ranks = df.as[(Long, Double)].collect().toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    assert(ranks(2L) > ranks(1L)) // sink receives, source only leaks
+  }
+
+  test("degree/triangle invariants on sf0.001 testdata") {
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    val ed = Graph.edges(ev).cache()
+    val deg = Graph.degrees(ev).cache()
+    val nEdges = ed.count()
+    // Σ out_deg = Σ in_deg = |directed edges|
+    val sums = deg.agg(sum("out_deg"), sum("in_deg")).head
+    assert(sums.getLong(0) === nEdges && sums.getLong(1) === nEdges)
+    // census columns agree with independent recounts
+    val row = Graph.triangles(ev).head
+    assert(row.getLong(0) === deg.count())
+    assert(row.getLong(1) ===
+      Graph.undirected(ev).count())
+    assert(row.getLong(2) > 0) // 15 users over 1000 events: dense, must close
+    ed.unpersist(); deg.unpersist()
+  }
+}
