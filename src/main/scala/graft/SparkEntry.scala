@@ -1585,6 +1585,8 @@ object SparkEntry {
     "t21_unigram_lm" -> ((s, dir) => // CCNet-style LM cross-entropy score
       TextAnalysis.unigramLmScore(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
+    "t32_perplexity_filter" -> ((s, dir) => // CCNet head/middle/tail split
+      TextAnalysis.perplexityFilter(Tables(s, dir, "documents"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2652,6 +2654,7 @@ object SparkEntry {
       "t20_token_drift" ->
         s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",
       "t21_unigram_lm" -> TextAnalysisSql.unigramLm,
+      "t32_perplexity_filter" -> TextAnalysisSql.perplexityFilter(0.5),
       // the drained stream must reproduce the batch LM scores exactly
       "st14_stream_lm" -> TextAnalysisSql.unigramLm,
       // the drained stream must reproduce the batch DSIR weights exactly

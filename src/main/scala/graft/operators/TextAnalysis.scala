@@ -670,6 +670,38 @@ object TextAnalysis {
           / sum(col("c_dt")), 6).as("xent"))
   }
 
+  /** CCNet-style perplexity PARTITIONING of the corpus — the step after
+    * [[unigramLmScore]]: split each language's documents into
+    * head / middle / tail by LM cross-entropy and keep head+middle
+    * (CCNet, Wenzek et al. 2020, discards the tail third). CCNet cuts at
+    * global percentile thirds; a percentile boundary is either an exact
+    * global sort (the a15 funnel) or an engine-specific sketch (rows-only
+    * territory), so this uses the SORT-FREE analogue: per-language
+    * `mean ± k·stddev` thresholds. The threshold relation is
+    * language-keyed — dimension-sized, broadcast — and the whole query is
+    * aggregates + one broadcast join: no global sort, no percentile
+    * funnel, nothing that changes shape at 100 TB.
+    *
+    * Determinism: thresholds derive from the 6-dp-rounded `xent` both
+    * engines agree on; a document flips buckets only if its xent sits
+    * within float noise (~1e-15) of `μ ± k·σ`, the same knife-edge
+    * tolerance every float-threshold query in the repo accepts. A
+    * single-document language has σ = 0 and lands in `head` (its xent
+    * equals μ; the head arm tests first in both engines). */
+  def perplexityFilter(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val scored = unigramLmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val stats = scored.groupBy("lang")
+      .agg(avg("xent").as("mu"), stddev_pop("xent").as("sigma"))
+    val bucket = when(col("xent") <= col("mu") - lit(k) * col("sigma"), "head")
+      .when(col("xent") >= col("mu") + lit(k) * col("sigma"), "tail")
+      .otherwise("middle")
+    scored.join(broadcast(stats), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("xent"),
+        bucket.as("bucket"), (bucket =!= "tail").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Adjacent token bigrams of a token-array column as `(prev, cur)`
     * structs — a narrow per-row derivation (no self-join on position).
     * `private[graft]`: the streaming DSIR face keys its state on the
@@ -1261,6 +1293,26 @@ object TextAnalysisSql {
        |             / sum(c_dt), 6) AS xent
        |FROM dt JOIN freq USING (token), total
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[TextAnalysis.perplexityFilter]]: the unigram scores, the
+    * per-language μ/σ thresholds over the same rounded xent, the same
+    * CASE arm order (head first, so σ = 0 languages agree). */
+  def perplexityFilter(k: Double): String = {
+    val bucket =
+      s"""CASE WHEN sc.xent <= st.mu - $k * st.sigma THEN 'head'
+         |            WHEN sc.xent >= st.mu + $k * st.sigma THEN 'tail'
+         |            ELSE 'middle' END""".stripMargin
+    s"""WITH sc0 AS ($unigramLm),
+       |sc AS (SELECT s.doc_id, d.lang, s.n_tokens, s.xent
+       |       FROM sc0 s JOIN documents d ON d.doc_id = s.doc_id),
+       |st AS (SELECT lang, avg(xent) AS mu, stddev_pop(xent) AS sigma
+       |       FROM sc GROUP BY lang)
+       |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.xent,
+       |       $bucket AS bucket,
+       |       ($bucket) <> 'tail' AS kept
+       |FROM sc JOIN st USING (lang)
+       |ORDER BY sc.doc_id""".stripMargin
+  }
 
   /** Twin of [[TextAnalysis.bigramLmScore]]: same train/score split, same
     * per-(doc, prev, cur) pre-aggregation, same three-way backoff CASE with

@@ -426,6 +426,22 @@ class TextDedupSpec extends SparkSuite {
       (2L, 2L, r6(-(math.log(px) + math.log(py)) / 2))))
   }
 
+  test("perplexityFilter: tail dropped at mu+kσ; single-doc language is head") {
+    // lang en: docs 1,2 repeat the common token (low xent), doc 3 carries
+    // the rare token (high xent). μ ± 0.5σ puts 1,2 in head and 3 in tail.
+    // lang fr: one doc → σ = 0 → head by the arm order.
+    val d = Seq(
+      (1L, "a a a", "en"), (2L, "a a a", "en"), (3L, "a q", "en"),
+      (4L, "b b", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.perplexityFilter(d, k = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("bucket"), r.getAs[Boolean]("kept")))).toMap
+    assert(got(1L) === (("head", true)) && got(2L) === (("head", true)))
+    assert(got(3L) === (("tail", false)))
+    assert(got(4L) === (("head", true)))
+  }
+
   test("sortedNeighborhoodPairs: window pairs in sort order, lang-partitioned") {
     // sort order in block (en, "aa"): aaaa(1) aaab(2) aaac(3) aaad(4)
     // aaae(5) aazz…(8). w=4 → each doc meets 3 predecessors: (1,5) is out
