@@ -1053,6 +1053,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "e8_markov" -> ((s, dir) => {
+      // first-order Markov transition matrix over each user's event
+      // sequence: lead() windowed PER USER (bounded partitions, the e2
+      // scale contract — never a global sequence sort), then transition
+      // probabilities via a partitioned window over the (type × type)
+      // relation, which is bounded by event-type cardinality squared.
+      // The sequence-model feature layer for behavioral events.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = Tables(s, dir, "events")
+        .select(col("event_type").as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .where(col("next_type").isNotNull)
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      tr.withColumn("p",
+          round(col("n") / sum("n").over(Window.partitionBy("prev_type")), 6))
+        .orderBy("prev_type", "next_type")
+    }),
+
     // --- W: window functions (beyond the reference; SURVEY §2.7 gap)
     "w1_window_share" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1587,6 +1606,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "t32_perplexity_filter" -> ((s, dir) => // CCNet head/middle/tail split
       TextAnalysis.perplexityFilter(Tables(s, dir, "documents"))),
+    "t33_auc" -> ((s, dir) => // exact histogram ROC-AUC of the t16 scorer
+      TextAnalysis.aucOfHashedLr(Tables(s, dir, "documents"),
+        array_contains(TextAnalysis.tokens(col("text")), "spark"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2452,6 +2474,18 @@ object SparkEntry {
           |       CAST(sum(n) AS BIGINT) AS n_events,
           |       CAST(max(n) AS BIGINT) AS max_session_events
           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "e8_markov" -> // identical per-user lead + per-prev normalization
+        """WITH seq AS (
+          |  SELECT event_type AS prev_type,
+          |         lead(event_type) OVER (PARTITION BY user_id
+          |           ORDER BY epoch_ns(ts), event_id) AS next_type
+          |  FROM events),
+          |tr AS (SELECT prev_type, next_type, count(*) AS n
+          |       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT prev_type, next_type, n,
+          |       round(n / CAST(sum(n) OVER (PARTITION BY prev_type)
+          |                      AS DOUBLE), 6) AS p
+          |FROM tr ORDER BY prev_type, next_type""".stripMargin,
       "e7_dynamic_sessions" -> // islands via running max of per-event ends
         """WITH ev AS (
           |  SELECT user_id, ts,
@@ -2655,6 +2689,8 @@ object SparkEntry {
         s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",
       "t21_unigram_lm" -> TextAnalysisSql.unigramLm,
       "t32_perplexity_filter" -> TextAnalysisSql.perplexityFilter(0.5),
+      "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
+        s"list_contains(${TextAnalysisSql.toks}, 'spark')"),
       // the drained stream must reproduce the batch LM scores exactly
       "st14_stream_lm" -> TextAnalysisSql.unigramLm,
       // the drained stream must reproduce the batch DSIR weights exactly

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the first layer of
@@ -535,6 +536,45 @@ object TextAnalysis {
           round(col("score").cast("double") / col("n_tokens"), 6))
           .otherwise(0.0).as("score_per_token"),
         (col("score") >= 0).as("keep"))
+
+  /** Exact ROC-AUC of the [[hashedLrQuality]] scorer against an
+    * independent boolean label — the classifier-evaluation gate every
+    * model-scored corpus pipeline needs before trusting a quality model.
+    * Computed as the tie-averaged Mann-Whitney rank-sum over the SCORE
+    * HISTOGRAM: `AUC = Σ_s np(s)·(cumNeg(<s) + nn(s)/2) / (NP·NN)`.
+    *
+    * Scale contract: the corpus pass is one partial/final aggregate per
+    * distinct integer score; the rank window then runs over the
+    * HISTOGRAM, whose size is bounded by the score RANGE (the hashed-LR
+    * weights are integers in ±500, so |distinct scores| ≤ weight-range ×
+    * max doc tokens — independent of corpus row count). A naive exact
+    * AUC ranks every document through one global sort; this never sorts
+    * anything corpus-sized. Exact for ties (average-rank convention,
+    * scipy/sklearn-compatible). One row:
+    * `(n_pos, n_neg, n_scores, auc)`. */
+  def aucOfHashedLr(docs: DataFrame, labelPred: Column, dim: Int = 64): DataFrame =
+    aucFromScores(docs.select(
+      labelPred.cast("int").as("y"),
+      graft.functions.hashed_lr_score(col("text"), dim).as("s")))
+
+  /** The histogram rank-sum itself over a `(y ∈ {0,1}, s)` relation —
+    * see [[aucOfHashedLr]] for the contract. */
+  private[operators] def aucFromScores(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy("s").agg(
+      sum(col("y")).cast("long").as("np"),
+      sum(lit(1) - col("y")).cast("long").as("nn"))
+    // bounded-relation window (histogram-sized, see scaladoc) — the one
+    // place a single-partition window is sanctioned, same contract as the
+    // driver-side filter/codebook artifacts
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(
+        sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        round(sum(col("np") * (col("cum_nn") + col("nn") / 2.0))
+          / (sum("np") * sum("nn")), 6).as("auc"))
+  }
 
   /** The decomposed formulation of [[hashedLrQuality]] — explode tokens,
     * broadcast-join a materialized `dim`-row weight table, re-aggregate —
@@ -1260,6 +1300,28 @@ object TextAnalysisSql {
        |  SELECT doc_id, len($toks) AS n_tokens,
        |         ${lrScore(dim)} AS score
        |  FROM documents)""".stripMargin
+
+  /** Twin of [[TextAnalysis.aucOfHashedLr]]: identical integer score,
+    * identical histogram rank-sum with the average-tie convention. */
+  def aucOfHashedLr(dim: Int, labelSql: String): String =
+    s"""WITH sc AS (
+       |  SELECT CASE WHEN $labelSql THEN 1 ELSE 0 END AS y,
+       |         ${lrScore(dim)} AS s
+       |  FROM documents),
+       |hist AS (
+       |  SELECT s, sum(y) AS np, sum(1 - y) AS nn FROM sc GROUP BY s),
+       |cum AS (
+       |  SELECT s, np, nn,
+       |         coalesce(sum(nn) OVER (ORDER BY s
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS cum_nn
+       |  FROM hist)
+       |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |       CAST(sum(nn) AS BIGINT) AS n_neg,
+       |       count(*) AS n_scores,
+       |       round(sum(np * (cum_nn + nn / 2.0))
+       |             / (CAST(sum(np) AS DOUBLE) * sum(nn)), 6) AS auc
+       |FROM cum""".stripMargin
 
   val langId: String =
     s"""SELECT doc_id,

@@ -442,6 +442,29 @@ class TextDedupSpec extends SparkSuite {
     assert(got(4L) === (("head", true)))
   }
 
+  test("aucFromScores: tie-averaged Mann-Whitney on a known histogram") {
+    // scores [3,2,2,1], labels [1,1,0,0]: pos-neg pairs (3,2)=1 (3,1)=1
+    // (2,2)=0.5 (2,1)=1 → AUC = 3.5/4 = 0.875
+    val scored = Seq((1, 3L), (1, 2L), (0, 2L), (0, 1L)).toDF("y", "s")
+    val r = TextAnalysis.aucFromScores(scored).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 3L)))
+    assert(r.getDouble(3) === 0.875)
+  }
+
+  test("aucOfHashedLr: label derived from the score itself gives AUC 1") {
+    // label = (score >= 0): every positive strictly outranks every
+    // negative (a tie bucket cannot mix classes), so AUC is exactly 1.0
+    val d = docs((1L, "good stuff here"), (2L, "awful terrible junk"),
+      (3L, "mixed bag of words"), (4L, "zebra quartz axiom"))
+    val withScore = TextAnalysis.hashedLrQuality(d).select("doc_id", "score")
+    val lbls = withScore.collect().map(r => r.getLong(0) -> (r.getLong(1) >= 0)).toMap
+    assume(lbls.values.toSet.size == 2) // both classes present
+    val joined = d.join(withScore, "doc_id")
+    val r = TextAnalysis.aucFromScores(joined.select(
+      (col("score") >= 0).cast("int").as("y"), col("score").as("s"))).head
+    assert(r.getDouble(3) === 1.0)
+  }
+
   test("sortedNeighborhoodPairs: window pairs in sort order, lang-partitioned") {
     // sort order in block (en, "aa"): aaaa(1) aaab(2) aaac(3) aaad(4)
     // aaae(5) aazz…(8). w=4 → each doc meets 3 predecessors: (1,5) is out
