@@ -2009,6 +2009,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.foreachBatchSink(s, dir)),
     "st7_stream_dropdup" -> ((s, dir) => // at-least-once -> exactly-once
       graft.streaming.StreamingQueries.streamDropDuplicates(s, dir)),
+    "st20_stream_markov" -> ((s, dir) => // e8's transitions, incremental
+      graft.streaming.StreamingQueries.streamMarkov(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -2106,6 +2108,20 @@ object SparkEntry {
     val train = Ratings.splitSql("<")
     val test = Ratings.splitSql(">=")
     val bpk = f"${bitsPerKey(defaultP)}%.17g"
+    // shared by e8_markov and its incremental twin st20_stream_markov:
+    // identical per-user lead + per-prev normalization
+    val markovSql =
+      """WITH seq AS (
+        |  SELECT event_type AS prev_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts), event_id) AS next_type
+        |  FROM events),
+        |tr AS (SELECT prev_type, next_type, count(*) AS n
+        |       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |       round(n / CAST(sum(n) OVER (PARTITION BY prev_type)
+        |                      AS DOUBLE), 6) AS p
+        |FROM tr ORDER BY prev_type, next_type""".stripMargin
     ListMap(
       "p1_parse_project" -> s"SELECT * FROM ($li) ORDER BY movieId",
       "p1_events_project" -> s"SELECT * FROM ($ev) ORDER BY movieId",
@@ -2474,18 +2490,8 @@ object SparkEntry {
           |       CAST(sum(n) AS BIGINT) AS n_events,
           |       CAST(max(n) AS BIGINT) AS max_session_events
           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
-      "e8_markov" -> // identical per-user lead + per-prev normalization
-        """WITH seq AS (
-          |  SELECT event_type AS prev_type,
-          |         lead(event_type) OVER (PARTITION BY user_id
-          |           ORDER BY epoch_ns(ts), event_id) AS next_type
-          |  FROM events),
-          |tr AS (SELECT prev_type, next_type, count(*) AS n
-          |       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
-          |SELECT prev_type, next_type, n,
-          |       round(n / CAST(sum(n) OVER (PARTITION BY prev_type)
-          |                      AS DOUBLE), 6) AS p
-          |FROM tr ORDER BY prev_type, next_type""".stripMargin,
+      "st20_stream_markov" -> markovSql, // drained stream == batch twin
+      "e8_markov" -> markovSql,
       "e7_dynamic_sessions" -> // islands via running max of per-event ends
         """WITH ev AS (
           |  SELECT user_id, ts,

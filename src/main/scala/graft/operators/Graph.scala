@@ -127,8 +127,10 @@ object Graph {
     val n = nodes.count() // the one driver scalar: node count
     val outDeg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .persist()
+    // initial uniform rank: persisted but NOT pre-materialized — it is a
+    // literal projection over the cached node set, cheaper to let the
+    // first iteration's job populate than to pay a dedicated action
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank")).persist()
-    rank.count()
     (1 to iters).foreach { _ =>
       // dangling mass: one row, cross-joined (scalar broadcast)
       val dang = rank.join(outDeg, Seq("node"), "left_anti")

@@ -916,6 +916,74 @@ object StreamingQueries {
     * (driver-side observability for the spec; not part of the result). */
   val lastBatches = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The streaming twin of `e8_markov`: first-order event-type transition
+    * estimation as an INCREMENTAL computation. The source is re-laid as 8
+    * `(ts, event_id)`-range-split files admitted 2 per trigger (the st11
+    * recipe), so a user's events genuinely arrive across multiple
+    * micro-batches in time order (log-rotation shape). Per-user state is
+    * ONE row — the last seen `(ts, event_id, event_type)`: each batch
+    * sorts the user's arrivals, prepends the carried state, emits the
+    * consecutive-pair transitions, and stores the new last event. The
+    * cross-batch transition (state → first arrival of the next batch) is
+    * exactly what a batch recomputation would have seen, so the drained
+    * counts equal `e8_markov`'s and share its oracle verbatim. State is
+    * bounded by user cardinality; transitions on the wire are two small
+    * strings, never the event payload. */
+  def streamMarkov(outer: SparkSession, dir: String): DataFrame = {
+    val spark = childSession(outer)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = s"${sys.props("java.io.tmpdir")}/graft_st20_src_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    // disjoint (ts, event_id) ranges per file: part-00000 holds the
+    // earliest slice. FileStreamSource admits by (modification time,
+    // path), and a parallel write finishes its part files in arbitrary
+    // order — so pin strictly increasing mod times in partition order,
+    // making admission order = time order (the log-rotation contract
+    // this query models).
+    graft.operators.Tables(spark, dir, "events")
+      .repartitionByRange(8, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(src)
+    val parts = new java.io.File(src).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = (System.currentTimeMillis() / 1000L) * 1000L - 3600000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 1000L)
+    }
+    val schema = spark.read.parquet(src).schema
+    val name = "st20_markov_" + math.abs(dir.hashCode)
+
+    val transitions = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[(Long, Long, String)]) =>
+          val batch = rows.map(r => (r._2, r._3, r._4)).toSeq
+            .sortBy(r => (r._1, r._2))
+          val seq = state.getOption.toSeq ++ batch
+          state.update(seq.last)
+          seq.zip(seq.tail).iterator
+            .map { case (a, b) => (a._3, b._3) }
+      }
+
+    val q = transitions.toDF("prev_type", "next_type").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import org.apache.spark.sql.expressions.Window
+    spark.table(name)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum("n").over(Window.partitionBy("prev_type")), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Stream-static bloom probe: the static side builds the per-group
     * filters in batch; the stream probes each arriving train row against
     * its own group's filter. Zero false negatives makes the drained result

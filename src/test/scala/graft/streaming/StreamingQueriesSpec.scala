@@ -104,6 +104,15 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streamMarkov: cross-batch transitions equal the batch e8 twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.streamMarkov(spark, dir).collect()
+    val batch = graft.SparkEntry.queries("e8_markov")(spark, dir).collect()
+    // row-for-row: the state-carried cross-batch transition must splice
+    // the per-user sequence exactly where the batch lead() does
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("incrementalMv: the MV merges across >1 versions to the full rollup") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
