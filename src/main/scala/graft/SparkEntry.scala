@@ -1053,6 +1053,28 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "w7_zscore_anomaly" -> ((s, dir) => {
+      // streaming-telemetry outlier flagging: each event's value scored
+      // against the trailing 50 same-type events' mean/σ (full-frame
+      // only, σ > 0), |z| > 3 flagged. Frames ride a per-type window
+      // partition (bounded-cardinality keys, the w3 family); both
+      // engines aggregate the identical ordered frame, z rounds to 6.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-50, -1)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts"),
+          count(lit(1)).over(w).as("n_prev"),
+          avg("value").over(w).as("mu"),
+          stddev_samp(col("value")).over(w).as("sd"))
+        .where(col("n_prev") === 50 && col("sd") > 0)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+        .where(abs(col("z")) > 3)
+        .orderBy("event_id")
+    }),
     "e8_markov" -> ((s, dir) => {
       // first-order Markov transition matrix over each user's event
       // sequence: lead() windowed PER USER (bounded partitions, the e2
@@ -1872,6 +1894,9 @@ object SparkEntry {
     "sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables(s, dir, "embeddings"),
         col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")),
+    "sim_knn_classify" -> ((s, dir) => // kNN majority-vote label eval
+      Similarity.knnClassify(Tables(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, simK)),
     "sim_ann_lsh" -> ((s, dir) => // approximate by design -> rows-only check
       Similarity.annTopK(Tables(s, dir, "embeddings"),
         col("vec_id") % 50 === 0, simK).orderBy("query_id", "rank")),
@@ -2492,6 +2517,22 @@ object SparkEntry {
           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
       "st20_stream_markov" -> markovSql, // drained stream == batch twin
       "e8_markov" -> markovSql,
+      "w7_zscore_anomaly" -> // identical trailing frame, rounded-z filter
+        """WITH f AS (
+          |  SELECT event_id, event_type, value,
+          |         count(*) OVER w AS n_prev,
+          |         avg(value) OVER w AS mu,
+          |         stddev_samp(value) OVER w AS sd
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY event_type
+          |               ORDER BY epoch_ns(ts), event_id
+          |               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+          |SELECT event_id, event_type, round(value, 6) AS value,
+          |       round((value - mu) / sd, 6) AS z
+          |FROM f
+          |WHERE n_prev = 50 AND sd > 0
+          |  AND abs(round((value - mu) / sd, 6)) > 3
+          |ORDER BY event_id""".stripMargin,
       "e7_dynamic_sessions" -> // islands via running max of per-event ends
         """WITH ev AS (
           |  SELECT user_id, ts,
@@ -2716,6 +2757,7 @@ object SparkEntry {
       "dedup_embedding_cos" -> SimilaritySql.bruteForcePairs(0.4),
       "dedup_semantic" -> SimilaritySql.semanticDedup(0.4, 50),
       "sim_topk" -> SimilaritySql.bruteForceTopK(simQueryPredSql, simK),
+      "sim_knn_classify" -> SimilaritySql.knnClassify(simQueryPredSql, simK),
       "t6_shingle_stats" -> s"${TextAnalysisSql.shingleStats(3)} ORDER BY doc_id",
       "t7_token_counts" -> s"${TextAnalysisSql.tokenCounts} ORDER BY doc_id",
       "t8_pack_sequences" ->

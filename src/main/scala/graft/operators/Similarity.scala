@@ -46,6 +46,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** kNN label classification over the embedding corpus — the
+    * label-propagation / weak-supervision shape (predict a document's
+    * class from its nearest labeled neighbors): top-k cosine neighbors
+    * per query via [[bruteForceTopK]] (the oracle-exact baseline; the
+    * ANN paths are the drop-in scale substitutes for the SAME vote —
+    * only the neighbor set changes), then a majority vote with the
+    * deterministic `(count desc, label asc)` tie-break. Per query:
+    * `(query_id, true_label, pred_label, correct)` — the evaluation
+    * face every auto-labeling pipeline gates on. Scale: votes aggregate
+    * on (query, label) — bounded by queries × classes; the label side
+    * joins neighbor-keyed, never corpus×corpus. */
+  def knnClassify(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val nbrs = bruteForceTopK(emb, queryPred, k)
+    val votes = nbrs
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("query_id").orderBy(col("n").desc, col("label"))
+    val pred = votes.withColumn("r", row_number().over(w))
+      .where(col("r") === 1)
+      .select(col("query_id"), col("label").as("pred_label"))
+    emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+      .join(pred, "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        (col("true_label") === col("pred_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
   /** ORACLE-ONLY lane: exact near-duplicate pairs `(vec_a, vec_b, cos)`
     * with cosine ≥ `threshold` — the ground truth the ANN recall gates
     * score against, deliberately an O(n²) nested-loop theta-join. The
@@ -911,6 +940,25 @@ object SimilaritySql {
        |                               ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM c)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Twin of [[Similarity.knnClassify]]: same neighbors, same vote, same
+    * tie-break. */
+  def knnClassify(queryPredSql: String, k: Int): String =
+    s"""WITH nb AS (${bruteForceTopK(queryPredSql, k)}),
+       |v AS (SELECT nb.query_id, e.label, count(*) AS n
+       |      FROM nb JOIN embeddings e ON e.vec_id = nb.neighbor_id
+       |      GROUP BY 1, 2),
+       |p AS (SELECT query_id, label AS pred_label FROM (
+       |        SELECT query_id, label,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY n DESC, label) AS r
+       |        FROM v)
+       |      WHERE r = 1)
+       |SELECT q.vec_id AS query_id, q.label AS true_label, p.pred_label,
+       |       q.label = p.pred_label AS correct
+       |FROM embeddings q JOIN p ON p.query_id = q.vec_id
+       |WHERE $queryPredSql
+       |ORDER BY query_id""".stripMargin
 
   /** Twin of [[Similarity.recallVsExact]]: the query/exact-row counts are
     * real SQL; recall_ok is the cross-engine invariant. n_exact is
