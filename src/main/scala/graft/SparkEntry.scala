@@ -1631,6 +1631,9 @@ object SparkEntry {
     "t33_auc" -> ((s, dir) => // exact histogram ROC-AUC of the t16 scorer
       TextAnalysis.aucOfHashedLr(Tables(s, dir, "documents"),
         array_contains(TextAnalysis.tokens(col("text")), "spark"))),
+    "t34_calibration" -> ((s, dir) => // reliability curve of the t16 scorer
+      TextAnalysis.calibrationOfHashedLr(Tables(s, dir, "documents"),
+        array_contains(TextAnalysis.tokens(col("text")), "spark"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2738,6 +2741,8 @@ object SparkEntry {
       "t32_perplexity_filter" -> TextAnalysisSql.perplexityFilter(0.5),
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),
+      "t34_calibration" -> TextAnalysisSql.calibrationOfHashedLr(64,
+        s"list_contains(${TextAnalysisSql.toks}, 'spark')", 200),
       // the drained stream must reproduce the batch LM scores exactly
       "st14_stream_lm" -> TextAnalysisSql.unigramLm,
       // the drained stream must reproduce the batch DSIR weights exactly

@@ -576,6 +576,27 @@ object TextAnalysis {
           / (sum("np") * sum("nn")), 6).as("auc"))
   }
 
+  /** Reliability (calibration) profile of the [[hashedLrQuality]] scorer
+    * against a boolean label — the companion of [[aucOfHashedLr]]: AUC
+    * says the scorer RANKS well, the calibration curve says whether a
+    * score value MEANS the same positive rate everywhere. Scores bucket
+    * into fixed-width integer bins (no data-dependent boundaries — the
+    * bin id is a pure function of the score, so the relation stays
+    * mergeable and the oracle trivially identical); per bin: count and
+    * positive fraction. Bin cardinality is bounded by score range /
+    * width, never corpus rows. Everything is integer counts plus one
+    * exact division — bit-deterministic cross-engine. */
+  def calibrationOfHashedLr(docs: DataFrame, labelPred: Column,
+      dim: Int = 64, binWidth: Int = 200): DataFrame =
+    docs.select(
+        labelPred.cast("int").as("y"),
+        floor(graft.functions.hashed_lr_score(col("text"), dim)
+          / binWidth.toDouble).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(sum("y") / count(lit(1)).cast("double"), 6).as("frac_pos"))
+      .orderBy("bin")
+
   /** The decomposed formulation of [[hashedLrQuality]] — explode tokens,
     * broadcast-join a materialized `dim`-row weight table, re-aggregate —
     * kept as the cross-check that the one-pass kernel computes exactly the
@@ -1322,6 +1343,18 @@ object TextAnalysisSql {
        |       round(sum(np * (cum_nn + nn / 2.0))
        |             / (CAST(sum(np) AS DOUBLE) * sum(nn)), 6) AS auc
        |FROM cum""".stripMargin
+
+  /** Twin of [[TextAnalysis.calibrationOfHashedLr]]: identical integer
+    * score, identical fixed-width double-floor binning. */
+  def calibrationOfHashedLr(dim: Int, labelSql: String, binWidth: Int): String =
+    s"""WITH sc AS (
+       |  SELECT CASE WHEN $labelSql THEN 1 ELSE 0 END AS y,
+       |         ${lrScore(dim)} AS s
+       |  FROM documents)
+       |SELECT CAST(floor(s / $binWidth.0) AS BIGINT) AS bin,
+       |       count(*) AS n,
+       |       round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+       |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
 
   val langId: String =
     s"""SELECT doc_id,
