@@ -1789,6 +1789,8 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "dedup_clusters" -> ((s, dir) => // connected components over near-dups
       Dedup.nearDupClusters(Tables(s, dir, "documents")).orderBy("doc_id")),
+    "p16_leakage_split" -> ((s, dir) => // cluster-aware train/test split
+      Dedup.leakageSafeSplit(Tables(s, dir, "documents"))),
     "dedup_embedding_cos" -> ((s, dir) =>
       Similarity.bruteForcePairs(Tables(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
@@ -2753,6 +2755,7 @@ object SparkEntry {
       "dedup_minhash_lsh" -> DedupSql.minhashLshPairs(0.8, 3),
       "dedup_containment" -> DedupSql.containmentAllPairs(0.8, 3),
       "dedup_clusters" -> DedupSql.nearDupClusters(0.8, 3),
+      "p16_leakage_split" -> DedupSql.leakageSafeSplit(80, 0.8, 3),
       "pipe1_clean_corpus" -> DedupSql.cleanCorpus(0.5),
       "pipe2_pretrain_corpus" -> DedupSql.pretrainCorpus("doc_id % 100 = 0", 0.5),
       "pipe3_export_corpus" -> SamplingSql.exportCorpus(64, 50, 8),

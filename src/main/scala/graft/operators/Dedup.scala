@@ -567,6 +567,35 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** Leakage-safe train/test splitting — the step between dedup and
+    * sampling every evaluation-honest corpus pipeline needs: a naive
+    * per-document random split puts near-duplicate documents on BOTH
+    * sides, leaking training text into held-out evaluation. Here the
+    * split is assigned per NEAR-DUP CLUSTER ([[nearDupClusters]]'
+    * connected components; singletons are their own cluster), so by
+    * construction no near-dup pair ever spans the boundary — the
+    * invariant needs no runtime check because `split` is a pure function
+    * of `cluster_rep`. Assignment hashes the cluster representative with
+    * the repo's portable multiplicative hash (the p8/p14 split family),
+    * `trainPct`% to train. Scale: one left join of the doc ids against
+    * the (pair-participating-docs-sized) cluster relation; everything
+    * else is per-row. Output: `(doc_id, cluster_rep, split)`. */
+  def leakageSafeSplit(docs: DataFrame, trainPct: Int = 80,
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    require(trainPct > 0 && trainPct < 100 && trainPct % 10 == 0,
+      s"trainPct must be a positive multiple of 10 below 100: $trainPct")
+    val cl = nearDupClusters(docs, threshold, shingleN)
+    docs.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_rep"))
+      .withColumn("split",
+        when(pmod(Sampling.rowHash(col("cluster_rep")), lit(10L))
+            < lit(trainPct / 10), "train")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus cleaning — the composed LLM-data pipeline in one
     * plan: quality-filter (cheap per-row scores) → exact dedup (keep the
     * lowest doc_id per normalized text) → surviving doc ids. The shape a
@@ -893,6 +922,19 @@ object DedupSql {
        |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v)
        |SELECT v AS doc_id, min(l) AS cluster
        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[Dedup.leakageSafeSplit]]: same clusters, same portable
+    * hash, same per-cluster assignment. */
+  def leakageSafeSplit(trainPct: Int, threshold: Double, shingleN: Int): String =
+    s"""SELECT d.doc_id,
+       |       coalesce(cl.cluster, d.doc_id) AS cluster_rep,
+       |       CASE WHEN ${Sampling.rowHashSql("coalesce(cl.cluster, d.doc_id)")}
+       |                  % 10 < ${trainPct / 10}
+       |            THEN 'train' ELSE 'test' END AS split
+       |FROM documents d
+       |LEFT JOIN (${nearDupClusters(threshold, shingleN)}) cl
+       |  ON cl.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   def minhashLshPairs(threshold: Double, shingleN: Int): String =
     s"""WITH sets AS (

@@ -442,6 +442,22 @@ class TextDedupSpec extends SparkSuite {
     assert(got(4L) === (("head", true)))
   }
 
+  test("leakageSafeSplit: near-dup clusters land wholly on one side") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today!"),
+      (3L, "an entirely unrelated treatise on distributed query engines"),
+      (4L, "yet another unrelated piece about bloom filter mathematics"))
+    val got = Dedup.leakageSafeSplit(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // 1 and 2 are near-dups → one cluster (rep = min id) → one split
+    assert(got(1L)._1 === 1L && got(2L)._1 === 1L)
+    assert(got(1L)._2 === got(2L)._2)
+    // singletons are their own cluster
+    assert(got(3L)._1 === 3L && got(4L)._1 === 4L)
+    assert(got.values.map(_._2).forall(Set("train", "test")))
+  }
+
   test("aucFromScores: tie-averaged Mann-Whitney on a known histogram") {
     // scores [3,2,2,1], labels [1,1,0,0]: pos-neg pairs (3,2)=1 (3,1)=1
     // (2,2)=0.5 (2,1)=1 → AUC = 3.5/4 = 0.875
