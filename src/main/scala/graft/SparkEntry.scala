@@ -2129,7 +2129,11 @@ object SparkEntry {
     "gr2_triangles" -> ((s, dir) =>
       Graph.triangles(Tables(s, dir, "events"))),
     "gr3_pagerank" -> ((s, dir) =>
-      Graph.pagerank(Tables(s, dir, "events")))
+      Graph.pagerank(Tables(s, dir, "events"))),
+    "gr4_neighbor_jaccard" -> ((s, dir) =>
+      Graph.neighborJaccard(Tables(s, dir, "events"))),
+    "gr5_cluster_coeff" -> ((s, dir) =>
+      Graph.clusteringCoefficient(Tables(s, dir, "events")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -2984,7 +2988,9 @@ object SparkEntry {
       "mm6_quantize" -> SimilaritySql.quantizeInt8Stats,
       "gr1_degrees" -> GraphSql.degrees,
       "gr2_triangles" -> GraphSql.triangles,
-      "gr3_pagerank" -> GraphSql.pagerank()
+      "gr3_pagerank" -> GraphSql.pagerank(),
+      "gr4_neighbor_jaccard" -> GraphSql.neighborJaccard,
+      "gr5_cluster_coeff" -> GraphSql.clusteringCoefficient
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible
       // (SURVEY.md §7.4.3) -> driver rows-only check; invariants covered by
       // bloom_zero_fn above + PipelineSpec/statistical e2e.

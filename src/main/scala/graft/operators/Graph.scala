@@ -78,20 +78,19 @@ object Graph {
       .orderBy("node")
   }
 
-  /** One-row graph census: nodes, undirected edges, triangles. The
-    * triangle join orients every undirected edge from the
-    * `(und_deg, node)`-lexicographically smaller endpoint to the larger
-    * (total order, so each triangle survives as exactly one oriented
-    * path x->y->z plus its closing edge x->z), then counts wedges that
-    * close. Orientation by degree bounds wedge fan-out; the count is
-    * identical to the oracle's node-id orientation. */
-  def triangles(events: DataFrame): DataFrame = {
-    val und = undirected(events).persist()
-    val deg = und.select(col("a").as("node"))
+  /** Undirected degree per node over the `a<b` edge set. */
+  private def undDegrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // (deg, node) total order as a single sortable key: degree is < 2^20
-    // at any realistic per-hour fan-in, node ids are longs — pack exact
+
+  /** Degree-oriented triangle relation `(x, y, z)` — one row per triangle.
+    * Every undirected edge is oriented from the `(deg, node)`-
+    * lexicographically smaller endpoint to the larger (a total order, so
+    * each triangle survives as exactly one oriented path x->y->z plus its
+    * closing edge x->z). Orientation by degree caps per-node wedge
+    * fan-out at O(sqrt(m)) even on power-law graphs. */
+  private def orientedTriangles(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
@@ -103,14 +102,78 @@ object Graph {
     val e1 = oriented.select(col("src").as("x"), col("dst").as("y"))
     val e2 = oriented.select(col("src").as("y"), col("dst").as("z"))
     val e3 = oriented.select(col("src").as("x"), col("dst").as("z"))
-    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
-      .agg(count(lit(1)).as("n_triangles"))
+    e1.join(e2, "y").join(e3, Seq("x", "z")).select("x", "y", "z")
+  }
+
+  /** One-row graph census: nodes, undirected edges, triangles. Wedge join
+    * over the degree-oriented edges (see [[orientedTriangles]]); the
+    * count is identical to the oracle's node-id orientation. */
+  def triangles(events: DataFrame): DataFrame = {
+    val und = undirected(events).persist()
+    val deg = undDegrees(und)
+    val tri = orientedTriangles(und, deg).agg(count(lit(1)).as("n_triangles"))
     val census = und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       .crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
     census
+  }
+
+  /** Per-node local clustering coefficient
+    * `2·tri(v) / (deg(v)·(deg(v)-1))` (0 when deg < 2), the classic
+    * "how clique-like is this neighborhood" feature for community /
+    * spam-ring detection. `tri(v)` comes from exploding the oriented
+    * triangle relation to its three corners and counting per node —
+    * a per-node triangle incidence is orientation-invariant, so the
+    * degree-oriented wedge join (bounded fan-out) feeds the same
+    * numbers the oracle gets from node-id orientation. */
+  def clusteringCoefficient(events: DataFrame): DataFrame = {
+    val und = undirected(events).persist()
+    val deg = undDegrees(und).persist()
+    val tri = orientedTriangles(und, deg)
+    val perNode = tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(
+          when(col("deg") < 2, lit(0.0))
+            .otherwise(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+              (col("deg") * (col("deg") - 1))), 6).as("coeff"))
+      .orderBy("node")
+  }
+
+  /** Per-edge neighborhood Jaccard `|N(a)∩N(b)| / |N(a)∪N(b)|` over the
+    * undirected graph — the standard link-prediction / edge-strength
+    * feature. Common neighbors come from a wedge join of the
+    * symmetrized adjacency against both endpoints; the union size is
+    * `deg(a) + deg(b) - common` (a ∈ N(b) and b ∈ N(a), so both sides
+    * already count the edge's own endpoints). Cost is the same
+    * Σ deg(a)+deg(b) wedge expansion as triangle counting; hot-node
+    * skew in the expansion is delegated to AQE skew-join like every
+    * other candidate join in the repo (Dedup contract). */
+  def neighborJaccard(events: DataFrame): DataFrame = {
+    val und = undirected(events).persist()
+    val deg = undDegrees(und)
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y"))).persist()
+    val common = und
+      .join(sym.select(col("x").as("a"), col("y").as("z")), "a")
+      .join(sym.select(col("x").as("b"), col("y").as("z")), Seq("b", "z"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(common, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("da"), col("db"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        round(coalesce(col("common"), lit(0L)) /
+          (col("da") + col("db") - coalesce(col("common"), lit(0L))).cast("double"),
+          6).as("jaccard"))
+      .orderBy("a", "b")
   }
 
   /** PageRank over the directed graph, `iters` synchronous iterations at
@@ -127,16 +190,24 @@ object Graph {
     val n = nodes.count() // the one driver scalar: node count
     val outDeg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .persist()
+    // ITERATION-INVARIANT prep, paid once instead of once per iteration:
+    //  - deg folded onto each edge (saves a join inside every loop body;
+    //    the arithmetic stays rank/deg, bit-identical to the oracle's)
+    //  - the dangling node SET (nodes with no out-edge) — the loop then
+    //    only sums ranks over it, instead of re-deriving it by anti-join
+    val edDeg = ed
+      .join(outDeg.withColumnRenamed("node", "src"), "src")
+      .select("src", "dst", "deg").persist()
+    val dangling = nodes.join(outDeg, Seq("node"), "left_anti").persist()
     // initial uniform rank: persisted but NOT pre-materialized — it is a
     // literal projection over the cached node set, cheaper to let the
     // first iteration's job populate than to pay a dedicated action
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank")).persist()
     (1 to iters).foreach { _ =>
       // dangling mass: one row, cross-joined (scalar broadcast)
-      val dang = rank.join(outDeg, Seq("node"), "left_anti")
+      val dang = rank.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
-      val contrib = ed.join(rank, ed("src") === rank("node"))
-        .join(outDeg.withColumnRenamed("node", "src"), "src")
+      val contrib = edDeg.join(rank, edDeg("src") === rank("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
       val next = nodes.join(contrib, Seq("node"), "left")
@@ -200,6 +271,53 @@ object GraphSql {
        |       (SELECT count(*) FROM und) AS n_edges,
        |       tri.n_triangles
        |FROM tri""".stripMargin
+
+  /** Node-id-oriented triangles (`a<b<c`) exploded to corners, then the
+    * per-node coefficient — corner incidence is orientation-invariant,
+    * so this matches the Spark side's degree-oriented wedge join. */
+  val clusteringCoefficient: String =
+    s"""WITH $edgeCtes,
+       |deg AS (SELECT node, count(*) AS deg FROM
+       |          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY 1),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM und e1
+       |        JOIN und e2 ON e2.a = e1.b
+       |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (SELECT node, count(*) AS n_tri FROM
+       |         (SELECT x AS node FROM tri
+       |          UNION ALL SELECT y FROM tri
+       |          UNION ALL SELECT z FROM tri)
+       |       GROUP BY 1)
+       |SELECT d.node, d.deg, coalesce(pn.n_tri, 0) AS n_tri,
+       |       round(CASE WHEN d.deg < 2 THEN 0.0
+       |                  ELSE 2.0 * coalesce(pn.n_tri, 0)
+       |                       / (d.deg * (d.deg - 1)) END, 6) AS coeff
+       |FROM deg d LEFT JOIN pn ON pn.node = d.node
+       |ORDER BY d.node""".stripMargin
+
+  /** Per-edge neighborhood Jaccard via the identical symmetrized wedge
+    * join and `deg(a)+deg(b)-common` union size. */
+  val neighborJaccard: String =
+    s"""WITH $edgeCtes,
+       |sym AS (SELECT a AS x, b AS y FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT x AS node, count(*) AS deg FROM sym GROUP BY 1),
+       |cm AS (SELECT e.a, e.b, count(*) AS common
+       |       FROM und e
+       |       JOIN sym s1 ON s1.x = e.a
+       |       JOIN sym s2 ON s2.x = e.b AND s2.y = s1.y
+       |       GROUP BY e.a, e.b)
+       |SELECT e.a, e.b, da.deg AS da, db.deg AS db,
+       |       coalesce(cm.common, 0) AS common,
+       |       round(coalesce(cm.common, 0) /
+       |             CAST(da.deg + db.deg - coalesce(cm.common, 0) AS DOUBLE),
+       |             6) AS jaccard
+       |FROM und e
+       |JOIN deg da ON da.node = e.a
+       |JOIN deg db ON db.node = e.b
+       |LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+       |ORDER BY e.a, e.b""".stripMargin
 
   /** The PageRank recurrence unrolled: pr0 = 1/n, then `iters` chained
     * CTE steps of the identical dangling-aware update. */

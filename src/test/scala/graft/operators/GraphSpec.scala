@@ -78,6 +78,44 @@ class GraphSpec extends SparkSuite {
     assert(ranks(2L) > ranks(1L)) // sink receives, source only leaks
   }
 
+  test("clustering coefficient: known-answer on the two-triangle graph") {
+    // und {12,23,13,24,14}: tri(1)=2 deg=3, tri(2)=2 deg=3, tri(3)=1 deg=2,
+    // tri(4)=1 deg=2 → coeff 1: 2*2/(3*2)=0.666667, 3: 2*1/(2*1)=1.0
+    val cc = Graph.clusteringCoefficient(eventsOf(seq1))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (n, d, t, c) => n -> ((d, t, c)) }.toMap
+    assert(cc(1L) === ((3L, 2L, 0.666667)))
+    assert(cc(2L) === ((3L, 2L, 0.666667)))
+    assert(cc(3L) === ((2L, 1L, 1.0)))
+    assert(cc(4L) === ((2L, 1L, 1.0)))
+  }
+
+  test("neighbor jaccard: known-answer on the two-triangle graph") {
+    // N(1)={2,3,4} N(2)={1,3,4} N(3)={1,2} N(4)={1,2}
+    // edge(1,2): common {3,4}=2, union 3+3-2=4 → 0.5
+    // edge(1,3): common {2}=1, union 3+2-1=4 → 0.25 ; same for (1,4)
+    // edge(2,3): common {1}=1 → 0.25 ; same for (2,4)
+    val j = Graph.neighborJaccard(eventsOf(seq1))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map { case (a, b, da, db, cm, jc) => (a, b) -> ((da, db, cm, jc)) }
+      .toMap
+    assert(j((1L, 2L)) === ((3L, 3L, 2L, 0.5)))
+    assert(j((1L, 3L)) === ((3L, 2L, 1L, 0.25)))
+    assert(j((1L, 4L)) === ((3L, 2L, 1L, 0.25)))
+    assert(j((2L, 3L)) === ((3L, 2L, 1L, 0.25)))
+    assert(j((2L, 4L)) === ((3L, 2L, 1L, 0.25)))
+    assert(j.size === 5)
+  }
+
+  test("neighbor jaccard: edge with zero common neighbors keeps the row") {
+    // path 1-2-3: edge(1,2) common=∅ (N(1)={2}, N(2)={1,3}), j=0
+    val j = Graph.neighborJaccard(eventsOf(Seq(1L, 2L, 3L)))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map { case (a, b, _, _, cm, jc) => (a, b) -> ((cm, jc)) }.toMap
+    assert(j((1L, 2L)) === ((0L, 0.0)))
+    assert(j((2L, 3L)) === ((0L, 0.0)))
+  }
+
   test("degree/triangle invariants on sf0.001 testdata") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
     val ed = Graph.edges(ev).cache()
