@@ -648,6 +648,49 @@ object SparkEntry {
         .agg(sum("n").as("n"), round(sum("sv"), 2).as("sum_value"))
         .orderBy("hr", "event_type")
     }),
+    "d5_merge_cdc" -> ((s, dir) => {
+      // MERGE-shaped CDC apply with DELETES: the event stream as an
+      // insert/update/delete changelog over user profiles (signup=I,
+      // error=D, everything else=U). A base snapshot (first half of the
+      // time range, SCD-1-reduced like d2) is merged with the later
+      // delta's reduction via ONE full-outer join on the key — the
+      // MERGE INTO physical shape, where delta verdicts win and a
+      // delta-side D (or a base row already deleted) drops the key.
+      // At 100 TB the base never re-scans history: both sides are
+      // map-side-combining max_by reductions, and the merge join is
+      // key-partitioned. The oracle recomputes final state from scratch
+      // (global latest op per user, D filtered), pinning merge ==
+      // recompute, the d4 contract extended to deletes.
+      val ops = Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("value"))
+      // integer midpoint (min + (max-min) div 2): all-Long arithmetic —
+      // a (min+max)/2 double round-trip would hit DuckDB's round-to-
+      // nearest vs Spark's truncate cast on values above 2^53
+      val mid = ops.agg(min("ts").as("mn"), max("ts").as("mx"))
+        .select(expr("mn + (mx - mn) div 2").as("mid"))
+      val withMid = ops.crossJoin(mid) // one-row scalar broadcast
+      def latest(p: org.apache.spark.sql.Column) = withMid.where(p)
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("event_id"), expr("ts div 1000").as("ts_us"),
+            col("op"), col("value")),
+          struct(col("ts"), col("event_id"))).as("r"))
+      val base = latest(col("ts") <= col("mid"))
+        .select(col("user_id"), col("r").as("b"))
+      val delta = latest(col("ts") > col("mid"))
+        .select(col("user_id"), col("r").as("d"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"), coalesce(col("d"), col("b")).as("f"))
+        .where(col("f.op") =!= "D")
+        .select(col("user_id"), col("f.event_id").as("event_id"),
+          col("f.ts_us").as("ts_us"), col("f.op").as("op"),
+          col("f.value").as("value"))
+        .orderBy("user_id")
+    }),
 
     "u5_lateral" -> ((s, dir) => {
       // LATERAL correlated subquery (Spark 4 SQL surface): per-nation
@@ -1092,6 +1135,34 @@ object SparkEntry {
       tr.withColumn("p",
           round(col("n") / sum("n").over(Window.partitionBy("prev_type")), 6))
         .orderBy("prev_type", "next_type")
+    }),
+    "e9_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the most recent
+      // preceding click/view by the same user within a 7-day lookback,
+      // else 'organic'. The carried last-touch rides the same per-user
+      // forward-fill frame as w5 (bounded partitions, never a global
+      // sort); `last(..., ignoreNulls)` over a running frame is a
+      // single-pass window — no self-join against the touch set, which
+      // at 100 TB would rebuild the event table per purchase.
+      import org.apache.spark.sql.expressions.Window
+      val lookbackNs = 7L * 24 * 3600 * 1000000000L
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touched = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          last(when(col("event_type").isin("click", "view"),
+            struct(col("ts").as("t_ts"), col("event_id").as("t_id"),
+              col("event_type").as("t_type"))), ignoreNulls = true)
+            .over(w).as("touch"))
+      val inWin = col("touch").isNotNull &&
+        col("ts") - col("touch.t_ts") <= lit(lookbackNs)
+      touched.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          expr("ts div 1000").as("purchase_ts_us"),
+          when(inWin, col("touch.t_id")).as("touch_id"),
+          when(inWin, col("touch.t_type")).otherwise(lit("organic"))
+            .as("channel"))
+        .orderBy("purchase_id")
     }),
 
     // --- W: window functions (beyond the reference; SURVEY §2.7 gap)
@@ -1613,6 +1684,8 @@ object SparkEntry {
     "p15_stratified_es" -> ((s, dir) => // k-per-source draw, same priority
       Sampling.stratifiedWeightedSample(Tables(s, dir, "documents"),
         kPerGroup = 5)),
+    "p17_consistent_sample" -> ((s, dir) => // md5-ranked stable per-lang draw
+      Sampling.consistentSample(Tables(s, dir, "documents"), kPerGroup = 5)),
     "t19_oov_rate" -> ((s, dir) => // tokenizer-coverage audit vs top-K vocab
       TextAnalysis.oovRate(Tables(s, dir, "documents"), topK = 50)
         .orderBy("doc_id")),
@@ -2526,6 +2599,42 @@ object SparkEntry {
           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
       "st20_stream_markov" -> markovSql, // drained stream == batch twin
       "e8_markov" -> markovSql,
+      "e9_attribution" -> // per-user carried last-touch, 7-day lookback
+        """WITH seq AS (
+          |  SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type,
+          |         last_value(CASE WHEN event_type IN ('click', 'view')
+          |                         THEN epoch_ns(ts) END IGNORE NULLS)
+          |           OVER w AS t_ns,
+          |         last_value(CASE WHEN event_type IN ('click', 'view')
+          |                         THEN event_id END IGNORE NULLS)
+          |           OVER w AS t_id,
+          |         last_value(CASE WHEN event_type IN ('click', 'view')
+          |                         THEN event_type END IGNORE NULLS)
+          |           OVER w AS t_type
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+          |SELECT user_id, event_id AS purchase_id,
+          |       tns // 1000 AS purchase_ts_us,
+          |       CASE WHEN t_ns IS NOT NULL AND tns - t_ns <= 604800000000000
+          |            THEN t_id END AS touch_id,
+          |       CASE WHEN t_ns IS NOT NULL AND tns - t_ns <= 604800000000000
+          |            THEN t_type ELSE 'organic' END AS channel
+          |FROM seq WHERE event_type = 'purchase'
+          |ORDER BY purchase_id""".stripMargin,
+      "d5_merge_cdc" -> // from-scratch recompute: global latest op, D wins
+        """WITH ops AS (
+          |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+          |         CASE event_type WHEN 'signup' THEN 'I'
+          |                         WHEN 'error' THEN 'D'
+          |                         ELSE 'U' END AS op,
+          |         value
+          |  FROM events),
+          |seq AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          |          ORDER BY tns DESC, event_id DESC) AS rn FROM ops)
+          |SELECT user_id, event_id, tns // 1000 AS ts_us, op, value
+          |FROM seq WHERE rn = 1 AND op <> 'D'
+          |ORDER BY user_id""".stripMargin,
       "w7_zscore_anomaly" -> // identical trailing frame, rounded-z filter
         """WITH f AS (
           |  SELECT event_id, event_type, value,
@@ -2737,6 +2846,7 @@ object SparkEntry {
       "p13_curriculum" ->
         s"${SamplingSql.curriculumPhases(4)} ORDER BY doc_id",
       "p14_weighted_sample" -> SamplingSql.weightedSample(100),
+      "p17_consistent_sample" -> SamplingSql.consistentSample(5),
       "p15_stratified_es" -> SamplingSql.stratifiedWeightedSample(5),
       "t19_oov_rate" -> s"${TextAnalysisSql.oovRate(50)} ORDER BY doc_id",
       "t28_vocab_growth" -> TextAnalysisSql.vocabGrowth(10),

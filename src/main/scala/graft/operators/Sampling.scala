@@ -330,6 +330,30 @@ object Sampling {
       .select("doc_id", "source", weightCol, "rank")
       .orderBy("source", "rank")
   }
+
+  /** Consistent (hash-ranked) per-stratum sample: the bottom-k docs per
+    * language by `md5(doc_id)`. A deterministic uniform draw that is
+    * reproducible across engines AND across corpus versions — a doc's
+    * verdict depends only on its own hash and the hashes below it, so
+    * day-over-day crawl re-samples overlap almost entirely, the property
+    * RNG-seeded sampling loses the moment row order or partitioning
+    * changes. md5 (not the Knuth hash above) because the E-S lanes
+    * already own multiplicative hashing and a crypto hash is the
+    * standard choice when the id space is adversarial/clustered
+    * (sequential ids stay uniformly spread).
+    *
+    * Scale shape: rank-filtered window over bounded-cardinality strata →
+    * WindowGroupLimit pre-prunes each map task to k rows per (lang ×
+    * task) before the exchange, like [[stratifiedWeightedSample]]. */
+  def consistentSample(docs: DataFrame, kPerGroup: Int = 5): DataFrame = {
+    require(kPerGroup > 0, s"kPerGroup must be positive: $kPerGroup")
+    docs.select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
+      .where(col("rank") <= kPerGroup)
+      .orderBy("lang", "rank")
+  }
 }
 
 /** DuckDB twins of [[Sampling]] — identical integer hash/weight
@@ -503,4 +527,15 @@ object SamplingSql {
        |                    doc_id) AS rank
        |  FROM documents)
        |WHERE rank <= $kPerGroup ORDER BY source, rank""".stripMargin
+
+  /** Twin of [[Sampling.consistentSample]] — DuckDB's `md5(VARCHAR)` and
+    * Spark's `md5(BINARY)` of the identical decimal id string emit the
+    * same lowercase hex. */
+  def consistentSample(kPerGroup: Int): String =
+    s"""SELECT doc_id, lang, hk, rank FROM (
+       |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+       |  FROM documents)
+       |WHERE rank <= $kPerGroup ORDER BY lang, rank""".stripMargin
 }

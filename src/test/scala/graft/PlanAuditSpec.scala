@@ -755,4 +755,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(windowExchanges.isEmpty,
       s"edge derivation must not serialize through one partition:\n$p")
   }
+
+  test("e9: attribution is one per-user window pass — no touch self-join") {
+    val p = plan("e9_attribution")
+    // the naive formulation joins purchases against the touch-event set
+    // per row; the carried-last-touch window must keep the plan join-free
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("d5: CDC merge is one full-outer equi-join over two reductions") {
+    val p = plan("d5_merge_cdc")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both sides must reduce BEFORE the merge join: partial max_by
+    // aggregates upstream shrink each side to one row per key
+    assert(nodeCount(p, "HashAggregate") +
+      nodeCount(p, "SortAggregate") +
+      nodeCount(p, "ObjectHashAggregate") >= 4, // 2 sides × partial+final
+      s"changelog sides must pre-reduce per key:\n$p")
+  }
+
+  test("p17: consistent sample pre-prunes per task via WindowGroupLimit") {
+    val p = plan("p17_consistent_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push a per-task group limit below the exchange:\n$p")
+  }
 }

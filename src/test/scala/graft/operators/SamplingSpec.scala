@@ -227,4 +227,37 @@ class SamplingSpec extends SparkSuite {
       assert(rs.map(_.getAs[Int]("rank")).sorted === Array(1, 2, 3))
     }
   }
+
+  test("consistentSample: hash key is the JDK md5 of the decimal id") {
+    val d = (1L to 20L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val got = Sampling.consistentSample(d, kPerGroup = 20).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { r =>
+      val expect = md.digest(r.getAs[Long]("doc_id").toString
+          .getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(r.getAs[String]("hk") === expect)
+    }
+    // ranks follow the hash order, densely per stratum
+    assert(got.map(_.getAs[Int]("rank")).sorted === (1 to 20).toArray)
+  }
+
+  test("consistentSample: verdicts survive corpus growth (the RNG killer)") {
+    val small = (1L to 50L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val grown = (1L to 80L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.consistentSample(df, kPerGroup = 5).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    val a = ids(small)
+    val b = ids(grown)
+    // a doc sampled from the grown corpus that already existed in the
+    // small one must have been sampled there too — new docs can only
+    // displace, never reshuffle (bottom-k by hash is monotone)
+    val survivors = b.filter { case (_, id) => id <= 50 }
+    assert(survivors.subsetOf(a),
+      s"pre-existing sampled docs must come from the old sample: " +
+        s"new=$survivors old=$a")
+    assert(a.size === 10 && b.size === 10) // 2 strata x 5
+  }
 }
