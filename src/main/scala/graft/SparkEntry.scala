@@ -1453,6 +1453,9 @@ object SparkEntry {
     "k9_zorder" -> ((s, dir) => // multi-dim clustering manifest (OPTIMIZE
       // ZORDER planning face; write path = repartitionByRange over zval)
       Layout.zorderManifest(Tables(s, dir, "lineitem")).orderBy("file_id")),
+    "k10_hilbert" -> ((s, dir) => // Hilbert-curve clustering: k9's manifest
+      // with the jump-free curve (liquid-clustering trade; see Layout)
+      Layout.hilbertManifest(Tables(s, dir, "lineitem")).orderBy("file_id")),
     "k8_compact" -> ((s, dir) => {
       // Small-files compaction — the table-maintenance op every long-run
       // ingest needs (streaming sinks and per-batch appends fragment a
@@ -2919,6 +2922,7 @@ object SparkEntry {
       "t11_contamination" -> TextAnalysisSql.contamination("doc_id % 100 = 0", 5),
       // k8: the rewrite preserves the row set and shrinks the file count
       "k9_zorder" -> LayoutSql.zorderManifest(16, 8),
+      "k10_hilbert" -> LayoutSql.hilbertManifest(16, 8),
       "k8_compact" -> ("SELECT TRUE AS files_reduced, TRUE AS rows_match, "
         + "CAST(count(*) AS BIGINT) AS n_rows FROM documents"),
       "k3_range_sink" ->

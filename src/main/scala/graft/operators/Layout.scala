@@ -68,6 +68,84 @@ object Layout {
         min("l_partkey").as("min_partkey"),
         max("l_partkey").as("max_partkey"))
   }
+
+  /** Reference Hilbert index (the public xy2d walk, rotation scoped to
+    * the current sub-square side): maps cell `(x, y)` of the
+    * `2^order × 2^order` grid to its position along the Hilbert curve.
+    * Drives the spec's bijection/adjacency proof and documents the exact
+    * recurrence both engine twins unroll. */
+  private[operators] def hilbertIndexRef(order: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        val (fx, fy) = if (rx == 1) (s - 1 - x, s - 1 - y) else (x, y)
+        x = fy; y = fx
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Hilbert-curve layout manifest — same bucketing, file cutting, and
+    * manifest schema as [[zorderManifest]], but rows follow the Hilbert
+    * curve instead of the Morton curve. Hilbert never takes the long
+    * diagonal jumps Morton does (consecutive curve positions are always
+    * grid-adjacent — proven in `LayoutSpec`), so per-file bounding boxes
+    * are tighter and scans skip more files; Morton's only edge is the
+    * cheaper index function. Databricks liquid clustering made the same
+    * trade.
+    *
+    * The xy2d bit walk unrolls as one PROJECTION PER BIT threading named
+    * columns `(hx, hy, hd)` — a single folded Column would substitute
+    * each step's x/y into the next THREE times over, an exponential
+    * expression tree. CollapseProject leaves multi-reference non-trivial
+    * aliases in place, so the plan keeps `order` slim stages, all
+    * codegen'd shift/mask/case builtins, no UDF. */
+  def hilbertManifest(lineitem: DataFrame, nFiles: Int = 16, order: Int = 8): DataFrame = {
+    val buckets = 1 << order
+    val tie = Seq(col("l_orderkey"), col("l_linenumber"))
+    val wx = Window.orderBy(col("l_orderkey") +: col("l_linenumber") +: Nil: _*)
+    val wy = Window.orderBy(col("l_partkey") +: tie: _*)
+    var df = lineitem
+      .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
+        col("l_partkey").cast("bigint").as("l_partkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"))
+      .withColumn("hx", ntile(buckets).over(wx).cast("bigint") - 1)
+      .withColumn("hy", ntile(buckets).over(wy).cast("bigint") - 1)
+      .withColumn("hd", lit(0L))
+    for (i <- (order - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(col("hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(col("hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      df = df
+        .withColumn("rx", rx).withColumn("ry", ry)
+        .withColumn("hd",
+          col("hd") + lit(s * s) * (lit(3L) * col("rx")).bitwiseXOR(col("ry")))
+        .withColumn("nx",
+          when(col("ry") === 1, col("hx"))
+            .when(col("rx") === 0, col("hy"))
+            .otherwise(lit(s - 1) - col("hy")))
+        .withColumn("ny",
+          when(col("ry") === 1, col("hy"))
+            .when(col("rx") === 0, col("hx"))
+            .otherwise(lit(s - 1) - col("hx")))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+        .drop("rx", "ry", "nx", "ny")
+    }
+    val wh = Window.orderBy(col("hd") +: tie: _*)
+    df
+      .withColumn("file_id", ntile(nFiles).over(wh).cast("bigint"))
+      .groupBy("file_id")
+      .agg(count("*").as("n_rows"),
+        min("l_orderkey").as("min_orderkey"),
+        max("l_orderkey").as("max_orderkey"),
+        min("l_partkey").as("min_partkey"),
+        max("l_partkey").as("max_partkey"))
+  }
 }
 
 object LayoutSql {
@@ -100,6 +178,47 @@ object LayoutSql {
        |             CAST(ntile($buckets) OVER (ORDER BY l_partkey, l_orderkey,
        |                                        l_linenumber) AS BIGINT) - 1 AS by
        |      FROM lineitem)))
+       |GROUP BY file_id ORDER BY file_id""".stripMargin
+  }
+
+  /** Twin of [[Layout.hilbertManifest]] — the identical xy2d walk
+    * unrolled as nested subqueries, one per bit, generated from the same
+    * loop so the two engines cannot drift. */
+  def hilbertManifest(nFiles: Int, order: Int): String = {
+    val buckets = 1 << order
+    var inner =
+      s"""SELECT l_orderkey, l_partkey, l_linenumber,
+         |       CAST(ntile($buckets) OVER (ORDER BY l_orderkey, l_linenumber)
+         |            AS BIGINT) - 1 AS hx,
+         |       CAST(ntile($buckets) OVER (ORDER BY l_partkey, l_orderkey,
+         |                                  l_linenumber) AS BIGINT) - 1 AS hy,
+         |       CAST(0 AS BIGINT) AS hd
+         |FROM (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         |             CAST(l_partkey AS BIGINT) AS l_partkey,
+         |             CAST(l_linenumber AS BIGINT) AS l_linenumber
+         |      FROM lineitem)""".stripMargin
+    for (i <- (order - 1) to 0 by -1) {
+      val s = 1L << i
+      inner =
+        s"""SELECT l_orderkey, l_partkey, l_linenumber,
+           |       CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy
+           |            ELSE ${s - 1} - hy END AS hx,
+           |       CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx
+           |            ELSE ${s - 1} - hx END AS hy,
+           |       hd + ${s * s} * xor(3 * rx, ry) AS hd
+           |FROM (SELECT *,
+           |             CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |             CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |      FROM ($inner))""".stripMargin
+    }
+    s"""SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |       min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+       |       min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
+       |FROM (
+       |  SELECT l_orderkey, l_partkey,
+       |         CAST(ntile($nFiles) OVER (ORDER BY hd, l_orderkey, l_linenumber)
+       |              AS BIGINT) AS file_id
+       |  FROM ($inner))
        |GROUP BY file_id ORDER BY file_id""".stripMargin
   }
 }
