@@ -2117,6 +2117,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.streamDropDuplicates(s, dir)),
     "st20_stream_markov" -> ((s, dir) => // e8's transitions, incremental
       graft.streaming.StreamingQueries.streamMarkov(s, dir)),
+    "st21_stream_anomaly" -> ((s, dir) => // w7's outliers, incremental
+      graft.streaming.StreamingQueries.streamAnomaly(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -2220,6 +2222,24 @@ object SparkEntry {
     val bpk = f"${bitsPerKey(defaultP)}%.17g"
     // shared by e8_markov and its incremental twin st20_stream_markov:
     // identical per-user lead + per-prev normalization
+    // shared by w7_zscore_anomaly and its incremental twin
+    // st21_stream_anomaly: identical trailing 50-frame, rounded-z filter
+    val zscoreSql =
+      """WITH f AS (
+        |  SELECT event_id, event_type, value,
+        |         count(*) OVER w AS n_prev,
+        |         avg(value) OVER w AS mu,
+        |         stddev_samp(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type
+        |               ORDER BY epoch_ns(ts), event_id
+        |               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, round(value, 6) AS value,
+        |       round((value - mu) / sd, 6) AS z
+        |FROM f
+        |WHERE n_prev = 50 AND sd > 0
+        |  AND abs(round((value - mu) / sd, 6)) > 3
+        |ORDER BY event_id""".stripMargin
     val markovSql =
       """WITH seq AS (
         |  SELECT event_type AS prev_type,
@@ -2638,22 +2658,8 @@ object SparkEntry {
           |SELECT user_id, event_id, tns // 1000 AS ts_us, op, value
           |FROM seq WHERE rn = 1 AND op <> 'D'
           |ORDER BY user_id""".stripMargin,
-      "w7_zscore_anomaly" -> // identical trailing frame, rounded-z filter
-        """WITH f AS (
-          |  SELECT event_id, event_type, value,
-          |         count(*) OVER w AS n_prev,
-          |         avg(value) OVER w AS mu,
-          |         stddev_samp(value) OVER w AS sd
-          |  FROM events
-          |  WINDOW w AS (PARTITION BY event_type
-          |               ORDER BY epoch_ns(ts), event_id
-          |               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
-          |SELECT event_id, event_type, round(value, 6) AS value,
-          |       round((value - mu) / sd, 6) AS z
-          |FROM f
-          |WHERE n_prev = 50 AND sd > 0
-          |  AND abs(round((value - mu) / sd, 6)) > 3
-          |ORDER BY event_id""".stripMargin,
+      "w7_zscore_anomaly" -> zscoreSql, // identical frame, rounded-z filter
+      "st21_stream_anomaly" -> zscoreSql, // drained stream == batch twin
       "e7_dynamic_sessions" -> // islands via running max of per-event ends
         """WITH ev AS (
           |  SELECT user_id, ts,

@@ -984,6 +984,80 @@ object StreamingQueries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** The streaming twin of `w7_zscore_anomaly`: trailing z-score outlier
+    * flagging as an INCREMENTAL computation — the telemetry-monitoring
+    * shape this lane exists for. Source re-laid as 8 time-range files
+    * admitted 2 per trigger (the st20 log-rotation recipe), keyed by
+    * event_type (bounded cardinality). Per-type state is the ring of the
+    * last 50 values only — each batch sorts its arrivals by
+    * `(ts, event_id)`, scores every event against the carried ring
+    * (full-frame only, σ > 0, |round(z, 6)| > 3 like the batch twin),
+    * then pushes the value and trims to 50. Because admission order is
+    * time order and the ring carries across batches, each event sees the
+    * same 50 predecessors the batch window gives it, so the drained
+    * result reuses w7's oracle verbatim. State per key is 50 doubles —
+    * bounded regardless of stream length. */
+  def streamAnomaly(outer: SparkSession, dir: String): DataFrame = {
+    val spark = childSession(outer)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = s"${sys.props("java.io.tmpdir")}/graft_st21_src_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    graft.operators.Tables(spark, dir, "events")
+      .repartitionByRange(8, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(src)
+    val parts = new java.io.File(src).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = (System.currentTimeMillis() / 1000L) * 1000L - 3600000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 1000L)
+    }
+    val schema = spark.read.parquet(src).schema
+    val name = "st21_anomaly_" + math.abs(dir.hashCode)
+
+    val flagged = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Double], (Long, String, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Long, Double)],
+            state: GroupState[Seq[Double]]) =>
+          var ring = state.getOption.getOrElse(Vector.empty[Double]).toVector
+          val out = Vector.newBuilder[(Long, String, Double, Double)]
+          rows.map(r => (r._2, r._3, r._4)).toSeq
+            .sortBy(r => (r._1, r._2))
+            .foreach { case (_, eventId, v) =>
+              if (ring.size == 50) {
+                val mu = ring.sum / 50
+                val sd = math.sqrt(
+                  ring.map(x => (x - mu) * (x - mu)).sum / 49)
+                if (sd > 0) {
+                  val z = BigDecimal((v - mu) / sd)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (math.abs(z) > 3) {
+                    val vr = BigDecimal(v)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                    out += ((eventId, tpe, vr, z))
+                  }
+                }
+              }
+              ring = (ring :+ v).takeRight(50)
+            }
+          state.update(ring)
+          out.result().iterator
+      }
+
+    val q = flagged.toDF("event_id", "event_type", "value", "z").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_id")
+  }
+
   /** Stream-static bloom probe: the static side builds the per-group
     * filters in batch; the stream probes each arriving train row against
     * its own group's filter. Zero false negatives makes the drained result

@@ -113,6 +113,17 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streamAnomaly: ring-carried z-scores equal the batch w7 twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.streamAnomaly(spark, dir).collect()
+    val batch = graft.SparkEntry.queries("w7_zscore_anomaly")(spark, dir)
+      .collect()
+    // row-for-row at 6 decimals: every flagged event must have seen the
+    // exact 50 predecessors the batch frame gives it, across batch seams
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    assert(streamed.nonEmpty, "sf0.001 must flag at least one outlier")
+  }
+
   test("incrementalMv: the MV merges across >1 versions to the full rollup") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
