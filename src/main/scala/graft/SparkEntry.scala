@@ -1456,6 +1456,9 @@ object SparkEntry {
     "k10_hilbert" -> ((s, dir) => // Hilbert-curve clustering: k9's manifest
       // with the jump-free curve (liquid-clustering trade; see Layout)
       Layout.hilbertManifest(Tables(s, dir, "lineitem")).orderBy("file_id")),
+    "k11_skip_stats" -> ((s, dir) => // files a pruned band scan touches
+      // under linear/zorder/hilbert at the same file budget (see Layout)
+      Layout.skipStats(Tables(s, dir, "lineitem"))),
     "k8_compact" -> ((s, dir) => {
       // Small-files compaction — the table-maintenance op every long-run
       // ingest needs (streaming sinks and per-batch appends fragment a
@@ -2119,6 +2122,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.streamMarkov(s, dir)),
     "st21_stream_anomaly" -> ((s, dir) => // w7's outliers, incremental
       graft.streaming.StreamingQueries.streamAnomaly(s, dir)),
+    "st22_stream_attribution" -> ((s, dir) => // e9's credits, incremental
+      graft.streaming.StreamingQueries.streamAttribution(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -2222,6 +2227,31 @@ object SparkEntry {
     val bpk = f"${bitsPerKey(defaultP)}%.17g"
     // shared by e8_markov and its incremental twin st20_stream_markov:
     // identical per-user lead + per-prev normalization
+    // shared by e9_attribution and its incremental twin
+    // st22_stream_attribution: per-user carried last-touch, 7-day lookback
+    val attributionSql =
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN epoch_ns(ts) END IGNORE NULLS)
+        |           OVER w AS t_ns,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_id END IGNORE NULLS)
+        |           OVER w AS t_id,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER w AS t_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS purchase_id,
+        |       tns // 1000 AS purchase_ts_us,
+        |       CASE WHEN t_ns IS NOT NULL AND tns - t_ns <= 604800000000000
+        |            THEN t_id END AS touch_id,
+        |       CASE WHEN t_ns IS NOT NULL AND tns - t_ns <= 604800000000000
+        |            THEN t_type ELSE 'organic' END AS channel
+        |FROM seq WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin
     // shared by w7_zscore_anomaly and its incremental twin
     // st21_stream_anomaly: identical trailing 50-frame, rounded-z filter
     val zscoreSql =
@@ -2622,29 +2652,8 @@ object SparkEntry {
           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
       "st20_stream_markov" -> markovSql, // drained stream == batch twin
       "e8_markov" -> markovSql,
-      "e9_attribution" -> // per-user carried last-touch, 7-day lookback
-        """WITH seq AS (
-          |  SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type,
-          |         last_value(CASE WHEN event_type IN ('click', 'view')
-          |                         THEN epoch_ns(ts) END IGNORE NULLS)
-          |           OVER w AS t_ns,
-          |         last_value(CASE WHEN event_type IN ('click', 'view')
-          |                         THEN event_id END IGNORE NULLS)
-          |           OVER w AS t_id,
-          |         last_value(CASE WHEN event_type IN ('click', 'view')
-          |                         THEN event_type END IGNORE NULLS)
-          |           OVER w AS t_type
-          |  FROM events
-          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
-          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-          |SELECT user_id, event_id AS purchase_id,
-          |       tns // 1000 AS purchase_ts_us,
-          |       CASE WHEN t_ns IS NOT NULL AND tns - t_ns <= 604800000000000
-          |            THEN t_id END AS touch_id,
-          |       CASE WHEN t_ns IS NOT NULL AND tns - t_ns <= 604800000000000
-          |            THEN t_type ELSE 'organic' END AS channel
-          |FROM seq WHERE event_type = 'purchase'
-          |ORDER BY purchase_id""".stripMargin,
+      "e9_attribution" -> attributionSql, // carried last-touch, 7-day look
+      "st22_stream_attribution" -> attributionSql, // drained == batch twin
       "d5_merge_cdc" -> // from-scratch recompute: global latest op, D wins
         """WITH ops AS (
           |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
@@ -2929,6 +2938,7 @@ object SparkEntry {
       // k8: the rewrite preserves the row set and shrinks the file count
       "k9_zorder" -> LayoutSql.zorderManifest(16, 8),
       "k10_hilbert" -> LayoutSql.hilbertManifest(16, 8),
+      "k11_skip_stats" -> LayoutSql.skipStats(16, 8),
       "k8_compact" -> ("SELECT TRUE AS files_reduced, TRUE AS rows_match, "
         + "CAST(count(*) AS BIGINT) AS n_rows FROM documents"),
       "k3_range_sink" ->

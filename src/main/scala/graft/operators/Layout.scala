@@ -69,6 +69,25 @@ object Layout {
         max("l_partkey").as("max_partkey"))
   }
 
+  /** Single-column (linear sort) manifest — the no-clustering baseline
+    * [[zorderManifest]] and [[hilbertManifest]] are measured against:
+    * same file cutting, but rows ordered by `l_orderkey` alone, so
+    * per-file `l_partkey` ranges span the whole domain. */
+  def linearManifest(lineitem: DataFrame, nFiles: Int = 16): DataFrame = {
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    lineitem
+      .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
+        col("l_partkey").cast("bigint").as("l_partkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"))
+      .withColumn("file_id", ntile(nFiles).over(w).cast("bigint"))
+      .groupBy("file_id")
+      .agg(count("*").as("n_rows"),
+        min("l_orderkey").as("min_orderkey"),
+        max("l_orderkey").as("max_orderkey"),
+        min("l_partkey").as("min_partkey"),
+        max("l_partkey").as("max_partkey"))
+  }
+
   /** Reference Hilbert index (the public xy2d walk, rotation scoped to
     * the current sub-square side): maps cell `(x, y)` of the
     * `2^order × 2^order` grid to its position along the Hilbert curve.
@@ -146,6 +165,34 @@ object Layout {
         min("l_partkey").as("min_partkey"),
         max("l_partkey").as("max_partkey"))
   }
+
+  /** The payoff measurement the manifests exist for: how many files a
+    * min/max-pruned scan touches for a band predicate on `l_partkey`
+    * (the NON-sort dimension — where the linear layout can't skip),
+    * under each of the three layouts at the same file budget. The band
+    * is the middle decile of the partkey domain, derived from the data
+    * with integer arithmetic so both engines compute identical bounds.
+    * This is the planning-time face of k6's row-group pruning: `files_
+    * hit / n_files` is exactly the fraction of a 100 TB table a
+    * predicate-pushdown scan reads under each layout. */
+  def skipStats(lineitem: DataFrame, nFiles: Int = 16, bits: Int = 8): DataFrame = {
+    val bounds = lineitem
+      .agg(min(col("l_partkey").cast("bigint")).as("pmin"),
+        max(col("l_partkey").cast("bigint")).as("pmax"))
+      .select(expr("pmin + (pmax - pmin) * 45 div 100").as("lo"),
+        expr("pmin + (pmax - pmin) * 55 div 100").as("hi"))
+    val m = linearManifest(lineitem, nFiles).withColumn("layout", lit("linear"))
+      .unionByName(zorderManifest(lineitem, nFiles, bits)
+        .withColumn("layout", lit("zorder")))
+      .unionByName(hilbertManifest(lineitem, nFiles, bits)
+        .withColumn("layout", lit("hilbert")))
+    m.crossJoin(bounds) // one-row scalar broadcast
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("min_partkey") <= col("hi") &&
+          col("max_partkey") >= col("lo"), 1L).otherwise(0L)).as("files_hit"))
+      .orderBy("layout")
+  }
 }
 
 object LayoutSql {
@@ -221,4 +268,40 @@ object LayoutSql {
        |  FROM ($inner))
        |GROUP BY file_id ORDER BY file_id""".stripMargin
   }
+
+  /** Twin of [[Layout.linearManifest]]. */
+  def linearManifest(nFiles: Int): String =
+    s"""SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |       min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+       |       min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey
+       |FROM (
+       |  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       |         CAST(l_partkey AS BIGINT) AS l_partkey,
+       |         CAST(ntile($nFiles) OVER (ORDER BY l_orderkey, l_linenumber)
+       |              AS BIGINT) AS file_id
+       |  FROM lineitem)
+       |GROUP BY file_id ORDER BY file_id""".stripMargin
+
+  /** Twin of [[Layout.skipStats]] — the three manifest queries inlined as
+    * subqueries, the same integer band bounds. */
+  def skipStats(nFiles: Int, bits: Int): String =
+    s"""WITH b AS (
+       |  SELECT CAST(min(l_partkey) AS BIGINT)
+       |           + (CAST(max(l_partkey) AS BIGINT)
+       |              - CAST(min(l_partkey) AS BIGINT)) * 45 // 100 AS lo,
+       |         CAST(min(l_partkey) AS BIGINT)
+       |           + (CAST(max(l_partkey) AS BIGINT)
+       |              - CAST(min(l_partkey) AS BIGINT)) * 55 // 100 AS hi
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT 'linear' AS layout, * FROM (${linearManifest(nFiles)})
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout, * FROM (${zorderManifest(nFiles, bits)})
+       |  UNION ALL
+       |  SELECT 'hilbert' AS layout, * FROM (${hilbertManifest(nFiles, bits)}))
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(sum(CASE WHEN min_partkey <= b.hi AND max_partkey >= b.lo
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
+       |FROM m CROSS JOIN b
+       |GROUP BY layout ORDER BY layout""".stripMargin
 }

@@ -1058,6 +1058,77 @@ object StreamingQueries {
     spark.table(name).orderBy("event_id")
   }
 
+  /** The streaming twin of `e9_attribution`: last-touch credit assignment
+    * as the stream arrives. Per-user state is ONE carried touch — the
+    * last click/view's `(ts, event_id, event_type)`. Each micro-batch
+    * replays its arrivals in `(ts, event_id)` order: a purchase emits
+    * its verdict against the touch carried at that point (7-day
+    * lookback, else 'organic'); a click/view replaces the touch. The
+    * time-range file admission (st20 recipe) makes the carried touch at
+    * every batch seam exactly what the batch window's running
+    * `last(..., ignoreNulls)` sees, so the drained result shares e9's
+    * oracle verbatim. This is attribution the way a production stream
+    * runs it: O(1) state per user, verdicts final at purchase time. */
+  def streamAttribution(outer: SparkSession, dir: String): DataFrame = {
+    val spark = childSession(outer)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val lookbackNs = 7L * 24 * 3600 * 1000000000L
+    val src = s"${sys.props("java.io.tmpdir")}/graft_st22_src_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    graft.operators.Tables(spark, dir, "events")
+      .repartitionByRange(8, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(src)
+    val parts = new java.io.File(src).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = (System.currentTimeMillis() / 1000L) * 1000L - 3600000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 1000L)
+    }
+    val schema = spark.read.parquet(src).schema
+    val name = "st22_attrib_" + math.abs(dir.hashCode)
+
+    val verdicts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String),
+        (Long, Long, Long, Option[Long], String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[(Long, Long, String)]) =>
+          var touch = state.getOption
+          val out = Vector.newBuilder[(Long, Long, Long, Option[Long], String)]
+          rows.map(r => (r._2, r._3, r._4)).toSeq
+            .sortBy(r => (r._1, r._2))
+            .foreach { case (ts, eventId, tpe) =>
+              if (tpe == "purchase") {
+                touch match {
+                  case Some((tts, tid, ttype)) if ts - tts <= lookbackNs =>
+                    out += ((uid, eventId, ts / 1000, Some(tid), ttype))
+                  case _ =>
+                    out += ((uid, eventId, ts / 1000, None, "organic"))
+                }
+              }
+              if (tpe == "click" || tpe == "view")
+                touch = Some((ts, eventId, tpe))
+            }
+          touch.foreach(state.update)
+          out.result().iterator
+      }
+
+    val q = verdicts
+      .toDF("user_id", "purchase_id", "purchase_ts_us", "touch_id", "channel")
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("purchase_id")
+  }
+
   /** Stream-static bloom probe: the static side builds the per-group
     * filters in batch; the stream probes each arriving train row against
     * its own group's filter. Zero false negatives makes the drained result

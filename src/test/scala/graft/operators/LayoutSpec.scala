@@ -108,4 +108,21 @@ class LayoutSpec extends SparkSuite {
       .agg(sum("n_rows")).as[Long].head()
     assert(cover === 1024L)
   }
+
+  test("skipStats: clustering strictly beats linear on the band scan") {
+    val grid = for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong, 1L)
+    val li = grid.toDF("l_orderkey", "l_partkey", "l_linenumber")
+    val got = Layout.skipStats(li, nFiles = 16, bits = 5).collect()
+      .map(r => r.getAs[String]("layout") ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("files_hit")))).toMap
+    // linear sorts by orderkey only: every file spans the whole partkey
+    // domain, so the partkey band hits ALL 16 files
+    assert(got("linear") === ((16L, 16L)))
+    // the clustered layouts cut 8x8 tiles: the middle-decile band
+    // (partkey 13..17 of 0..31) crosses one tile-row boundary -> at most
+    // half the files, and never more than linear
+    assert(got("zorder")._2 < 16L && got("hilbert")._2 < 16L)
+    assert(got("zorder")._2 <= 8L && got("hilbert")._2 <= 8L)
+  }
 }

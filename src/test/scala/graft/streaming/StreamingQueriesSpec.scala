@@ -124,6 +124,20 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.nonEmpty, "sf0.001 must flag at least one outlier")
   }
 
+  test("streamAttribution: carried-touch verdicts equal the batch e9 twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.streamAttribution(spark, dir).collect()
+    val batch = graft.SparkEntry.queries("e9_attribution")(spark, dir)
+      .collect()
+    // row-for-row: the touch carried across batch seams must be exactly
+    // the one the batch window's running last(ignoreNulls) selects
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    val channels = streamed.map(_.getAs[String]("channel")).toSet
+    assert(channels.contains("organic") &&
+      (channels.contains("click") || channels.contains("view")),
+      s"both verdict kinds must occur at sf0.001: $channels")
+  }
+
   test("incrementalMv: the MV merges across >1 versions to the full rollup") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
