@@ -68,9 +68,14 @@ def main():
             print(f"{name:32s} ROWS spark={len(srows)} oracle={len(orows2)}")
             failures += 1
             continue
+        # sort rows before comparing: queries ordered by a non-unique key
+        # may legitimately interleave ties differently across engines
+        # (the driver's hash gate is likewise order-insensitive)
+        snorm = sorted(tuple(map(norm, r)) for r in srows)
+        onorm = sorted(tuple(map(norm, r)) for r in orows2)
         bad = None
-        for i, (a, b) in enumerate(zip(srows, orows2)):
-            if tuple(map(norm, a)) != tuple(map(norm, b)):
+        for i, (a, b) in enumerate(zip(snorm, onorm)):
+            if a != b:
                 bad = (i, a, b)
                 break
         if bad:
