@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Graph, GraphSql, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql, Training}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Graph, GraphSql, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, Privacy, PrivacySql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql, Training}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -40,6 +40,17 @@ object SparkEntry {
   /** Similarity query set: every 50th vector. */
   private val simQueryPredSql = "vec_id % 50 = 0"
   private val simK = 5
+
+  /** MMR rerank: candidate pool size, picks, relevance weight. */
+  private val mmrN = 25
+  private val mmrLambda = 0.7
+
+  /** Privacy lane: generalization-ladder band widths, release threshold
+    * k, DP budget ε and noise seed — shared by queries and twins. */
+  private val kAnonWidths = Seq(500, 2000, 10000)
+  private val kAnonK = 5
+  private val dpEpsilon = 0.5
+  private val dpSeed = 2026
 
   /** Retrieval-scoring constants shared by the queries and their twins. */
   private val tfidfTopK = 5
@@ -2076,6 +2087,14 @@ object SparkEntry {
           pretrained = Some(cb)),
         col("vec_id") % 50 === 0, simK, floor = 0.2)
     }),
+    "sim_mmr_rerank" -> ((s, dir) => // greedy selection -> rows-only +
+      // exact gate below (scale posture on Similarity.mmrRerank)
+      Similarity.mmrRerank(Tables(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, mmrN, simK, mmrLambda)
+        .orderBy("query_id", "mmr_rank")),
+    "sim_mmr_verify" -> ((s, dir) =>
+      Similarity.mmrVerify(Tables(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, mmrN, simK, mmrLambda)),
 
     // --- ST: Structured Streaming drained to a deterministic result —
     // the incremental engine must reproduce the batch answer exactly
@@ -2216,7 +2235,18 @@ object SparkEntry {
     "gr4_neighbor_jaccard" -> ((s, dir) =>
       Graph.neighborJaccard(Tables(s, dir, "events"))),
     "gr5_cluster_coeff" -> ((s, dir) =>
-      Graph.clusteringCoefficient(Tables(s, dir, "events")))
+      Graph.clusteringCoefficient(Tables(s, dir, "events"))),
+
+    // ---- privacy lane: disclosure-risk audit + DP release ----
+    // (thresholds shared with the twins; scale posture on operators.Privacy)
+    "priv1_k_anonymity" -> ((s, dir) =>
+      Privacy.kAnonymityLadder(Tables(s, dir, "customer"),
+        kAnonWidths, kAnonK)),
+    "priv2_dp_counts" -> ((s, dir) => // noise-valued by design -> rows-only
+      // + exact gate below (seeded Laplace; see Privacy.dpCounts)
+      Privacy.dpCounts(Tables(s, dir, "customer"), dpEpsilon, dpSeed)),
+    "priv2_verify" -> ((s, dir) =>
+      Privacy.dpVerify(Tables(s, dir, "customer"), dpEpsilon, dpSeed))
   )
 
   def oracleSql: Map[String, String] = {
@@ -3120,7 +3150,10 @@ object SparkEntry {
       "gr2_triangles" -> GraphSql.triangles,
       "gr3_pagerank" -> GraphSql.pagerank(),
       "gr4_neighbor_jaccard" -> GraphSql.neighborJaccard,
-      "gr5_cluster_coeff" -> GraphSql.clusteringCoefficient
+      "gr5_cluster_coeff" -> GraphSql.clusteringCoefficient,
+      "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
+      "priv2_verify" -> PrivacySql.dpVerify,
+      "sim_mmr_verify" -> SimilaritySql.mmrVerify(simQueryPredSql)
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible
       // (SURVEY.md §7.4.3) -> driver rows-only check; invariants covered by
       // bloom_zero_fn above + PipelineSpec/statistical e2e.

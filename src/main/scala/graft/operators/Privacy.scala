@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tabular disclosure-risk auditing — the privacy lane's structured
+  * complement to the text-side PII scrub (t10): before a table with
+  * quasi-identifiers is released (or joined into a training corpus), the
+  * pipeline must know how re-identifiable its rows are and, if counts are
+  * published, how much noise buys a stated privacy budget.
+  *
+  * Two capabilities:
+  *  - [[kAnonymityLadder]]: k-anonymity / l-diversity measured across a
+  *    GENERALIZATION LADDER (coarser and coarser account-balance bands) —
+  *    the privacy-vs-utility curve an anonymization pass tunes against
+  *    (Sweeney 2002 for k-anonymity; Machanavajjhala et al. 2007 for
+  *    l-diversity). Exact, SQL-expressible, oracle-checked.
+  *  - [[dpCounts]] / [[dpVerify]]: ε-differentially-private released
+  *    counts via the Laplace mechanism (Dwork et al. 2006, sensitivity 1
+  *    for counting queries), with the noise draw DERIVED DETERMINISTICALLY
+  *    from a seeded 64-bit hash of the group key so the release is
+  *    reproducible and the verify gate can re-derive it bit-for-bit.
+  *
+  * Scale posture: every aggregate here is a two-stage (partial/final)
+  * group-by whose key cardinality is bounded by the quasi-identifier
+  * domain (nations × balance bands, or market segments) — never by row
+  * count. At 100 TB the map-side combine absorbs the volume and the final
+  * exchange carries one row per group. No window functions, no driver
+  * actions, no text on any exchange.
+  */
+object Privacy {
+
+  /** k-anonymity / l-diversity audit of the customer table across a
+    * generalization ladder of balance-band widths.
+    *
+    * Per rung (one output row, ordered by `band_width`):
+    *  - `n_groups`    — distinct quasi-identifier groups
+    *  - `k_anonymity` — the MINIMUM group size (the table "is"
+    *    k-anonymous for this k: every row hides among ≥ k-1 others)
+    *  - `l_diversity` — the minimum count of DISTINCT sensitive values
+    *    (market segment) within any group: a group can be large yet leak
+    *    its members' segment if all rows share one value
+    *  - `groups_below_k` / `rows_at_risk` — how many groups (and rows)
+    *    fall under the release threshold `k`
+    *
+    * Wider bands → fewer, larger groups → higher k at lower utility; the
+    * ladder IS that trade-off, measured.
+    *
+    * One scan for the whole ladder: each row explodes across the rung
+    * widths BEFORE the group-by, so the 100 TB table is read once, not
+    * once per rung. The explode multiplies rows only inside the map task
+    * — the partial aggregate combines to one row per
+    * `(width, nation, band, segment)` before the exchange, so shuffle
+    * volume stays bounded by the QI domain, not by row count. */
+  def kAnonymityLadder(customer: DataFrame, widths: Seq[Int],
+      k: Int): DataFrame =
+    customer
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .withColumn("band_width",
+        explode(lit(widths.map(_.toLong).toArray)))
+      .groupBy(col("band_width"), col("c_nationkey"),
+        floor(col("c_acctbal") / col("band_width")).cast("long").as("band"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("c_mktsegment")).as("ndist"))
+      .groupBy(col("band_width"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("sz")).as("k_anonymity"),
+        min(col("ndist")).as("l_diversity"),
+        sum(when(col("sz") < k, 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L))
+          .as("rows_at_risk"))
+      .orderBy("band_width")
+
+  /** Laplace(0, 1/ε) noise derived deterministically from
+    * `xxhash64(key, seed)`: the low 52 hash bits map to a uniform
+    * u ∈ (0,1) (offset by 2⁻⁵³ so u is never exactly 0, 1, or ½ away
+    * from the branch point), then the standard inverse-CDF transform
+    * `-b·sign(u-½)·ln(1-2|u-½|)`. Same-seed re-derivation is what makes
+    * [[dpVerify]] an exact gate instead of a statistical one. */
+  private def laplaceNoise(key: Column, epsilon: Double,
+      seed: Int): Column = {
+    val u = (pmod(xxhash64(key, lit(seed)), lit(1L << 52)).cast("double") /
+      lit((1L << 52).toDouble)) + lit(math.pow(2, -53))
+    val centered = u - lit(0.5)
+    val b = 1.0 / epsilon
+    -lit(b) * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
+  }
+
+  /** ε-DP released counts per market segment: exact count + seeded
+    * Laplace(1/ε) noise (count queries have sensitivity 1). The exact
+    * count never appears in the output — only the noisy release and the
+    * budget it was released under. Deterministic given (ε, seed). */
+  def dpCounts(customer: DataFrame, epsilon: Double,
+      seed: Int): DataFrame =
+    customer.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("exact"))
+      .select(col("c_mktsegment"),
+        round(col("exact") + laplaceNoise(col("c_mktsegment"), epsilon, seed),
+          6).as("noisy_count"),
+        lit(epsilon).as("epsilon"))
+      .orderBy("c_mktsegment")
+
+  /** Exact gate for [[dpCounts]] (the release itself is `no_oracle` —
+    * its values are noise by design). Re-derives the same seeded noise
+    * and checks, over ALL groups:
+    *  - `n_groups` — real oracle value (distinct market segments)
+    *  - `n_bound_violations` — groups where |noisy − exact| exceeds the
+    *    Laplace tail bound ln(n/δ)/ε at δ = 10⁻⁶ (a fixed, deterministic
+    *    threshold; the seeded draw either clears it forever or never)
+    *  - `n_rederive_mismatch` — groups where the released noisy count
+    *    differs from the re-derivation (seed / rounding drift detector)
+    */
+  def dpVerify(customer: DataFrame, epsilon: Double, seed: Int): DataFrame = {
+    val released = dpCounts(customer, epsilon, seed)
+      .select(col("c_mktsegment"), col("noisy_count"))
+    val exact = customer.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("exact"))
+    val joined = exact.join(released, Seq("c_mktsegment"))
+      .select(col("exact"), col("noisy_count"),
+        round(col("exact") +
+          laplaceNoise(col("c_mktsegment"), epsilon, seed), 6)
+          .as("rederived"))
+    val nGroups = 5.0 // market-segment domain; only enters the log bound
+    val bound = math.log(nGroups / 1e-6) / epsilon
+    joined.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(abs(col("noisy_count") - col("exact")) > bound, 1L)
+        .otherwise(0L)).as("n_bound_violations"),
+      sum(when(col("noisy_count") =!= col("rederived"), 1L).otherwise(0L))
+        .as("n_rederive_mismatch"))
+  }
+}
+
+/** DuckDB twins for the oracle-checkable faces. */
+object PrivacySql {
+
+  /** Twin of [[Privacy.kAnonymityLadder]] — same bands, same thresholds.
+    * DuckDB `sum` returns HUGEINT/DOUBLE; cast to BIGINT to match Spark's
+    * long. */
+  def kAnonymityLadder(widths: Seq[Int], k: Int): String =
+    widths.map { w =>
+      s"""SELECT CAST($w AS BIGINT) AS band_width,
+         |       count(*) AS n_groups,
+         |       min(sz) AS k_anonymity,
+         |       min(ndist) AS l_diversity,
+         |       CAST(sum(CASE WHEN sz < $k THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS groups_below_k,
+         |       CAST(sum(CASE WHEN sz < $k THEN sz ELSE 0 END) AS BIGINT)
+         |         AS rows_at_risk
+         |FROM (SELECT count(*) AS sz,
+         |             count(DISTINCT c_mktsegment) AS ndist
+         |      FROM customer
+         |      GROUP BY c_nationkey,
+         |               CAST(floor(c_acctbal / $w) AS BIGINT))""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY band_width")
+
+  /** Twin of [[Privacy.dpVerify]]: the group count is the real oracle
+    * value; the violation counters are definitionally zero for a correct
+    * seeded release. */
+  val dpVerify: String =
+    """SELECT (SELECT count(DISTINCT c_mktsegment) FROM customer)
+      |         AS n_groups,
+      |       CAST(0 AS BIGINT) AS n_bound_violations,
+      |       CAST(0 AS BIGINT) AS n_rederive_mismatch""".stripMargin
+}

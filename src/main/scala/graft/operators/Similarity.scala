@@ -916,6 +916,134 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** One reranker input row: a candidate neighbor with its query
+    * relevance and its vector (needed for candidate-candidate cosines). */
+  final case class MmrCand(query_id: Long, neighbor_id: Long, cos: Double,
+      embedding: Seq[Float])
+
+  /** One reranked output row. */
+  final case class MmrPick(query_id: Long, mmr_rank: Int, neighbor_id: Long,
+      relevance: Double, mmr_score: Double)
+
+  /** Task-side cosine with the SAME association as
+    * [[graft.functions.VectorKernels.cosineFloat]] (dot / (√na·√nb),
+    * double accumulation in index order) so in-task candidate-candidate
+    * similarities agree bit-for-bit with the column-side kernel. */
+  private def cosSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): the
+    * retrieval face every RAG / training-data-selection pipeline puts
+    * between ANN candidates and the final context — pure top-k returns
+    * near-duplicates of one passage; MMR trades relevance against novelty
+    * with `score(c) = λ·cos(q,c) − (1−λ)·max_{s∈S} cos(c,s)` and greedy
+    * selection.
+    *
+    * Shape: candidate generation is the EXISTING [[bruteForceTopK]] plan
+    * (per-query top-`n` by cosine; any `sim_ann_*` path is a drop-in
+    * substitute at scale — only the candidate set changes), then ONE
+    * `groupByKey(query_id).flatMapGroups` where each group holds at most
+    * `n` candidate vectors — bounded, task-local state, never the corpus.
+    * The greedy loop is O(n·k·dim) per query; at 100 TB the per-query
+    * cost is unchanged and query count parallelizes across tasks. The
+    * typed mapGroups is the sanctioned ladder rung for whole-group
+    * sequential semantics a relational plan can't express (the greedy
+    * argmax depends on every prior pick).
+    *
+    * Determinism: candidates arrive with 6-rounded relevance; ties break
+    * by `(mmr_score desc, neighbor_id asc)` — first pick is therefore
+    * exactly [[bruteForceTopK]]'s rank-1 row ([[mmrVerify]] gates this).
+    */
+  def mmrRerank(emb: DataFrame, queryPred: Column, n: Int, k: Int,
+      lambda: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(emb, queryPred, n)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("embedding"))
+      .as[MmrCand]
+    cands.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
+      val remaining = scala.collection.mutable.ArrayBuffer(it.toSeq: _*)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+      while (picked.size < k && remaining.nonEmpty) {
+        var bestIdx = 0; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < remaining.size) {
+          val c = remaining(i)
+          var maxSim = 0.0
+          var j = 0
+          while (j < pickedVecs.size) {
+            val s = cosSeq(c.embedding, pickedVecs(j))
+            if (s > maxSim) maxSim = s
+            j += 1
+          }
+          val score = lambda * c.cos - (1.0 - lambda) * maxSim
+          if (score > bestScore ||
+              (score == bestScore &&
+                c.neighbor_id < remaining(bestIdx).neighbor_id)) {
+            bestScore = score; bestIdx = i
+          }
+          i += 1
+        }
+        val c = remaining.remove(bestIdx)
+        pickedVecs += c.embedding
+        picked += MmrPick(qid, picked.size + 1, c.neighbor_id, c.cos,
+          math.rint(bestScore * 1e6) / 1e6)
+      }
+      picked
+    }.toDF("query_id", "mmr_rank", "neighbor_id", "relevance", "mmr_score")
+  }
+
+  /** Exact gate for [[mmrRerank]] (the rerank itself is `no_oracle` —
+    * greedy MMR is not SQL-expressible). All counters from lazy
+    * single-row aggregates cross-joined (the t9_winnow_verify pattern):
+    *  - `n_queries` — real oracle value (rows matching the query pred)
+    *  - `n_first_pick_violations` — queries whose MMR rank-1 is not the
+    *    relevance top-1 (λ-weighting never changes the FIRST pick)
+    *  - `n_subset_violations` — picks outside the candidate set
+    *  - `n_count_violations` — queries with ≠ min(k, n_cands) picks or a
+    *    duplicate neighbor among them
+    */
+  def mmrVerify(emb: DataFrame, queryPred: Column, n: Int, k: Int,
+      lambda: Double): DataFrame = {
+    val cands = bruteForceTopK(emb, queryPred, n)
+    val picks = mmrRerank(emb, queryPred, n, k, lambda)
+    val nQueries = emb.where(queryPred)
+      .agg(count(lit(1)).as("n_queries"))
+    val firstViol = picks.where(col("mmr_rank") === 1)
+      .join(cands.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("top_nbr")),
+        Seq("query_id"))
+      .agg(coalesce(sum(when(col("neighbor_id") =!= col("top_nbr"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_first_pick_violations"))
+    val subsetViol = picks
+      .join(cands.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("n_subset_violations"))
+    val countViol = picks
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_picks"),
+        countDistinct(col("neighbor_id")).as("n_distinct"))
+      .join(cands.groupBy("query_id").agg(count(lit(1)).as("n_cands")),
+        Seq("query_id"))
+      .agg(coalesce(sum(when(
+        col("n_picks") =!= least(lit(k.toLong), col("n_cands")) ||
+          col("n_distinct") =!= col("n_picks"), 1L).otherwise(0L)), lit(0L))
+        .as("n_count_violations"))
+    nQueries.crossJoin(firstViol).crossJoin(subsetViol).crossJoin(countViol)
+  }
 }
 
 /** DuckDB twins for the exact [[Similarity]] operators. The cosine mirrors
@@ -965,6 +1093,16 @@ object SimilaritySql {
     * `sum(least(k, corpus - 1))` — each query has `corpus - 1` non-self
     * candidates, so the twin stays correct at any sf or k instead of
     * assuming every query has ≥ k neighbors. */
+  /** Twin of [[Similarity.mmrVerify]]: the query count is the real oracle
+    * value; the violation counters are definitionally zero for a correct
+    * greedy selection. */
+  def mmrVerify(queryPredSql: String): String =
+    s"""SELECT (SELECT count(*) FROM embeddings WHERE $queryPredSql)
+       |         AS n_queries,
+       |       CAST(0 AS BIGINT) AS n_first_pick_violations,
+       |       CAST(0 AS BIGINT) AS n_subset_violations,
+       |       CAST(0 AS BIGINT) AS n_count_violations""".stripMargin
+
   def recallGate(queryPredSql: String, k: Int): String =
     s"""WITH n AS MATERIALIZED (SELECT count(*) - 1 AS n_other FROM embeddings)
        |SELECT CAST(count(*) AS BIGINT) AS n_queries,

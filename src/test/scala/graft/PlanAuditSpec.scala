@@ -781,4 +781,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"),
       s"rank filter must push a per-task group limit below the exchange:\n$p")
   }
+
+  test("priv1: the whole ladder reads customer ONCE via a pre-agg explode") {
+    val p = plan("priv1_k_anonymity")
+    assert(nodeCount(p, "Scan parquet") === 1,
+      s"one scan must feed every ladder rung:\n$p")
+    assert(p.contains("Generate"), // the explode sits below the aggregate
+      s"rung widths must fan out inside the map task:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("priv2 gate: seeded-noise re-derivation joins on the group key, " +
+      "no cartesian") {
+    val p = plan("priv2_verify")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"exact and released counts must equi-join on c_mktsegment:\n$p")
+  }
+
+  test("sim_mmr: candidates pre-prune per task; greedy is one MapGroups " +
+      "over a single exchange") {
+    val p = plan("sim_mmr_rerank")
+    // top-n candidate generation must keep bruteForceTopK's per-task
+    // WindowGroupLimit prune (the greedy never sees the corpus)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(nodeCount(p, "MapGroups") === 1, p)
+    // exactly one BNLJ: the brute-force baseline's broadcast query probe
+    // (the documented exact-candidate face; ANN paths substitute at scale)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1, p)
+  }
 }

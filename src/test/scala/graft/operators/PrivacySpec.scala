@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** Privacy lane: known-answer k-anonymity/l-diversity on a hand-built
+  * customer table, plus the Laplace-mechanism invariants (determinism,
+  * zero noise never happens, re-derivation equality) the priv2 gate
+  * relies on. */
+class PrivacySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** customer(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment). */
+  private def customerOf(rows: Seq[(Int, Double, String)]): DataFrame =
+    rows.zipWithIndex.map { case ((nat, bal, seg), i) =>
+      (i.toLong, s"c$i", nat, bal, seg)
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  // QI = (nation, floor(bal/10)): groups at width 10 —
+  //   (1, 0): rows 0,1,2 (bal 1,5,9; segs A,A,B) → sz 3, ndist 2
+  //   (1, 1): row 3 (bal 15, A)                  → sz 1, ndist 1
+  //   (2, 0): rows 4,5 (bal 3,4; B,B)            → sz 2, ndist 1
+  // → k=1, l=1, groups<2: 1 (sz 1), rows_at_risk 1
+  private val rows = Seq(
+    (1, 1.0, "A"), (1, 5.0, "A"), (1, 9.0, "B"), (1, 15.0, "A"),
+    (2, 3.0, "B"), (2, 4.0, "B"))
+
+  test("kAnonymityLadder: known-answer at one rung") {
+    val r = Privacy.kAnonymityLadder(customerOf(rows), Seq(10), k = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq((10L, 3L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("kAnonymityLadder: coarser bands are monotone in k and group count") {
+    // width 100 merges each nation to one group: (1: sz 4, ndist 2),
+    // (2: sz 2, ndist 1) → k=2, l=1, nothing below k=2
+    val r = Privacy.kAnonymityLadder(customerOf(rows), Seq(10, 100), k = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.length === 2)
+    assert(r(1) === ((100L, 2L, 2L, 1L, 0L, 0L)))
+    assert(r(1)._3 >= r(0)._3) // k never decreases as bands widen
+    assert(r(1)._2 <= r(0)._2) // group count never increases
+  }
+
+  test("kAnonymityLadder: negative balances band by floor, not truncation") {
+    // bal -1 → floor(-0.1) = -1, distinct from bal 1's band 0
+    val r = Privacy.kAnonymityLadder(
+      customerOf(Seq((1, -1.0, "A"), (1, 1.0, "A"))), Seq(10), k = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.head._2 === 2L) // two groups, not one
+  }
+
+  test("dpCounts: deterministic for a fixed seed, different across seeds") {
+    val c = customerOf(rows)
+    val a = Privacy.dpCounts(c, 0.5, 7).as[(String, Double, Double)].collect()
+    val b = Privacy.dpCounts(c, 0.5, 7).as[(String, Double, Double)].collect()
+    val d = Privacy.dpCounts(c, 0.5, 8).as[(String, Double, Double)].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_._2).toSeq !== d.map(_._2).toSeq)
+  }
+
+  test("dpCounts: noise is non-degenerate and scales with 1/epsilon") {
+    val c = customerOf(rows)
+    val exact = Map("A" -> 3.0, "B" -> 3.0)
+    val tight = Privacy.dpCounts(c, 10.0, 7).as[(String, Double, Double)]
+      .collect().map { case (s, n, _) => math.abs(n - exact(s)) }
+    val loose = Privacy.dpCounts(c, 0.1, 7).as[(String, Double, Double)]
+      .collect().map { case (s, n, _) => math.abs(n - exact(s)) }
+    assert(tight.forall(_ > 0.0)) // the mechanism always perturbs
+    // same uniform draw, scale b=1/ε 100× larger → 100× the deviation.
+    // Both releases round to 6 decimals, so compare with the absolute
+    // tolerance that rounding induces (≤ 5e-7 each side, ×100 on one).
+    tight.zip(loose).foreach { case (t, l) =>
+      assert(math.abs(l - 100.0 * t) < 1e-4) }
+  }
+
+  test("dpVerify: gate is clean on the real shape and catches nothing fake") {
+    val r = Privacy.dpVerify(customerOf(rows), 0.5, 7)
+      .as[(Long, Long, Long)].collect().head
+    assert(r === ((2L, 0L, 0L)))
+  }
+}
