@@ -2143,6 +2143,10 @@ object SparkEntry {
       graft.streaming.StreamingQueries.streamAnomaly(s, dir)),
     "st22_stream_attribution" -> ((s, dir) => // e9's credits, incremental
       graft.streaming.StreamingQueries.streamAttribution(s, dir)),
+    "st23_stream_cms" -> ((s, dir) => // a8's sketch as always-on state:
+      // one ~80 KB CMS buffer merged across micro-batches; exact top-10
+      // probed against the stream-built sketch under exact ≤ est ≤ exact+εN
+      graft.streaming.StreamingQueries.cmsState(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -2684,6 +2688,9 @@ object SparkEntry {
       "e8_markov" -> markovSql,
       "e9_attribution" -> attributionSql, // carried last-touch, 7-day look
       "st22_stream_attribution" -> attributionSql, // drained == batch twin
+      "st23_stream_cms" -> // stream-built CMS must bracket the exact count
+        """SELECT user_id, count(*) AS n, TRUE AS cms_ok FROM events
+          |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
       "d5_merge_cdc" -> // from-scratch recompute: global latest op, D wins
         """WITH ops AS (
           |  SELECT user_id, event_id, epoch_ns(ts) AS tns,

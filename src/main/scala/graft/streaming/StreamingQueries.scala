@@ -1180,6 +1180,62 @@ object StreamingQueries {
     }
     spark.table(name).orderBy("rating")
   }
+
+  /** Streaming count-min heavy-hitter monitor — `a8_cms_topk`'s sketch as
+    * always-on state: the stream's ONLY state is one CMS buffer
+    * (`⌈2/ε⌉ × ⌈ln(1/0.01)⌉` longs, ~80 KB at ε=1e-3) plus the row
+    * count, no matter how long the stream runs — the reason a frequency
+    * monitor can stay up forever where an exact per-key count table grows
+    * with the key domain. The source is re-laid as 8 splits admitted 2
+    * per trigger (the st11 recipe), so the sketch buffer genuinely merges
+    * across ≥4 state-store commits rather than folding in one batch;
+    * [[lastCmsBatches]] records the observed batch count for the spec.
+    *
+    * The result is the same gate face as the batch query: the exact
+    * top-10 users (a bounded batch pass at drain time — the gate's exact
+    * counts, like every `*_recall` gate) probed against the STREAM-built
+    * sketch under the CMS guarantee `exact ≤ estimate ≤ exact + εN`.
+    * `(user_id, n, cms_ok)`; the oracle recomputes the exact top-10 with
+    * `cms_ok` definitionally TRUE. */
+  def cmsState(outer: SparkSession, dir: String,
+      eps: Double = 1e-3): DataFrame = {
+    val spark = childSession(outer)
+    val src = s"${sys.props("java.io.tmpdir")}/graft_st23_src_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    spark.read.parquet(s"$dir/events.parquet").repartition(8)
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val name = "st23_cms_" + math.abs(dir.hashCode)
+    val sk = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .agg(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42))
+        .as("sk"), count(lit(1)).as("n"))
+    val q = sk.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastCmsBatches.set(q.recentProgress.count(_.numInputRows > 0))
+    val row = spark.table(name).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+    val bound = math.ceil(eps * row.getAs[Long]("n")).toLong
+    val topk = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(10).collect()
+      .map { r =>
+        val (key, n) = (r.getLong(0), r.getLong(1))
+        val est = cms.estimateCount(key)
+        (key, n, est >= n && est <= n + bound)
+      }
+    outer.createDataFrame(topk.toSeq).toDF("user_id", "n", "cms_ok")
+  }
+
+  /** Non-empty micro-batch count of the last [[cmsState]] run (driver-side
+    * observability for the spec; sequential-harness assumption as with
+    * [[lastBatches]]). */
+  val lastCmsBatches = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 /** `StatefulProcessor` for [[StreamingQueries.transformWithStateCounts]]:

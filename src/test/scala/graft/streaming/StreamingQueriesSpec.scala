@@ -104,6 +104,26 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("cmsState: sketch merges across >1 micro-batches and brackets " +
+      "every exact top-10 count") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries.cmsState(spark, dir).collect()
+    assert(StreamingQueries.lastCmsBatches.get() > 1,
+      s"expected multiple non-empty micro-batches, " +
+        s"got ${StreamingQueries.lastCmsBatches.get()}")
+    assert(streamed.length === 10)
+    assert(streamed.forall(_.getBoolean(2)),
+      "CMS estimate must satisfy exact <= est <= exact + eps*N for " +
+        "every top-10 key")
+    // the (user_id, n) face is exactly the batch exact top-10
+    val batch = Tables(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(10).collect()
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      batch.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("streamMarkov: cross-batch transitions equal the batch e8 twin") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingQueries.streamMarkov(spark, dir).collect()
