@@ -447,6 +447,10 @@ object SparkEntry {
           (col("mx") - col("n_total") / 20.0 <= tol
             && col("n_total") / 20.0 - col("mn") <= tol).as("depth_ok"))
     }),
+    "a16_join_size_est" -> ((s, dir) =>
+      // pre-flight self-join size estimation from a deterministic
+      // key-domain sample — scale posture on Sampling.joinSizeEstimate
+      Sampling.joinSizeEstimate(Tables(s, dir, "events"), col("user_id"))),
     "a12_profile" -> ((s, dir) =>
       // One-pass corpus profile — the dbt/Deequ-style health row every
       // ingest emits: row count, per-column null counts, key cardinality,
@@ -2349,6 +2353,8 @@ object SparkEntry {
         """SELECT CAST(count(*) AS BIGINT) AS n_total,
           |       CAST(20 AS BIGINT) AS n_buckets,
           |       TRUE AS depth_ok FROM lineitem""".stripMargin,
+      "a16_join_size_est" -> // identical hash sample + inverse-rate scaling
+        SamplingSql.joinSizeEstimate("events", "user_id"),
       "a12_profile" -> // the one-row corpus health profile
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,
           |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)

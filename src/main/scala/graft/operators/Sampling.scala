@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -354,6 +354,42 @@ object Sampling {
       .where(col("rank") <= kPerGroup)
       .orderBy("lang", "rank")
   }
+
+  /** Sampled-key join-size estimation — the optimizer-statistics face: how
+    * many rows would a self-equi-join on `key` produce, WITHOUT running
+    * the join. Exact size is `Σ_k f(k)²` (f = per-key frequency); the
+    * estimator evaluates the same sum over a deterministic `[[rowHash]] <
+    * threshold` sample of the KEY DOMAIN and scales by the inverse
+    * sampling rate — the pre-flight check before any pairwise candidate
+    * join (the dedup lane's verify joins, a skewed analytic self-join)
+    * that tells the planner whether the join is affordable and which keys
+    * explode it.
+    *
+    * Scale posture: the estimator branch filters rows by the key's hash
+    * BEFORE the group-by — the exchange carries only the ~1/rate sampled
+    * keys, and no join ever runs. The exact branch (one full group-by,
+    * join-free) is the oracle/gate face; at 100 TB only the sampled
+    * branch runs, against every candidate join key under consideration.
+    * Key-domain sampling (not row sampling) is what keeps the estimator
+    * unbiased for the quadratic sum: every retained key contributes its
+    * FULL f(k)². One row:
+    * `(exact_pairs, est_pairs, sample_keys, rel_err)`. */
+  def joinSizeEstimate(df: DataFrame, key: Column,
+      threshold: Long = 250000): DataFrame = {
+    val scale = hashMod.toDouble / threshold
+    val f = df.groupBy(key.as("k")).agg(count(lit(1)).as("f"))
+    val exact = f.agg(sum(col("f") * col("f")).as("exact_pairs"))
+    val est = df.where(rowHash(key) < threshold)
+      .groupBy(key.as("k")).agg(count(lit(1)).as("f"))
+      .agg(coalesce(sum(col("f") * col("f")), lit(0L)).as("s2"),
+        count(lit(1)).as("sample_keys"))
+    exact.crossJoin(est)
+      .withColumn("est_pairs", round(col("s2") * scale, 1))
+      .withColumn("rel_err",
+        round(abs(col("est_pairs") - col("exact_pairs")) /
+          col("exact_pairs"), 6))
+      .select("exact_pairs", "est_pairs", "sample_keys", "rel_err")
+  }
 }
 
 /** DuckDB twins of [[Sampling]] — identical integer hash/weight
@@ -538,4 +574,23 @@ object SamplingSql {
        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
        |  FROM documents)
        |WHERE rank <= $kPerGroup ORDER BY lang, rank""".stripMargin
+
+  /** Twin of [[Sampling.joinSizeEstimate]] — identical hash sample,
+    * identical inverse-rate scaling and rounding. */
+  def joinSizeEstimate(table: String, keyExpr: String,
+      threshold: Long = 250000): String = {
+    val scale = s"(${hashMod}.0 / $threshold)"
+    s"""WITH f AS (SELECT $keyExpr AS k, count(*) AS f
+       |           FROM $table GROUP BY 1),
+       |e AS (SELECT CAST(sum(f*f) AS BIGINT) AS exact_pairs FROM f),
+       |s AS (SELECT CAST(coalesce(sum(f*f), 0) AS BIGINT) AS s2,
+       |             count(*) AS sample_keys
+       |      FROM f WHERE ${Sampling.rowHashSql("k")} < $threshold)
+       |SELECT e.exact_pairs,
+       |       round(s.s2 * $scale, 1) AS est_pairs,
+       |       s.sample_keys,
+       |       round(abs(round(s.s2 * $scale, 1) - e.exact_pairs)
+       |             / e.exact_pairs, 6) AS rel_err
+       |FROM e, s""".stripMargin
+  }
 }

@@ -260,4 +260,29 @@ class SamplingSpec extends SparkSuite {
         s"new=$survivors old=$a")
     assert(a.size === 10 && b.size === 10) // 2 strata x 5
   }
+
+  test("joinSizeEstimate: a full-domain sample reproduces the exact size") {
+    // keys 1..20 with frequency = key % 5 + 1 → exact = Σ f(k)²
+    val df = (1L to 20L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(k))
+      .toDF("user_id")
+    val exact = (1L to 20L).map(k => { val f = k % 5 + 1; f * f }).sum
+    val r = Sampling.joinSizeEstimate(df, col("user_id"),
+      threshold = Sampling.hashMod).collect().head
+    assert(r.getAs[Long]("exact_pairs") === exact)
+    assert(r.getAs[Double]("est_pairs") === exact.toDouble)
+    assert(r.getAs[Long]("sample_keys") === 20L)
+    assert(r.getAs[Double]("rel_err") === 0.0)
+  }
+
+  test("joinSizeEstimate: the default key sample lands near the exact " +
+      "size on the real event stream") {
+    val events = Tables(spark, "/root/testdata/sf0.01", "events")
+    val r = Sampling.joinSizeEstimate(events, col("user_id"))
+      .collect().head
+    // deterministic hash sample → a fixed, reproducible error (measured
+    // 0.89% at sf0.01); the bound just keeps the estimator honest
+    assert(r.getAs[Long]("sample_keys") > 10L)
+    assert(r.getAs[Double]("rel_err") < 0.05,
+      s"estimate drifted: $r")
+  }
 }
