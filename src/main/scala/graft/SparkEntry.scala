@@ -706,6 +706,32 @@ object SparkEntry {
           col("f.value").as("value"))
         .orderBy("user_id")
     }),
+    "d6_snapshot_diff" -> ((s, dir) => {
+      // Snapshot diff — the data-regression face of the CDC lane: the
+      // latest-wins state (d2's reduce) materialized at two points in
+      // time (mid-stream and end), full states compared key for key.
+      // Per user: added (absent at the cutoff), changed (a newer change
+      // record won), unchanged. Append-only log → no removals; the
+      // delete-aware state is d5's. Shape: two partial-aggregable max_by
+      // reductions + ONE key-equi join of two key-sized relations — at
+      // 100 TB the exchanges carry one row per user, never the log.
+      val ev = Tables(s, dir, "events")
+      val cut = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+        .select(expr("mn + (mx - mn) div 2").as("cut"))
+      val withCut = ev.crossJoin(cut) // one-row scalar broadcast
+      def latest(p: org.apache.spark.sql.Column) = withCut.where(p)
+        .groupBy("user_id")
+        .agg(max_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("eid"))
+      latest(lit(true)).withColumnRenamed("eid", "new_eid")
+        .join(latest(col("ts") < col("cut"))
+          .withColumnRenamed("eid", "old_eid"), Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("old_eid"), col("new_eid"),
+          when(col("old_eid").isNull, "added")
+            .when(col("old_eid") =!= col("new_eid"), "changed")
+            .otherwise("unchanged").as("status"))
+        .orderBy("user_id")
+    }),
 
     "u5_lateral" -> ((s, dir) => {
       // LATERAL correlated subquery (Spark 4 SQL surface): per-nation
@@ -1132,6 +1158,33 @@ object SparkEntry {
           round((col("value") - col("mu")) / col("sd"), 6).as("z"))
         .where(abs(col("z")) > 3)
         .orderBy("event_id")
+    }),
+    "w8_rolling_median" -> ((s, dir) => {
+      // Rolling MEDIAN over each user's trailing 15 readings — the
+      // outlier-robust smoother w6's EWMA is not (one wild reading moves
+      // every mean-based stat; the median shrugs). Spark has no median
+      // window function, so the BOUNDED 15-row frame collects into an
+      // in-task array sorted per row — O(frame·log frame) per row at a
+      // CONSTANT frame width, the sanctioned shape for small-frame order
+      // statistics (an unbounded frame would be the scale bug, not the
+      // collect). DuckDB's native windowed median (interpolating the even
+      // case exactly like the two-middle average here) is the oracle.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-14, 0)
+      Tables(s, dir, "events").where(col("user_id") <= 50)
+        .select(col("user_id"), col("event_id"), round(col("value"), 6)
+          .as("value"),
+          sort_array(collect_list(col("value")).over(w)).as("s"))
+        .withColumn("n", size(col("s")))
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(when(col("n") % 2 === 1,
+            element_at(col("s"), expr("cast((n + 1) div 2 as int)")))
+            .otherwise((element_at(col("s"), expr("cast(n div 2 as int)"))
+              + element_at(col("s"), expr("cast(n div 2 + 1 as int)")))
+              / 2.0), 6)
+            .as("roll_median"))
+        .orderBy("user_id", "event_id")
     }),
     "e8_markov" -> ((s, dir) => {
       // first-order Markov transition matrix over each user's event
@@ -2254,7 +2307,11 @@ object SparkEntry {
       // + exact gate below (seeded Laplace; see Privacy.dpCounts)
       Privacy.dpCounts(Tables(s, dir, "customer"), dpEpsilon, dpSeed)),
     "priv2_verify" -> ((s, dir) =>
-      Privacy.dpVerify(Tables(s, dir, "customer"), dpEpsilon, dpSeed))
+      Privacy.dpVerify(Tables(s, dir, "customer"), dpEpsilon, dpSeed)),
+    "priv3_k_suppress" -> ((s, dir) => // the enforcement face of priv1:
+      // rows in QI groups under k are suppressed, survivors carry only
+      // the generalized band (scale posture on Privacy.kSuppress)
+      Privacy.kSuppress(Tables(s, dir, "customer"), kAnonWidths(1), kAnonK))
   )
 
   def oracleSql: Map[String, String] = {
@@ -2777,6 +2834,33 @@ object SparkEntry {
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
           |       count(*) AS n_rows
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "d6_snapshot_diff" -> // two latest-wins states compared key for key
+        """WITH cut AS (SELECT (min(epoch_ns(ts))
+          |                     + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2)
+          |                AS c FROM events),
+          |n AS (SELECT user_id, event_id AS new_eid FROM (
+          |        SELECT *, row_number() OVER (PARTITION BY user_id
+          |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          |      WHERE rn = 1),
+          |o AS (SELECT user_id, event_id AS old_eid FROM (
+          |        SELECT *, row_number() OVER (PARTITION BY user_id
+          |          ORDER BY ts DESC, event_id DESC) AS rn FROM events
+          |        WHERE epoch_ns(ts) < (SELECT c FROM cut))
+          |      WHERE rn = 1)
+          |SELECT n.user_id, o.old_eid, n.new_eid,
+          |       CASE WHEN o.old_eid IS NULL THEN 'added'
+          |            WHEN o.old_eid <> n.new_eid THEN 'changed'
+          |            ELSE 'unchanged' END AS status
+          |FROM n LEFT JOIN o ON o.user_id = n.user_id
+          |ORDER BY n.user_id""".stripMargin,
+      "w8_rolling_median" -> // native windowed median, identical frame
+        """SELECT user_id, event_id, round(value, 6) AS value,
+          |       round(median(value) OVER (PARTITION BY user_id
+          |         ORDER BY ts, event_id
+          |         ROWS BETWEEN 14 PRECEDING AND CURRENT ROW), 6)
+          |         AS roll_median
+          |FROM events WHERE user_id <= 50
+          |ORDER BY user_id, event_id""".stripMargin,
       "d2_upsert_latest" -> // latest change record per key wins
         """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
           |       event_type, value
@@ -3166,6 +3250,7 @@ object SparkEntry {
       "gr5_cluster_coeff" -> GraphSql.clusteringCoefficient,
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
+      "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),
       "sim_mmr_verify" -> SimilaritySql.mmrVerify(simQueryPredSql)
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible
       // (SURVEY.md §7.4.3) -> driver rows-only check; invariants covered by

@@ -72,6 +72,30 @@ object Privacy {
           .as("rows_at_risk"))
       .orderBy("band_width")
 
+  /** k-anonymity ENFORCEMENT — the release [[kAnonymityLadder]] audits
+    * for: every row whose quasi-identifier group (nation × balance band
+    * at `width`) holds at least `k` members survives, carrying only its
+    * generalized QI (the band, never the raw balance) and the group size
+    * it hides in; rows in smaller groups are suppressed. The classic
+    * suppression-based release (Sweeney 2002 §3): generalize first
+    * (banding), suppress what generalization can't save.
+    *
+    * Shape: one bounded group-by builds the QI-group size relation
+    * (≤ nations × bands rows — broadcastable at any corpus size), one
+    * equi-join tags each row, one filter drops the at-risk rows. The
+    * 100 TB release is a single scan + broadcast join; nothing row-scaled
+    * shuffles. `(c_custkey, c_nationkey, band, grp_size)`. */
+  def kSuppress(customer: DataFrame, width: Int, k: Int): DataFrame = {
+    val banded = customer.select(col("c_custkey"), col("c_nationkey"),
+      floor(col("c_acctbal") / width).cast("long").as("band"))
+    val groups = banded.groupBy("c_nationkey", "band")
+      .agg(count(lit(1)).as("grp_size"))
+    banded.join(broadcast(groups), Seq("c_nationkey", "band"))
+      .where(col("grp_size") >= k)
+      .select("c_custkey", "c_nationkey", "band", "grp_size")
+      .orderBy("c_custkey")
+  }
+
   /** Laplace(0, 1/ε) noise derived deterministically from
     * `xxhash64(key, seed)`: the low 52 hash bits map to a uniform
     * u ∈ (0,1) (offset by 2⁻⁵³ so u is never exactly 0, 1, or ½ away
@@ -155,6 +179,21 @@ object PrivacySql {
          |               CAST(floor(c_acctbal / $w) AS BIGINT))""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) ORDER BY band_width")
+
+  /** Twin of [[Privacy.kSuppress]] — same bands, same group floor. */
+  def kSuppress(width: Int, k: Int): String =
+    s"""WITH g AS (SELECT c_nationkey,
+       |                  CAST(floor(c_acctbal / $width) AS BIGINT) AS band,
+       |                  count(*) AS grp_size
+       |           FROM customer GROUP BY 1, 2)
+       |SELECT c.c_custkey, c.c_nationkey,
+       |       CAST(floor(c.c_acctbal / $width) AS BIGINT) AS band,
+       |       g.grp_size
+       |FROM customer c
+       |JOIN g ON g.c_nationkey = c.c_nationkey
+       |      AND g.band = CAST(floor(c.c_acctbal / $width) AS BIGINT)
+       |WHERE g.grp_size >= $k
+       |ORDER BY c.c_custkey""".stripMargin
 
   /** Twin of [[Privacy.dpVerify]]: the group count is the real oracle
     * value; the violation counters are definitionally zero for a correct

@@ -36,4 +36,33 @@ class EwmaSpec extends SparkSuite {
       assert(math.abs(got(uid)._2 - e) < 1e-6, s"user $uid: ${got(uid)._2} vs $e")
     }
   }
+
+  test("w8_rolling_median equals the driver-computed trailing median") {
+    val got = graft.SparkEntry.queries("w8_rolling_median")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Double]("roll_median")).toMap
+
+    val events = Tables(spark, dir, "events")
+      .where(col("user_id") <= 50)
+      .select("user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = events.groupBy(_._1).flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 14), i + 1)
+          .map(_._4).sorted
+        val m =
+          if (frame.length % 2 == 1) frame(frame.length / 2)
+          else (frame(frame.length / 2 - 1) + frame(frame.length / 2)) / 2.0
+        (uid, ordered(i)._3) ->
+          BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+
+    assert(got.keySet === expected.keySet)
+    for ((k, m) <- expected)
+      assert(got(k) === m, s"(user, event) $k")
+  }
 }

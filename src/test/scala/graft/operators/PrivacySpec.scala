@@ -51,6 +51,19 @@ class PrivacySpec extends SparkSuite {
     assert(r.head._2 === 2L) // two groups, not one
   }
 
+  test("kSuppress: at-risk rows are suppressed, survivors carry the " +
+      "generalized band and their cover size") {
+    // width 10, k=2 (groups from `rows`): (1,0) sz 3 kept; (1,1) sz 1
+    // SUPPRESSED (row 3, custkey 3); (2,0) sz 2 kept
+    val r = Privacy.kSuppress(customerOf(rows), width = 10, k = 2)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(r.map(_._1).toSeq === Seq(0L, 1L, 2L, 4L, 5L)) // custkey 3 gone
+    assert(r.filter(_._2 == 1).forall(x => x._3 == 0L && x._4 == 3L))
+    assert(r.filter(_._2 == 2).forall(x => x._3 == 0L && x._4 == 2L))
+    // every released row hides among >= k rows — the k-anonymity contract
+    assert(r.forall(_._4 >= 2L))
+  }
+
   test("dpCounts: deterministic for a fixed seed, different across seeds") {
     val c = customerOf(rows)
     val a = Privacy.dpCounts(c, 0.5, 7).as[(String, Double, Double)].collect()
