@@ -2297,6 +2297,8 @@ object SparkEntry {
       Graph.neighborJaccard(Tables(s, dir, "events"))),
     "gr5_cluster_coeff" -> ((s, dir) =>
       Graph.clusteringCoefficient(Tables(s, dir, "events"))),
+    "gr6_bfs_hops" -> ((s, dir) => // frontier-relational multi-source BFS
+      Graph.bfsHops(Tables(s, dir, "events"), col("node") % 50 === 0)),
 
     // ---- privacy lane: disclosure-risk audit + DP release ----
     // (thresholds shared with the twins; scale posture on operators.Privacy)
@@ -3248,6 +3250,7 @@ object SparkEntry {
       "gr3_pagerank" -> GraphSql.pagerank(),
       "gr4_neighbor_jaccard" -> GraphSql.neighborJaccard,
       "gr5_cluster_coeff" -> GraphSql.clusteringCoefficient,
+      "gr6_bfs_hops" -> GraphSql.bfsHops("node % 50 = 0"),
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),

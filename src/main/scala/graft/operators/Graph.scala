@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,6 +223,40 @@ object Graph {
     }
     rank.select(col("node"), round(col("rank"), 9).as("rank")).orderBy("node")
   }
+
+  /** Multi-source BFS hop distances — "how far is every user from the
+    * seed set", the reachability face (influence radius, blast-radius
+    * audits, graph-distance features). Seeds are the nodes matching
+    * `seedPred`; distances are exact hop counts over the UNDIRECTED edge
+    * relation, capped at `hops`; unreached nodes are absent.
+    *
+    * Scale posture: frontier-relational BFS — each level is ONE
+    * frontier⋈edges equi-join plus a min-aggregate; the distance relation
+    * is node-keyed, never a driver structure, and each level persists so
+    * lineage stays one hop deep (the pagerank discipline). The frontier
+    * join shuffles only the CURRENT level's nodes. The oracle walks the
+    * same levels as a recursive CTE with a min-dist collapse — path
+    * enumeration is the oracle's cost, not the operator's: the relational
+    * loop never materializes paths. */
+  def bfsHops(events: DataFrame, seedPred: Column, hops: Int = 3): DataFrame = {
+    val und = undirected(events).persist()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v"))).persist()
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var dist = nodes.where(seedPred)
+      .select(col("node"), lit(0).as("dist")).persist()
+    (1 to hops).foreach { h =>
+      val next = dist.where(col("dist") === h - 1)
+        .join(sym, col("node") === col("u"))
+        .select(col("v").as("node"), lit(h).as("dist"))
+      val merged = dist.union(next)
+        .groupBy("node").agg(min(col("dist")).as("dist")).persist()
+      merged.count() // materialize: lineage stays one hop deep
+      dist.unpersist()
+      dist = merged
+    }
+    dist.orderBy("node")
+  }
 }
 
 /** DuckDB oracle SQL for the graph lane — the identical edge contract and
@@ -346,4 +380,19 @@ object GraphSql {
        |$steps
        |SELECT node, round(rank, 9) AS rank FROM pr$iters ORDER BY node""".stripMargin
   }
+
+  /** Twin of [[Graph.bfsHops]]: the recursive CTE enumerates level-bounded
+    * walks and collapses to min dist — same levels, same seed set. */
+  def bfsHops(seedPredSql: String, hops: Int = 3): String =
+    s"""WITH RECURSIVE $edgeCtes,
+       |sym AS (SELECT a AS u, b AS v FROM und
+       |        UNION ALL SELECT b AS u, a AS v FROM und),
+       |nodes AS (SELECT DISTINCT u AS node FROM sym),
+       |walk(node, dist) AS (
+       |  SELECT node, 0 FROM nodes WHERE $seedPredSql
+       |  UNION ALL
+       |  SELECT s.v, w.dist + 1 FROM walk w JOIN sym s ON s.u = w.node
+       |  WHERE w.dist < $hops)
+       |SELECT node, min(dist) AS dist FROM walk
+       |GROUP BY node ORDER BY node""".stripMargin
 }

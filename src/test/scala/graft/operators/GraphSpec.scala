@@ -132,4 +132,23 @@ class GraphSpec extends SparkSuite {
     assert(row.getLong(2) > 0) // 15 users over 1000 events: dense, must close
     ed.unpersist(); deg.unpersist()
   }
+
+  test("bfsHops: exact hop counts on a chain, cap excludes the far node") {
+    // sequence 1,2,3,4 → chain edges {12,23,34}; seed node 1
+    val chain = eventsOf(Seq(1L, 2L, 3L, 4L))
+    val d3 = Graph.bfsHops(chain, col("node") === 1, hops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(d3 === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    val d2 = Graph.bfsHops(chain, col("node") === 1, hops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(d2 === Map(1L -> 0, 2L -> 1, 3L -> 2)) // node 4 out of reach
+  }
+
+  test("bfsHops: min-dist wins when a node is reachable two ways") {
+    // seq1 graph: und edges {12,23,13,24,14}; seed 3 → 1,2 at 1; 4 at 2
+    // via 1 or 2 (two equal-length paths, one distance)
+    val d = Graph.bfsHops(eventsOf(seq1), col("node") === 3, hops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(d === Map(3L -> 0, 1L -> 1, 2L -> 1, 4L -> 2))
+  }
 }
