@@ -451,6 +451,47 @@ object SparkEntry {
       // pre-flight self-join size estimation from a deterministic
       // key-domain sample — scale posture on Sampling.joinSizeEstimate
       Sampling.joinSizeEstimate(Tables(s, dir, "events"), col("user_id"))),
+    "a17_expectations" -> ((s, dir) => {
+      // Data-contract evaluation (the Deequ/Great-Expectations shape):
+      // a12 PROFILES the table; this EVALUATES named expectations against
+      // thresholds and emits one verdict row per rule — the gate a
+      // pipeline run passes or fails on. Four rules ride ONE aggregate
+      // pass over lineitem (count, PK uniqueness via distinct struct,
+      // null count, min — all partial/final aggregable); the referential
+      // rule is one LEFT ANTI join against the orders key relation
+      // (orphans = rows whose FK has no parent) collapsed to a count.
+      // At 100 TB: one scan + one anti join, nothing row-scaled returns.
+      // The testdata's lineitem (orderkey, linenumber) is genuinely
+      // non-unique, so pk_unique_violations reports passed=false — the
+      // verdicts are demonstrably non-vacuous, and both engines agree.
+      val li = Tables(s, dir, "lineitem")
+      val base = li.agg(
+        count(lit(1)).as("n"),
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber")))
+          .as("n_pk"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("l_quantity")).as("mn"))
+      val orphans = li.select(col("l_orderkey"))
+        .join(Tables(s, dir, "orders").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val m = base.crossJoin(orphans) // two one-row relations
+      def rule(name: String, observed: org.apache.spark.sql.Column,
+          threshold: Double, passed: org.apache.spark.sql.Column) =
+        m.select(lit(name).as("rule"),
+          round(observed.cast("double"), 6).as("observed"),
+          lit(threshold).as("threshold"), passed.as("passed"))
+      rule("fk_orders_orphans", col("n_orphans"), 0.0,
+          col("n_orphans") === 0)
+        .union(rule("pk_unique_violations", col("n") - col("n_pk"), 0.0,
+          col("n") === col("n_pk")))
+        .union(rule("qty_min_nonnegative", col("mn"), 0.0,
+          col("mn") >= 0.0))
+        .union(rule("qty_null_count", col("n_null"), 0.0,
+          col("n_null") === 0))
+        .union(rule("rowcount_min", col("n"), 1.0, col("n") >= 1))
+        .orderBy("rule")
+    }),
     "a12_profile" -> ((s, dir) =>
       // One-pass corpus profile — the dbt/Deequ-style health row every
       // ingest emits: row count, per-column null counts, key cardinality,
@@ -1185,6 +1226,28 @@ object SparkEntry {
               / 2.0), 6)
             .as("roll_median"))
         .orderBy("user_id", "event_id")
+    }),
+    "w9_autocorr" -> ((s, dir) => {
+      // Lag-1 autocorrelation of each user's reading sequence — the
+      // time-series memory feature (is the signal trending or white?).
+      // One lag() window pass builds the (x_i, x_{i-1}) pairs, then a
+      // per-user corr aggregate: partial/final co-moment merge, exchanges
+      // carry one row per user. Pearson r is invariant to the 1/n vs
+      // 1/(n-1) convention, so Spark's corr and DuckDB's corr agree to
+      // double noise, far inside the 6-decimal rounding. Degenerate
+      // (zero-variance) series emit NULL on both engines by the guard.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev"))
+        .where(col("prev").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          when(stddev_samp(col("value")) > 0
+              && stddev_samp(col("prev")) > 0,
+            round(corr(col("value"), col("prev")), 6)).as("rho"))
+        .orderBy("user_id")
     }),
     "e8_markov" -> ((s, dir) => {
       // first-order Markov transition matrix over each user's event
@@ -2414,6 +2477,36 @@ object SparkEntry {
           |       TRUE AS depth_ok FROM lineitem""".stripMargin,
       "a16_join_size_est" -> // identical hash sample + inverse-rate scaling
         SamplingSql.joinSizeEstimate("events", "user_id"),
+      "a17_expectations" -> // same rules, same thresholds, same verdicts
+        """WITH b AS (SELECT count(*) AS n,
+          |                  count(DISTINCT (l_orderkey, l_linenumber))
+          |                    AS n_pk,
+          |                  CAST(sum(CASE WHEN l_quantity IS NULL
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          |                  min(l_quantity) AS mn
+          |           FROM lineitem),
+          |o AS (SELECT count(*) AS n_orphans FROM lineitem l
+          |      LEFT JOIN orders r ON r.o_orderkey = l.l_orderkey
+          |      WHERE r.o_orderkey IS NULL)
+          |SELECT * FROM (
+          |  SELECT 'fk_orders_orphans' AS rule,
+          |         round(CAST(o.n_orphans AS DOUBLE), 6) AS observed,
+          |         CAST(0.0 AS DOUBLE) AS threshold,
+          |         o.n_orphans = 0 AS passed FROM b, o
+          |  UNION ALL
+          |  SELECT 'pk_unique_violations',
+          |         round(CAST(b.n - b.n_pk AS DOUBLE), 6),
+          |         CAST(0.0 AS DOUBLE), b.n = b.n_pk FROM b, o
+          |  UNION ALL
+          |  SELECT 'qty_min_nonnegative', round(CAST(b.mn AS DOUBLE), 6),
+          |         CAST(0.0 AS DOUBLE), b.mn >= 0.0 FROM b, o
+          |  UNION ALL
+          |  SELECT 'qty_null_count', round(CAST(b.n_null AS DOUBLE), 6),
+          |         CAST(0.0 AS DOUBLE), b.n_null = 0 FROM b, o
+          |  UNION ALL
+          |  SELECT 'rowcount_min', round(CAST(b.n AS DOUBLE), 6),
+          |         CAST(1.0 AS DOUBLE), b.n >= 1 FROM b, o)
+          |ORDER BY rule""".stripMargin,
       "a12_profile" -> // the one-row corpus health profile
         """SELECT CAST(count(*) AS BIGINT) AS n_rows,
           |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -2855,6 +2948,17 @@ object SparkEntry {
           |            ELSE 'unchanged' END AS status
           |FROM n LEFT JOIN o ON o.user_id = n.user_id
           |ORDER BY n.user_id""".stripMargin,
+      "w9_autocorr" -> // same lag pairs, same Pearson, same degeneracy guard
+        """SELECT user_id, count(*) AS n_pairs,
+          |       CASE WHEN stddev_samp(value) > 0
+          |                 AND stddev_samp(prev) > 0
+          |            THEN round(corr(value, prev), 6) END AS rho
+          |FROM (SELECT user_id, value,
+          |             lag(value) OVER (PARTITION BY user_id
+          |               ORDER BY ts, event_id) AS prev
+          |      FROM events)
+          |WHERE prev IS NOT NULL
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
       "w8_rolling_median" -> // native windowed median, identical frame
         """SELECT user_id, event_id, round(value, 6) AS value,
           |       round(median(value) OVER (PARTITION BY user_id
