@@ -2215,6 +2215,34 @@ object SparkEntry {
     "sim_mmr_verify" -> ((s, dir) =>
       Similarity.mmrVerify(Tables(s, dir, "embeddings"),
         col("vec_id") % 50 === 0, mmrN, simK, mmrLambda)),
+    "sim_rrf_fusion" -> ((s, dir) => {
+      // Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+      // of the lexical and vector rankers the engine already owns: BM25
+      // top-20 for the fixed term query (t13's exact plan) fused with
+      // cosine top-20 around query vector 0 (sim_topk's plan; any
+      // sim_ann_* path substitutes at scale) by
+      // score(d) = Σ 1/(60 + rank_i(d)). Rank fusion needs no score
+      // calibration between heterogeneous rankers — that robustness is
+      // why RAG stacks default to it. Shape: two top-k relations (each
+      // already bounded) FULL-OUTER joined on the shared doc/vec id
+      // space, one bounded sort. doc_id and vec_id are aligned by
+      // construction in the testdata (TESTDATA.md).
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25(Tables(s, dir, "documents"), bm25Query,
+        topK = 20).select(col("doc_id"), col("rank").as("lex_rank"))
+      val vec = Similarity.bruteForceTopK(Tables(s, dir, "embeddings"),
+        col("vec_id") === 0, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+      val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select("rank", "doc_id", "lex_rank", "vec_rank", "rrf")
+        .orderBy("rank")
+    }),
 
     // --- ST: Structured Streaming drained to a deterministic result —
     // the incremental engine must reproduce the batch answer exactly
@@ -3358,7 +3386,24 @@ object SparkEntry {
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),
-      "sim_mmr_verify" -> SimilaritySql.mmrVerify(simQueryPredSql)
+      "sim_mmr_verify" -> SimilaritySql.mmrVerify(simQueryPredSql),
+      "sim_rrf_fusion" -> // same two rankers, same 1/(60+rank) fusion
+        s"""WITH lex AS (SELECT doc_id, rank AS lex_rank
+           |             FROM (${TextAnalysisSql.bm25(bm25Query, 20)})),
+           |vec AS (SELECT neighbor_id AS doc_id, rank AS vec_rank
+           |        FROM (${SimilaritySql.bruteForceTopK("vec_id = 0", 20)}))
+           |SELECT rank, doc_id, lex_rank, vec_rank, rrf FROM (
+           |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |         l.lex_rank, v.vec_rank,
+           |         round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0)
+           |               + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0), 6)
+           |           AS rrf,
+           |         row_number() OVER (
+           |           ORDER BY round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0)
+           |             + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0), 6) DESC,
+           |             coalesce(l.doc_id, v.doc_id)) AS rank
+           |  FROM lex l FULL JOIN vec v ON v.doc_id = l.doc_id)
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin
       // bloom_filters / bloom_fpstats: hash/bit-valued, not SQL-expressible
       // (SURVEY.md §7.4.3) -> driver rows-only check; invariants covered by
       // bloom_zero_fn above + PipelineSpec/statistical e2e.
