@@ -2295,6 +2295,9 @@ object SparkEntry {
       // one ~80 KB CMS buffer merged across micro-batches; exact top-10
       // probed against the stream-built sketch under exact ≤ est ≤ exact+εN
       graft.streaming.StreamingQueries.cmsState(s, dir)),
+    "st24_stream_contract" -> ((s, dir) => // a17's verdicts as stream
+      // state: one fixed-width metric row across micro-batch commits
+      graft.streaming.StreamingQueries.contractMonitor(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -2877,6 +2880,28 @@ object SparkEntry {
       "st23_stream_cms" -> // stream-built CMS must bracket the exact count
         """SELECT user_id, count(*) AS n, TRUE AS cms_ok FROM events
           |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+      "st24_stream_contract" -> // drained metrics == batch contract facts
+        """SELECT * FROM (
+          |  SELECT 'rowcount_min' AS rule,
+          |         round(CAST(count(*) AS DOUBLE), 6) AS observed,
+          |         CAST(1.0 AS DOUBLE) AS threshold,
+          |         count(*) >= 1 AS passed FROM events
+          |  UNION ALL
+          |  SELECT 'type_domain',
+          |         round(CAST(count(DISTINCT event_type) AS DOUBLE), 6),
+          |         CAST(5.0 AS DOUBLE),
+          |         count(DISTINCT event_type) = 5 FROM events
+          |  UNION ALL
+          |  SELECT 'value_min_nonnegative', round(min(value), 6),
+          |         CAST(0.0 AS DOUBLE), min(value) >= 0.0 FROM events
+          |  UNION ALL
+          |  SELECT 'value_null_count',
+          |         round(CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+          |               AS DOUBLE), 6),
+          |         CAST(0.0 AS DOUBLE),
+          |         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
+          |  FROM events)
+          |ORDER BY rule""".stripMargin,
       "d5_merge_cdc" -> // from-scratch recompute: global latest op, D wins
         """WITH ops AS (
           |  SELECT user_id, event_id, epoch_ns(ts) AS tns,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -1236,6 +1236,52 @@ object StreamingQueries {
     * observability for the spec; sequential-harness assumption as with
     * [[lastBatches]]). */
   val lastCmsBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Always-on data-contract monitor — a17's expectation verdicts as
+    * stream state: the stream maintains ONE fixed-width metric row
+    * (count, null count, min, distinct-type KMV-free exact count over a
+    * 5-value domain) as a global streaming aggregate across micro-batch
+    * commits; verdicts evaluate on the DRAINED state with a17's
+    * rule/observed/threshold/passed face. This is the data-observability
+    * deployment shape: contracts watched continuously during ingest, not
+    * audited after the fact. State is O(1) regardless of stream length
+    * (the distinct-type count is exact only because event_type's domain
+    * is bounded; an unbounded-domain distinct would ride the KMV state of
+    * st16 instead — that trade is the point of having both). */
+  def contractMonitor(outer: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val spark = childSession(outer)
+    val src = s"${sys.props("java.io.tmpdir")}/graft_st24_src_" +
+      s"${math.abs(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    spark.read.parquet(s"$dir/events.parquet").repartition(8)
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val name = "st24_contract_" + math.abs(dir.hashCode)
+    val metrics = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .agg(cnt(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("value")).as("mn"),
+        approx_count_distinct(col("event_type")).as("n_types"))
+    val q = metrics.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val m = spark.table(name)
+    def rule(rn: String, observed: Column, threshold: Double,
+        passed: Column) =
+      m.select(lit(rn).as("rule"),
+        round(observed.cast("double"), 6).as("observed"),
+        lit(threshold).as("threshold"), passed.as("passed"))
+    rule("rowcount_min", col("n"), 1.0, col("n") >= 1)
+      .union(rule("type_domain", col("n_types"), 5.0, col("n_types") === 5))
+      .union(rule("value_min_nonnegative", col("mn"), 0.0, col("mn") >= 0.0))
+      .union(rule("value_null_count", col("n_null"), 0.0,
+        col("n_null") === 0))
+      .orderBy("rule")
+  }
 }
 
 /** `StatefulProcessor` for [[StreamingQueries.transformWithStateCounts]]:

@@ -124,6 +124,24 @@ class StreamingQueriesSpec extends SparkSuite {
       batch.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("contractMonitor: drained verdicts equal the batch contract facts") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val got = StreamingQueries.contractMonitor(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    val facts = Tables(spark, dir, "events").agg(
+      count(lit(1)).cast("double"),
+      countDistinct(col("event_type")).cast("double"),
+      min(col("value")),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).cast("double"))
+      .collect().head
+    assert(got("rowcount_min") === ((facts.getDouble(0), true)))
+    assert(got("type_domain") === ((facts.getDouble(1), true)))
+    assert(math.abs(got("value_min_nonnegative")._1 - facts.getDouble(2))
+      < 1e-6)
+    assert(got("value_null_count") === ((facts.getDouble(3), true)))
+  }
+
   test("streamMarkov: cross-batch transitions equal the batch e8 twin") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingQueries.streamMarkov(spark, dir).collect()
