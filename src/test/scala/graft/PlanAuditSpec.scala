@@ -810,4 +810,38 @@ class PlanAuditSpec extends SparkSuite {
     // (the documented exact-candidate face; ANN paths substitute at scale)
     assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1, p)
   }
+
+  test("a17: referential integrity is a LEFT ANTI equi-join, " +
+      "never a cartesian") {
+    val p = plan("a17_expectations")
+    assert(p.contains("LeftAnti"), s"FK rule must plan as anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d6: snapshot diff pre-reduces both states per key before ONE " +
+      "outer equi-join") {
+    val p = plan("d6_snapshot_diff")
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both snapshots reduce per key upstream (max_by partial+final each)
+    assert(nodeCount(p, "HashAggregate") + nodeCount(p, "SortAggregate")
+      + nodeCount(p, "ObjectHashAggregate") >= 4,
+      s"latest-wins states must pre-reduce per key:\n$p")
+  }
+
+  test("w8: rolling median is ONE window pass over the user partition") {
+    val p = plan("w8_rolling_median")
+    assert(nodeCount(p, "Window") === 1,
+      s"the frame collect and the median projection must share a pass:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("sim_rrf: fusion joins two bounded top-k relations, no " +
+      "corpus-sized exchange after the rankers") {
+    val p = plan("sim_rrf_fusion")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both rankers bound their lists per task before the fusion join
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
