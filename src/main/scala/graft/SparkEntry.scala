@@ -1227,6 +1227,28 @@ object SparkEntry {
             .as("roll_median"))
         .orderBy("user_id", "event_id")
     }),
+    "w10_winsorize" -> ((s, dir) => {
+      // Winsorization — percentile-clipped features, the standard
+      // outlier-robust normalization before model training: per-type
+      // p01/p99 cut points (EXACT percentile over the BOUNDED type
+      // domain — 5 groups, so the sort-based aggregate is tiny; a6's
+      // exact-vs-sketch split applies if the group domain ever grows),
+      // broadcast back over one scan, values clamped with a was_clipped
+      // audit flag. At 100 TB: one bounded aggregate + one broadcast
+      // join + one projection pass.
+      val ev = Tables(s, dir, "events")
+      val cuts = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.01)").as("lo"),
+        expr("percentile(value, 0.99)").as("hi"))
+      ev.join(broadcast(cuts), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+            .as("clipped"),
+          (col("value") < col("lo") || col("value") > col("hi"))
+            .as("was_clipped"))
+        .orderBy("event_id")
+    }),
     "w9_autocorr" -> ((s, dir) => {
       // Lag-1 autocorrelation of each user's reading sequence — the
       // time-series memory feature (is the signal trending or white?).
@@ -1823,6 +1845,21 @@ object SparkEntry {
         kPerGroup = 5)),
     "p17_consistent_sample" -> ((s, dir) => // md5-ranked stable per-lang draw
       Sampling.consistentSample(Tables(s, dir, "documents"), kPerGroup = 5)),
+    "p18_kfold" -> ((s, dir) =>
+      // Deterministic k-fold cross-validation assignment — p8's 2-way
+      // split generalized: fold = rowHash(doc_id) mod 5, so folds are
+      // reproducible across engines and reruns (the property RNG folds
+      // lose on any reshuffle) and every doc lands in exactly one fold.
+      // Emitted as the per-fold balance audit (count + token mass) the
+      // CV harness checks before training; the row-level assignment is
+      // the same expression inline. One projection + one 5-group
+      // aggregate — a single scan at any corpus size.
+      Tables(s, dir, "documents")
+        .select((Sampling.rowHash(col("doc_id")) % 5).as("fold"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .orderBy("fold")),
     "t19_oov_rate" -> ((s, dir) => // tokenizer-coverage audit vs top-K vocab
       TextAnalysis.oovRate(Tables(s, dir, "documents"), topK = 50)
         .orderBy("doc_id")),
@@ -3001,6 +3038,22 @@ object SparkEntry {
           |            ELSE 'unchanged' END AS status
           |FROM n LEFT JOIN o ON o.user_id = n.user_id
           |ORDER BY n.user_id""".stripMargin,
+      "p18_kfold" -> // identical integer hash, identical tokenization
+        s"""SELECT ${Sampling.rowHashSql("doc_id")} % 5 AS fold,
+           |       count(*) AS n_docs,
+           |       CAST(sum(len(${TextAnalysisSql.toks})) AS BIGINT)
+           |         AS n_tokens
+           |FROM documents GROUP BY fold ORDER BY fold""".stripMargin,
+      "w10_winsorize" -> // same exact percentiles, same clamp
+        """WITH c AS (SELECT event_type,
+          |                  quantile_cont(value, 0.01) AS lo,
+          |                  quantile_cont(value, 0.99) AS hi
+          |           FROM events GROUP BY 1)
+          |SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+          |       round(least(greatest(e.value, c.lo), c.hi), 6) AS clipped,
+          |       (e.value < c.lo OR e.value > c.hi) AS was_clipped
+          |FROM events e JOIN c ON c.event_type = e.event_type
+          |ORDER BY e.event_id""".stripMargin,
       "w9_autocorr" -> // same lag pairs, same Pearson, same degeneracy guard
         """SELECT user_id, count(*) AS n_pairs,
           |       CASE WHEN stddev_samp(value) > 0

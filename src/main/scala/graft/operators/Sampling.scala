@@ -38,7 +38,7 @@ object Sampling {
 
   /** The mod-reduced hash as SQL, shared by every twin; non-negative for
     * every input, like the Spark side's `pmod`. */
-  private[operators] def rowHashSql(idExpr: String): String =
+  private[graft] def rowHashSql(idExpr: String): String =
     s"(((($idExpr % $hashMod) * ${hashPrime % hashMod}) % $hashMod" +
       s" + $hashMod) % $hashMod)"
 
