@@ -623,6 +623,27 @@ object SparkEntry {
           coalesce(col("asof.q_value"), lit(0.0d)).as("q_value"))
         .orderBy("event_id")
     }),
+    "j11_asof_tolerance" -> ((s, dir) => {
+      // j5's as-of join with a 30-minute staleness tolerance (pandas
+      // merge_asof `tolerance`): a preceding quote older than the bound
+      // does not match — the stale-quote guard. Same one-shuffle window
+      // plan; the tolerance is a projection (AsOf.asofJoinTolerance).
+      // 30 min bisects the testdata's gap distribution (p50 ≈ 15 min,
+      // p90 ≈ 53 min), so both branches are exercised.
+      val ev = Tables(s, dir, "events")
+      val probes = ev.where(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("event_id"), col("event_type"),
+          expr("ts div 1000").as("p_us"))
+      val quotes = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+        .groupBy(col("event_type"), expr("ts div 1000").as("q_us"))
+        .agg(round(max("value"), 6).as("q_value"))
+      AsOf.asofJoinTolerance(probes, quotes, "event_type", "p_us", "q_us",
+        Seq("q_us", "q_value"), tolerance = 1800000000L)
+        .select(col("event_id"), col("event_type"), col("p_us"),
+          coalesce(col("asof.q_us"), lit(-1L)).as("q_us"),
+          coalesce(col("asof.q_value"), lit(0.0d)).as("q_value"))
+        .orderBy("event_id")
+    }),
     "j6_range_join" -> ((s, dir) => {
       // Range join via bin bucketing (never a nested loop — asserted in
       // PlanAuditSpec): price bands from every 10th part, lineitem prices
@@ -2992,6 +3013,22 @@ object SparkEntry {
           |SELECT p.event_id, p.event_type, p.p_us,
           |       coalesce(q.q_us, -1) AS q_us,
           |       coalesce(q.q_value, 0.0) AS q_value
+          |FROM probes p ASOF LEFT JOIN quotes q
+          |  ON p.event_type = q.event_type AND q.q_us <= p.p_us
+          |ORDER BY event_id""".stripMargin,
+      "j11_asof_tolerance" -> // native ASOF + staleness null-out
+        """WITH probes AS (
+          |  SELECT event_id, event_type, epoch_us(ts) AS p_us
+          |  FROM events WHERE event_id % 10 = 0),
+          |quotes AS (
+          |  SELECT event_type, epoch_us(ts) AS q_us, round(max(value), 6) AS q_value
+          |  FROM events WHERE event_id % 10 <> 0
+          |  GROUP BY event_type, epoch_us(ts))
+          |SELECT p.event_id, p.event_type, p.p_us,
+          |       coalesce(CASE WHEN p.p_us - q.q_us <= 1800000000
+          |                     THEN q.q_us END, -1) AS q_us,
+          |       coalesce(CASE WHEN p.p_us - q.q_us <= 1800000000
+          |                     THEN q.q_value END, 0.0) AS q_value
           |FROM probes p ASOF LEFT JOIN quotes q
           |  ON p.event_type = q.event_type AND q.q_us <= p.p_us
           |ORDER BY event_id""".stripMargin,

@@ -59,4 +59,48 @@ object AsOf {
       .where(col("__is_left") === 1)
       .drop("__t", "__rv", "__is_left")
   }
+
+  /** [[asofJoin]] with a staleness TOLERANCE (the pandas `merge_asof
+    * tolerance` / kdb `wj` refinement): a preceding right row older than
+    * `tolerance` time units does NOT match — `asof` comes back null, as
+    * if no quote existed. The stale-quote guard every market-data and
+    * sensor pipeline wants: an hours-old reading is worse than none.
+    *
+    * Same single union + keyed window as [[asofJoin]] — the matched
+    * right TIME rides the same window pass (a second `last` over the
+    * identical frame, one Window node), and the tolerance test is a
+    * per-row projection. No extra shuffle, no per-pair work. */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      tolerance: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val r = right.where(col(rightTime).isNotNull).select(
+      col(key),
+      col(rightTime).cast("long").as("__t"),
+      struct(rightValues.map(col): _*).as("__rv"))
+      .withColumn("__is_left", lit(0))
+    val l = left
+      .withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
+      .withColumn("__is_left", lit(1))
+
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__mt",
+        last(when(col("__is_left") === 0, col("__t")), ignoreNulls = true)
+          .over(w))
+      .withColumn("asof",
+        when(col("__t") - col("__mt") <= tolerance,
+          last(col("__rv"), ignoreNulls = true).over(w)))
+      .where(col("__is_left") === 1)
+      .drop("__t", "__rv", "__is_left", "__mt")
+  }
 }

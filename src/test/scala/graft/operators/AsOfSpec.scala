@@ -36,4 +36,28 @@ class AsOfSpec extends SparkSuite {
     val row = AsOf.asofJoin(probes, quotes, "k", "t", "qt", Seq("qt", "qv")).head()
     assert(row.getAs[Any]("asof") === null)
   }
+
+  test("asofJoinTolerance: stale matches null out, fresh ones survive, " +
+      "boundary is inclusive") {
+    val probes = Seq(
+      ("a", 20L, 1L), // quote at 18, gap 2  <= tol 5 → match
+      ("a", 30L, 2L), // quote at 18, gap 12 >  tol 5 → stale, null
+      ("a", 23L, 3L), // gap exactly 5 → inclusive, match
+      ("b", 50L, 4L)) // no quote at all → null (same as plain asof)
+      .toDF("k", "t", "probe_id")
+    val quotes = Seq(("a", 18L, 2.0)).toDF("k", "qt", "qv")
+
+    val got = AsOf.asofJoinTolerance(probes, quotes, "k", "t", "qt",
+      Seq("qt", "qv"), tolerance = 5L)
+      .select($"probe_id", $"asof.qt".as("qt"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    assert(got === Map(
+      1L -> Some(18L),
+      2L -> None,      // found but stale: nulled, not dropped
+      3L -> Some(18L), // gap == tolerance is a match
+      4L -> None))
+  }
 }
