@@ -2451,6 +2451,9 @@ object SparkEntry {
       Graph.clusteringCoefficient(Tables(s, dir, "events"))),
     "gr6_bfs_hops" -> ((s, dir) => // frontier-relational multi-source BFS
       Graph.bfsHops(Tables(s, dir, "events"), col("node") % 50 === 0)),
+    "gr7_link_pred" -> ((s, dir) => // Adamic-Adar scores for distance-2
+      // non-edges; rounded-before-ranked so ordering is cross-engine safe
+      Graph.linkPrediction(Tables(s, dir, "events"))),
 
     // ---- privacy lane: disclosure-risk audit + DP release ----
     // (thresholds shared with the twins; scale posture on operators.Privacy)
@@ -3498,6 +3501,7 @@ object SparkEntry {
       "gr4_neighbor_jaccard" -> GraphSql.neighborJaccard,
       "gr5_cluster_coeff" -> GraphSql.clusteringCoefficient,
       "gr6_bfs_hops" -> GraphSql.bfsHops("node % 50 = 0"),
+      "gr7_link_pred" -> GraphSql.linkPrediction(),
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),

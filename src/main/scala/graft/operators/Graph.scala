@@ -224,6 +224,43 @@ object Graph {
     rank.select(col("node"), round(col("rank"), 9).as("rank")).orderBy("node")
   }
 
+  /** Link prediction over the interaction graph — Adamic–Adar scores
+    * (Adamic & Adar 2003) for node pairs at distance 2 that are NOT yet
+    * edges: `aa(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z)`, the classic
+    * "who should connect next" feature (rare shared neighbors count
+    * more than hubs). Top-`topK` candidates by `(aa, cn, x, y)` with the
+    * score ROUNDED BEFORE RANKING so the cross-engine ordering can never
+    * flip on last-bit double noise.
+    *
+    * Shape: the same wedge equi-join family as gr2/gr4 (Σdeg² expansion,
+    * hub skew delegated to AQE), one LEFT ANTI join to drop existing
+    * edges, a degree equi-join for the weights, one bounded top-k. A
+    * common neighbor has degree ≥ 2 by construction, so ln(deg) never
+    * hits zero; the `deg > 1` guard pins that invariant in the plan. */
+  def linkPrediction(events: DataFrame, topK: Int = 20): DataFrame = {
+    val und = undirected(events).persist()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val cand = sym.as("s1")
+      .join(sym.as("s2"), col("s1.v") === col("s2.u"))
+      .where(col("s1.u") < col("s2.v"))
+      .select(col("s1.u").as("x"), col("s2.v").as("y"), col("s1.v").as("z"))
+    val nonedge = cand.join(und,
+      cand("x") === und("a") && cand("y") === und("b"), "left_anti")
+    val w = Window.orderBy(col("aa").desc, col("cn").desc, col("x"),
+      col("y"))
+    nonedge.join(deg, col("z") === col("node"))
+      .where(col("deg") > 1)
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("cn"),
+        round(sum(lit(1.0) / log(col("deg"))), 6).as("aa"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("rank", "x", "y", "cn", "aa")
+      .orderBy("rank")
+  }
+
   /** Multi-source BFS hop distances — "how far is every user from the
     * seed set", the reachability face (influence radius, blast-radius
     * audits, graph-distance features). Seeds are the nodes matching
@@ -380,6 +417,33 @@ object GraphSql {
        |$steps
        |SELECT node, round(rank, 9) AS rank FROM pr$iters ORDER BY node""".stripMargin
   }
+
+  /** Twin of [[Graph.linkPrediction]] — same wedges, same anti-join, same
+    * Adamic–Adar arithmetic, same rounded-then-ranked ordering. */
+  def linkPrediction(topK: Int = 20): String =
+    s"""WITH $edgeCtes,
+       |sym AS (SELECT a AS u, b AS v FROM und
+       |        UNION ALL SELECT b AS u, a AS v FROM und),
+       |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+       |cand AS (
+       |  SELECT s1.u AS x, s2.v AS y, s1.v AS z
+       |  FROM sym s1 JOIN sym s2 ON s2.u = s1.v
+       |  WHERE s1.u < s2.v),
+       |nonedge AS (
+       |  SELECT c.x, c.y, c.z FROM cand c
+       |  LEFT JOIN und e ON e.a = c.x AND e.b = c.y
+       |  WHERE e.a IS NULL),
+       |scored AS (
+       |  SELECT n.x, n.y, count(*) AS cn,
+       |         round(sum(CAST(1.0 AS DOUBLE) / ln(d.deg)), 6) AS aa
+       |  FROM nonedge n JOIN deg d ON d.node = n.z
+       |  WHERE d.deg > 1
+       |  GROUP BY n.x, n.y)
+       |SELECT rank, x, y, cn, aa FROM (
+       |  SELECT *, row_number() OVER (ORDER BY aa DESC, cn DESC, x, y)
+       |    AS rank
+       |  FROM scored)
+       |WHERE rank <= $topK ORDER BY rank""".stripMargin
 
   /** Twin of [[Graph.bfsHops]]: the recursive CTE enumerates level-bounded
     * walks and collapses to min dist — same levels, same seed set. */

@@ -144,6 +144,29 @@ class GraphSpec extends SparkSuite {
     assert(d2 === Map(1L -> 0, 2L -> 1, 3L -> 2)) // node 4 out of reach
   }
 
+  test("linkPrediction: known-answer Adamic-Adar on the two-triangle " +
+      "graph; existing edges excluded") {
+    // seq1 und edges {12,23,13,24,14}: the ONLY distance-2 non-edge is
+    // (3,4) with common neighbors {1,2}, both degree 3 →
+    // aa = 2/ln(3) ≈ 1.820478
+    val r = Graph.linkPrediction(eventsOf(seq1))
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(r.length === 1)
+    assert(r.head === ((1, 3L, 4L, 2L,
+      BigDecimal(2.0 / math.log(3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("linkPrediction: chain non-edges score by their bridge's degree") {
+    // chain 1-2-3-4: candidates (1,3) via 2 and (2,4) via 3, both deg 2
+    // → equal aa = 1/ln(2); tie breaks by x
+    val r = Graph.linkPrediction(eventsOf(Seq(1L, 2L, 3L, 4L)))
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(r.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
+      Seq((1, 1L, 3L, 1L), (2, 2L, 4L, 1L)))
+    assert(r.forall(t => math.abs(t._5 - 1.0 / math.log(2.0)) < 1e-5))
+  }
+
   test("bfsHops: min-dist wins when a node is reachable two ways") {
     // seq1 graph: und edges {12,23,13,24,14}; seed 3 → 1,2 at 1; 4 at 2
     // via 1 or 2 (two equal-length paths, one distance)
