@@ -265,11 +265,15 @@ object Bench {
     val compact = head + kept.mkString(",") +
       s"""},"omitted":${sorted.size - kept.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
 
-    spark.stop()
-    // Last two stdout lines, after spark.stop() so no executor log can
-    // interleave: full detail (for human logs), then the parseable compact.
+    // Orderly native/background teardown BEFORE the final lines, hard
+    // halt AFTER them: r8's RocksDB JNI shutdown SIGSEGV printed a crash
+    // banner after the result line and pushed it out of the driver's
+    // stdout tail window ("parsed": null). See CleanExit.
+    CleanExit.teardown(spark)
+    // Last two stdout lines: full detail (for human logs), then the
+    // parseable compact.
     println(full)
     println(compact)
-    System.out.flush()
+    CleanExit.halt(0)
   }
 }

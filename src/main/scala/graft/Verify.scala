@@ -47,6 +47,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    // same clean-exit discipline as Bench: the st* queries leave RocksDB
+    // state-store providers loaded, and the default JVM shutdown raced
+    // their native teardown in r8 (SIGSEGV at exit). Artifacts are all on
+    // disk by now; halt(0) guarantees the driver sees rc 0.
+    CleanExit.teardown(spark)
+    CleanExit.halt(0)
   }
 }

@@ -145,14 +145,20 @@ object Privacy {
         round(col("exact") +
           laplaceNoise(col("c_mktsegment"), epsilon, seed), 6)
           .as("rederived"))
-    val nGroups = 5.0 // market-segment domain; only enters the log bound
-    val bound = math.log(nGroups / 1e-6) / epsilon
-    joined.agg(
-      count(lit(1)).as("n_groups"),
-      sum(when(abs(col("noisy_count") - col("exact")) > bound, 1L)
-        .otherwise(0L)).as("n_bound_violations"),
-      sum(when(col("noisy_count") =!= col("rederived"), 1L).otherwise(0L))
-        .as("n_rederive_mismatch"))
+    // the Laplace union tail bound ln(n/δ)/ε uses the MEASURED group
+    // count (r8 advice: a hardcoded domain size mis-scales the bound on
+    // any other quasi-identifier domain), derived in the same aggregate —
+    // a one-row scalar cross-joined back, the repo's bounded-broadcast
+    // contract
+    val ng = exact.agg(count(lit(1)).cast("double").as("ng"))
+    joined.crossJoin(broadcast(ng))
+      .withColumn("bound", log(col("ng") / lit(1e-6)) / lit(epsilon))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(abs(col("noisy_count") - col("exact")) > col("bound"), 1L)
+          .otherwise(0L)).as("n_bound_violations"),
+        sum(when(col("noisy_count") =!= col("rederived"), 1L).otherwise(0L))
+          .as("n_rederive_mismatch"))
   }
 }
 

@@ -982,7 +982,12 @@ object Similarity {
         var i = 0
         while (i < remaining.size) {
           val c = remaining(i)
-          var maxSim = 0.0
+          // max over an EMPTY pick set is defined as 0 (no diversity
+          // penalty for the first pick); once picks exist the running max
+          // starts at -inf so an all-negative neighborhood correctly
+          // BOOSTS the score, per the documented MMR formula (r8 advice)
+          var maxSim =
+            if (pickedVecs.isEmpty) 0.0 else Double.NegativeInfinity
           var j = 0
           while (j < pickedVecs.size) {
             val s = cosSeq(c.embedding, pickedVecs(j))

@@ -1238,16 +1238,19 @@ object StreamingQueries {
   val lastCmsBatches = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Always-on data-contract monitor — a17's expectation verdicts as
-    * stream state: the stream maintains ONE fixed-width metric row
-    * (count, null count, min, distinct-type KMV-free exact count over a
-    * 5-value domain) as a global streaming aggregate across micro-batch
-    * commits; verdicts evaluate on the DRAINED state with a17's
-    * rule/observed/threshold/passed face. This is the data-observability
-    * deployment shape: contracts watched continuously during ingest, not
-    * audited after the fact. State is O(1) regardless of stream length
-    * (the distinct-type count is exact only because event_type's domain
-    * is bounded; an unbounded-domain distinct would ride the KMV state of
-    * st16 instead — that trade is the point of having both). */
+    * stream state: the stream maintains one fixed-width metric row PER
+    * EVENT TYPE (count, null count, min) as a keyed streaming aggregate
+    * across micro-batch commits; verdicts evaluate on the DRAINED state
+    * with a17's rule/observed/threshold/passed face, folding the per-type
+    * rows into the global metrics — which makes the distinct-type count
+    * EXACT (it is the drained state's row count), not an HLL estimate:
+    * `approx_count_distinct`'s register collisions could report 4 of 5
+    * types and flip the verdict (r8 advice #1). This is the
+    * data-observability deployment shape: contracts watched continuously
+    * during ingest, not audited after the fact. State is O(|type domain|)
+    * regardless of stream length — bounded because event_type's domain
+    * is; an unbounded-domain distinct would ride the KMV state of st16
+    * instead (that trade is the point of having both). */
   def contractMonitor(outer: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
     val spark = childSession(outer)
@@ -1259,17 +1262,21 @@ object StreamingQueries {
     val name = "st24_contract_" + math.abs(dir.hashCode)
     val metrics = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
+      .groupBy(col("event_type"))
       .agg(cnt(lit(1)).as("n"),
         sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
-        min(col("value")).as("mn"),
-        approx_count_distinct(col("event_type")).as("n_types"))
+        min(col("value")).as("mn"))
     val q = metrics.writeStream
       .format("memory").queryName(name)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val m = spark.table(name)
+    // fold the drained per-type state into the global metric row; the
+    // type count is exact by construction (state rows = distinct types)
+    val m = spark.table(name).agg(
+      sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
+      min(col("mn")).as("mn"), cnt(lit(1)).as("n_types"))
     def rule(rn: String, observed: Column, threshold: Double,
         passed: Column) =
       m.select(lit(rn).as("rule"),
