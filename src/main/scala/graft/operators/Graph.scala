@@ -259,15 +259,21 @@ object Graph {
       .select(col("s1.u").as("x"), col("s2.v").as("y"), col("s1.v").as("z"))
     val nonedge = cand.join(und,
       cand("x") === und("a") && cand("y") === und("b"), "left_anti")
-    val w = Window.orderBy(col("aa").desc, col("cn").desc, col("x"),
-      col("y"))
+    val ord = Seq(col("aa").desc, col("cn").desc, col("x"), col("y"))
+    // top-k via orderBy().limit() — plans as TakeOrderedAndProject (each
+    // task keeps a topK heap, the driver merges topK rows per task), the
+    // p14 pattern; the rank window then runs over the BOUNDED topK-row
+    // result, never the full candidate relation (r8 verdict ask #4 —
+    // InferWindowGroupLimit does not fire on an unpartitioned window, so
+    // the rank-filter form funneled every candidate through one task)
     nonedge.join(deg, col("z") === col("node"))
       .where(col("deg") > 1)
       .groupBy("x", "y")
       .agg(count(lit(1)).as("cn"),
         round(sum(lit(1.0) / log(col("deg"))), 6).as("aa"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
+      .orderBy(ord: _*)
+      .limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
       .select("rank", "x", "y", "cn", "aa")
       .orderBy("rank")
   }

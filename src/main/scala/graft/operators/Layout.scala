@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout clustering — the table-maintenance side of scan pruning.
@@ -15,19 +14,19 @@ import org.apache.spark.sql.functions._
   * row-group pruning over such a layout is what `k6_rowgroup_pruning`
   * measures; this operator produces the layout plan itself.
   *
-  * Both dimensions are rank-bucketed (`ntile`) before bit interleaving —
-  * the standard range-id construction, immune to skew and to value
-  * ranges wider than the bit budget. Everything is built from integer
-  * window + bit arithmetic, so the manifest is oracle-exact in
+  * Both dimensions are rank-bucketed (exact `ntile` semantics) before
+  * bit interleaving — the standard range-id construction, immune to skew
+  * and to value ranges wider than the bit budget. Everything is built
+  * from integer + bit arithmetic, so the manifest is oracle-exact in
   * [[LayoutSql.zorderManifest]].
   *
-  * Scale shape: the registered query uses exact `ntile` windows (one
-  * global sort per dimension and one along the curve) because exactness
-  * is what makes it twin-checkable; the 100 TB write path swaps the
-  * final window for `repartitionByRange(zval)` +
-  * `sortWithinPartitions(zval)` + write, and the per-dimension rank for
-  * the sampled range-id Delta uses — the curve and the manifest shape
-  * are unchanged.
+  * Scale shape (r8 verdict ask #2): every bucketing runs through
+  * [[Ranks.withGlobalNtile]] — `repartitionByRange` + local sort +
+  * bounded per-partition offsets — NOT a global window, so no stage ever
+  * funnels the table through one task, while the assignment stays
+  * bit-identical to the window form (proven in `RanksSpec`; the DuckDB
+  * twins still hash-match their `ntile` windows). The 100 TB write path
+  * is the same plan with `write` where the manifest aggregate sits.
   */
 object Layout {
 
@@ -49,18 +48,18 @@ object Layout {
   def zorderManifest(lineitem: DataFrame, nFiles: Int = 16, bits: Int = 8): DataFrame = {
     val buckets = 1 << bits
     val tie = Seq(col("l_orderkey"), col("l_linenumber"))
-    val wx = Window.orderBy(col("l_orderkey") +: col("l_linenumber") +: Nil: _*)
-    val wy = Window.orderBy(col("l_partkey") +: tie: _*)
-    val bucketed = lineitem
+    val base = lineitem
       .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
         col("l_partkey").cast("bigint").as("l_partkey"),
         col("l_linenumber").cast("bigint").as("l_linenumber"))
-      .withColumn("bx", ntile(buckets).over(wx).cast("bigint") - 1)
-      .withColumn("by", ntile(buckets).over(wy).cast("bigint") - 1)
+    val bucketed = Ranks.withGlobalNtile(
+        Ranks.withGlobalNtile(base, tie, buckets, "bx1"),
+        col("l_partkey") +: tie, buckets, "by1")
+      .withColumn("bx", col("bx1") - 1)
+      .withColumn("by", col("by1") - 1)
       .withColumn("zval", zValue(col("bx"), col("by"), bits))
-    val wz = Window.orderBy(col("zval") +: tie: _*)
-    bucketed
-      .withColumn("file_id", ntile(nFiles).over(wz).cast("bigint"))
+      .drop("bx1", "by1", "bx", "by") // only zval rides the final exchange
+    Ranks.withGlobalNtile(bucketed, col("zval") +: tie, nFiles, "file_id")
       .groupBy("file_id")
       .agg(count("*").as("n_rows"),
         min("l_orderkey").as("min_orderkey"),
@@ -74,12 +73,12 @@ object Layout {
     * same file cutting, but rows ordered by `l_orderkey` alone, so
     * per-file `l_partkey` ranges span the whole domain. */
   def linearManifest(lineitem: DataFrame, nFiles: Int = 16): DataFrame = {
-    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-    lineitem
+    val base = lineitem
       .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
         col("l_partkey").cast("bigint").as("l_partkey"),
         col("l_linenumber").cast("bigint").as("l_linenumber"))
-      .withColumn("file_id", ntile(nFiles).over(w).cast("bigint"))
+    Ranks.withGlobalNtile(base,
+        Seq(col("l_orderkey"), col("l_linenumber")), nFiles, "file_id")
       .groupBy("file_id")
       .agg(count("*").as("n_rows"),
         min("l_orderkey").as("min_orderkey"),
@@ -127,14 +126,16 @@ object Layout {
   def hilbertManifest(lineitem: DataFrame, nFiles: Int = 16, order: Int = 8): DataFrame = {
     val buckets = 1 << order
     val tie = Seq(col("l_orderkey"), col("l_linenumber"))
-    val wx = Window.orderBy(col("l_orderkey") +: col("l_linenumber") +: Nil: _*)
-    val wy = Window.orderBy(col("l_partkey") +: tie: _*)
-    var df = lineitem
+    val base = lineitem
       .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
         col("l_partkey").cast("bigint").as("l_partkey"),
         col("l_linenumber").cast("bigint").as("l_linenumber"))
-      .withColumn("hx", ntile(buckets).over(wx).cast("bigint") - 1)
-      .withColumn("hy", ntile(buckets).over(wy).cast("bigint") - 1)
+    var df = Ranks.withGlobalNtile(
+        Ranks.withGlobalNtile(base, tie, buckets, "hx1"),
+        col("l_partkey") +: tie, buckets, "hy1")
+      .withColumn("hx", col("hx1") - 1)
+      .withColumn("hy", col("hy1") - 1)
+      .drop("hx1", "hy1")
       .withColumn("hd", lit(0L))
     for (i <- (order - 1) to 0 by -1) {
       val s = 1L << i
@@ -155,9 +156,7 @@ object Layout {
         .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
         .drop("rx", "ry", "nx", "ny")
     }
-    val wh = Window.orderBy(col("hd") +: tie: _*)
-    df
-      .withColumn("file_id", ntile(nFiles).over(wh).cast("bigint"))
+    Ranks.withGlobalNtile(df, col("hd") +: tie, nFiles, "file_id")
       .groupBy("file_id")
       .agg(count("*").as("n_rows"),
         min("l_orderkey").as("min_orderkey"),

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact global ranking WITHOUT a single-partition window — the 100 TB
+  * variant of `row_number()/ntile() OVER (ORDER BY ...)` (r8 verdict ask
+  * #2: the layout/curriculum lane registered global-window plans whose
+  * scale-safe form existed only as comments).
+  *
+  * A global window funnels every row through ONE task (`WindowExec` over
+  * `Exchange SinglePartition`). The equivalent distributed construction:
+  *
+  *  1. `repartitionByRange(p, order)` — range-partition on the SAME total
+  *     order (partition i's keys all precede partition i+1's);
+  *  2. `sortWithinPartitions(order)` — each partition sorts locally;
+  *  3. `monotonically_increasing_id()` — documented layout `pid << 33 |
+  *     local_row_number`, so each row carries its partition and its
+  *     0-based position within the partition's sort;
+  *  4. one bounded job collects the p per-partition COUNTS to the driver
+  *     (p longs — the same bounded-artifact class as the bloom geometry
+  *     scalars), prefix-sums them into offsets;
+  *  5. a broadcast join of the p-row offset relation turns
+  *     `offset(pid) + local_pos + 1` into the exact global rank.
+  *
+  * The result is bit-identical to the window form whenever `order` is a
+  * UNIQUE total order (every call site carries a full tie-break — the
+  * same precondition the window form needs for cross-engine determinism).
+  * `RanksSpec` proves equality against `row_number()`/`ntile()` windows,
+  * duplicates-in-the-sort-prefix included.
+  *
+  * Scale shape: one range exchange + local sorts (Spark's own
+  * `orderBy` plan, minus the final merge), one count-only job over the
+  * cached exchange, one broadcast hash join against p rows. Nothing is
+  * ever single-partition. The ranked relation is persisted because the
+  * offsets job and the consumer both read it; released by the harness's
+  * per-query clearCache (Bench/Verify contract), a library caller
+  * unpersists after the action.
+  */
+object Ranks {
+
+  private val midMask = (1L << 33) - 1
+
+  /** `(df + 1-based exact global rank column `out`, total row count)`
+    * over the unique total order `order`. */
+  def withGlobalRank(df: DataFrame, order: Seq[Column],
+      out: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val mid = s"__${out}_mid"
+    val pidCol = s"__${out}_pid"
+    val offCol = s"__${out}_off"
+    val sorted = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(mid, monotonically_increasing_id())
+      .persist()
+    val counts = sorted
+      .groupBy(shiftrightunsigned(col(mid), 33).as(pidCol))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = (pid, acc); acc += n; o
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF(pidCol, offCol)
+    val ranked = sorted
+      .withColumn(pidCol, shiftrightunsigned(col(mid), 33))
+      .join(broadcast(offDf), pidCol)
+      .withColumn(out,
+        col(offCol) + col(mid).bitwiseAND(lit(midMask)) + lit(1L))
+      .drop(mid, pidCol, offCol)
+    (ranked, total)
+  }
+
+  /** `df` + exact `ntile(n)` (1-based, BIGINT) over the unique total
+    * order `order`, via [[withGlobalRank]]: with N rows the first
+    * `N mod n` tiles hold `⌊N/n⌋+1` rows and the rest `⌊N/n⌋` — the
+    * standard (Spark = DuckDB) ntile split, derived from the rank with
+    * integer arithmetic. */
+  def withGlobalNtile(df: DataFrame, order: Seq[Column], n: Int,
+      out: String): DataFrame = {
+    require(n > 0, s"ntile buckets must be positive: $n")
+    val (ranked, total) = withGlobalRank(df, order, out)
+    val q = total / n // base tile size (0 when total < n)
+    val r = total % n // tiles carrying one extra row
+    val cut = r * (q + 1) // 0-based ranks below cut land in the big tiles
+    // integer `div`, not `/`: Column./ is DOUBLE division, and ranks at
+    // 100 TB scale can exceed double's 53-bit exact-integer range.
+    // The else branch divides by q: reachable only when cut < total,
+    // which implies q >= 1 (when total < n, cut = total covers all rows).
+    ranked
+      .withColumn("__nt_r0", col(out) - 1)
+      .withColumn(out,
+        when(col("__nt_r0") < cut, expr(s"__nt_r0 div ${q + 1} + 1"))
+          .otherwise(
+            expr(s"$r + ((__nt_r0 - $cut) div ${math.max(q, 1L)}) + 1"))
+          .cast("bigint"))
+      .drop("__nt_r0")
+  }
+}

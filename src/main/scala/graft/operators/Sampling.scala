@@ -197,17 +197,20 @@ object Sampling {
     * epochs draw from the top phases. Returns
     * `(doc_id, source, quality, phase)`.
     *
-    * Scale shape: like [[calibrateQuality]], the exact equal-count cut is
-    * a global sort of 24-byte `(doc_id, source, quality)` rows — that
-    * exactness is what makes it twin-checkable. The 100 TB variant reads
-    * phase CUTPOINTS off a quantile sketch and assigns phases in a narrow
-    * projection, trading exact equal counts for zero sort. */
+    * Scale shape (r8 verdict ask #2): the exact equal-count cut runs
+    * through [[Ranks.withGlobalNtile]] — range-partitioned local sorts
+    * plus bounded per-partition offsets, never a single-partition window
+    * — over 24-byte `(doc_id, source, quality)` rows, bit-identical to
+    * the `ntile` window the DuckDB twin still runs. (A pipeline that can
+    * tolerate approximate phase boundaries can swap in quantile-sketch
+    * cutpoints and skip the sort entirely; the exact form is the
+    * registered, twin-checkable one.) */
   def curriculumPhases(docs: DataFrame, nPhases: Int = 4): DataFrame = {
     require(nPhases > 0, s"nPhases must be positive: $nPhases")
-    val w = Window.orderBy(col("quality"), col("doc_id"))
-    TextAnalysis.qualityScore(docs, keep = Seq("source"))
-      .select(col("doc_id"), col("source"), col("quality"))
-      .withColumn("phase", ntile(nPhases).over(w).cast("bigint"))
+    Ranks.withGlobalNtile(
+      TextAnalysis.qualityScore(docs, keep = Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality")),
+      Seq(col("quality"), col("doc_id")), nPhases, "phase")
   }
 
   /** The composed corpus-EXPORT pass — what actually ships to the
@@ -248,22 +251,22 @@ object Sampling {
     * hash-shard the survivors for the trainer ([[shuffleShards]]' rule).
     * `(doc_id, log_ratio, shard, pos)`.
     *
-    * Scale: the weight stage is [[TextAnalysis.dsirWeights]]' word-keyed
-    * joins; the rank is one global window over 16-byte `(doc_id,
-    * log_ratio)` rows (same lane as `p13_curriculum` — at 100 TB swap the
-    * exact rank for an approx-quantile cutpoint, documented there); the
-    * shard pass is narrow hashing plus a per-shard window. Document text
-    * never reaches any exchange past the first tokenize. */
+    * Scale (r8 verdict ask #2): the weight stage is
+    * [[TextAnalysis.dsirWeights]]' word-keyed joins; the top-`keepPct`%
+    * rank runs through [[Ranks.withGlobalRank]] over 16-byte `(doc_id,
+    * log_ratio)` rows — range-partitioned, never a single-partition
+    * window — with the keep count an exact driver integer from the same
+    * bounded offsets pass (the DuckDB twin's `count(*) OVER ()` value);
+    * the shard pass is narrow hashing plus a per-shard window. Document
+    * text never reaches any exchange past the first tokenize. */
   def dsirSelect(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
       keepPct: Int = 25, nShards: Int = 8): DataFrame = {
     require(keepPct > 0 && keepPct <= 100, s"keepPct in (0,100]: $keepPct")
     require(nShards > 0, s"nShards must be positive: $nShards")
-    val all = Window.partitionBy()
-    val ranked = TextAnalysis.dsirWeights(docs, targetPred)
-      .withColumn("n_cand", count(lit(1)).over(all))
-      .withColumn("rnk",
-        row_number().over(all.orderBy(desc("log_ratio"), col("doc_id"))))
-      .where(expr(s"rnk <= n_cand * $keepPct div 100"))
+    val (rankedAll, nCand) = Ranks.withGlobalRank(
+      TextAnalysis.dsirWeights(docs, targetPred),
+      Seq(desc("log_ratio"), col("doc_id")), "rnk")
+    val ranked = rankedAll.where(col("rnk") <= lit(nCand * keepPct / 100))
     ranked
       .select(col("doc_id"), col("log_ratio"), rowHash(col("doc_id")).as("h"))
       .withColumn("shard", (col("h") % nShards).cast("int"))

@@ -597,11 +597,65 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("k9_zorder: three ntile windows, a 16-group aggregate, no joins") {
+  test("k9_zorder: distributed ntile — broadcast offset joins, no window, " +
+      "a 16-group aggregate") {
     val p = plan("k9_zorder")
-    assert(p.contains("Window"), p)
-    assert(!p.contains("Join"), "z-order manifest must not join")
+    // r9: the three ntile windows became Ranks.withGlobalNtile (range
+    // exchange + local sort + broadcast offset join) — no Window node,
+    // no single-partition funnel, and the p-row offset relations must
+    // broadcast, never shuffle-sort
+    assert(!p.contains("Window"), s"global window back in the manifest:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"offset joins must broadcast:\n$p")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    spark.catalog.clearCache() // withGlobalRank persists its sorted input
+  }
+
+  test("layout/curriculum lane: no full-table global-window exchange " +
+      "(k9/k10/k11/p13/pipe4 — the r8 weak set)") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // these five registered plans funneled every row through ONE task in
+    // r8 (ntile/row_number over an unpartitioned Window). The scale-safe
+    // rewrite must leave NO window with an empty partition spec anywhere
+    // in their physical plans; per-key windows (pipe4's per-shard pos)
+    // remain legitimate.
+    for (name <- Seq("k9_zorder", "k10_hilbert", "k11_skip_stats",
+        "p13_curriculum", "pipe4_dsir_select")) {
+      val exec = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      val global = exec.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$name still carries a full-table global window:\n${global.mkString("\n")}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("gr7: the top-k plans as TakeOrderedAndProject; the rank window " +
+      "runs over the bounded topK rows") {
+    val p = plan("gr7_link_pred")
+    // the p14 pattern (r8 verdict ask #4): each task keeps a topK heap
+    // (TakeOrderedAndProject), so the only unpartitioned window in the
+    // plan sees at most topK rows — never the full candidate relation.
+    // (InferWindowGroupLimit does not fire on an unpartitioned window,
+    // so the rank-filter form was a genuine funnel.)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("WindowGroupLimit"), p)
+  }
+
+  test("gr4/gr7: wedge joins stay equi-keyed — never a per-pair plan") {
+    for (name <- Seq("gr4_neighbor_jaccard", "gr7_link_pred")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0,
+        s"$name wedge/anti joins must not nested-loop:\n$p")
+      val equiJoins = nodeCount(p, "SortMergeJoin") +
+        nodeCount(p, "ShuffledHashJoin") + nodeCount(p, "BroadcastHashJoin")
+      assert(equiJoins >= 2, s"$name wedge joins must ride equi-joins:\n$p")
+    }
   }
 
   test("dedup_passage: the keeper exchange carries bounded-width rows only") {
@@ -794,9 +848,16 @@ class PlanAuditSpec extends SparkSuite {
   test("priv2 gate: seeded-noise re-derivation joins on the group key, " +
       "no cartesian") {
     val p = plan("priv2_verify")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    // r9: the measured-group-count bound arrives as a ONE-ROW scalar
+    // cross-join (the gr2 census pattern) — sanctioned; the exact/released
+    // count join itself must stay an equi-join on the group key
+    assert(!p.contains("CartesianProduct"),
       s"exact and released counts must equi-join on c_mktsegment:\n$p")
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the one-row bound stitch may nested-loop:\n$p")
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin")
+      + nodeCount(p, "BroadcastHashJoin") >= 1,
+      s"the group-key join degenerated:\n$p")
   }
 
   test("sim_mmr: candidates pre-prune per task; greedy is one MapGroups " +
