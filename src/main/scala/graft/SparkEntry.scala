@@ -1929,6 +1929,14 @@ object SparkEntry {
       Tokenizer.encodeWithMerges(Tables(s, dir, "documents"), ms.toSeq)
         .orderBy("doc_id")
     }),
+    "t27_verify" -> ((s, dir) => { // exact gate for t27 (roundtrip +
+      // bounds over the same artifact; corpus counts are real oracle
+      // values — r8 verdict ask #5)
+      val ms = s.read.parquet(fixtures("bpe_merges")(s, dir))
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      Tokenizer.encodeVerify(Tables(s, dir, "documents"), ms.toSeq)
+    }),
     "t24_bigram_lm" -> ((s, dir) => // stupid-backoff bigram LM scoring
       TextAnalysis.bigramLmScore(Tables(s, dir, "documents"),
         col("source").isin(batchASources: _*)).orderBy("doc_id")),
@@ -3286,6 +3294,10 @@ object SparkEntry {
       "t22_chunk" ->
         s"${TextAnalysisSql.chunkDocuments(32, 8)} ORDER BY doc_id, chunk_id",
       "t23_bpe_pairs" -> TokenizerSql.bpePairCounts(50),
+      // t27_bpe_encode ships rows-only (subword counts depend on the
+      // learned merges); this gate row carries the exact-valued
+      // roundtrip/bounds invariants plus real corpus counts
+      "t27_verify" -> TokenizerSql.encodeVerify,
       "t24_bigram_lm" -> TextAnalysisSql.bigramLm(batchAPredSql),
       "t30_kneser_ney" -> TextAnalysisSql.kneserNey(batchAPredSql),
       // t31_lr_train ships rows-only (learned floats are engine-specific);

@@ -157,6 +157,44 @@ object Tokenizer {
 
   /** Reference encoder for the spec gate: greedy left-to-right merge
     * application in rank order, per word. */
+  /** Exact in-harness gate for [[encodeWithMerges]] (r8 verdict ask #5 —
+    * t27 was the one `no_oracle` row whose exact-valued companion lived
+    * only in ScalaTest). One row of invariants over the SAME merge
+    * artifact + corpus the serving query reads:
+    *  - `n_docs`, `n_tokens`, `n_chars`, `n_words` — real oracle values
+    *    (token occurrences, their total length, the distinct vocabulary);
+    *  - `n_roundtrip_violations` — distinct words whose encoded symbols
+    *    do NOT concatenate back to the word (decode∘encode must be the
+    *    identity: merges only ever glue adjacent symbols);
+    *  - `n_bound_violations` — words whose subword count leaves
+    *    `[1, length(word)]` (each merge strictly shrinks; nothing grows).
+    */
+  def encodeVerify(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wordsPerDoc = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("word"))
+    val encoded = merges.foldLeft(
+      wordsPerDoc.select(col("word")).distinct()
+        .withColumn("syms", expr("split(word, '')"))) {
+      case (d, (l, r)) => d.withColumn("syms", mergeOnce("syms", l, r))
+    }
+    val perWord = encoded.select(
+      (concat_ws("", col("syms")) =!= col("word")).as("rt_bad"),
+      (size(col("syms")) < 1 ||
+        size(col("syms")) > length(col("word"))).as("bound_bad"))
+    val wordChecks = perWord.agg(
+      count(lit(1)).as("n_words"),
+      sum(when(col("rt_bad"), 1L).otherwise(0L))
+        .as("n_roundtrip_violations"),
+      sum(when(col("bound_bad"), 1L).otherwise(0L))
+        .as("n_bound_violations"))
+    val corpus = wordsPerDoc.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("word"))).cast("long").as("n_chars"))
+    corpus.crossJoin(wordChecks)
+  }
+
   private[operators] def encodeReference(word: String,
       merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(word.map(_.toString): Seq[String]) { case (syms, (l, r)) =>
@@ -228,4 +266,19 @@ object TokenizerSql {
        |SELECT left_sym, right_sym, CAST(sum(c) AS BIGINT) AS n
        |FROM pairs GROUP BY left_sym, right_sym
        |ORDER BY n DESC, left_sym, right_sym LIMIT $topK""".stripMargin
+
+  /** Twin of [[Tokenizer.encodeVerify]]: the corpus counts are computed
+    * for real; the violation counters are invariants (provably zero for
+    * ANY merge list — decode∘encode is the identity and merges only
+    * shrink), so the oracle pins them at 0 — the t31_verify gate
+    * pattern. */
+  val encodeVerify: String =
+    s"""WITH w AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+       |SELECT count(DISTINCT doc_id) AS n_docs,
+       |       count(*) AS n_tokens,
+       |       CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       |       count(DISTINCT word) AS n_words,
+       |       CAST(0 AS BIGINT) AS n_roundtrip_violations,
+       |       CAST(0 AS BIGINT) AS n_bound_violations
+       |FROM w""".stripMargin
 }
