@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FilterStore, Graph, GraphSql, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, Privacy, PrivacySql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql, Training}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FeatureEng, FeatureEngSql, FilterStore, Graph, GraphSql, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, NaiveBayes, NaiveBayesSql, Privacy, PrivacySql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql, Training}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -2476,7 +2476,25 @@ object SparkEntry {
     "priv3_k_suppress" -> ((s, dir) => // the enforcement face of priv1:
       // rows in QI groups under k are suppressed, survivors carry only
       // the generalized band (scale posture on Privacy.kSuppress)
-      Privacy.kSuppress(Tables(s, dir, "customer"), kAnonWidths(1), kAnonK))
+      Privacy.kSuppress(Tables(s, dir, "customer"), kAnonWidths(1), kAnonK)),
+
+    // ---- feature-engineering / data-audit lane (operators.FeatureEng) ----
+    "fe1_target_encode" -> ((s, dir) => // smoothed (m-estimate) encoder
+      FeatureEng.targetEncode(Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"))),
+    "fe2_assoc_rules" -> ((s, dir) => // per-basket support/confidence/lift
+      FeatureEng.associationRules(Tables(s, dir, "lineitem"))),
+    "fe3_benford" -> ((s, dir) => // first-digit fabricated-numbers screen
+      FeatureEng.benford(Tables(s, dir, "lineitem"))),
+
+    // ---- in-engine Naive Bayes: the counting-aggregate trainable model
+    // (exactness contract on operators.NaiveBayes) ----
+    "t35_nb_model" -> ((s, dir) => // fitted (label, token) model cells
+      NaiveBayes.model(Tables(s, dir, "documents"))),
+    "t36_nb_classify" -> ((s, dir) => // held-out integer-score argmax
+      NaiveBayes(Tables(s, dir, "documents"))),
+    "t37_nb_eval" -> ((s, dir) => // per-class precision/recall/F1
+      NaiveBayes.evaluate(Tables(s, dir, "documents")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -3517,6 +3535,12 @@ object SparkEntry {
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),
+      "fe1_target_encode" -> FeatureEngSql.targetEncode(),
+      "fe2_assoc_rules" -> FeatureEngSql.associationRules(),
+      "fe3_benford" -> FeatureEngSql.benford,
+      "t35_nb_model" -> NaiveBayesSql.model,
+      "t36_nb_classify" -> NaiveBayesSql.apply,
+      "t37_nb_eval" -> NaiveBayesSql.evaluate,
       "sim_mmr_verify" -> SimilaritySql.mmrVerify(simQueryPredSql),
       "sim_rrf_fusion" -> // same two rankers, same 1/(60+rank) fusion
         s"""WITH lex AS (SELECT doc_id, rank AS lex_rank

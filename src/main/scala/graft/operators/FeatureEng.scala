@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering and data-audit aggregates the curation pipeline
+  * runs next to its statistics lane: smoothed target encoding (the
+  * categorical-feature transform every tabular model pipeline ships),
+  * market-basket association rules (support/confidence/lift over
+  * per-order item sets), and a Benford first-digit audit (the classic
+  * fabricated-numbers screen for ingested financial columns).
+  *
+  * Scale posture:
+  *  - target encoding is ONE groupBy over the joined fact table plus a
+  *    one-row global-mean scalar cross-joined back in (the repo's
+  *    bounded scalar-broadcast contract) — the encoder artifact is
+  *    |categories| rows, broadcastable at serve time;
+  *  - association rules explode pairs WITHIN an order only (basket
+  *    size is bounded — TPC-H baskets ≤ 7 items — so the explode is
+  *    O(rows·basket), never all-pairs across orders), then one pair-keyed
+  *    aggregate; item supports join back via a broadcast (|parts|-sized);
+  *  - the Benford audit is a single partial/final aggregate over a
+  *    9-value digit key derived with INTEGER arithmetic (cents →
+  *    leading decimal digit), no doubles until the final 9-row output.
+  */
+object FeatureEng {
+
+  /** Smoothed (m-estimate) target encoding of `c_mktsegment` against
+    * order totals: `enc = (sum_y + m·μ) / (n + m)` with the global mean
+    * `μ` as the prior (Micci-Barreca 2001). The per-category row also
+    * ships `n` and the raw mean so the consumer can audit the shrinkage.
+    */
+  def targetEncode(orders: DataFrame, customer: DataFrame, m: Double = 10.0): DataFrame = {
+    val joined = orders.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      col("o_custkey") === col("c_custkey"))
+    val global = joined.agg(
+      (sum("o_totalprice") / count(lit(1))).as("mu"))
+    joined
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_y"))
+      .crossJoin(global)
+      .select(col("segment"), col("n"),
+        round(col("sum_y") / col("n"), 4).as("raw_mean"),
+        round((col("sum_y") + lit(m) * col("mu")) / (col("n") + lit(m)), 4)
+          .as("encoded"))
+      .orderBy("segment")
+  }
+
+  /** Association rules over per-order item baskets: for every unordered
+    * part pair co-occurring in ≥ `minSup` orders, support, the two
+    * directed confidences, and lift. Baskets are DISTINCT partkeys per
+    * order; pair generation is a self-join on the order key (per-basket
+    * bounded), support counts one pair-keyed aggregate.
+    */
+  def associationRules(lineitem: DataFrame, minSup: Long = 2L): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("okey"),
+      col("l_partkey").as("item")).distinct()
+    val nOrders = items.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCnt = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val a = items.select(col("okey"), col("item").as("part_a"))
+    val b = items.select(col("okey"), col("item").as("part_b"))
+    a.join(b, Seq("okey")).where(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minSup)
+      .join(broadcast(itemCnt.withColumnRenamed("item", "part_a")
+        .withColumnRenamed("n_item", "n_a")), "part_a")
+      .join(broadcast(itemCnt.withColumnRenamed("item", "part_b")
+        .withColumnRenamed("n_item", "n_b")), "part_b")
+      .crossJoin(nOrders)
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        round(col("n_both") / col("n_orders").cast("double"), 6).as("support"),
+        round(col("n_both") / col("n_a").cast("double"), 6).as("conf_ab"),
+        round(col("n_both") / col("n_b").cast("double"), 6).as("conf_ba"),
+        round(col("n_both") * col("n_orders").cast("double")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
+  /** Benford's-law expected first-digit frequencies, rounded once in
+    * Scala and inlined as literals into BOTH engines' plans so the gap
+    * column can never disagree on the constant. */
+  val benfordExpected: Map[Int, Double] =
+    (1 to 9).map(d => d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+
+  /** Benford first-digit audit of a currency column: counts and observed
+    * frequencies per leading digit next to the Benford expectation and
+    * the absolute gap. The digit is extracted with integer arithmetic
+    * (cents = round(x·100) — the column is a 2-decimal currency, so
+    * cents are exact — then the first character of the integer's decimal
+    * rendering), never a float `log10` whose ulp could flip a boundary.
+    */
+  def benford(lineitem: DataFrame): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val expectedCol = benfordExpected.foldLeft(lit(0.0)) { case (acc, (d, e)) =>
+      when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    val total = lineitem.where(col("l_extendedprice") > 0)
+      .agg(count(lit(1)).as("n_total"))
+    lineitem.where(col("l_extendedprice") > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(total)
+      .select(col("digit"), col("n"),
+        round(col("n") / col("n_total").cast("double"), 6).as("freq"),
+        expectedCol.as("expected"),
+        round(abs(round(col("n") / col("n_total").cast("double"), 6)
+          - expectedCol), 6).as("gap"))
+      .orderBy("digit")
+  }
+}
+
+/** DuckDB twins — identical arithmetic, identical rounding, identical
+  * inlined Benford constants. */
+object FeatureEngSql {
+
+  def targetEncode(m: Double = 10.0): String =
+    s"""WITH j AS (
+       |  SELECT c.c_mktsegment AS segment, o.o_totalprice AS y
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       |g AS (SELECT sum(y) / count(*) AS mu FROM j)
+       |SELECT segment, count(*) AS n,
+       |       round(sum(y) / count(*), 4) AS raw_mean,
+       |       round((sum(y) + $m * g.mu) / (count(*) + $m), 4) AS encoded
+       |FROM j CROSS JOIN g
+       |GROUP BY segment, g.mu
+       |ORDER BY segment""".stripMargin
+
+  def associationRules(minSup: Long = 2L): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+       |cnt AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders FROM items),
+       |ic AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.item AS part_a, b.item AS part_b, count(*) AS n_both
+       |  FROM items a JOIN items b
+       |    ON b.okey = a.okey AND a.item < b.item
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $minSup)
+       |SELECT p.part_a, p.part_b, p.n_both,
+       |       round(p.n_both / cnt.n_orders, 6) AS support,
+       |       round(CAST(p.n_both AS DOUBLE) / ia.n_item, 6) AS conf_ab,
+       |       round(CAST(p.n_both AS DOUBLE) / ib.n_item, 6) AS conf_ba,
+       |       round(p.n_both * cnt.n_orders / (ia.n_item * ib.n_item), 6) AS lift
+       |FROM pairs p
+       |JOIN ic ia ON ia.item = p.part_a
+       |JOIN ic ib ON ib.item = p.part_b
+       |CROSS JOIN cnt
+       |ORDER BY part_a, part_b""".stripMargin
+
+  def benford: String = {
+    val cases = FeatureEng.benfordExpected.toSeq.sortBy(_._1)
+      .map { case (d, e) => s"WHEN $d THEN CAST($e AS DOUBLE)" }.mkString(" ")
+    s"""WITH src AS (
+       |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+       |           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM lineitem WHERE l_extendedprice > 0),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM src),
+       |per AS (SELECT digit, count(*) AS n FROM src GROUP BY 1)
+       |SELECT digit, n,
+       |       round(n / tot.n_total, 6) AS freq,
+       |       (CASE digit $cases END) AS expected,
+       |       round(abs(round(n / tot.n_total, 6)
+       |         - (CASE digit $cases END)), 6) AS gap
+       |FROM per CROSS JOIN tot
+       |ORDER BY digit""".stripMargin
+  }
+}

@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** In-engine multinomial Naive Bayes — the second trainable model next to
+  * the gradient-descent LR of t31, chosen because its training IS a
+  * counting aggregate: the model is `count(label, token)` plus per-label
+  * totals, so a 100 TB corpus trains in exactly one shuffle and the
+  * fitted artifact is |labels|·|vocab| rows (broadcastable at serve
+  * time). This is the fastText-era baseline every corpus-quality /
+  * language-routing stack keeps around precisely because it scales as a
+  * groupBy.
+  *
+  * Exactness contract (how a floating-point classifier hash-matches a
+  * cross-engine oracle): log-probabilities are QUANTIZED at training
+  * time — `logp_q = round(ln((c+1)/(tot+V)) · 10^6)` as BIGINT — and
+  * scoring sums INTEGERS (`score_q = prior_q + Σ n_t · logp_q`), so the
+  * per-doc score is associative/commutative with no float-summation
+  * order dependence: both engines produce bit-identical scores and the
+  * argmax is deterministic (ties break to the lexicographically first
+  * label). The only cross-engine float op left is one `ln` per model
+  * cell; a 1-ulp libm divergence flips a 10^6-scale rounding with
+  * probability ~1e-10 per cell. Integer-quantized log-linear inference
+  * is also what int8 serving deployments run, so the quantization is the
+  * capability, not a test convenience.
+  *
+  * The label is token-derived (argmax of three keyword counts with a
+  * fixed tie order) because the synthetic corpus's `lang`/`source`
+  * columns are text-independent (t31's finding, Training.scala): a
+  * learnable target must live in the text itself. NB trained on the
+  * TRAIN split genuinely learns it; t36 reports per-class
+  * precision/recall/F1 on the held-out TEST split.
+  */
+object NaiveBayes {
+
+  /** Tie order is the CASE order: join > scan > merge on equal counts. */
+  val labelKeywords: Seq[String] = Seq("join", "scan", "merge")
+
+  private def kwCount(kw: String): Column =
+    size(filter(TextAnalysis.tokens(col("text")), t => t === kw))
+
+  /** Token-derived 3-class label (argmax keyword count, fixed tie order). */
+  def ruleLabel: Column = {
+    val Seq(cj, cs, cm) = labelKeywords.map(kwCount)
+    when(cj >= cs && cj >= cm, lit("join"))
+      .when(cs >= cm, lit("scan"))
+      .otherwise(lit("merge"))
+  }
+
+  /** Deterministic 70/30 split: integer arithmetic both engines share. */
+  def isTrain: Column = pmod(col("doc_id"), lit(10)) < 7
+
+  private val Q = 1e6
+
+  /** Labeled per-(doc, token) counts for one split. */
+  private def docTokens(docs: DataFrame, train: Boolean): DataFrame =
+    docs.where(if (train) isTrain else !isTrain)
+      .select(col("doc_id"), ruleLabel.as("label"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "label", "token").agg(count(lit(1)).as("n"))
+
+  /** Train-split corpus constants: vocab size V and train doc count, as
+    * a one-row relation (bounded scalar broadcast, never a collect). */
+  private def trainStats(trainToks: DataFrame): DataFrame =
+    trainToks.agg(
+      countDistinct("token").as("v"),
+      countDistinct("doc_id").as("n_train_docs"))
+
+  /** The fitted model: per (label, token) occurrence count and quantized
+    * Laplace-smoothed log-probability. */
+  def model(docs: DataFrame): DataFrame = {
+    val tt = docTokens(docs, train = true)
+    val labelTot = tt.groupBy("label").agg(sum("n").as("tot"))
+    tt.groupBy("label", "token").agg(sum("n").as("c"))
+      .join(labelTot, "label")
+      .crossJoin(trainStats(tt))
+      .select(col("label"), col("token"), col("c"),
+        round(log((col("c") + 1).cast("double") / (col("tot") + col("v")))
+          * Q).cast("long").as("logp_q"))
+      .orderBy("label", "token")
+  }
+
+  /** Per-label scoring constants: quantized prior and the unseen-token
+    * default cell. */
+  private def labelConsts(docs: DataFrame): DataFrame = {
+    val tt = docTokens(docs, train = true)
+    val labelTot = tt.groupBy("label").agg(
+      sum("n").as("tot"), countDistinct("doc_id").as("n_docs"))
+    labelTot.crossJoin(trainStats(tt))
+      .select(col("label"),
+        round(log(col("n_docs").cast("double") / col("n_train_docs")) * Q)
+          .cast("long").as("prior_q"),
+        round(log(lit(1.0) / (col("tot") + col("v"))) * Q)
+          .cast("long").as("default_q"))
+  }
+
+  /** Classify the held-out split: integer score per (doc, label), argmax
+    * with deterministic tie-break. The model and the per-label constants
+    * are broadcast; the only shuffle is the per-doc token count and the
+    * per-doc top-1 (a doc-partitioned window, never global). */
+  def apply(docs: DataFrame): DataFrame = {
+    val m = model(docs).select("label", "token", "logp_q")
+    val consts = labelConsts(docs)
+    val test = docTokens(docs, train = false)
+      .withColumnRenamed("label", "true_label")
+    val scored = test
+      .crossJoin(broadcast(consts.select("label", "default_q")))
+      .join(broadcast(m), Seq("label", "token"), "left")
+      .groupBy(col("doc_id"), col("true_label"), col("label"))
+      .agg(sum(col("n") * coalesce(col("logp_q"), col("default_q"))).as("tok_q"))
+      .join(broadcast(consts.select("label", "prior_q")), "label")
+      .select(col("doc_id"), col("true_label"), col("label"),
+        (col("prior_q") + col("tok_q")).as("score_q"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("label"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("true_label"), col("label").as("pred"),
+        col("score_q"))
+      .orderBy("doc_id")
+  }
+
+  /** Held-out per-class evaluation: tp/fp/fn and precision/recall/F1
+    * computed from the integer counts directly (no rounded-intermediate
+    * reuse), one row per class. */
+  def evaluate(docs: DataFrame): DataFrame = {
+    val preds = apply(docs).select("doc_id", "true_label", "pred")
+    val classes = preds.select(col("true_label").as("class")).union(
+      preds.select(col("pred").as("class"))).distinct()
+    val tp = preds.where(col("pred") === col("true_label"))
+      .groupBy(col("pred").as("class")).agg(count(lit(1)).as("tp"))
+    val predCnt = preds.groupBy(col("pred").as("class"))
+      .agg(count(lit(1)).as("n_pred"))
+    val trueCnt = preds.groupBy(col("true_label").as("class"))
+      .agg(count(lit(1)).as("n_true"))
+    classes
+      .join(tp, Seq("class"), "left")
+      .join(predCnt, Seq("class"), "left")
+      .join(trueCnt, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .select(col("class"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(round(col("tp") / (col("tp") + col("fp")).cast("double"), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(round(col("tp") / (col("tp") + col("fn")).cast("double"), 6))
+          .as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(0.0))
+          .otherwise(round(lit(2) * col("tp")
+            / (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"), 6))
+          .as("f1"))
+      .orderBy("class")
+  }
+}
+
+/** DuckDB twins — the identical counting, quantization, and tie-break. */
+object NaiveBayesSql {
+
+  import TextAnalysisSql.toks
+
+  private val kwCase = {
+    def c(kw: String) = s"len(list_filter($toks, t -> t = '$kw'))"
+    s"""CASE WHEN ${c("join")} >= ${c("scan")} AND ${c("join")} >= ${c("merge")}
+       |     THEN 'join'
+       |     WHEN ${c("scan")} >= ${c("merge")} THEN 'scan'
+       |     ELSE 'merge' END""".stripMargin
+  }
+
+  /** Shared CTEs: labeled per-(doc, token) counts per split, train-side
+    * totals, vocab size, label constants. */
+  private val baseCtes: String =
+    s"""labeled AS (
+       |  SELECT doc_id, $kwCase AS label, text, doc_id % 10 < 7 AS is_train
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, label, is_train, t.token, count(*) AS n
+       |  FROM labeled, unnest($toks) AS t(token)
+       |  GROUP BY ALL),
+       |stats AS (
+       |  SELECT count(DISTINCT token) AS v,
+       |         count(DISTINCT doc_id) AS n_train_docs
+       |  FROM toks WHERE is_train),
+       |cells AS (
+       |  SELECT label, token, sum(n) AS c FROM toks WHERE is_train
+       |  GROUP BY 1, 2),
+       |labtot AS (
+       |  SELECT label, sum(n) AS tot, count(DISTINCT doc_id) AS n_docs
+       |  FROM toks WHERE is_train GROUP BY 1),
+       |model AS (
+       |  SELECT c.label, c.token, c.c,
+       |         CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / (lt.tot + s.v)) * 1e6)
+       |           AS BIGINT) AS logp_q
+       |  FROM cells c JOIN labtot lt ON lt.label = c.label CROSS JOIN stats s),
+       |consts AS (
+       |  SELECT lt.label,
+       |         CAST(round(ln(CAST(lt.n_docs AS DOUBLE) / s.n_train_docs) * 1e6)
+       |           AS BIGINT) AS prior_q,
+       |         CAST(round(ln(1.0 / (lt.tot + s.v)) * 1e6)
+       |           AS BIGINT) AS default_q
+       |  FROM labtot lt CROSS JOIN stats s)""".stripMargin
+
+  val model: String =
+    s"""WITH $baseCtes
+       |SELECT label, token, c, logp_q FROM model
+       |ORDER BY label, token""".stripMargin
+
+  private val applyCtes: String =
+    s"""$baseCtes,
+       |test AS (
+       |  SELECT doc_id, label AS true_label, token, n FROM toks
+       |  WHERE NOT is_train),
+       |scored AS (
+       |  SELECT t.doc_id, t.true_label, co.label,
+       |         co.prior_q + sum(t.n * coalesce(m.logp_q, co.default_q))
+       |           AS score_q
+       |  FROM test t
+       |  CROSS JOIN consts co
+       |  LEFT JOIN model m ON m.label = co.label AND m.token = t.token
+       |  GROUP BY t.doc_id, t.true_label, co.label, co.prior_q),
+       |pred AS (
+       |  SELECT doc_id, true_label, label AS pred, score_q,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score_q DESC, label) AS rn
+       |  FROM scored)""".stripMargin
+
+  val apply: String =
+    s"""WITH $applyCtes
+       |SELECT doc_id, true_label, pred, score_q FROM pred
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val evaluate: String =
+    s"""WITH $applyCtes,
+       |p AS (SELECT doc_id, true_label, pred FROM pred WHERE rn = 1),
+       |classes AS (SELECT true_label AS class FROM p
+       |            UNION SELECT pred FROM p),
+       |tp AS (SELECT pred AS class, count(*) AS tp FROM p
+       |       WHERE pred = true_label GROUP BY 1),
+       |pc AS (SELECT pred AS class, count(*) AS n_pred FROM p GROUP BY 1),
+       |tc AS (SELECT true_label AS class, count(*) AS n_true FROM p GROUP BY 1)
+       |SELECT c.class,
+       |       coalesce(tp.tp, 0) AS tp,
+       |       coalesce(pc.n_pred, 0) - coalesce(tp.tp, 0) AS fp,
+       |       coalesce(tc.n_true, 0) - coalesce(tp.tp, 0) AS fn,
+       |       CASE WHEN coalesce(pc.n_pred, 0) = 0 THEN 0.0
+       |            ELSE round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
+       |                       / pc.n_pred, 6) END AS precision,
+       |       CASE WHEN coalesce(tc.n_true, 0) = 0 THEN 0.0
+       |            ELSE round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
+       |                       / tc.n_true, 6) END AS recall,
+       |       CASE WHEN 2 * coalesce(tp.tp, 0) + (coalesce(pc.n_pred, 0) - coalesce(tp.tp, 0))
+       |                 + (coalesce(tc.n_true, 0) - coalesce(tp.tp, 0)) = 0 THEN 0.0
+       |            ELSE round(2.0 * coalesce(tp.tp, 0)
+       |                       / (2 * coalesce(tp.tp, 0)
+       |                          + (coalesce(pc.n_pred, 0) - coalesce(tp.tp, 0))
+       |                          + (coalesce(tc.n_true, 0) - coalesce(tp.tp, 0))), 6)
+       |       END AS f1
+       |FROM classes c
+       |LEFT JOIN tp ON tp.class = c.class
+       |LEFT JOIN pc ON pc.class = c.class
+       |LEFT JOIN tc ON tc.class = c.class
+       |ORDER BY c.class""".stripMargin
+}

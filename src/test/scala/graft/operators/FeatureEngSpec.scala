@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalactic.Tolerance._
+
+import graft.SparkSuite
+
+/** Known-answer tests for the feature-engineering / data-audit lane:
+  * m-estimate target encoding, basket association rules, Benford audit. */
+class FeatureEngSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("targetEncode: hand-computed shrinkage toward the global mean") {
+    // A: y = 10, 20 (n=2); B: y = 30 (n=1); global mean μ = 20.
+    val orders = Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 2L, 30.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((1L, "A"), (2L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = FeatureEng.targetEncode(orders, customer, m = 10.0)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // enc_A = (30 + 10·20)/12 = 230/12; enc_B = (30 + 10·20)/11 = 230/11
+    assert(r === Seq(
+      ("A", 2L, 15.0, BigDecimal(230.0 / 12).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("B", 1L, 30.0, BigDecimal(230.0 / 11).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // shrinkage: every encoded value sits strictly between raw mean and μ
+    r.foreach { case (_, _, raw, enc) =>
+      assert((enc - raw).abs < (20.0 - raw).abs || raw == 20.0)
+      assert((enc - 20.0).abs < (raw - 20.0).abs || raw == 20.0)
+    }
+  }
+
+  test("targetEncode: m = 0 degenerates to the raw per-category mean") {
+    val orders = Seq((1L, 1L, 10.0), (2L, 1L, 30.0), (3L, 2L, 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+    FeatureEng.targetEncode(orders, customer, m = 0.0)
+      .as[(String, Long, Double, Double)].collect()
+      .foreach { case (_, _, raw, enc) => assert(enc === raw) }
+  }
+
+  test("associationRules: hand-computed support/confidence/lift") {
+    // baskets: o1 {1,2,3}, o2 {1,2}, o3 {2,3}, o4 {1}; a duplicate
+    // (o2, part 1) line must NOT double-count (baskets are DISTINCT).
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 1L),
+      (2L, 2L), (3L, 2L), (3L, 3L), (4L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = FeatureEng.associationRules(li, minSup = 2L)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(r === Seq(
+      (1L, 2L, 2L, 0.5, 0.666667, 0.666667, 0.888889),
+      (2L, 3L, 2L, 0.5, 0.666667, 1.0, 1.333333)))
+  }
+
+  test("benford: exact digit extraction and inlined expectations") {
+    // cents: 123, 5, 95000, 1999 → digits 1, 5, 9, 1; the 0.0 row drops
+    val li = Seq(1.23, 0.05, 950.00, 19.99, 0.0).toDF("l_extendedprice")
+    val r = FeatureEng.benford(li)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    def gap(freq: Double, d: Int) =
+      BigDecimal((freq - FeatureEng.benfordExpected(d)).abs)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r === Seq(
+      (1, 2L, 0.5, FeatureEng.benfordExpected(1), gap(0.5, 1)),
+      (5, 1L, 0.25, FeatureEng.benfordExpected(5), gap(0.25, 5)),
+      (9, 1L, 0.25, FeatureEng.benfordExpected(9), gap(0.25, 9))))
+  }
+
+  test("benford: expectations sum to 1 and are log10(1 + 1/d)") {
+    assert(FeatureEng.benfordExpected.values.sum === 1.000001 +- 1e-5)
+    (1 to 9).foreach { d =>
+      assert(FeatureEng.benfordExpected(d) ===
+        math.log10(1.0 + 1.0 / d) +- 1e-6)
+    }
+  }
+}
