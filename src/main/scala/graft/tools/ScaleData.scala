@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence data generator (SCALING.md's third point).
+  *
+  * The driver ships sf0.001/sf0.01/sf0.1; separating linear-by-design
+  * queries from quietly super-linear ones needs one more decade-ish step,
+  * so this tool synthesizes an `sf0.1 × factor` dataset by replicating
+  * each table with replica-offset keys — the same growth shape a real
+  * corpus has (key domains widen, per-group densities grow, dimension
+  * tables stay put):
+  *
+  *  - fact/entity tables (`lineitem orders customer supplier part events
+  *    documents embeddings`) are unioned `factor` times with every key
+  *    column offset by `replica * (max(key)+1)`, so foreign keys stay
+  *    consistent within a replica and keys stay globally unique;
+  *  - `documents.text` is character-translated per replica (a fixed
+  *    rotation over the common-letter alphabet) — lengths are preserved
+  *    (so the length-band densities that drive `dedup_editdist`'s
+  *    candidate-pair count grow exactly as real growth would) while
+  *    cross-replica texts are dissimilar (real growth does not add
+  *    exact copies, and dist-0 cross-replica pairs would inflate the
+  *    OUTPUT quadratically rather than the work);
+  *  - `nation`/`region` are fixed-domain dimensions (TPC-H scales them
+  *    as constants) and are copied once.
+  *
+  * This is bench-only tooling: the correctness gate always runs on the
+  * driver's own parquet, never on generated data.
+  *
+  * Usage: `runMain graft.tools.ScaleData <srcDir> <dstDir> <factor>`
+  */
+object ScaleData {
+
+  /** Per-table key columns to offset per replica. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val dims = Seq("nation", "region")
+
+  /** Per-replica text rotation: replica 0 is the original corpus; replica
+    * i>0 maps the 12 most frequent English letters to a rotation of
+    * themselves. Length-preserving, deterministic, and strongly
+    * divergent from the original (every occurrence of a common letter
+    * changes), which is all the bench needs.
+    */
+  private def rotateText(c: org.apache.spark.sql.Column, i: Int) = {
+    val alpha = "etaoinshrdlu"
+    if (i == 0) c
+    else {
+      val k = i % alpha.length
+      translate(c, alpha, alpha.substring(k) + alpha.substring(0, k))
+    }
+  }
+
+  def replicate(df: DataFrame, table: String, factor: Int): DataFrame = {
+    val keys = keyCols.getOrElse(table, Seq.empty)
+    if (keys.isEmpty || factor <= 1) return df
+    // one tiny job to size the offsets; the offset must clear the max so
+    // replica key ranges never collide
+    val offsets: Map[String, Long] = {
+      val row = df.agg(keys.map(k => max(col(k)).as(k)).head,
+        keys.map(k => max(col(k)).as(k)).tail: _*).head()
+      keys.map(k => k -> (row.getAs[Number](k).longValue() + 1L)).toMap
+    }
+    (0 until factor).map { i =>
+      val shifted = keys.foldLeft(df) { (d, k) =>
+        d.withColumn(k, (col(k) + lit(i.toLong * offsets(k))).cast(df.schema(k).dataType))
+      }
+      if (table == "documents")
+        shifted.withColumn("text", rotateText(col("text"), i))
+      else shifted
+    }.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tables = keyCols.keys.toSeq ++ dims
+    for (t <- tables) {
+      val in = spark.read.parquet(s"$src/$t.parquet")
+      val out = replicate(in, t, factor)
+      // file sizing tracks the growth: factor × the source's file count,
+      // floor 1 — so maxPartitionBytes-driven split behavior at read time
+      // scales the way a real bigger table's would
+      val nFiles = math.max(1, in.inputFiles.length * (if (dims.contains(t)) 1 else factor))
+      out.repartition(nFiles).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"$t: ${out.columns.length} cols -> $dst/$t.parquet ($nFiles files)")
+    }
+    spark.stop()
+  }
+}
