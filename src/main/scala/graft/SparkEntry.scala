@@ -2462,6 +2462,11 @@ object SparkEntry {
     "gr7_link_pred" -> ((s, dir) => // Adamic-Adar scores for distance-2
       // non-edges; rounded-before-ranked so ordering is cross-engine safe
       Graph.linkPrediction(Tables(s, dir, "events"))),
+    "gr8_ppr" -> ((s, dir) => // random-walk-with-restart seed proximity
+      Graph.personalizedPagerank(Tables(s, dir, "events"),
+        col("node") % 50 === 0)),
+    "gr9_communities" -> ((s, dir) => // bounded-round min-label propagation
+      Graph.labelPropagation(Tables(s, dir, "events"))),
 
     // ---- privacy lane: disclosure-risk audit + DP release ----
     // (thresholds shared with the twins; scale posture on operators.Privacy)
@@ -3532,6 +3537,8 @@ object SparkEntry {
       "gr5_cluster_coeff" -> GraphSql.clusteringCoefficient,
       "gr6_bfs_hops" -> GraphSql.bfsHops("node % 50 = 0"),
       "gr7_link_pred" -> GraphSql.linkPrediction(),
+      "gr8_ppr" -> GraphSql.personalizedPagerank("node % 50 = 0"),
+      "gr9_communities" -> GraphSql.labelPropagation(),
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),

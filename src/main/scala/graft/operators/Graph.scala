@@ -316,6 +316,101 @@ object Graph {
     und.unpersist()
     dist.orderBy("node")
   }
+
+  /** Personalized PageRank (Page et al. 1999 §6; the "random walk with
+    * restart" scoring behind related-item feeds and seed-expansion
+    * curation): identical synchronous recurrence to [[pagerank]], except
+    * BOTH the teleport and the dangling mass return to the seed set
+    * instead of the uniform distribution:
+    * `r'(v) = (1-d)·1{v∈S}/|S| + d·(Σ_{u→v} r(u)/out(u) + dang·1{v∈S}/|S|)`.
+    * Rank therefore measures proximity to the seeds; non-seed nodes with
+    * no inbound path stay at exactly 0.0, so the relation is sparse in
+    * spirit even though emitted densely for the oracle.
+    *
+    * Scale posture is [[pagerank]]'s: node-keyed relations, per-iteration
+    * persist+count so lineage stays one step deep, the seed count as the
+    * single bounded driver scalar, every prep cache released at exit. */
+  def personalizedPagerank(
+      events: DataFrame,
+      seedPred: Column,
+      iters: Int = 3,
+      d: Double = 0.85): DataFrame = {
+    val ed = edges(events).persist()
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct().persist()
+    val outDeg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .persist()
+    val edDeg = ed
+      .join(outDeg.withColumnRenamed("node", "src"), "src")
+      .select("src", "dst", "deg").persist()
+    val dangling = nodes.join(outDeg, Seq("node"), "left_anti").persist()
+    val nSeeds = nodes.where(seedPred).count() // one bounded driver scalar
+    require(nSeeds > 0, "personalized pagerank needs a non-empty seed set")
+    var rank = nodes.select(col("node"),
+      when(seedPred, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("rank"))
+      .persist()
+    (1 to iters).foreach { _ =>
+      val dang = rank.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
+      val contrib = edDeg.join(rank, edDeg("src") === rank("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dang)
+        .select(col("node"),
+          (when(seedPred, lit((1.0 - d) / nSeeds)).otherwise(lit(0.0)) +
+            lit(d) * (coalesce(col("contrib"), lit(0.0)) +
+              when(seedPred, col("dang") / lit(nSeeds.toDouble))
+                .otherwise(lit(0.0))))
+            .as("rank"))
+        .persist()
+      next.count() // materialize so lineage stays one iteration deep
+      rank.unpersist()
+      rank = next
+    }
+    Seq(ed, nodes, outDeg, edDeg, dangling).foreach(_.unpersist())
+    rank.select(col("node"), round(col("rank"), 9).as("rank")).orderBy("node")
+  }
+
+  /** Bounded-round community detection by synchronous min-label
+    * propagation: every node starts labeled with its own id, and each
+    * round takes the min over itself and its neighbors' previous labels.
+    * After `iters` rounds a node's label is the minimum node id within
+    * `iters` hops — communities converge to connected components once
+    * `iters` reaches the component diameter (the log-diameter variant of
+    * this loop is the repo's `dedup_clusters` operator; here the
+    * fixed-round face is the point, because it is what a 100 TB run
+    * schedules: a known number of identical self-join rounds). Emits
+    * `(node, community)`.
+    *
+    * Scale posture: one symmetrized-adjacency equi-join plus a min
+    * aggregate per round over node-keyed relations; per-round
+    * persist+count keeps lineage one step deep (the [[pagerank]]
+    * discipline), and labels are integers so the cross-engine match is
+    * exact, not rounded. */
+  def labelPropagation(events: DataFrame, iters: Int = 4): DataFrame = {
+    val und = undirected(events).persist()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v"))).persist()
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var lab = nodes.select(col("node"), col("node").as("label")).persist()
+    (1 to iters).foreach { _ =>
+      val neighborMin = sym
+        .join(lab, sym("v") === lab("node"))
+        .groupBy(col("u").as("node")).agg(min("label").as("nmin"))
+      val next = lab.select(col("node"), col("label"))
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .persist()
+      next.count() // materialize so lineage stays one round deep
+      lab.unpersist()
+      lab = next
+    }
+    Seq(und, sym).foreach(_.unpersist())
+    lab.select(col("node"), col("label").as("community")).orderBy("node")
+  }
 }
 
 /** DuckDB oracle SQL for the graph lane — the identical edge contract and
@@ -481,4 +576,60 @@ object GraphSql {
        |  WHERE w.dist < $hops)
        |SELECT node, min(dist) AS dist FROM walk
        |GROUP BY node ORDER BY node""".stripMargin
+
+  /** Twin of [[Graph.personalizedPagerank]]: the unrolled recurrence with
+    * teleport and dangling mass both routed to the seed set. */
+  def personalizedPagerank(
+      seedPredSql: String,
+      iters: Int = 3,
+      d: Double = 0.85): String = {
+    def seed(expr: String) =
+      s"CASE WHEN $seedPredSql THEN $expr ELSE 0.0 END"
+    val steps = (1 to iters).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |         ${seed(s"(1 - $d) / cs.ns")} +
+         |         $d * (coalesce(c.contrib, 0) +
+         |           ${seed(s"""(SELECT coalesce(sum(p.rank), 0) FROM $prev p
+         |            LEFT JOIN od o ON o.node = p.node
+         |            WHERE o.node IS NULL) / cs.ns""")}) AS rank
+         |  FROM nodes n CROSS JOIN cs
+         |  LEFT JOIN (SELECT e.dst AS cnode, sum(p.rank / o.deg) AS contrib
+         |             FROM ed e
+         |             JOIN $prev p ON p.node = e.src
+         |             JOIN od o ON o.node = e.src
+         |             GROUP BY e.dst) c ON c.cnode = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |cs AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes
+       |       WHERE $seedPredSql),
+       |od AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY 1),
+       |pr0 AS (SELECT node, ${seed("1.0 / cs.ns")} AS rank
+       |        FROM nodes CROSS JOIN cs),
+       |$steps
+       |SELECT node, round(rank, 9) AS rank FROM pr$iters ORDER BY node""".stripMargin
+  }
+
+  /** Twin of [[Graph.labelPropagation]]: the identical min-label rounds
+    * unrolled as CTEs — integer labels, exact match. */
+  def labelPropagation(iters: Int = 4): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"lp${i - 1}"
+      s"""lp$i AS (
+         |  SELECT l.node,
+         |         least(l.label, coalesce(m.nmin, l.label)) AS label
+         |  FROM $prev l
+         |  LEFT JOIN (SELECT s.u AS node, min(p.label) AS nmin
+         |             FROM sym s JOIN $prev p ON p.node = s.v
+         |             GROUP BY s.u) m ON m.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |sym AS (SELECT a AS u, b AS v FROM und
+       |        UNION ALL SELECT b AS u, a AS v FROM und),
+       |lp0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+       |$steps
+       |SELECT node, label AS community FROM lp$iters ORDER BY node""".stripMargin
+  }
 }

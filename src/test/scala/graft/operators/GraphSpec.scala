@@ -174,4 +174,55 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Int)].collect().toMap
     assert(d === Map(3L -> 0, 1L -> 1, 2L -> 1, 4L -> 2))
   }
+
+  /** events spanning several hour buckets so edges only form WITHIN each
+    * user sequence (the bucket boundary cuts cross-sequence pairs). */
+  private def eventsOfBuckets(buckets: Seq[Long]*): DataFrame =
+    buckets.zipWithIndex.flatMap { case (users, b) =>
+      users.zipWithIndex.map { case (u, i) =>
+        (3600000000000L * b + 1000000000L * i, (b * 100 + i).toLong, u,
+          "c", 1.0, "{}")
+      }
+    }.toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+
+  test("personalizedPagerank: hand-computed on a chain with a dangling " +
+    "sink returning mass to the seed") {
+    // chain 1→2→3, seed {1}; 3 iterations of the documented recurrence:
+    // (0.15, 0.85, 0) → (0.15, 0.1275, 0.7225)
+    //   → (0.15 + 0.85·0.7225, 0.1275, 0.108375)
+    val r = Graph.personalizedPagerank(
+      eventsOf(Seq(1L, 2L, 3L)), col("node") === 1)
+      .as[(Long, Double)].collect().toMap
+    assert(r === Map(1L -> 0.764125, 2L -> 0.1275, 3L -> 0.108375))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // walk mass is conserved
+  }
+
+  test("personalizedPagerank: a component with no seed stays at exactly 0") {
+    // two components (1→2 | 3→4), seed {1}: 3 and 4 get no teleport and
+    // no inbound walk — identically zero, not merely small
+    val r = Graph.personalizedPagerank(
+      eventsOfBuckets(Seq(1L, 2L), Seq(3L, 4L)), col("node") === 1)
+      .as[(Long, Double)].collect().toMap
+    assert(r(3L) === 0.0 && r(4L) === 0.0)
+    // the seeded component carries ALL the walk mass
+    assert(r(1L) > 0.0 && r(2L) > 0.0)
+    assert(math.abs(r(1L) + r(2L) - 1.0) < 1e-9)
+  }
+
+  test("labelPropagation: components collapse to their min node id") {
+    // components {1,2,3} (diameter 2) and {4,5}: 4 rounds ≥ both diameters
+    val r = Graph.labelPropagation(
+      eventsOfBuckets(Seq(1L, 2L, 3L), Seq(4L, 5L)))
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("labelPropagation: bounded rounds reach exactly `iters` hops") {
+    // chain 1-2-3-4-5-6 at iters=2: label(v) = min id within 2 hops
+    val r = Graph.labelPropagation(
+      eventsOf(Seq(1L, 2L, 3L, 4L, 5L, 6L)), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      6L -> 4L))
+  }
 }
