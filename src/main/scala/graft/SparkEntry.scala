@@ -2093,6 +2093,8 @@ object SparkEntry {
     "dedup_editdist" -> ((s, dir) => // length-banded bounded edit distance
       Dedup.editDistancePairs(Tables(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
+    "dedup_fuzzy_names" -> ((s, dir) => // brand-blocked Jaro-Winkler ER
+      Dedup.fuzzyNamePairs(Tables(s, dir, "part"))),
     "dedup_snm" -> ((s, dir) => // sorted-neighborhood (sort + sliding window)
       Dedup.sortedNeighborhoodPairs(Tables(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
@@ -3394,6 +3396,7 @@ object SparkEntry {
       "dedup_simhash_verify" -> DedupSql.simhashExactDupCheck,
       "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),
       "dedup_editdist" -> DedupSql.editDistancePairs(8, 10, 40),
+      "dedup_fuzzy_names" -> DedupSql.fuzzyNamePairs(0.94),
       "dedup_snm" -> DedupSql.sortedNeighborhoodPairs(4, 40, 2, 10),
       "dedup_span_rate" -> DedupSql.dupSpanRate(8),
       "dedup_snm_multi" -> DedupSql.sortedNeighborhoodMultipass(4, 40, 2, 10),

@@ -203,3 +203,44 @@ case class BloomProbeGroups(
       newLeft: Expression, newRight: Expression): BloomProbeGroups =
     copy(left = newLeft, right = newRight)
 }
+
+/** `jaro_winkler(a, b)` — Jaro–Winkler similarity in [0, 1] with the
+  * portable convention [[graft.core.JaroWinkler]] documents (0.1 prefix
+  * weight over ≤ 4 chars, boost above 0.7, empty strings score 0) —
+  * DuckDB's `jaro_winkler_similarity`, fuzz-verified bit-identical.
+  *
+  * A native expression for the same reason as [[Mmh3]]: the fuzzy-match
+  * verify kernel runs on every blocked candidate pair, so it must stay a
+  * single static call inside whole-stage codegen rather than a boxed UDF
+  * dispatch. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!left.dataType.isInstanceOf[StringType] ||
+      !right.dataType.isInstanceOf[StringType]) {
+      TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler takes two STRINGs, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    } else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.JaroWinkler.similarity(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.core.JaroWinkler.similarity(" +
+        s"$a.toString(), $b.toString());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerSim =
+    copy(left = newLeft, right = newRight)
+}

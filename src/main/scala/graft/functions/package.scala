@@ -72,6 +72,10 @@ package object functions {
   /** Native corpus tokenizer: lowercased maximal [a-z0-9]+ runs. */
   def word_tokens(text: Column): Column = col(WordTokens(expr(text)))
 
+  /** Jaro–Winkler similarity of two string columns (DuckDB convention). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    col(JaroWinklerSim(expr(a), expr(b)))
+
   /** Feature-hashed linear quality score (BIGINT) of a text column. */
   def hashed_lr_score(text: Column, dim: Int): Column =
     col(HashedLrScore(expr(text), dim))
@@ -158,6 +162,7 @@ package object functions {
         "minhash_sig(shingles, numHashes): numHashes must be an INT literal")
     }),
     ("word_tokens", 1, exprs => WordTokens(exprs(0))),
+    ("jaro_winkler", 2, exprs => JaroWinklerSim(exprs(0), exprs(1))),
     ("hashed_lr_score", 2, {
       case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(d: Int,
           org.apache.spark.sql.types.IntegerType)) => HashedLrScore(text, d)

@@ -25,6 +25,23 @@ class FunctionsSpec extends SparkSuite {
     assert(r === 0x248bfa47)
   }
 
+  test("jaro_winkler expression matches the core kernel (codegen + SQL)") {
+    val pairs = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+      ("crate", "trace"), ("", ""), ("abc", "abc"))
+    val got = pairs.toDF("a", "b")
+      .select(jaro_winkler($"a", $"b").as("jw"))
+      .as[Double].collect()
+    pairs.zip(got).foreach { case ((a, b), jw) =>
+      assert(jw === graft.core.JaroWinkler.similarity(a, b), s"($a, $b)")
+    }
+    val viaSql = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw")
+      .head().getDouble(0)
+    assert(viaSql === graft.core.JaroWinkler.similarity("martha", "marhta"))
+    // null propagation (nullIntolerant binary expression)
+    assert(spark.sql("SELECT jaro_winkler(CAST(NULL AS STRING), 'x') AS jw")
+      .head().isNullAt(0))
+  }
+
   test("text/vector kernels resolve from SQL too") {
     val ng = spark.sql(
       "SELECT word_ngrams(array('a','b','c','d'), 3) AS s").head().getSeq[String](0)

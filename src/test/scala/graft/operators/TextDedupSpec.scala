@@ -624,4 +624,18 @@ class TextDedupSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(langs === Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
+
+  test("fuzzyNamePairs: brand-blocked Jaro-Winkler with exact cut") {
+    val part = Seq(
+      (1L, "red widget", "B1"), // vs 2: jw = 0.96 exactly (see below)
+      (2L, "red widgey", "B1"),
+      (3L, "red widget", "B2"), // name twin of 1 but blocked out by brand
+      (4L, "blue bolt", "B1")) // same brand, dissimilar
+      .toDF("p_partkey", "p_name", "p_brand")
+    val got = Dedup.fuzzyNamePairs(part, threshold = 0.94)
+      .as[(Long, Long, Double)].collect().toSeq
+    // jaro = (9/10 + 9/10 + 1)/3 = 0.93333…, prefix 4 →
+    // jw = 0.93333… + 0.4·(1 − 0.93333…) = 0.96
+    assert(got === Seq((1L, 2L, 0.96)))
+  }
 }
