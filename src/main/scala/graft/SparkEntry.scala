@@ -2491,6 +2491,9 @@ object SparkEntry {
         Tables(s, dir, "customer"))),
     "fe2_assoc_rules" -> ((s, dir) => // per-basket support/confidence/lift
       FeatureEng.associationRules(Tables(s, dir, "lineitem"))),
+    "fe4_cv_target_encode" -> ((s, dir) => // leakage-free out-of-fold encoder
+      FeatureEng.cvTargetEncode(Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"))),
     "fe3_benford" -> ((s, dir) => // first-digit fabricated-numbers screen
       FeatureEng.benford(Tables(s, dir, "lineitem"))),
 
@@ -3547,6 +3550,7 @@ object SparkEntry {
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),
       "fe1_target_encode" -> FeatureEngSql.targetEncode(),
       "fe2_assoc_rules" -> FeatureEngSql.associationRules(),
+      "fe4_cv_target_encode" -> FeatureEngSql.cvTargetEncode(),
       "fe3_benford" -> FeatureEngSql.benford,
       "t35_nb_model" -> NaiveBayesSql.model,
       "t36_nb_classify" -> NaiveBayesSql.apply,

@@ -47,6 +47,49 @@ object FeatureEng {
       .orderBy("segment")
   }
 
+  /** Out-of-fold (k-fold cross-validated) target encoding — the
+    * leakage-free variant of [[targetEncode]] every competition-grade
+    * tabular pipeline actually deploys: rows in fold `i` are encoded
+    * from the OTHER folds' statistics only, so the feature never sees
+    * its own row's target. Fold assignment is deterministic integer
+    * arithmetic (`o_orderkey mod k`) both engines share. Emits the
+    * serve-time artifact itself: one row per `(segment, fold)` with the
+    * out-of-fold support and the smoothed encoding (the prior is the
+    * out-of-fold GLOBAL mean, so even μ is leakage-free).
+    *
+    * Scale posture: ONE groupBy over the joined fact table produces the
+    * `|segments| × k` cell relation; per-segment, per-fold, and global
+    * sums are all second-level aggregates of that bounded relation
+    * (both engines nest the summation identically, keeping float
+    * magnitudes aligned), and the output is broadcastable at serve
+    * time. */
+  def cvTargetEncode(
+      orders: DataFrame,
+      customer: DataFrame,
+      k: Int = 5,
+      m: Double = 10.0): DataFrame = {
+    val joined = orders.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_totalprice").as("y"),
+        pmod(col("o_orderkey"), lit(k)).as("fold"))
+    val cell = joined.groupBy("segment", "fold")
+      .agg(count(lit(1)).as("n_sf"), sum("y").as("sum_sf"))
+    val seg = cell.groupBy("segment")
+      .agg(sum("n_sf").as("n_s"), sum("sum_sf").as("sum_s"))
+    val fld = cell.groupBy("fold")
+      .agg(sum("n_sf").as("n_f"), sum("sum_sf").as("sum_f"))
+    val tot = cell.agg(sum("n_sf").as("n_tot"), sum("sum_sf").as("sum_tot"))
+    val muOof = (col("sum_tot") - col("sum_f")) / (col("n_tot") - col("n_f"))
+    cell.join(seg, "segment").join(fld, "fold").crossJoin(tot)
+      .select(col("segment"), col("fold"),
+        (col("n_s") - col("n_sf")).as("n_oof"),
+        round(((col("sum_s") - col("sum_sf")) + lit(m) * muOof)
+          / ((col("n_s") - col("n_sf")) + lit(m)), 4).as("encoded"))
+      .orderBy("segment", "fold")
+  }
+
   /** Association rules over per-order item baskets: for every unordered
     * part pair co-occurring in ≥ `minSup` orders, support, the two
     * directed confidences, and lift. Baskets are DISTINCT partkeys per
@@ -127,6 +170,30 @@ object FeatureEngSql {
        |FROM j CROSS JOIN g
        |GROUP BY segment, g.mu
        |ORDER BY segment""".stripMargin
+
+  def cvTargetEncode(k: Int = 5, m: Double = 10.0): String =
+    s"""WITH j AS (
+       |  SELECT c.c_mktsegment AS segment, o.o_totalprice AS y,
+       |         o.o_orderkey % $k AS fold
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       |cell AS (SELECT segment, fold, count(*) AS n_sf, sum(y) AS sum_sf
+       |         FROM j GROUP BY 1, 2),
+       |seg AS (SELECT segment, sum(n_sf) AS n_s, sum(sum_sf) AS sum_s
+       |        FROM cell GROUP BY 1),
+       |fld AS (SELECT fold, sum(n_sf) AS n_f, sum(sum_sf) AS sum_f
+       |        FROM cell GROUP BY 1),
+       |tot AS (SELECT sum(n_sf) AS n_tot, sum(sum_sf) AS sum_tot FROM cell)
+       |SELECT c.segment, c.fold,
+       |       seg.n_s - c.n_sf AS n_oof,
+       |       round(((seg.sum_s - c.sum_sf)
+       |               + $m * ((tot.sum_tot - fld.sum_f)
+       |                       / (tot.n_tot - fld.n_f)))
+       |             / ((seg.n_s - c.n_sf) + $m), 4) AS encoded
+       |FROM cell c
+       |JOIN seg ON seg.segment = c.segment
+       |JOIN fld ON fld.fold = c.fold
+       |CROSS JOIN tot
+       |ORDER BY c.segment, c.fold""".stripMargin
 
   def associationRules(minSup: Long = 2L): String =
     s"""WITH items AS (

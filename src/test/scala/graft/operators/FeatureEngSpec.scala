@@ -37,6 +37,39 @@ class FeatureEngSpec extends SparkSuite {
       .foreach { case (_, _, raw, enc) => assert(enc === raw) }
   }
 
+  test("cvTargetEncode: hand-computed out-of-fold cells at k = 2") {
+    // folds by o_orderkey % 2; cells A0(n2,40) A1(n1,20) B0(n1,50) B1(n1,40)
+    // μ_oof = 30 for both folds; m = 10
+    val orders = Seq((0L, 1L, 10.0), (1L, 1L, 20.0), (2L, 1L, 30.0),
+      (3L, 2L, 40.0), (4L, 2L, 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+    val r = FeatureEng.cvTargetEncode(orders, customer, k = 2, m = 10.0)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    def enc(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r === Seq(
+      ("A", 0L, 1L, enc(320.0 / 11)),
+      ("A", 1L, 2L, enc(340.0 / 12)),
+      ("B", 0L, 1L, enc(340.0 / 11)),
+      ("B", 1L, 1L, enc(350.0 / 11))))
+  }
+
+  test("cvTargetEncode: a fold's encoding never sees its own targets") {
+    val customer = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+    def ordersWith(y0: Double) =
+      Seq((0L, 1L, y0), (1L, 1L, 20.0), (2L, 1L, 30.0),
+        (3L, 2L, 40.0), (4L, 2L, 50.0))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    def fold0(y0: Double) =
+      FeatureEng.cvTargetEncode(ordersWith(y0), customer, k = 2, m = 10.0)
+        .where($"fold" === 0)
+        .as[(String, Long, Long, Double)].collect().toSeq
+    // order 0 sits in fold 0: perturbing its target must leave EVERY
+    // fold-0 encoding (its own segment's and μ's alike) unchanged
+    assert(fold0(10.0) === fold0(10000.0))
+  }
+
   test("associationRules: hand-computed support/confidence/lift") {
     // baskets: o1 {1,2,3}, o2 {1,2}, o3 {2,3}, o4 {1}; a duplicate
     // (o2, part 1) line must NOT double-count (baskets are DISTINCT).
