@@ -74,15 +74,21 @@ object FeatureEng {
       .select(col("c_mktsegment").as("segment"),
         col("o_totalprice").as("y"),
         pmod(col("o_orderkey"), lit(k)).as("fold"))
+    // persisted: four consumers (cell itself + three second-level
+    // aggregates) would otherwise each re-run the fact shuffle — Catalyst
+    // does not share common subplans. |segments|·k rows; released by the
+    // harness's per-query clearCache (the linkPrediction convention).
     val cell = joined.groupBy("segment", "fold")
       .agg(count(lit(1)).as("n_sf"), sum("y").as("sum_sf"))
+      .persist()
     val seg = cell.groupBy("segment")
       .agg(sum("n_sf").as("n_s"), sum("sum_sf").as("sum_s"))
     val fld = cell.groupBy("fold")
       .agg(sum("n_sf").as("n_f"), sum("sum_sf").as("sum_f"))
     val tot = cell.agg(sum("n_sf").as("n_tot"), sum("sum_sf").as("sum_tot"))
     val muOof = (col("sum_tot") - col("sum_f")) / (col("n_tot") - col("n_f"))
-    cell.join(seg, "segment").join(fld, "fold").crossJoin(tot)
+    cell.join(broadcast(seg), "segment").join(broadcast(fld), "fold")
+      .crossJoin(tot)
       .select(col("segment"), col("fold"),
         (col("n_s") - col("n_sf")).as("n_oof"),
         round(((col("sum_s") - col("sum_sf")) + lit(m) * muOof)

@@ -18,6 +18,26 @@ class PlanAuditSpec extends SparkSuite {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  /** `collect` that sees through AQE wrappers. `SparkPlan.collect` stops
+    * at `AdaptiveSparkPlanExec` / `QueryStageExec` (both are leaves to
+    * tree traversal), so a naive `executedPlan.collect` inspects only the
+    * outermost wrapper and an is-empty assertion passes VACUOUSLY. This
+    * helper descends through the adaptive wrappers but deliberately NOT
+    * into `InMemoryTableScan`'s cached subtree — cached fragments execute
+    * once at materialization, which is exactly what cache-reuse audits
+    * need to distinguish. */
+  private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(deepCollect(_)(pf))
+  }
+
   test("j1: dimension side broadcasts; no sort-merge join") {
     val p = plan("j1_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), p)
@@ -624,7 +644,9 @@ class PlanAuditSpec extends SparkSuite {
         "p13_curriculum", "pipe4_dsir_select")) {
       val exec = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan
-      val global = exec.collect {
+      // deepCollect, not collect: AQE wrappers are leaves to plain
+      // traversal, which made this assertion vacuous as first written
+      val global = deepCollect(exec) {
         case w: WindowExec if w.partitionSpec.isEmpty => w
         case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
       }
@@ -904,5 +926,74 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
     // both rankers bound their lists per task before the fusion join
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("dedup_fuzzy_names: candidates meet through the blocking equi-join " +
+      "and the native kernel survives into the plan") {
+    val p = plan("dedup_fuzzy_names")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy matching must never degenerate to all-pairs:\n$p")
+    assert(p.contains("jaro_winkler"),
+      s"the codegen kernel must not be replaced by a fallback:\n$p")
+  }
+
+  test("fe2: item supports and the order count broadcast onto the " +
+      "pair-keyed aggregate") {
+    val p = plan("fe2_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    // two bounded item-count relations + the one-row order count
+    assert(nodeCount(p, "BroadcastHashJoin") +
+      nodeCount(p, "BroadcastNestedLoopJoin") >= 3, p)
+  }
+
+  test("t36: the NB model and label constants broadcast; the argmax " +
+      "window partitions by doc, never globally") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("t36_nb_classify")(spark, dir)
+      .queryExecution.executedPlan
+    val global = deepCollect(exec) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, s"per-doc argmax went global:\n${global.mkString("\n")}")
+    assert(deepCollect(exec) { case w: WindowExec => w }.nonEmpty,
+      s"expected the per-doc argmax window in the plan:\n$exec")
+    val p = plan("t36_nb_classify")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 2,
+      s"model cells and per-label constants are bounded artifacts and " +
+        s"must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gr8: the returned PPR relation reads the cached final rank — " +
+      "no parquet rescan, no recomputed edge derivation") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val exec = SparkEntry.queries("gr8_ppr")(spark, dir)
+      .queryExecution.executedPlan
+    // deepCollect stops at InMemoryTableScan (cached subtrees run once at
+    // materialization), so any FileSourceScan here is a REAL recompute
+    assert(deepCollect(exec) { case s: FileSourceScanExec => s }.isEmpty,
+      s"final PPR rank must come from the cached relation:\n$exec")
+    assert(deepCollect(exec) { case s: InMemoryTableScanExec => s }.nonEmpty,
+      s"expected the persisted rank relation:\n$exec")
+    spark.catalog.clearCache()
+  }
+
+  test("fe4: the fact table shuffles once; every higher aggregate " +
+      "derives from the persisted cell relation") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val exec = SparkEntry.queries("fe4_cv_target_encode")(spark, dir)
+      .queryExecution.executedPlan
+    // the fact join + groupBy live INSIDE the cached cell relation; the
+    // top-level plan must read that cache 4 times and parquet never
+    assert(deepCollect(exec) { case s: FileSourceScanExec => s }.isEmpty,
+      s"cv encoding must not rescan the fact table per aggregate:\n$exec")
+    assert(deepCollect(exec) { case s: InMemoryTableScanExec => s }.size === 4,
+      s"expected cell + seg + fld + tot to share the cached cells:\n$exec")
+    assert(deepCollect(exec) { case j: SortMergeJoinExec => j }.isEmpty,
+      s"cell-relation joins are bounded and must broadcast:\n$exec")
+    spark.catalog.clearCache()
   }
 }
