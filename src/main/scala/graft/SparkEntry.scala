@@ -2366,6 +2366,12 @@ object SparkEntry {
     "st24_stream_contract" -> ((s, dir) => // a17's verdicts as stream
       // state: one fixed-width metric row across micro-batch commits
       graft.streaming.StreamingQueries.contractMonitor(s, dir)),
+    "st25_stream_benford" -> ((s, dir) => // fe3's audit as an always-on
+      // fact-stream monitor: state is the 9-row digit-count relation
+      graft.streaming.StreamingQueries.benfordMonitor(s, dir)),
+    "st26_stream_nb_serve" -> ((s, dir) => // t35's fitted model serving a
+      // stream: STATELESS scoring projection, verdict final per row
+      graft.streaming.StreamingQueries.nbServe(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -2999,6 +3005,10 @@ object SparkEntry {
           |         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
           |  FROM events)
           |ORDER BY rule""".stripMargin,
+      // drained digit state == the batch audit, row for row
+      "st25_stream_benford" -> FeatureEngSql.benford,
+      // stream-served predictions == the batch classifier's own oracle
+      "st26_stream_nb_serve" -> NaiveBayesSql.apply,
       "d5_merge_cdc" -> // from-scratch recompute: global latest op, D wins
         """WITH ops AS (
           |  SELECT user_id, event_id, epoch_ns(ts) AS tns,

@@ -144,14 +144,23 @@ object FeatureEng {
   def benford(lineitem: DataFrame): DataFrame = {
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    benfordFace(lineitem.where(col("l_extendedprice") > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n")))
+  }
+
+  /** Benford presentation over a `(digit, n)` count relation —
+    * freq/expected/gap per digit, with the total derived from the digit
+    * counts themselves (every kept row carries exactly one digit).
+    * Shared by the batch one-scan form above and the streaming monitor's
+    * drained state (`st25`). The 9-row relation persists so the total
+    * branch reads the cache, not a second pass over the source. */
+  def benfordFace(perDigit: DataFrame): DataFrame = {
     val expectedCol = benfordExpected.foldLeft(lit(0.0)) { case (acc, (d, e)) =>
       when(col("digit") === d, lit(e)).otherwise(acc)
     }
-    val total = lineitem.where(col("l_extendedprice") > 0)
-      .agg(count(lit(1)).as("n_total"))
-    lineitem.where(col("l_extendedprice") > 0)
-      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
-      .crossJoin(total)
+    val cached = perDigit.persist()
+    val total = cached.agg(sum("n").as("n_total"))
+    cached.crossJoin(total)
       .select(col("digit"), col("n"),
         round(col("n") / col("n_total").cast("double"), 6).as("freq"),
         expectedCol.as("expected"),

@@ -96,6 +96,24 @@ object NaiveBayes {
           .cast("long").as("default_q"))
   }
 
+  /** Driver-side serving artifacts, collected ONCE — the bounded-artifact
+    * lifecycle the BPE-merge and PQ-codebook lanes also use (the model is
+    * |labels|·|vocab| rows by construction, never corpus-sized): per-label
+    * `token → logp_q` maps plus `(prior_q, default_q)` per label. The
+    * streaming scorer (`st26`) folds these into a stateless projection. */
+  def servingArtifacts(docs: DataFrame)
+      : (Map[String, Map[String, Long]], Map[String, (Long, Long)]) = {
+    val cells = model(docs).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[String]("token"),
+        r.getAs[Long]("logp_q")))
+    val maps = cells.groupBy(_._1)
+      .map { case (l, rows) => l -> rows.map(t => t._2 -> t._3).toMap }
+    val consts = labelConsts(docs).collect()
+      .map(r => r.getAs[String]("label") ->
+        ((r.getAs[Long]("prior_q"), r.getAs[Long]("default_q")))).toMap
+    (maps, consts)
+  }
+
   /** Classify the held-out split: integer score per (doc, label), argmax
     * with deterministic tie-break. The model and the per-label constants
     * are broadcast; the only shuffle is the per-doc token count and the

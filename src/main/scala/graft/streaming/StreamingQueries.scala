@@ -1289,6 +1289,96 @@ object StreamingQueries {
         col("n_null") === 0))
       .orderBy("rule")
   }
+
+  /** Streaming Benford audit — `fe3_benford` as an always-on ingest
+    * monitor over the fact stream: the state is the 9-row per-digit
+    * count relation ONLY (a keyed streaming aggregate on a 9-value
+    * integer key — O(1) in stream length, the same bounded-state class
+    * as st23/st24), digits extracted with the identical integer
+    * arithmetic inside the stream projection. The Benford presentation
+    * (freq/expected/gap against the inlined expectations) evaluates on
+    * the drained state via the shared [[graft.operators.FeatureEng
+    * .benfordFace]], so batch and stream cannot diverge on the
+    * arithmetic — and both hash-match the same DuckDB oracle. */
+  def benfordMonitor(outer: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val spark = childSession(outer)
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val name = "st25_benford_" + math.abs(dir.hashCode)
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .option("maxFilesPerTrigger", "2").parquet(dir)
+      .where(col("l_extendedprice") > 0)
+      .groupBy(digit.as("digit")).agg(cnt(lit(1)).as("n"))
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.FeatureEng.benfordFace(spark.table(name))
+  }
+
+  /** Streaming model serving — the fitted Naive Bayes of `t35`-`t37`
+    * scoring an ingest stream: the model trains ONCE batch-side and its
+    * bounded artifacts ([[graft.operators.NaiveBayes.servingArtifacts]] —
+    * |labels|·|vocab| cells, the BPE-merge/PQ-codebook lifecycle) fold
+    * into a STATELESS stream projection: per label, one integer
+    * `aggregate()` over the token array against the label's literal
+    * token→logp map, then an argmax with the batch tie order (strictly-
+    * greater beats, labels visited ascending). Zero keyed state — each
+    * row's verdict is final at projection time, the true always-on
+    * serving shape (contrast the stateful monitors st20-st25). Output in
+    * APPEND mode; the drained predictions hash-match `t36_nb_classify`'s
+    * own DuckDB oracle row for row.
+    *
+    * Trade documented: `element_at` on a literal map is a linear probe —
+    * right for the bounded synthetic vocab; a 10⁶-vocab deployment
+    * would swap the literal for a broadcast hash map behind a static
+    * kernel, keeping this exact plan shape. */
+  def nbServe(outer: SparkSession, dir: String): DataFrame = {
+    val spark = childSession(outer)
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val (cellMaps, consts) =
+      graft.operators.NaiveBayes.servingArtifacts(batchDocs)
+    val labels = consts.keys.toSeq.sorted
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    def scoreCol(l: String): Column = {
+      val (prior, default) = consts(l)
+      val m = typedLit(cellMaps.getOrElse(l, Map.empty[String, Long]))
+      aggregate(toks, lit(prior),
+        (acc, t) => acc + coalesce(element_at(m, t), lit(default)))
+    }
+    val schema = batchDocs.schema
+    val name = "st26_nbserve_" + math.abs(dir.hashCode)
+    val scored = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "2").parquet(dir)
+      .where(!graft.operators.NaiveBayes.isTrain && size(toks) > 0)
+      .select(Seq(col("doc_id"),
+        graft.operators.NaiveBayes.ruleLabel.as("true_label")) ++
+        labels.map(l => scoreCol(l).as(s"s_$l")): _*)
+    // argmax, ties to the lexicographically first label (the batch
+    // row_number(score desc, label asc) order): strictly-greater beats
+    val (predCol, scoreCol2) = labels.tail.foldLeft(
+      (lit(labels.head), col(s"s_${labels.head}"))) {
+      case ((bl, bs), l) =>
+        val s = col(s"s_$l")
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    val q = scored
+      .select(col("doc_id"), col("true_label"),
+        predCol.as("pred"), scoreCol2.as("score_q"))
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("doc_id")
+  }
 }
 
 /** `StatefulProcessor` for [[StreamingQueries.transformWithStateCounts]]:

@@ -236,4 +236,27 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("hits") === r.getAs[Long]("total"), r))
   }
+
+  test("benfordMonitor: drained digit state equals the batch fe3 audit") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.benfordMonitor(spark, dir).collect()
+    val batch = graft.SparkEntry.queries("fe3_benford")(spark, dir).collect()
+    // row-for-row: the stream's 9-row count state + the shared
+    // presentation must reproduce the batch audit exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
+  test("nbServe: stream-served predictions equal the batch classifier " +
+      "row for row (scores included)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.nbServe(spark, dir).collect()
+    val batch = graft.SparkEntry.queries("t36_nb_classify")(spark, dir)
+      .collect()
+    // the stateless serving projection (literal-map fold + argmax) must
+    // produce the exact integer scores and tie order of the batch
+    // join/aggregate/window formulation
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
 }
