@@ -2475,6 +2475,8 @@ object SparkEntry {
         col("node") % 50 === 0)),
     "gr9_communities" -> ((s, dir) => // bounded-round min-label propagation
       Graph.labelPropagation(Tables(s, dir, "events"))),
+    "gr10_kcore" -> ((s, dir) => // bounded-round k-core peel + converged flag
+      Graph.kCore(Tables(s, dir, "events"))),
 
     // ---- privacy lane: disclosure-risk audit + DP release ----
     // (thresholds shared with the twins; scale posture on operators.Privacy)
@@ -3555,6 +3557,7 @@ object SparkEntry {
       "gr7_link_pred" -> GraphSql.linkPrediction(),
       "gr8_ppr" -> GraphSql.personalizedPagerank("node % 50 = 0"),
       "gr9_communities" -> GraphSql.labelPropagation(),
+      "gr10_kcore" -> GraphSql.kCore(),
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),

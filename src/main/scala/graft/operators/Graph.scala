@@ -411,6 +411,52 @@ object Graph {
     Seq(und, sym).foreach(_.unpersist())
     lab.select(col("node"), col("label").as("community")).orderBy("node")
   }
+
+  /** Bounded-round k-core peeling (Seidman 1983's cores via the standard
+    * iterative algorithm): each round recomputes degrees over edges whose
+    * BOTH endpoints are still alive and drops nodes below `k`. After
+    * `rounds` rounds the survivors approximate the k-core from above,
+    * exactly when a round changes nothing — so the result carries a
+    * cross-engine-derivable `converged` flag (|alive| equal across the
+    * last two rounds). The fixed-round face is deliberate (the gr9
+    * argument): a 100 TB run schedules a known number of identical
+    * join+aggregate rounds, and peeling removes ≥1 node per non-converged
+    * round so `rounds` ≈ graph diameter suffices in practice. Emits the
+    * surviving `(node, deg)` (degree within the final core) + the flag.
+    *
+    * Scale posture: per round, two alive-set equi-joins against the
+    * symmetrized edges and one count aggregate — node-keyed relations,
+    * persist+count per round ([[pagerank]] discipline), never a driver
+    * structure beyond the two survivor COUNTS the flag needs. */
+  def kCore(events: DataFrame, k: Int = 3, rounds: Int = 6): DataFrame = {
+    val und = undirected(events).persist()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v"))).persist()
+    def coreDeg(alive: DataFrame): DataFrame = sym
+      .join(alive.withColumnRenamed("node", "u"), "u")
+      .join(alive.withColumnRenamed("node", "v"), "v")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    var alive = sym.select(col("u").as("node")).distinct().persist()
+    var prevCount = alive.count()
+    var lastCount = prevCount
+    (1 to rounds).foreach { _ =>
+      val next = coreDeg(alive).where(col("deg") >= k)
+        .select("node").persist()
+      prevCount = lastCount
+      lastCount = next.count() // materialize; lineage stays one round deep
+      alive.unpersist()
+      alive = next
+    }
+    val converged = lastCount == prevCount
+    // sym and alive stay persisted BY DESIGN: the returned lazy plan
+    // reads both (the linkPrediction convention) — released by the
+    // harness's per-query clearCache; a library caller unpersists after
+    // the action. und may be dropped: sym's cache shields its lineage.
+    und.unpersist()
+    coreDeg(alive)
+      .select(col("node"), col("deg"), lit(converged).as("converged"))
+      .orderBy("node")
+  }
 }
 
 /** DuckDB oracle SQL for the graph lane — the identical edge contract and
@@ -631,5 +677,31 @@ object GraphSql {
        |lp0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
        |$steps
        |SELECT node, label AS community FROM lp$iters ORDER BY node""".stripMargin
+  }
+
+  /** Twin of [[Graph.kCore]]: the identical peel rounds unrolled, with
+    * the convergence flag from the last two survivor counts. */
+  def kCore(k: Int = 3, rounds: Int = 6): String = {
+    def degOver(alive: String) =
+      s"""SELECT s.u AS node, count(*) AS deg
+         |  FROM sym s
+         |  JOIN $alive a ON a.node = s.u
+         |  JOIN $alive b ON b.node = s.v
+         |  GROUP BY s.u""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""alive$i AS (
+         |  SELECT node FROM (${degOver(s"alive${i - 1}")}) d
+         |  WHERE d.deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |sym AS (SELECT a AS u, b AS v FROM und
+       |        UNION ALL SELECT b AS u, a AS v FROM und),
+       |alive0 AS (SELECT DISTINCT u AS node FROM sym),
+       |$steps
+       |SELECT d.node, d.deg,
+       |       ((SELECT count(*) FROM alive$rounds) =
+       |        (SELECT count(*) FROM alive${rounds - 1})) AS converged
+       |FROM (${degOver(s"alive$rounds")}) d
+       |ORDER BY d.node""".stripMargin
   }
 }

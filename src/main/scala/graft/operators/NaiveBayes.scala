@@ -68,33 +68,41 @@ object NaiveBayes {
       countDistinct("token").as("v"),
       countDistinct("doc_id").as("n_train_docs"))
 
-  /** The fitted model: per (label, token) occurrence count and quantized
-    * Laplace-smoothed log-probability. */
-  def model(docs: DataFrame): DataFrame = {
-    val tt = docTokens(docs, train = true)
-    val labelTot = tt.groupBy("label").agg(sum("n").as("tot"))
-    tt.groupBy("label", "token").agg(sum("n").as("c"))
-      .join(labelTot, "label")
-      .crossJoin(trainStats(tt))
+  /** One fit, two artifacts: `(model cells, per-label constants)`. The
+    * labeled train-token relation is built ONCE and persisted — model
+    * cells, label totals, and the vocab stats all read it, and Catalyst
+    * shares no common subplans, so the uncached form re-runs the
+    * tokenize+explode shuffle once per consumer. The cache is the
+    * bounded train-token relation; released by the harness's per-query
+    * clearCache (the fe4/linkPrediction convention). */
+  private def fitted(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tt = docTokens(docs, train = true).persist()
+    val stats = trainStats(tt)
+    val labelTot = tt.groupBy("label").agg(
+      sum("n").as("tot"), countDistinct("doc_id").as("n_docs"))
+    val cells = tt.groupBy("label", "token").agg(sum("n").as("c"))
+      .join(labelTot.select("label", "tot"), "label")
+      .crossJoin(stats)
       .select(col("label"), col("token"), col("c"),
         round(log((col("c") + 1).cast("double") / (col("tot") + col("v")))
           * Q).cast("long").as("logp_q"))
-      .orderBy("label", "token")
-  }
-
-  /** Per-label scoring constants: quantized prior and the unseen-token
-    * default cell. */
-  private def labelConsts(docs: DataFrame): DataFrame = {
-    val tt = docTokens(docs, train = true)
-    val labelTot = tt.groupBy("label").agg(
-      sum("n").as("tot"), countDistinct("doc_id").as("n_docs"))
-    labelTot.crossJoin(trainStats(tt))
+    val consts = labelTot.crossJoin(stats)
       .select(col("label"),
         round(log(col("n_docs").cast("double") / col("n_train_docs")) * Q)
           .cast("long").as("prior_q"),
         round(log(lit(1.0) / (col("tot") + col("v"))) * Q)
           .cast("long").as("default_q"))
+    (cells, consts)
   }
+
+  /** The fitted model: per (label, token) occurrence count and quantized
+    * Laplace-smoothed log-probability. */
+  def model(docs: DataFrame): DataFrame =
+    fitted(docs)._1.orderBy("label", "token")
+
+  /** Per-label scoring constants: quantized prior and the unseen-token
+    * default cell. */
+  private def labelConsts(docs: DataFrame): DataFrame = fitted(docs)._2
 
   /** Driver-side serving artifacts, collected ONCE — the bounded-artifact
     * lifecycle the BPE-merge and PQ-codebook lanes also use (the model is
@@ -103,12 +111,13 @@ object NaiveBayes {
     * streaming scorer (`st26`) folds these into a stateless projection. */
   def servingArtifacts(docs: DataFrame)
       : (Map[String, Map[String, Long]], Map[String, (Long, Long)]) = {
-    val cells = model(docs).collect()
+    val (cellsDf, constsDf) = fitted(docs) // ONE fit for both collects
+    val cells = cellsDf.collect()
       .map(r => (r.getAs[String]("label"), r.getAs[String]("token"),
         r.getAs[Long]("logp_q")))
     val maps = cells.groupBy(_._1)
       .map { case (l, rows) => l -> rows.map(t => t._2 -> t._3).toMap }
-    val consts = labelConsts(docs).collect()
+    val consts = constsDf.collect()
       .map(r => r.getAs[String]("label") ->
         ((r.getAs[Long]("prior_q"), r.getAs[Long]("default_q")))).toMap
     (maps, consts)
@@ -119,8 +128,8 @@ object NaiveBayes {
     * are broadcast; the only shuffle is the per-doc token count and the
     * per-doc top-1 (a doc-partitioned window, never global). */
   def apply(docs: DataFrame): DataFrame = {
-    val m = model(docs).select("label", "token", "logp_q")
-    val consts = labelConsts(docs)
+    val (cells, consts) = fitted(docs) // ONE fit shared by both artifacts
+    val m = cells.select("label", "token", "logp_q")
     val test = docTokens(docs, train = false)
       .withColumnRenamed("label", "true_label")
     val scored = test

@@ -217,6 +217,32 @@ class GraphSpec extends SparkSuite {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("kCore: pendant peels, the triangle survives with in-core degrees") {
+    // triangle 1-2-3 + pendant edge 1-4: k=2 drops 4 in round 1 and the
+    // triangle is stable — node 1's reported degree is its IN-CORE 2,
+    // not its original 3
+    val r = Graph.kCore(eventsOfBuckets(
+      Seq(1L, 2L, 3L, 1L), Seq(1L, 4L)), k = 2)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r === Seq((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)))
+  }
+
+  test("kCore: a chain cascades to an empty 2-core, converged") {
+    // chain 1-2-3-4: round 1 drops the endpoints, round 2 the middle
+    val r = Graph.kCore(eventsOf(Seq(1L, 2L, 3L, 4L)), k = 2)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r.isEmpty)
+  }
+
+  test("kCore: too few rounds reports converged = false") {
+    // chain 1..6 at k=2 peels one layer per round; rounds=1 cannot have
+    // stabilized (round 1 dropped the endpoints, counts still moving)
+    val r = Graph.kCore(eventsOf(Seq(1L, 2L, 3L, 4L, 5L, 6L)),
+      k = 2, rounds = 1)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r.nonEmpty && r.forall(!_._3))
+  }
+
   test("labelPropagation: bounded rounds reach exactly `iters` hops") {
     // chain 1-2-3-4-5-6 at iters=2: label(v) = min id within 2 hops
     val r = Graph.labelPropagation(
