@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -202,6 +202,73 @@ case class BloomProbeGroups(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomProbeGroups =
     copy(left = newLeft, right = newRight)
+}
+
+/** `nb_score_sum(model, prior, tokens)` — integer Naive Bayes label score
+  * `prior + Σ_t logp_q(t)` over a token array, probing a driver-built,
+  * broadcast [[graft.core.QuantizedLogProbs]] table (O(1) hash probe per
+  * token; unseen tokens take the table's default cell).
+  *
+  * The serving kernel of the `st26` streaming scorer: the fitted model is
+  * a bounded artifact ([[graft.core.QuantizedLogProbs]] scaladoc), so the
+  * probe rides the [[BloomProbeGroups]] pattern — broadcast HANDLE in the
+  * task binary, payload once per executor, value resolved once per
+  * generated class — and the whole per-row score stays one codegen'd
+  * integer fold with no shuffle, no join, and no state. */
+case class NbScoreSum(
+    model: Broadcast[graft.core.QuantizedLogProbs],
+    prior: Long,
+    child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nb_score_sum tokens must be ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "nb_score_sum"
+
+  @transient private lazy val qlp: graft.core.QuantizedLogProbs = model.value
+
+  override protected def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var acc = prior
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      acc += qlp.lookup(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("nbModelBc", model,
+      classOf[Broadcast[graft.core.QuantizedLogProbs]].getName)
+    val qlpVar = ctx.addMutableState("graft.core.QuantizedLogProbs",
+      "nbLogProbs",
+      v => s"$v = (graft.core.QuantizedLogProbs) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |long ${ev.value}_acc = ${prior}L;
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc +=
+         |    $qlpVar.lookup($arr.getUTF8String($i).toString());
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NbScoreSum =
+    copy(child = newChild)
 }
 
 /** `jaro_winkler(a, b)` — Jaro–Winkler similarity in [0, 1] with the

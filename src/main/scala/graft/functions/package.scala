@@ -76,6 +76,13 @@ package object functions {
   def jaro_winkler(a: Column, b: Column): Column =
     col(JaroWinklerSim(expr(a), expr(b)))
 
+  /** Integer NB label score `prior + Σ logp_q(token)` over a token array,
+    * probing a broadcast quantized-log-prob table (serving kernel). */
+  def nb_score_sum(
+      model: org.apache.spark.broadcast.Broadcast[graft.core.QuantizedLogProbs],
+      prior: Long, tokens: Column): Column =
+    col(NbScoreSum(model, prior, expr(tokens)))
+
   /** Feature-hashed linear quality score (BIGINT) of a text column. */
   def hashed_lr_score(text: Column, dim: Int): Column =
     col(HashedLrScore(expr(text), dim))

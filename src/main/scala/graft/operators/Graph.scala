@@ -37,6 +37,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Re-base an iteration's result on its own RDD: truncates the LOGICAL
+    * plan to a leaf while keeping RDD lineage for fault tolerance (the
+    * [[Dedup.nearDupClusters]] discipline). Every loop below references
+    * its round state once or twice per round — carried as a logical plan
+    * that DOUBLES per round, so Catalyst re-analysis cost grows 2^rounds
+    * even though execution reads the caches (observed: the 6-round
+    * k-core spent 40s building plans for sub-second jobs at sf0.1, and
+    * 90+s per consume). With the re-base each round's plan is
+    * leaf + one join layer, flat forever. */
+  private def rebased(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Directed distinct edges `(src, dst)` per the hour-bucket contract. */
   def edges(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(expr("ts div 3600000000000"))
@@ -210,14 +222,14 @@ object Graph {
       val contrib = edDeg.join(rank, edDeg("src") === rank("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = rebased(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(dang)
         .select(col("node"),
           (lit((1.0 - d) / n) + lit(d) *
             (coalesce(col("contrib"), lit(0.0)) + col("dang") / lit(n.toDouble)))
-            .as("rank"))
+            .as("rank")))
         .persist()
-      next.count() // materialize so lineage stays one iteration deep
+      next.count() // materialize; rebased -> lineage stays one step deep
       rank.unpersist()
       rank = next
     }
@@ -303,9 +315,9 @@ object Graph {
       val next = dist.where(col("dist") === h - 1)
         .join(sym, col("node") === col("u"))
         .select(col("v").as("node"), lit(h).as("dist"))
-      val merged = dist.union(next)
-        .groupBy("node").agg(min(col("dist")).as("dist")).persist()
-      merged.count() // materialize: lineage stays one hop deep
+      val merged = rebased(dist.union(next)
+        .groupBy("node").agg(min(col("dist")).as("dist"))).persist()
+      merged.count() // materialize; rebased -> lineage stays one hop deep
       dist.unpersist()
       dist = merged
     }
@@ -355,16 +367,16 @@ object Graph {
       val contrib = edDeg.join(rank, edDeg("src") === rank("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = rebased(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(dang)
         .select(col("node"),
           (when(seedPred, lit((1.0 - d) / nSeeds)).otherwise(lit(0.0)) +
             lit(d) * (coalesce(col("contrib"), lit(0.0)) +
               when(seedPred, col("dang") / lit(nSeeds.toDouble))
                 .otherwise(lit(0.0))))
-            .as("rank"))
+            .as("rank")))
         .persist()
-      next.count() // materialize so lineage stays one iteration deep
+      next.count() // materialize; rebased -> lineage stays one step deep
       rank.unpersist()
       rank = next
     }
@@ -398,13 +410,13 @@ object Graph {
       val neighborMin = sym
         .join(lab, sym("v") === lab("node"))
         .groupBy(col("u").as("node")).agg(min("label").as("nmin"))
-      val next = lab.select(col("node"), col("label"))
+      val next = rebased(lab.select(col("node"), col("label"))
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
+            .as("label")))
         .persist()
-      next.count() // materialize so lineage stays one round deep
+      next.count() // materialize; rebased -> lineage stays one round deep
       lab.unpersist()
       lab = next
     }
@@ -440,10 +452,10 @@ object Graph {
     var prevCount = alive.count()
     var lastCount = prevCount
     (1 to rounds).foreach { _ =>
-      val next = coreDeg(alive).where(col("deg") >= k)
-        .select("node").persist()
+      val next = rebased(coreDeg(alive).where(col("deg") >= k)
+        .select("node")).persist()
       prevCount = lastCount
-      lastCount = next.count() // materialize; lineage stays one round deep
+      lastCount = next.count() // materialize; rebased -> flat lineage
       alive.unpersist()
       alive = next
     }

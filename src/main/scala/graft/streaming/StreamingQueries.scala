@@ -1334,10 +1334,14 @@ object StreamingQueries {
     * APPEND mode; the drained predictions hash-match `t36_nb_classify`'s
     * own DuckDB oracle row for row.
     *
-    * Trade documented: `element_at` on a literal map is a linear probe —
-    * right for the bounded synthetic vocab; a 10⁶-vocab deployment
-    * would swap the literal for a broadcast hash map behind a static
-    * kernel, keeping this exact plan shape. */
+    * The probe is the [[graft.functions.NbScoreSum]] kernel: a broadcast
+    * [[graft.core.QuantizedLogProbs]] hash table per label, one O(1)
+    * probe per token occurrence inside whole-stage codegen. (The first
+    * cut probed a Catalyst map LITERAL via `element_at` — a linear scan
+    * over the literal's key array per token, which measured 8s at sf0.1
+    * where the hash kernel belongs in the st-lane's 2-3s orchestration
+    * floor; at a 10⁶-token vocab the literal form would be quadratic
+    * pain while the broadcast table stays flat.) */
   def nbServe(outer: SparkSession, dir: String): DataFrame = {
     val spark = childSession(outer)
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
@@ -1347,9 +1351,9 @@ object StreamingQueries {
     val toks = graft.operators.TextAnalysis.tokens(col("text"))
     def scoreCol(l: String): Column = {
       val (prior, default) = consts(l)
-      val m = typedLit(cellMaps.getOrElse(l, Map.empty[String, Long]))
-      aggregate(toks, lit(prior),
-        (acc, t) => acc + coalesce(element_at(m, t), lit(default)))
+      val table = spark.sparkContext.broadcast(graft.core.QuantizedLogProbs(
+        cellMaps.getOrElse(l, Map.empty[String, Long]), default))
+      graft.functions.nb_score_sum(table, prior, toks)
     }
     val schema = batchDocs.schema
     val name = "st26_nbserve_" + math.abs(dir.hashCode)
