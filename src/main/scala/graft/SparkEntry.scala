@@ -2477,6 +2477,8 @@ object SparkEntry {
       Graph.labelPropagation(Tables(s, dir, "events"))),
     "gr10_kcore" -> ((s, dir) => // bounded-round k-core peel + converged flag
       Graph.kCore(Tables(s, dir, "events"))),
+    "gr11_assortativity" -> ((s, dir) => // Newman degree correlation
+      Graph.assortativity(Tables(s, dir, "events"))),
 
     // ---- privacy lane: disclosure-risk audit + DP release ----
     // (thresholds shared with the twins; scale posture on operators.Privacy)
@@ -2504,6 +2506,8 @@ object SparkEntry {
         Tables(s, dir, "customer"))),
     "fe3_benford" -> ((s, dir) => // first-digit fabricated-numbers screen
       FeatureEng.benford(Tables(s, dir, "lineitem"))),
+    "fe5_psi_drift" -> ((s, dir) => // cohort distribution-drift monitor
+      FeatureEng.psiDrift(Tables(s, dir, "orders"))),
 
     // ---- in-engine Naive Bayes: the counting-aggregate trainable model
     // (exactness contract on operators.NaiveBayes) ----
@@ -3558,6 +3562,7 @@ object SparkEntry {
       "gr8_ppr" -> GraphSql.personalizedPagerank("node % 50 = 0"),
       "gr9_communities" -> GraphSql.labelPropagation(),
       "gr10_kcore" -> GraphSql.kCore(),
+      "gr11_assortativity" -> GraphSql.assortativity,
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),
@@ -3565,6 +3570,7 @@ object SparkEntry {
       "fe2_assoc_rules" -> FeatureEngSql.associationRules(),
       "fe4_cv_target_encode" -> FeatureEngSql.cvTargetEncode(),
       "fe3_benford" -> FeatureEngSql.benford,
+      "fe5_psi_drift" -> FeatureEngSql.psiDrift(),
       "t35_nb_model" -> NaiveBayesSql.model,
       "t36_nb_classify" -> NaiveBayesSql.apply,
       "t37_nb_eval" -> NaiveBayesSql.evaluate,

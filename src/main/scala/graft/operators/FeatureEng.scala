@@ -127,6 +127,46 @@ object FeatureEng {
       .orderBy("part_a", "part_b")
   }
 
+  /** Population stability index between two cohorts of a numeric column
+    * — THE production drift monitor for deployed-model inputs (banking's
+    * PSI: < 0.1 stable, 0.1–0.25 shifting, > 0.25 retrain). Cohorts are
+    * a deterministic integer split (`o_orderkey mod 2` stands in for
+    * "reference batch vs serving batch"); values bin into `nBins`
+    * fixed-width bands (clamped top band catches the tail), and each
+    * bin contributes `(p_a − p_b)·ln(p_a/p_b)` with add-one smoothing
+    * over `(count + 1)/(N + nBins)` so an empty bin cannot divide by
+    * zero — both engines share the identical smoothed arithmetic.
+    * Emits one row per bin with both cohorts' counts, smoothed
+    * frequencies, and the PSI contribution; Σ contrib is the index.
+    *
+    * Scale posture: ONE partial/final aggregate over a `(cohort, bin)`
+    * key of bounded domain (2·nBins), then arithmetic on the bounded
+    * relation — the same shape as fe3; the column never leaves the
+    * scan un-aggregated. */
+  def psiDrift(
+      orders: DataFrame,
+      nBins: Int = 10,
+      width: Double = 50000.0): DataFrame = {
+    val bin = least(floor(col("o_totalprice") / width), lit(nBins - 1))
+      .cast("int")
+    val cohort = pmod(col("o_orderkey"), lit(2)).cast("int")
+    val counts = orders
+      .groupBy(cohort.as("cohort"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    // pivot the 2×nBins cell relation wide via a self-aligned aggregate
+    val wide = counts.groupBy("bin").agg(
+      sum(when(col("cohort") === 0, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("cohort") === 1, col("n")).otherwise(0L)).as("n_b"))
+    val tot = wide.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    val pA = (col("n_a") + 1).cast("double") / (col("tot_a") + nBins)
+    val pB = (col("n_b") + 1).cast("double") / (col("tot_b") + nBins)
+    wide.crossJoin(tot)
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+        round((pA - pB) * log(pA / pB), 6).as("psi_contrib"))
+      .orderBy("bin")
+  }
+
   /** Benford's-law expected first-digit frequencies, rounded once in
     * Scala and inlined as literals into BOTH engines' plans so the gap
     * column can never disagree on the constant. */
@@ -185,6 +225,31 @@ object FeatureEngSql {
        |FROM j CROSS JOIN g
        |GROUP BY segment, g.mu
        |ORDER BY segment""".stripMargin
+
+  def psiDrift(nBins: Int = 10, width: Double = 50000.0): String =
+    s"""WITH src AS (
+       |  SELECT CAST(least(floor(o_totalprice / $width), ${nBins - 1})
+       |           AS INTEGER) AS bin,
+       |         CAST(o_orderkey % 2 AS INTEGER) AS cohort
+       |  FROM orders),
+       |wide AS (
+       |  SELECT bin,
+       |         sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n_a,
+       |         sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n_b
+       |  FROM src GROUP BY bin),
+       |tot AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM wide)
+       |SELECT w.bin, w.n_a, w.n_b,
+       |       round(CAST(w.n_a + 1 AS DOUBLE) / (tot.tot_a + $nBins), 6)
+       |         AS p_a,
+       |       round(CAST(w.n_b + 1 AS DOUBLE) / (tot.tot_b + $nBins), 6)
+       |         AS p_b,
+       |       round((CAST(w.n_a + 1 AS DOUBLE) / (tot.tot_a + $nBins)
+       |              - CAST(w.n_b + 1 AS DOUBLE) / (tot.tot_b + $nBins))
+       |             * ln((CAST(w.n_a + 1 AS DOUBLE) / (tot.tot_a + $nBins))
+       |                  / (CAST(w.n_b + 1 AS DOUBLE)
+       |                     / (tot.tot_b + $nBins))), 6) AS psi_contrib
+       |FROM wide w CROSS JOIN tot
+       |ORDER BY w.bin""".stripMargin
 
   def cvTargetEncode(k: Int = 5, m: Double = 10.0): String =
     s"""WITH j AS (

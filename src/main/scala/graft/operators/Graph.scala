@@ -469,6 +469,52 @@ object Graph {
       .select(col("node"), col("deg"), lit(converged).as("converged"))
       .orderBy("node")
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — positive means
+    * hubs attach to hubs (social-graph shape), negative means hubs fan
+    * out to leaves (infrastructure shape). The one-number structural
+    * summary that tells a sampling/partitioning strategy what kind of
+    * skew the graph will throw at it. Emits
+    * `(n_nodes, n_edges, assortativity)`.
+    *
+    * Scale posture: one degree aggregate, two bounded degree equi-joins
+    * onto the edge relation, one co-moment `corr` partial/final pair —
+    * no iteration, no window. The correlation is sum-order-dependent in
+    * the last ulps (the w9_autocorr precedent); rounding to 6 decimals
+    * absorbs it on both engines. */
+  def assortativity(events: DataFrame): DataFrame = {
+    val und = undirected(events).persist()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    // Pearson from explicit co-moment sums rather than corr(): a REGULAR
+    // graph has zero degree variance, where ANSI-mode corr() throws
+    // DIVIDE_BY_ZERO and the oracle engine returns NULL — the explicit
+    // form guards the denominator and makes "undefined" one value (NULL)
+    // in both engines. Degrees are small integers, so the integer sums
+    // are exact and the one double expression matches the oracle's
+    // streaming co-moment corr comfortably within the 6-decimal round.
+    val x = col("du").cast("double")
+    val y = col("dv").cast("double")
+    sym
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .agg(
+        countDistinct(col("u")).as("n_nodes"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("n_nodes"), col("n_edges"), {
+        val covn = col("sxy") - col("sx") * col("sy") / col("n")
+        val varx = col("sxx") - col("sx") * col("sx") / col("n")
+        val vary = col("syy") - col("sy") * col("sy") / col("n")
+        when(varx <= 0 || vary <= 0, lit(null))
+          .otherwise(round(covn / sqrt(varx * vary), 6))
+          .as("assortativity")
+      })
+  }
 }
 
 /** DuckDB oracle SQL for the graph lane — the identical edge contract and
@@ -716,4 +762,33 @@ object GraphSql {
        |FROM (${degOver(s"alive$rounds")}) d
        |ORDER BY d.node""".stripMargin
   }
+
+  /** Twin of [[Graph.assortativity]]: identical degree joins and the
+    * identical explicit co-moment formula — the sums are integer-valued
+    * (exact in doubles), so the one final float expression is
+    * bit-identical across engines, and zero variance is NULL in both. */
+  val assortativity: String =
+    s"""WITH $edgeCtes,
+       |sym AS (SELECT a AS u, b AS v FROM und
+       |        UNION ALL SELECT b AS u, a AS v FROM und),
+       |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+       |j AS (SELECT s.u, CAST(du.deg AS DOUBLE) AS x,
+       |             CAST(dv.deg AS DOUBLE) AS y
+       |      FROM sym s
+       |      JOIN deg du ON du.node = s.u
+       |      JOIN deg dv ON dv.node = s.v),
+       |a AS (SELECT count(DISTINCT u) AS n_nodes,
+       |             CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       |             CAST(count(*) AS DOUBLE) AS n,
+       |             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+       |             sum(x * x) AS sxx, sum(y * y) AS syy
+       |      FROM j)
+       |SELECT n_nodes, n_edges,
+       |       CASE WHEN (sxx - sx * sx / n) <= 0
+       |              OR (syy - sy * sy / n) <= 0 THEN NULL
+       |            ELSE round((sxy - sx * sy / n)
+       |                       / sqrt((sxx - sx * sx / n)
+       |                              * (syy - sy * sy / n)), 6)
+       |       END AS assortativity
+       |FROM a""".stripMargin
 }

@@ -25,6 +25,25 @@ class FunctionsSpec extends SparkSuite {
     assert(r === 0x248bfa47)
   }
 
+  test("nb_score_sum: broadcast-table integer fold matches hand arithmetic") {
+    val table = spark.sparkContext.broadcast(
+      graft.core.QuantizedLogProbs(Map("a" -> -10L, "b" -> -20L), -99L))
+    val rows = Seq(
+      Seq("a", "a", "b"), // -1000 + 2·(-10) + (-20)
+      Seq("zzz"), // unseen -> default
+      Seq.empty[String]) // empty -> prior alone
+      .toDF("toks")
+      .select(nb_score_sum(table, -1000L, $"toks").as("s"))
+      .as[Long].collect().toSeq
+    assert(rows === Seq(-1040L, -1099L, -1000L))
+    // null array propagates null (nullIntolerant unary expression)
+    val withNull = Seq(Tuple1(Option.empty[Seq[String]]))
+      .toDF("toks")
+      .select(nb_score_sum(table, -1000L, $"toks").as("s"))
+      .collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
   test("jaro_winkler expression matches the core kernel (codegen + SQL)") {
     val pairs = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
       ("crate", "trace"), ("", ""), ("abc", "abc"))

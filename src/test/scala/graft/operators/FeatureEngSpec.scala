@@ -83,6 +83,28 @@ class FeatureEngSpec extends SparkSuite {
       (2L, 3L, 2L, 0.5, 0.666667, 1.0, 1.333333)))
   }
 
+  test("psiDrift: hand-computed smoothed contributions on a 2-bin split") {
+    // parity cohorts; bins by width 10: A = {5,5,15}, B = {5,15,15}
+    // smoothed p(b0): A (2+1)/(3+2) = 0.6, B (1+1)/5 = 0.4
+    // contrib(b0) = 0.2·ln(1.5); b1 mirrors it
+    val orders = Seq((0L, 5.0), (2L, 5.0), (4L, 15.0),
+      (1L, 5.0), (3L, 15.0), (5L, 15.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = FeatureEng.psiDrift(orders, nBins = 2, width = 10.0)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    val c = BigDecimal(0.2 * math.log(1.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r === Seq((0, 2L, 1L, 0.6, 0.4, c), (1, 1L, 2L, 0.4, 0.6, c)))
+  }
+
+  test("psiDrift: identical cohorts contribute exactly zero per bin") {
+    val orders = Seq((0L, 5.0), (1L, 5.0), (2L, 25.0), (3L, 25.0))
+      .toDF("o_orderkey", "o_totalprice")
+    FeatureEng.psiDrift(orders, nBins = 3, width = 10.0)
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+      .foreach { row => assert(row._6 === 0.0, row) }
+  }
+
   test("benford: exact digit extraction and inlined expectations") {
     // cents: 123, 5, 95000, 1999 → digits 1, 5, 9, 1; the 0.0 row drops
     val li = Seq(1.23, 0.05, 950.00, 19.99, 0.0).toDF("l_extendedprice")

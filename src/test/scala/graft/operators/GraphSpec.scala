@@ -243,6 +243,19 @@ class GraphSpec extends SparkSuite {
     assert(r.nonEmpty && r.forall(!_._3))
   }
 
+  test("assortativity: star is perfectly disassortative; regular graph " +
+    "is undefined (null, not NaN)") {
+    // star 1-{2,3,4}: endpoint degree pairs are (3,1)³ and (1,3)³ -> -1
+    val star = Graph.assortativity(
+      eventsOfBuckets(Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L))).head()
+    assert((star.getLong(0), star.getLong(1), star.getDouble(2)) ===
+      ((4L, 3L, -1.0)))
+    // triangle: every degree 2 -> zero variance -> null (oracle parity)
+    val tri = Graph.assortativity(
+      eventsOf(Seq(1L, 2L, 3L, 1L))).head()
+    assert(tri.isNullAt(2))
+  }
+
   test("labelPropagation: bounded rounds reach exactly `iters` hops") {
     // chain 1-2-3-4-5-6 at iters=2: label(v) = min id within 2 hops
     val r = Graph.labelPropagation(
