@@ -45,6 +45,29 @@ object StreamingQueries {
     spark
   }
 
+  /** Streaming file source for one table, tolerant of BOTH parquet
+    * layouts: the driver's testdata ships `<dir>/<table>.parquet` as a
+    * single FILE (the file-stream source rejects a file as `basePath`,
+    * so the watch dir is `<dir>` with a leaf-name glob), while
+    * Spark-written datasets (e.g. the `tools.ScaleData` scaling corpus)
+    * make it a DIRECTORY of part files (where the leaf-name glob matches
+    * nothing — scaling benches silently streamed ZERO rows until this
+    * helper). One stat call picks the right source shape. */
+  private def tableStream(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val schema = spark.read.parquet(path.toString).schema
+    var src = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      src = src.option("maxFilesPerTrigger", n.toString))
+    if (fs.getFileStatus(path).isDirectory) src.parquet(path.toString)
+    else src.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
 
   /** Event-time hourly counts over the `events` table, as a stream:
     * file-source parquet scan → event-time tumbling window (with
@@ -66,8 +89,7 @@ object StreamingQueries {
     // the file source requires a directory: stream the table dir with a
     // glob filter (the testdata table is a single parquet file)
     val counts = graft.operators.Tables.normalizeEvents(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      tableStream(spark, dir, "events"))
       // integer `div`, not double division: nanos ~1.7e18 exceed double's
       // 53-bit mantissa, so (ts/1000).cast(long) can misplace an event
       // that sits within ~128ns of an hour boundary
@@ -103,8 +125,7 @@ object StreamingQueries {
     val name = "st4_events_append_" + math.abs(dir.hashCode)
 
     val counts = graft.operators.Tables.normalizeEvents(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      tableStream(spark, dir, "events"))
       .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
         col("event_type"))
       .withWatermark("event_time", "1 hour")
@@ -134,8 +155,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st17_sliding_" + math.abs(dir.hashCode)
     val counts = graft.operators.Tables.normalizeEvents(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      tableStream(spark, dir, "events"))
       .select(timestamp_micros(expr("ts div 1000")).as("t"),
         col("event_type"))
       .withWatermark("t", "1 hour")
@@ -162,8 +182,7 @@ object StreamingQueries {
     val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val name = "st2_dedup_" + math.abs(dir.hashCode)
-    val counts = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val counts = tableStream(spark, dir, "documents")
       .select(graft.operators.TextAnalysis.normalized(col("text")).as("norm"))
       .groupBy("norm").agg(cnt("*").as("n"))
     val q = counts.writeStream
@@ -191,8 +210,7 @@ object StreamingQueries {
     val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st16_kmv_" + math.abs(dir.hashCode)
-    val hashes = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val hashes = tableStream(spark, dir, "events")
       .select(col("event_type").as("grp"),
         graft.operators.Sampling.rowHash(col("user_id")).as("h"))
       .groupBy("grp", "h").agg(cnt("*").as("n_seen"))
@@ -225,8 +243,7 @@ object StreamingQueries {
     val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val name = "st13_corpus_" + math.abs(dir.hashCode)
-    val counts = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val counts = tableStream(spark, dir, "documents")
       .where(graft.functions.hashed_lr_score(col("text"), 64) >= 0)
       .select(col("source"),
         xxhash64(graft.operators.TextAnalysis.normalized(col("text"))).as("fp"))
@@ -257,8 +274,7 @@ object StreamingQueries {
     val spark = childSession(outer)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val name = "st14_lm_" + math.abs(dir.hashCode)
-    val counts = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val counts = tableStream(spark, dir, "documents")
       .select(col("doc_id"),
         explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(cnt("*").as("c_dt"))
@@ -336,8 +352,7 @@ object StreamingQueries {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true) // idempotent re-run
-    val toked = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val toked = tableStream(spark, dir, "documents")
       .select(col("doc_id"),
         col("source").isin(targetSources: _*).as("in_target"),
         graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
@@ -478,8 +493,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st5_funnel_" + math.abs(dir.hashCode)
     def side(tag: String) = graft.operators.Tables.normalizeEvents(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      tableStream(spark, dir, "events"))
       .where(col("event_type") === tag)
       .select(col("user_id").as(s"${tag}_user"),
         timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
@@ -524,8 +538,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st8_abandon_" + math.abs(dir.hashCode)
     def side(tag: String) = graft.operators.Tables.normalizeEvents(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      tableStream(spark, dir, "events"))
       .where(col("event_type") === tag)
       .select(col("user_id").as(s"${tag}_user"),
         timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
@@ -566,8 +579,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st7_dropdup_" + math.abs(dir.hashCode)
     def src = graft.operators.Tables.normalizeEvents(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      tableStream(spark, dir, "events"))
       .select(col("event_id"),
         timestamp_micros(expr("ts div 1000")).as("event_time"),
         col("event_type"))
@@ -605,8 +617,7 @@ object StreamingQueries {
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true) // idempotent re-run
 
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = tableStream(spark, dir, "events")
       .select(col("event_id"), col("event_type"))
 
     val q = stream.writeStream
@@ -642,8 +653,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st10_tws_" + math.abs(dir.hashCode)
 
-    val deltas = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val deltas = tableStream(spark, dir, "events")
       .select(col("user_id"), col("event_type")).as[(Long, String)]
       .groupByKey(_._1)
       .transformWithState(new TypeCountsProcessor(),
@@ -676,8 +686,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st6_state_" + math.abs(dir.hashCode)
 
-    val deltas = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val deltas = tableStream(spark, dir, "events")
       .select(col("user_id")).as[Long]
       .groupByKey(identity)
       .flatMapGroupsWithState[Long, (Long, Long)](
@@ -713,8 +722,7 @@ object StreamingQueries {
     val name = "st12_sessions_" + math.abs(dir.hashCode)
 
     val sessions = graft.operators.Tables.normalizeEvents(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      tableStream(spark, dir, "events"))
       .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
         col("user_id"))
       .withWatermark("event_time", "1 hour")
@@ -1155,8 +1163,7 @@ object StreamingQueries {
     val name = "st3_bloom_probe_" + math.abs(dir.hashCode)
 
     val stream = graft.operators.Ratings.trainProjection(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      tableStream(spark, dir, "lineitem")
         // the testdata table is ONE row group = one split: spread the raw
         // rows first so the parse projection and probe run on all cores
         // (a real deployment's source is many files — drop the shuffle)
@@ -1307,9 +1314,7 @@ object StreamingQueries {
     val name = "st25_benford_" + math.abs(dir.hashCode)
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
-    val counts = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "lineitem.parquet")
-      .option("maxFilesPerTrigger", "2").parquet(dir)
+    val counts = tableStream(spark, dir, "lineitem", maxFilesPerTrigger = Some(2))
       .where(col("l_extendedprice") > 0)
       .groupBy(digit.as("digit")).agg(cnt(lit(1)).as("n"))
     val q = counts.writeStream
@@ -1357,9 +1362,7 @@ object StreamingQueries {
     }
     val schema = batchDocs.schema
     val name = "st26_nbserve_" + math.abs(dir.hashCode)
-    val scored = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .option("maxFilesPerTrigger", "2").parquet(dir)
+    val scored = tableStream(spark, dir, "documents", maxFilesPerTrigger = Some(2))
       .where(!graft.operators.NaiveBayes.isTrain && size(toks) > 0)
       .select(Seq(col("doc_id"),
         graft.operators.NaiveBayes.ruleLabel.as("true_label")) ++
