@@ -2508,6 +2508,8 @@ object SparkEntry {
       FeatureEng.benford(Tables(s, dir, "lineitem"))),
     "fe5_psi_drift" -> ((s, dir) => // cohort distribution-drift monitor
       FeatureEng.psiDrift(Tables(s, dir, "orders"))),
+    "fe6_woe_iv" -> ((s, dir) => // weight-of-evidence feature screen
+      FeatureEng.woeIv(Tables(s, dir, "orders"))),
 
     // ---- in-engine Naive Bayes: the counting-aggregate trainable model
     // (exactness contract on operators.NaiveBayes) ----
@@ -3571,6 +3573,7 @@ object SparkEntry {
       "fe4_cv_target_encode" -> FeatureEngSql.cvTargetEncode(),
       "fe3_benford" -> FeatureEngSql.benford,
       "fe5_psi_drift" -> FeatureEngSql.psiDrift(),
+      "fe6_woe_iv" -> FeatureEngSql.woeIv(),
       "t35_nb_model" -> NaiveBayesSql.model,
       "t36_nb_classify" -> NaiveBayesSql.apply,
       "t37_nb_eval" -> NaiveBayesSql.evaluate,

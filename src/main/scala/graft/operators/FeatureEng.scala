@@ -153,10 +153,14 @@ object FeatureEng {
     val counts = orders
       .groupBy(cohort.as("cohort"), bin.as("bin"))
       .agg(count(lit(1)).as("n"))
-    // pivot the 2×nBins cell relation wide via a self-aligned aggregate
+    // pivot the 2×nBins cell relation wide via a self-aligned aggregate;
+    // persisted — the totals branch would otherwise re-run the fact scan
+    // (no subplan sharing, the fe4 lesson); released by the harness's
+    // per-query clearCache
     val wide = counts.groupBy("bin").agg(
       sum(when(col("cohort") === 0, col("n")).otherwise(0L)).as("n_a"),
       sum(when(col("cohort") === 1, col("n")).otherwise(0L)).as("n_b"))
+      .persist()
     val tot = wide.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
     val pA = (col("n_a") + 1).cast("double") / (col("tot_a") + nBins)
     val pB = (col("n_b") + 1).cast("double") / (col("tot_b") + nBins)
@@ -164,6 +168,41 @@ object FeatureEng {
       .select(col("bin"), col("n_a"), col("n_b"),
         round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
         round((pA - pB) * log(pA / pB), 6).as("psi_contrib"))
+      .orderBy("bin")
+  }
+
+  /** Weight-of-evidence / information-value screen of a binned numeric
+    * feature against a binary target (Siddiqi's credit-scorecard
+    * standard: IV < 0.02 useless, 0.1–0.3 medium, > 0.5 suspicious) —
+    * the univariate feature-selection audit run before any tabular
+    * model. Target = `o_orderstatus = 'F'` (event) vs the rest; bins
+    * share [[psiDrift]]'s fixed-width bands; WOE = ln(p_non/p_evt) with
+    * the same add-one smoothing (an all-event bin cannot blow up), and
+    * `iv_contrib = (p_non − p_evt)·WOE` is non-negative by construction,
+    * summing to the feature's IV.
+    *
+    * Scale posture: identical to fe5 — one partial/final aggregate over
+    * the bounded bin key carrying two conditional counts, arithmetic on
+    * the bounded relation. */
+  def woeIv(
+      orders: DataFrame,
+      nBins: Int = 10,
+      width: Double = 50000.0): DataFrame = {
+    val bin = least(floor(col("o_totalprice") / width), lit(nBins - 1))
+      .cast("int")
+    val isEvt = col("o_orderstatus") === "F"
+    // persisted for the totals branch (the fe4/fe5 pattern)
+    val wide = orders.groupBy(bin.as("bin")).agg(
+      sum(when(isEvt, 1L).otherwise(0L)).as("n_evt"),
+      sum(when(isEvt, 0L).otherwise(1L)).as("n_non"))
+      .persist()
+    val tot = wide.agg(sum("n_evt").as("tot_evt"), sum("n_non").as("tot_non"))
+    val pEvt = (col("n_evt") + 1).cast("double") / (col("tot_evt") + nBins)
+    val pNon = (col("n_non") + 1).cast("double") / (col("tot_non") + nBins)
+    wide.crossJoin(tot)
+      .select(col("bin"), col("n_evt"), col("n_non"),
+        round(log(pNon / pEvt), 6).as("woe"),
+        round((pNon - pEvt) * log(pNon / pEvt), 6).as("iv_contrib"))
       .orderBy("bin")
   }
 
@@ -248,6 +287,30 @@ object FeatureEngSql {
        |             * ln((CAST(w.n_a + 1 AS DOUBLE) / (tot.tot_a + $nBins))
        |                  / (CAST(w.n_b + 1 AS DOUBLE)
        |                     / (tot.tot_b + $nBins))), 6) AS psi_contrib
+       |FROM wide w CROSS JOIN tot
+       |ORDER BY w.bin""".stripMargin
+
+  def woeIv(nBins: Int = 10, width: Double = 50000.0): String =
+    s"""WITH wide AS (
+       |  SELECT CAST(least(floor(o_totalprice / $width), ${nBins - 1})
+       |           AS INTEGER) AS bin,
+       |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+       |           AS n_evt,
+       |         sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+       |           AS n_non
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT sum(n_evt) AS tot_evt, sum(n_non) AS tot_non
+       |        FROM wide)
+       |SELECT w.bin, w.n_evt, w.n_non,
+       |       round(ln((CAST(w.n_non + 1 AS DOUBLE) / (tot.tot_non + $nBins))
+       |                / (CAST(w.n_evt + 1 AS DOUBLE)
+       |                   / (tot.tot_evt + $nBins))), 6) AS woe,
+       |       round(((CAST(w.n_non + 1 AS DOUBLE) / (tot.tot_non + $nBins))
+       |              - (CAST(w.n_evt + 1 AS DOUBLE) / (tot.tot_evt + $nBins)))
+       |             * ln((CAST(w.n_non + 1 AS DOUBLE)
+       |                   / (tot.tot_non + $nBins))
+       |                  / (CAST(w.n_evt + 1 AS DOUBLE)
+       |                     / (tot.tot_evt + $nBins))), 6) AS iv_contrib
        |FROM wide w CROSS JOIN tot
        |ORDER BY w.bin""".stripMargin
 

@@ -979,6 +979,21 @@ class PlanAuditSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("fe5/fe6/fe3: one fact scan; totals derive from the persisted " +
+      "bounded count relation") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    for (name <- Seq("fe5_psi_drift", "fe6_woe_iv", "fe3_benford")) {
+      val exec = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      assert(deepCollect(exec) { case s: FileSourceScanExec => s }.isEmpty,
+        s"$name must not rescan the fact table for its totals:\n$exec")
+      assert(deepCollect(exec) { case s: InMemoryTableScanExec => s }.size === 2,
+        s"$name: counts + totals must share the cached relation:\n$exec")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("fe4: the fact table shuffles once; every higher aggregate " +
       "derives from the persisted cell relation") {
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -105,6 +105,24 @@ class FeatureEngSpec extends SparkSuite {
       .foreach { row => assert(row._6 === 0.0, row) }
   }
 
+  test("woeIv: hand-computed smoothed WOE on a 2-bin split") {
+    // bin 0: 2 events, 1 non; bin 1: 1 event, 2 non (width 10)
+    val orders = Seq((0L, 5.0, "F"), (1L, 5.0, "F"), (2L, 5.0, "O"),
+      (3L, 15.0, "F"), (4L, 15.0, "O"), (5L, 15.0, "P"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    val r = FeatureEng.woeIv(orders, nBins = 2, width = 10.0)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    // smoothed: bin0 p_evt (2+1)/5, p_non (1+1)/5; bin1 mirrored
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w0 = math.log((2.0 / 5) / (3.0 / 5))
+    assert(r === Seq(
+      (0, 2L, 1L, r6(w0), r6((2.0 / 5 - 3.0 / 5) * w0)),
+      (1, 1L, 2L, r6(-w0), r6((3.0 / 5 - 2.0 / 5) * -w0))))
+    // IV contributions are non-negative by construction
+    r.foreach(row => assert(row._5 >= 0.0, row))
+  }
+
   test("benford: exact digit extraction and inlined expectations") {
     // cents: 123, 5, 95000, 1999 → digits 1, 5, 9, 1; the 0.0 row drops
     val li = Seq(1.23, 0.05, 950.00, 19.99, 0.0).toDF("l_extendedprice")
