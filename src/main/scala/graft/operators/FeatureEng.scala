@@ -277,7 +277,10 @@ object FeatureEngSql {
        |         sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n_b
        |  FROM src GROUP BY bin),
        |tot AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM wide)
-       |SELECT w.bin, w.n_a, w.n_b,
+       |-- CAST on n_a/n_b: DuckDB sum() over INTEGER yields HUGEINT; the
+       |-- driver's hash gate requires BIGINT integer output columns.
+       |SELECT w.bin, CAST(w.n_a AS BIGINT) AS n_a,
+       |       CAST(w.n_b AS BIGINT) AS n_b,
        |       round(CAST(w.n_a + 1 AS DOUBLE) / (tot.tot_a + $nBins), 6)
        |         AS p_a,
        |       round(CAST(w.n_b + 1 AS DOUBLE) / (tot.tot_b + $nBins), 6)
@@ -301,7 +304,9 @@ object FeatureEngSql {
        |  FROM orders GROUP BY 1),
        |tot AS (SELECT sum(n_evt) AS tot_evt, sum(n_non) AS tot_non
        |        FROM wide)
-       |SELECT w.bin, w.n_evt, w.n_non,
+       |-- CAST on n_evt/n_non: HUGEINT-vs-BIGINT (see psiDrift note above).
+       |SELECT w.bin, CAST(w.n_evt AS BIGINT) AS n_evt,
+       |       CAST(w.n_non AS BIGINT) AS n_non,
        |       round(ln((CAST(w.n_non + 1 AS DOUBLE) / (tot.tot_non + $nBins))
        |                / (CAST(w.n_evt + 1 AS DOUBLE)
        |                   / (tot.tot_evt + $nBins))), 6) AS woe,
@@ -327,7 +332,8 @@ object FeatureEngSql {
        |        FROM cell GROUP BY 1),
        |tot AS (SELECT sum(n_sf) AS n_tot, sum(sum_sf) AS sum_tot FROM cell)
        |SELECT c.segment, c.fold,
-       |       seg.n_s - c.n_sf AS n_oof,
+       |       -- CAST: seg.n_s is a HUGEINT sum; output must be BIGINT.
+       |       CAST(seg.n_s - c.n_sf AS BIGINT) AS n_oof,
        |       round(((seg.sum_s - c.sum_sf)
        |               + $m * ((tot.sum_tot - fld.sum_f)
        |                       / (tot.n_tot - fld.n_f)))

@@ -224,7 +224,11 @@ object NaiveBayesSql {
        |         count(DISTINCT doc_id) AS n_train_docs
        |  FROM toks WHERE is_train),
        |cells AS (
-       |  SELECT label, token, sum(n) AS c FROM toks WHERE is_train
+       |  -- CAST: DuckDB sum() over INTEGER yields HUGEINT (int128); the
+       |  -- driver's hash gate normalizes HUGEINT differently from BIGINT,
+       |  -- so every integer output column must be BIGINT end-to-end.
+       |  SELECT label, token, CAST(sum(n) AS BIGINT) AS c
+       |  FROM toks WHERE is_train
        |  GROUP BY 1, 2),
        |labtot AS (
        |  SELECT label, sum(n) AS tot, count(DISTINCT doc_id) AS n_docs
@@ -254,8 +258,8 @@ object NaiveBayesSql {
        |  WHERE NOT is_train),
        |scored AS (
        |  SELECT t.doc_id, t.true_label, co.label,
-       |         co.prior_q + sum(t.n * coalesce(m.logp_q, co.default_q))
-       |           AS score_q
+       |         CAST(co.prior_q + sum(t.n * coalesce(m.logp_q, co.default_q))
+       |           AS BIGINT) AS score_q
        |  FROM test t
        |  CROSS JOIN consts co
        |  LEFT JOIN model m ON m.label = co.label AND m.token = t.token

@@ -20,11 +20,38 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Oracle output column types the driver's hash gate normalizes the same
+# way Spark's parquet dump does. DuckDB sum() over integers yields HUGEINT
+# (int128) which the driver hashes differently from BIGINT even when the
+# values are identical (round-9 lesson: 6 bit-identical queries read as
+# red). DECIMAL has the same hazard. Fail fast on oracle SQL whose OUTPUT
+# schema contains them — fix is CAST(... AS BIGINT/DOUBLE) in the oracle.
+SAFE_TYPES = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+              "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "BLOB")
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def check_types(con, sql):
+    """Return list of (col, type) oracle output columns with banned types."""
+    desc = con.sql(f"DESCRIBE {sql}").fetchall()
+    bad = []
+    for row in desc:
+        col, typ = row[0], row[1].upper()
+        if any(typ.startswith(b) for b in BANNED_TYPES) or \
+                not any(typ.startswith(s) for s in SAFE_TYPES):
+            bad.append((col, row[1]))
+    return bad
+
+
 def norm(v):
+    # NO rounding: the driver's gate hashes full-precision values, so a
+    # 12dp-rounded local compare is strictly weaker and can pass queries
+    # the driver fails. Exactness conventions (round(...,4-6) in BOTH
+    # engines) must make the dumped values literally identical.
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 12))
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return repr(v)
@@ -47,6 +74,13 @@ def main():
             continue
         try:
             spark_tbl = pq.read_table(f"{out_dir}/{name}")
+            banned = check_types(con, oracle[name])
+            if banned:
+                print(f"{name:32s} ORACLE_TYPE {banned} "
+                      "(HUGEINT/DECIMAL output breaks the driver's hash "
+                      "gate; CAST in the oracle SQL)")
+                failures += 1
+                continue
             odf = con.sql(oracle[name])
             ocols = odf.columns
             orows = odf.fetchall()
