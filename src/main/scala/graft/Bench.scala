@@ -41,7 +41,12 @@ import org.apache.spark.sql.SparkSession
   *    measured suite runs `SPARK_GRAFT_DRAWS` times (default 3) in one
   *    process, and the OFFICIAL per-query number is the MEDIAN of its
   *    per-draw values (each per-draw value is still the min-of-3 rule
-  *    above). Rationale: the r7 official draw recorded dedup_containment
+  *    above). Draws ≥ 2 are LIGHT (r10): only queries above
+  *    `SPARK_GRAFT_LIGHT_THRESH` (default 1.0s) re-measure — the
+  *    sub-second tail keeps its full-draw-1 value — so a second draw
+  *    fits the budget on a loaded host and the driver's artifact is a
+  *    median where a median can matter (r9: the driver admitted only
+  *    one cold 371s draw because full-draw wall ≈ 2 × measured time). Rationale: the r7 official draw recorded dedup_containment
   *    at 21.3s while five sibling draws put it at 2–4s — within one draw
   *    the interference is sometimes STICKY (all three intra-draw runs
   *    land inside the same noise event), so only a cross-draw estimator
@@ -180,39 +185,78 @@ object Bench {
     }
 
     // ---- multi-draw measurement ----
+    // LIGHT SUBSEQUENT DRAWS (r9 verdict ask #5): the r9 driver artifact
+    // was a single cold draw (ndraws:1) because a FULL draw's wall clock
+    // — measured time plus 252 × (clearCache + sync + gc) hygiene — blew
+    // the admission check for draw 2. Draws ≥ 2 therefore re-measure only
+    // the queries whose draw-1 official exceeds `lightThresh` (default
+    // 1.0s; r9 data: 127 of 252 queries carrying 292 of 371 measured
+    // seconds), reusing the draw-1 value for the sub-second tail where a
+    // cross-draw median cannot change the total materially. Admission for
+    // the next draw is predicted from the per-query WALL cost actually
+    // observed (hygiene included), not from the last draw's full wall.
+    val lightThresh =
+      sys.env.getOrElse("SPARK_GRAFT_LIGHT_THRESH", "1.0").toDouble
+    case class QDraw(sec: Double, ok: Boolean, runs: Seq[Double], wall: Double)
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
-    // draw = one full pass over the suite; per-draw per-query value keeps
-    // the intra-draw min-of-3 rule for the heavy tail
-    def oneDraw(): Seq[(String, (Double, Boolean, Seq[Double]))] =
-      selected.map { case (name, fn) =>
-        val first = runOne(spark, name, fn, sfDir)
-        val runs =
-          if (first._2 && first._1 > heavySecs)
-            Seq(first, runOne(spark, name, fn, sfDir), runOne(spark, name, fn, sfDir))
-          else Seq(first)
-        name -> (runs.map(_._1).min, runs.forall(_._2), runs.map(_._1))
-      }
+    // draw = one pass over the non-skipped suite; per-draw per-query value
+    // keeps the intra-draw min-of-3 rule for the heavy tail
+    def oneDraw(skip: Set[String]): Map[String, QDraw] =
+      selected.flatMap { case (name, fn) =>
+        if (skip(name)) None
+        else {
+          val w0 = System.nanoTime()
+          val first = runOne(spark, name, fn, sfDir)
+          val runs =
+            if (first._2 && first._1 > heavySecs)
+              Seq(first, runOne(spark, name, fn, sfDir), runOne(spark, name, fn, sfDir))
+            else Seq(first)
+          val wall = (System.nanoTime() - w0) / 1e9
+          Some(name -> QDraw(runs.map(_._1).min, runs.forall(_._2),
+            runs.map(_._1), wall))
+        }
+      }.toMap
     val drawsDone =
-      scala.collection.mutable.ArrayBuffer.empty[Seq[(String, (Double, Boolean, Seq[Double]))]]
-    var lastDrawWall = 0.0
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, QDraw]]
+    var skip = Set.empty[String]
+    // predicted wall of the next (light) draw: the most recent observed
+    // wall of every query that would be re-measured
+    def predictedNextWall: Double = selected.iterator
+      .filterNot { case (n, _) => skip(n) }
+      .map { case (n, _) =>
+        drawsDone.reverseIterator.flatMap(_.get(n).map(_.wall))
+          .nextOption().getOrElse(0.0)
+      }.sum
     while (drawsDone.size < draws
-        && (drawsDone.isEmpty || elapsed + lastDrawWall <= budgetSec)) {
-      val t0 = System.nanoTime()
-      drawsDone += oneDraw()
-      lastDrawWall = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] draw ${drawsDone.size} done in " +
-        f"$lastDrawWall%.1fs (total measured " +
-        f"${drawsDone.last.map(_._2._1).sum}%.1fs)")
+        && (drawsDone.isEmpty || elapsed + predictedNextWall <= budgetSec)) {
+      drawsDone += oneDraw(skip)
+      if (drawsDone.size == 1)
+        skip = drawsDone.head.collect {
+          case (n, q) if q.ok && q.sec <= lightThresh => n
+        }.toSet
+      System.err.println(f"[bench] draw ${drawsDone.size} done " +
+        f"(${drawsDone.last.size} queries, measured " +
+        f"${drawsDone.last.valuesIterator.map(_.sec).sum}%.1fs, " +
+        f"wall ${drawsDone.last.valuesIterator.map(_.wall).sum}%.1fs)")
     }
 
-    // official per-query = median across draws; ok = every draw green
+    // official per-query = median across the draws that measured it
+    // (sub-threshold queries: their single full-draw value); ok = every
+    // measuring draw green
     val names = selected.map(_._1)
     val results = names.map { k =>
-      val per = drawsDone.map(_.find(_._1 == k).get._2)
-      k -> (median(per.map(_._1).toSeq), per.forall(_._2))
+      val per = drawsDone.flatMap(_.get(k)).toSeq
+      k -> (median(per.map(_.sec)), per.forall(_.ok))
     }
-    val drawTotals = drawsDone.map(_.map(_._2._1).sum).toSeq
+    // comparable per-draw totals: a light draw carries forward the most
+    // recent measured value for each skipped query
+    val drawTotals = drawsDone.indices.map { i =>
+      names.map { k =>
+        (0 to i).reverseIterator.flatMap(j => drawsDone(j).get(k).map(_.sec))
+          .next()
+      }.sum
+    }.toSeq
     val qs = results.map { case (k, (t, _)) => s"\"$k\":$t" }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, (_, ok)) => s"\"$k\":$ok" }
@@ -224,9 +268,9 @@ object Bench {
     // lossless per-query artifact: every run of every query in every
     // draw, parseable regardless of the driver's stdout tail window
     val detail = results.map { case (k, (t, ok)) =>
-      val per = drawsDone.map(_.find(_._1 == k).get._2)
-      val perDraw = per.map(p => f"${p._1}%.3f").mkString("[", ",", "]")
-      val runsJson = per.map(_._3.map(r => f"$r%.3f").mkString("[", ",", "]"))
+      val per = drawsDone.flatMap(_.get(k)).toSeq
+      val perDraw = per.map(p => f"${p.sec}%.3f").mkString("[", ",", "]")
+      val runsJson = per.map(_.runs.map(r => f"$r%.3f").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
       s""""$k":{"sec":$t,"ok":$ok,"draws":$perDraw,"runs":$runsJson}"""
     }.mkString("{", ",", "}")

@@ -2514,11 +2514,11 @@ object SparkEntry {
     // ---- in-engine Naive Bayes: the counting-aggregate trainable model
     // (exactness contract on operators.NaiveBayes) ----
     "t35_nb_model" -> ((s, dir) => // fitted (label, token) model cells
-      NaiveBayes.model(Tables(s, dir, "documents"))),
+      NaiveBayes.model(Tables(s, dir, "documents"), memoKey = dir)),
     "t36_nb_classify" -> ((s, dir) => // held-out integer-score argmax
-      NaiveBayes(Tables(s, dir, "documents"))),
+      NaiveBayes(Tables(s, dir, "documents"), memoKey = dir)),
     "t37_nb_eval" -> ((s, dir) => // per-class precision/recall/F1
-      NaiveBayes.evaluate(Tables(s, dir, "documents")))
+      NaiveBayes.evaluate(Tables(s, dir, "documents"), memoKey = dir))
   )
 
   def oracleSql: Map[String, String] = {

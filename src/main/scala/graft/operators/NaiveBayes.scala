@@ -68,70 +68,113 @@ object NaiveBayes {
       countDistinct("token").as("v"),
       countDistinct("doc_id").as("n_train_docs"))
 
-  /** One fit, two artifacts: `(model cells, per-label constants)` from a
-    * shared train-token plan. Deliberately NOT cached: the train-token
-    * relation is CORPUS-sized, and measured at sf0.1 the columnar cache
-    * materialization costs more than letting each bounded aggregate
-    * re-run the narrow tokenize+explode pipeline (3.9 → 5.5s on the
-    * classify query when this was persisted) — and at 100 TB a corpus
-    * cache is memory the executors don't have. Bounded relations are
-    * what get cached ([[evaluate]]'s predictions, fe4's cells); corpus
-    * passes stay streaming pipelines. */
-  private def fitted(docs: DataFrame): (DataFrame, DataFrame) = {
+  /** The collected fit: model cells (sorted by label, token) and the
+    * per-label constants — bounded by |labels|·|vocab|, never
+    * corpus-sized, so holding it on the driver is the same
+    * bounded-artifact contract as BPE merge lists and PQ codebooks. */
+  private case class NbFit(cells: Seq[(String, String, Long, Long)],
+      consts: Seq[(String, Long, Long)])
+
+  /** The model is fitted ONCE per memo key and all four registered
+    * consumers (`t35_nb_model`, `t36_nb_classify`, `t37_nb_eval`,
+    * `st26_stream_nb_serve`) derive from that single [[NbFit]] — the
+    * same train-once / serve-many memo [[Training]] uses for LR
+    * (round-9 verdict ask #4: the NB lane fitted up to four times per
+    * bench pass). Semantics mirror the LR memo exactly:
+    *  - [[model]] (the training query) ALWAYS refits and refreshes the
+    *    memo, so the benched t35 time is a real training run;
+    *  - the serving consumers read the memo when present and fit only
+    *    when they run before any training query has (standalone order
+    *    independence).
+    * Callers pass `memoKey` = the data directory (immutable per the
+    * harness contract); `memoKey = null` (the spec default) bypasses the
+    * memo entirely so micro-corpus tests stay isolated. */
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, NbFit]
+
+  /** Count of full fits executed (spec observability). */
+  private[operators] val fitCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** One corpus pass, one wide bounded relation: model cells CARRYING the
+    * per-label constants on every row, so a single collect job yields
+    * both artifacts (the previous shape ran two collect jobs, each
+    * re-running the tokenize+explode aggregate — round-9 verdict ask #4's
+    * second half). The train-token relation is deliberately NOT cached:
+    * it is CORPUS-sized, and measured at sf0.1 the columnar cache
+    * materialization costs more than the narrow re-run (3.9 → 5.5s when
+    * persisted) — at 100 TB a corpus cache is memory the executors don't
+    * have. */
+  private def fittedWide(docs: DataFrame): DataFrame = {
     val tt = docTokens(docs, train = true)
     val stats = trainStats(tt)
     val labelTot = tt.groupBy("label").agg(
       sum("n").as("tot"), countDistinct("doc_id").as("n_docs"))
-    val cells = tt.groupBy("label", "token").agg(sum("n").as("c"))
-      .join(labelTot.select("label", "tot"), "label")
+    tt.groupBy("label", "token").agg(sum("n").as("c"))
+      .join(labelTot, "label")
       .crossJoin(stats)
       .select(col("label"), col("token"), col("c"),
         round(log((col("c") + 1).cast("double") / (col("tot") + col("v")))
-          * Q).cast("long").as("logp_q"))
-    val consts = labelTot.crossJoin(stats)
-      .select(col("label"),
+          * Q).cast("long").as("logp_q"),
         round(log(col("n_docs").cast("double") / col("n_train_docs")) * Q)
           .cast("long").as("prior_q"),
         round(log(lit(1.0) / (col("tot") + col("v"))) * Q)
           .cast("long").as("default_q"))
-    (cells, consts)
   }
 
+  private def collectFit(docs: DataFrame): NbFit = {
+    fitCount.incrementAndGet()
+    val rows = fittedWide(docs).collect()
+    val cells = rows.toSeq.map(r => (r.getAs[String]("label"),
+        r.getAs[String]("token"), r.getAs[Long]("c"),
+        r.getAs[Long]("logp_q")))
+      .sortBy(t => (t._1, t._2))
+    val consts = rows.toSeq.map(r => (r.getAs[String]("label"),
+        r.getAs[Long]("prior_q"), r.getAs[Long]("default_q")))
+      .distinct.sortBy(_._1)
+    NbFit(cells, consts)
+  }
+
+  private def fitFor(docs: DataFrame, memoKey: String,
+      refresh: Boolean): NbFit =
+    if (memoKey == null) collectFit(docs)
+    else if (refresh) {
+      val f = collectFit(docs); fitMemo.put(memoKey, f); f
+    } else fitMemo.computeIfAbsent(memoKey, _ => collectFit(docs))
+
   /** The fitted model: per (label, token) occurrence count and quantized
-    * Laplace-smoothed log-probability. */
-  def model(docs: DataFrame): DataFrame =
-    fitted(docs)._1.orderBy("label", "token")
+    * Laplace-smoothed log-probability. Always a fresh fit (refreshes the
+    * memo) — the training query's benched time must be a training run. */
+  def model(docs: DataFrame, memoKey: String = null): DataFrame = {
+    import docs.sparkSession.implicits._
+    fitFor(docs, memoKey, refresh = true)
+      .cells.toDF("label", "token", "c", "logp_q")
+  }
 
-  /** Per-label scoring constants: quantized prior and the unseen-token
-    * default cell. */
-  private def labelConsts(docs: DataFrame): DataFrame = fitted(docs)._2
-
-  /** Driver-side serving artifacts, collected ONCE — the bounded-artifact
-    * lifecycle the BPE-merge and PQ-codebook lanes also use (the model is
-    * |labels|·|vocab| rows by construction, never corpus-sized): per-label
+  /** Driver-side serving artifacts — the bounded-artifact lifecycle the
+    * BPE-merge and PQ-codebook lanes also use: per-label
     * `token → logp_q` maps plus `(prior_q, default_q)` per label. The
     * streaming scorer (`st26`) folds these into a stateless projection. */
-  def servingArtifacts(docs: DataFrame)
+  def servingArtifacts(docs: DataFrame, memoKey: String = null)
       : (Map[String, Map[String, Long]], Map[String, (Long, Long)]) = {
-    val (cellsDf, constsDf) = fitted(docs) // ONE fit for both collects
-    val cells = cellsDf.collect()
-      .map(r => (r.getAs[String]("label"), r.getAs[String]("token"),
-        r.getAs[Long]("logp_q")))
-    val maps = cells.groupBy(_._1)
-      .map { case (l, rows) => l -> rows.map(t => t._2 -> t._3).toMap }
-    val consts = constsDf.collect()
-      .map(r => r.getAs[String]("label") ->
-        ((r.getAs[Long]("prior_q"), r.getAs[Long]("default_q")))).toMap
+    val f = fitFor(docs, memoKey, refresh = false)
+    val maps = f.cells.groupBy(_._1)
+      .map { case (l, rows) => l -> rows.map(t => t._2 -> t._4).toMap }
+    val consts = f.consts.map(t => t._1 -> ((t._2, t._3))).toMap
     (maps, consts)
   }
 
   /** Classify the held-out split: integer score per (doc, label), argmax
     * with deterministic tie-break. The model and the per-label constants
-    * are broadcast; the only shuffle is the per-doc token count and the
-    * per-doc top-1 (a doc-partitioned window, never global). */
-  def apply(docs: DataFrame): DataFrame = {
-    val (cells, consts) = fitted(docs) // ONE fit shared by both artifacts
-    val m = cells.select("label", "token", "logp_q")
+    * are broadcast local relations (the fit is memoized, bounded by
+    * |labels|·|vocab|); the only shuffle is the per-doc token count and
+    * the per-doc top-1 (a doc-partitioned window, never global). */
+  def apply(docs: DataFrame, memoKey: String = null): DataFrame = {
+    import docs.sparkSession.implicits._
+    val f = fitFor(docs, memoKey, refresh = false)
+    val m = f.cells.map(t => (t._1, t._2, t._4))
+      .toDF("label", "token", "logp_q")
+    val consts = f.consts.toDF("label", "prior_q", "default_q")
     val test = docTokens(docs, train = false)
       .withColumnRenamed("label", "true_label")
     val scored = test
@@ -155,14 +198,14 @@ object NaiveBayes {
   /** Held-out per-class evaluation: tp/fp/fn and precision/recall/F1
     * computed from the integer counts directly (no rounded-intermediate
     * reuse), one row per class. */
-  def evaluate(docs: DataFrame): DataFrame = {
+  def evaluate(docs: DataFrame, memoKey: String = null): DataFrame = {
     // the classification runs ONCE: four verdict aggregates consume the
     // predictions, and without the re-base + cache each would re-run the
     // whole score/argmax plan (Catalyst shares no common subplans —
     // measured 14.7s vs ~5s at sf0.1). The cached relation is the
     // narrow per-doc verdict, output-sized; released by the harness's
     // per-query clearCache.
-    val preds0 = apply(docs).select("doc_id", "true_label", "pred")
+    val preds0 = apply(docs, memoKey).select("doc_id", "true_label", "pred")
     val preds = preds0.sparkSession
       .createDataFrame(preds0.rdd, preds0.schema).persist()
     val classes = preds.select(col("true_label").as("class")).union(

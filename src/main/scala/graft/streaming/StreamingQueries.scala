@@ -1351,7 +1351,7 @@ object StreamingQueries {
     val spark = childSession(outer)
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
     val (cellMaps, consts) =
-      graft.operators.NaiveBayes.servingArtifacts(batchDocs)
+      graft.operators.NaiveBayes.servingArtifacts(batchDocs, memoKey = dir)
     val labels = consts.keys.toSeq.sorted
     val toks = graft.operators.TextAnalysis.tokens(col("text"))
     def scoreCol(l: String): Column = {

@@ -78,6 +78,23 @@ class NaiveBayesSpec extends SparkSuite {
       ("scan", 1L, 0L, 0L, 1.0, 1.0, 1.0)))
   }
 
+  test("fit memo: four consumers share one fit; model always refits") {
+    val key = s"nb-memo-spec-${java.util.UUID.randomUUID()}"
+    val before = NaiveBayes.fitCount.get()
+    NaiveBayes(corpus, memoKey = key).collect() // first consumer fits
+    assert(NaiveBayes.fitCount.get() === before + 1)
+    NaiveBayes.evaluate(corpus, memoKey = key).collect() // memo hit
+    NaiveBayes.servingArtifacts(corpus, memoKey = key) // memo hit
+    assert(NaiveBayes.fitCount.get() === before + 1)
+    NaiveBayes.model(corpus, memoKey = key).collect() // training refits
+    assert(NaiveBayes.fitCount.get() === before + 2)
+    NaiveBayes(corpus, memoKey = key).collect() // refreshed memo hit
+    assert(NaiveBayes.fitCount.get() === before + 2)
+    // memoized and fresh fits produce identical classifications
+    assert(NaiveBayes(corpus, memoKey = key).collect().toSeq ===
+      NaiveBayes(corpus).collect().toSeq)
+  }
+
   test("evaluate: misclassified docs split into fp/fn correctly") {
     // Train teaches join={x}, scan={y}; test doc 9 is labeled scan
     // (rule: "scan" token) but its content tokens are join-ish x's.
