@@ -254,14 +254,26 @@ object Graph {
     * common neighbor has degree ≥ 2 by construction, so ln(deg) never
     * hits zero; the `deg > 1` guard pins that invariant in the plan. */
   def linkPrediction(events: DataFrame, topK: Int = 20): DataFrame = {
-    // und stays persisted at return BY DESIGN: the returned lazy plan
-    // references it three times (two symmetrized arms + the anti-join)
-    // and is not materialized here, so an eager unpersist would just
-    // triple the edge derivation at consumption. Released by the
-    // harness's per-query clearCache (Bench/Verify contract — the
-    // Dedup.nearDupPairs note); a library caller unpersists after the
-    // action completes.
+    // und is persisted for the THREE reads below (two symmetrized arms +
+    // the anti-join) and released BEFORE return: the result is bounded
+    // (topK rows) so the operator finalizes it eagerly — the top-k merge
+    // already lands topK rows on the driver, the same bounded-artifact
+    // contract as the PQ codebooks — and hands back a local relation,
+    // leaving NO resident cache behind (r9 verdict ask #6: the graph
+    // lane must not rely on the harness's clearCache for its prep
+    // relations).
     val und = undirected(events).persist()
+    val plan = linkPredictionOver(und, topK)
+    val top = plan.collect() // bounded: at most topK rows
+    und.unpersist()
+    import scala.jdk.CollectionConverters._
+    events.sparkSession.createDataFrame(top.toSeq.asJava, plan.schema)
+  }
+
+  /** The distributed top-k plan [[linkPrediction]] executes — exposed so
+    * the plan audit can pin the shape that actually runs (the public
+    * operator finalizes it to a bounded local relation). */
+  private[graft] def linkPredictionOver(und: DataFrame, topK: Int): DataFrame = {
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
@@ -460,14 +472,19 @@ object Graph {
       alive = next
     }
     val converged = lastCount == prevCount
-    // sym and alive stay persisted BY DESIGN: the returned lazy plan
-    // reads both (the linkPrediction convention) — released by the
-    // harness's per-query clearCache; a library caller unpersists after
-    // the action. und may be dropped: sym's cache shields its lineage.
-    und.unpersist()
-    coreDeg(alive)
+    // Eager-materialize-then-release (r9 verdict ask #6): the result is
+    // core-node-sized — smaller than the edge-sized preps — so it is
+    // rebased onto its own RDD, persisted, and materialized while sym's
+    // cache is hot; THEN every prep relation is unpersisted. The one
+    // resident cache left is the result itself (released by the caller
+    // or the harness clearCache); recompute after eviction re-derives
+    // through the rebased RDD without needing the dropped preps' caches.
+    val result = rebased(coreDeg(alive)
       .select(col("node"), col("deg"), lit(converged).as("converged"))
-      .orderBy("node")
+      .orderBy("node")).persist()
+    result.count()
+    Seq(und, sym, alive).foreach(_.unpersist())
+    result
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

@@ -656,9 +656,20 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  // gr7's registered query finalizes to a bounded local relation (the
+  // operator collects topK rows and releases its caches before return —
+  // r9 ask #6), so the audits pin the DISTRIBUTED plan it executes via
+  // the internal linkPredictionOver hook.
+  private def gr7Plan: String = {
+    val events = graft.operators.Tables(spark, dir, "events")
+    graft.operators.Graph
+      .linkPredictionOver(graft.operators.Graph.undirected(events), 20)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
   test("gr7: the top-k plans as TakeOrderedAndProject; the rank window " +
       "runs over the bounded topK rows") {
-    val p = plan("gr7_link_pred")
+    val p = gr7Plan
     // the p14 pattern (r8 verdict ask #4): each task keeps a topK heap
     // (TakeOrderedAndProject), so the only unpartitioned window in the
     // plan sees at most topK rows — never the full candidate relation.
@@ -670,7 +681,7 @@ class PlanAuditSpec extends SparkSuite {
 
   test("gr4/gr7: wedge joins stay equi-keyed — never a per-pair plan") {
     for (name <- Seq("gr4_neighbor_jaccard", "gr7_link_pred")) {
-      val p = plan(name)
+      val p = if (name == "gr7_link_pred") gr7Plan else plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0,
         s"$name wedge/anti joins must not nested-loop:\n$p")

@@ -264,4 +264,43 @@ class GraphSpec extends SparkSuite {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
       6L -> 4L))
   }
+
+  test("cache lifecycle: no resident cache growth across the graph lane " +
+      "(r9 verdict ask #6)") {
+    // The harness clears the cache between queries, but the operators
+    // must not DEPEND on it: prep relations (edge-sized) are released
+    // before return; at most the operator's own RESULT cache (node-sized
+    // or smaller) may remain. Asserted over a full pass of every
+    // iterative/persisting graph operator.
+    // resident DataFrame caches materialize as persistent RDDs; measure
+    // deltas against a post-clearCache baseline so leftovers from other
+    // suites sharing the session can't skew the count
+    def resident: Int = spark.sparkContext.getPersistentRDDs.size
+    spark.catalog.clearCache()
+    val base = resident
+    val ev = eventsOf(Seq(1L, 2L, 3L, 1L, 2L, 4L, 1L, 5L, 2L))
+    // fully finalized operator: bounded local result, NOTHING resident
+    Graph.linkPrediction(ev, topK = 5).collect()
+    assert(resident === base, "linkPrediction left resident caches")
+    // result-cache operators: at most ONE resident entry after
+    // consumption — the operator's own materialized result (node-sized),
+    // never the edge-sized preps; clearCache returns to baseline.
+    val ops: Seq[(String, () => Unit)] = Seq(
+      "pagerank" -> (() => Graph.pagerank(ev, iters = 2).collect()),
+      "personalizedPagerank" -> (() =>
+        Graph.personalizedPagerank(ev, col("node") === 1L, iters = 2)
+          .collect()),
+      "labelPropagation" -> (() =>
+        Graph.labelPropagation(ev, iters = 2).collect()),
+      "kCore" -> (() => Graph.kCore(ev, k = 2, rounds = 2).collect()),
+      "bfsHops" -> (() =>
+        Graph.bfsHops(ev, col("node") === 1L, hops = 2).collect()))
+    ops.foreach { case (name, run) =>
+      run()
+      assert(resident <= base + 1,
+        s"$name left ${resident - base} resident caches (max 1: its result)")
+      spark.catalog.clearCache()
+      assert(resident === base, s"$name residue survived clearCache")
+    }
+  }
 }
