@@ -311,3 +311,70 @@ case class JaroWinklerSim(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): JaroWinklerSim =
     copy(left = newLeft, right = newRight)
 }
+
+/** ASCII byte-histogram L1 distance (graft.core.CharHist.l1) — the
+  * lossless pigeonhole prefilter for bounded-edit-distance candidates:
+  * `levenshtein(a,b) ≤ d ⇒ hist_l1(a,b) ≤ 2·d`. */
+case class HistL1(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.dataType.isInstanceOf[StringType] ||
+      !right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"hist_l1 takes two STRINGs, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = IntegerType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "hist_l1"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.CharHist.l1(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.core.CharHist.l1($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HistL1 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Byte-histogram common count (graft.core.CharHist.common) — the
+  * lossless upper-bound prefilter on the Jaro match count m:
+  * `m ≤ hist_common(a,b)`, so a JW-threshold-derived lower bound on m
+  * can cut candidates before the O(len²) kernel. */
+case class HistCommon(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.dataType.isInstanceOf[StringType] ||
+      !right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"hist_common takes two STRINGs, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = IntegerType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "hist_common"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.CharHist.common(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.core.CharHist.common($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HistCommon =
+    copy(left = newLeft, right = newRight)
+}

@@ -76,6 +76,13 @@ package object functions {
   def jaro_winkler(a: Column, b: Column): Column =
     col(JaroWinklerSim(expr(a), expr(b)))
 
+  /** ASCII byte-histogram L1 distance (edit-distance pigeonhole filter). */
+  def hist_l1(a: Column, b: Column): Column = col(HistL1(expr(a), expr(b)))
+
+  /** Byte-histogram common count (Jaro match-count upper bound). */
+  def hist_common(a: Column, b: Column): Column =
+    col(HistCommon(expr(a), expr(b)))
+
   /** Integer NB label score `prior + Σ logp_q(token)` over a token array,
     * probing a broadcast quantized-log-prob table (serving kernel). */
   def nb_score_sum(

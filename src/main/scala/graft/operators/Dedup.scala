@@ -722,11 +722,19 @@ object Dedup {
 
     a.join(b, Seq("lang", "bucket"))
       .where(col("doc_a") < col("doc_b")
-        && abs(col("len_a") - col("len_b")) <= lenWindow)
-      // a pair can meet in up to two buckets: dedup BEFORE the kernel so
-      // each surviving pair pays exactly one Levenshtein evaluation
-      .select(col("doc_a"), col("doc_b"), col("pre_a"), col("pre_b"))
-      .distinct()
+        && abs(col("len_a") - col("len_b")) <= lenWindow
+        // exactly-one-meeting rule: a pair co-bucketed in both k and k+1
+        // survives only at bucket = greatest(⌊len_a/band⌋, ⌊len_b/band⌋),
+        // which every qualifying pair reaches exactly once — this
+        // replaced a pair-level distinct() that shuffled both PREFIX
+        // strings per candidate (r10, fourth-scaling-point work)
+        && col("bucket") === greatest(floor(col("len_a") / band),
+          floor(col("len_b") / band))
+        // pigeonhole char-frequency prefilter (lossless, CharHist
+        // scaladoc): lev ≤ d ⇒ ASCII-byte-histogram L1 ≤ 2·d — an
+        // O(len) reject in front of the O(len²) kernel
+        && graft.functions.hist_l1(col("pre_a"), col("pre_b"))
+          <= 2 * maxDist)
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("pre_a"), col("pre_b")).as("dist"))
       .where(col("dist") <= maxDist)
@@ -742,22 +750,60 @@ object Dedup {
     * cross-engine cut can never disagree on a boundary ulp.
     *
     * Scale posture: candidates meet through an equi-join on the
-    * composite blocking key (`p_brand × p_type`, both bounded domains —
-    * block sizes grow linearly with the catalog, candidate pairs
-    * quadratically WITHIN a block only, and the finer key cuts the pair
-    * count ~|type-domain|× versus brand alone — measured 6× at sf0.1);
-    * the kernel is the native codegen expression, a static call per
-    * candidate pair with no boxing. The blocking columns are the
-    * standard ER trade: products that disagree on brand or category are
-    * out of matching scope by construction, exactly as the oracle twin
-    * declares. */
+    * composite blocking key (`p_brand × p_type × first name character` —
+    * the category domains are FIXED, so their blocks densify
+    * quadratically with catalog growth; the name initial is the
+    * dimension that tracks name diversity and is the census-era blocking
+    * key of the record-linkage literature). A lossless harmonic-form
+    * match-count prefilter (length + byte-histogram bounds, see the
+    * in-body derivation) rejects most surviving candidates in O(len)
+    * before the kernel; the kernel is the native codegen expression, a
+    * static call per candidate pair with no boxing. The blocking columns
+    * are the standard ER trade: products that disagree on brand,
+    * category, or name initial are out of matching scope by
+    * construction, exactly as the oracle twin declares. */
   def fuzzyNamePairs(part: DataFrame, threshold: Double = 0.94): DataFrame = {
+    // Blocking key (r10, fourth-scaling-point knob move): `(brand, type,
+    // first name character)`. The initial-character block is the
+    // original census blocking key of the record-linkage literature the
+    // JW metric comes from (Winkler blocked on surname initials), and it
+    // is the dimension that keeps candidate growth linear when the
+    // category domains saturate: (brand × type) is a FIXED domain, so
+    // catalog growth makes those blocks quadratically denser, while the
+    // name initial tracks name diversity. Recall trade, declared in the
+    // oracle twin identically: a pair whose names differ in their FIRST
+    // character is out of matching scope — for names ≤ 10 chars such a
+    // pair cannot reach jw 0.94 anyway (m ≤ len−1 caps jw < 0.94); for
+    // longer names it is the standard blocking trade, mitigated the way
+    // the SNM lane does (multi-pass over complementary keys).
     val a = part.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
+      substring(col("p_name"), 1, 1).as("initial"),
       col("p_partkey").as("part_a"), col("p_name").as("name_a"))
     val b = part.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
+      substring(col("p_name"), 1, 1).as("initial"),
       col("p_partkey").as("part_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("brand", "ptype"))
-      .where(col("part_a") < col("part_b"))
+    // Lossless match-count prefilter: jw ≥ θ with prefix weight 0.1 over
+    // ≤4 chars ⇒ jaro ≥ (θ−0.4)/0.6 = jMin; jaro = (m/|a| + m/|b| +
+    // (m−t)/m)/3 with (m−t)/m ≤ 1 ⇒ m·(1/|a| + 1/|b|) ≥ 3·jMin − 1,
+    // i.e. m ≥ (3·jMin − 1)·|a|·|b|/(|a|+|b|) (the harmonic form — far
+    // tighter than the max-based bound when lengths are close). m is
+    // upper-bounded by min(len) and by the byte-histogram common count
+    // (CharHist scaladoc), so testing those against the bound can only
+    // ADMIT extra pairs. The 1e-5 slack covers the 6-decimal rounding
+    // applied before the threshold cut.
+    val jMin = (threshold - 1e-5 - 0.4) / 0.6
+    val mCoef = 3 * jMin - 1
+    val la = length(col("name_a")).cast("double")
+    val lb = length(col("name_b")).cast("double")
+    val mLower = lit(mCoef) * la * lb / (la + lb)
+    val mBound =
+      if (mCoef > 0)
+        (least(la, lb) >= mLower) &&
+        (graft.functions.hist_common(col("name_a"), col("name_b"))
+          .cast("double") >= mLower)
+      else lit(true)
+    a.join(b, Seq("brand", "ptype", "initial"))
+      .where(col("part_a") < col("part_b") && mBound)
       .select(col("part_a"), col("part_b"),
         round(jaro_winkler(col("name_a"), col("name_b")), 6).as("jw"))
       .where(col("jw") >= threshold)
@@ -952,6 +998,7 @@ object DedupSql {
        |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
        |FROM part a JOIN part b
        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       | AND substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
        | AND a.p_partkey < b.p_partkey
        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
        |        >= $threshold

@@ -44,6 +44,26 @@ object ScaleData {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
+  /** Key DOMAIN per column: every column sharing a domain (a PK and the
+    * FKs referencing it) must shift by the SAME offset, derived from the
+    * domain-owning table's PK — offsetting each column by its own
+    * per-table max would mis-join replicas whenever some PK values are
+    * unreferenced (real TPC-H: 1/3 of customers have no orders). The
+    * offset basis is `(ownerTable, pkColumn)`. */
+  private val colDomain: Map[String, (String, String)] = Map(
+    "l_orderkey" -> (("orders", "o_orderkey")),
+    "l_partkey" -> (("part", "p_partkey")),
+    "l_suppkey" -> (("supplier", "s_suppkey")),
+    "o_orderkey" -> (("orders", "o_orderkey")),
+    "o_custkey" -> (("customer", "c_custkey")),
+    "c_custkey" -> (("customer", "c_custkey")),
+    "s_suppkey" -> (("supplier", "s_suppkey")),
+    "p_partkey" -> (("part", "p_partkey")),
+    "event_id" -> (("events", "event_id")),
+    "user_id" -> (("events", "user_id")),
+    "doc_id" -> (("documents", "doc_id")),
+    "vec_id" -> (("embeddings", "vec_id")))
+
   private val dims = Seq("nation", "region")
 
   /** Per-replica text rotation: replica 0 is the original corpus; replica
@@ -61,22 +81,36 @@ object ScaleData {
     }
   }
 
-  def replicate(df: DataFrame, table: String, factor: Int): DataFrame = {
+  def replicate(df: DataFrame, table: String, factor: Int,
+      domainOffset: String => Long): DataFrame = {
     val keys = keyCols.getOrElse(table, Seq.empty)
     if (keys.isEmpty || factor <= 1) return df
-    // one tiny job to size the offsets; the offset must clear the max so
-    // replica key ranges never collide
-    val offsets: Map[String, Long] = {
-      val row = df.agg(keys.map(k => max(col(k)).as(k)).head,
-        keys.map(k => max(col(k)).as(k)).tail: _*).head()
-      keys.map(k => k -> (row.getAs[Number](k).longValue() + 1L)).toMap
+    // FK-consistency guard (loud, at generation time): a FK whose max
+    // exceeds its domain offset basis would collide into replica i+1's
+    // key range; a FK value above the PK max means a dangling reference
+    // the domain offset was not derived from.
+    val row = df.agg(keys.map(k => max(col(k)).as(k)).head,
+      keys.map(k => max(col(k)).as(k)).tail: _*).head()
+    keys.foreach { k =>
+      val fkMax = row.getAs[Number](k).longValue()
+      require(fkMax < domainOffset(k),
+        s"$table.$k max $fkMax >= domain offset ${domainOffset(k)} — " +
+          "dangling FK values would mis-join across replicas")
     }
     (0 until factor).map { i =>
       val shifted = keys.foldLeft(df) { (d, k) =>
-        d.withColumn(k, (col(k) + lit(i.toLong * offsets(k))).cast(df.schema(k).dataType))
+        d.withColumn(k,
+          (col(k) + lit(i.toLong * domainOffset(k))).cast(df.schema(k).dataType))
       }
+      // text-bearing columns rotate per replica for the SAME reason in
+      // both tables: real growth does not add exact copies, and an
+      // unrotated column makes every fuzzy-match lane's OUTPUT (not just
+      // its work) grow quadratically in the replica count — p_name was
+      // missed until r10 and distorted dedup_fuzzy_names' scaling rows.
       if (table == "documents")
         shifted.withColumn("text", rotateText(col("text"), i))
+      else if (table == "part")
+        shifted.withColumn("p_name", rotateText(col("p_name"), i))
       else shifted
     }.reduce(_ unionAll _)
   }
@@ -92,9 +126,18 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tables = keyCols.keys.toSeq ++ dims
+    // domain offsets: one tiny max() job per domain-owning PK — shared by
+    // every column in the domain so FK joins stay consistent per replica
+    val domainOffsets: Map[(String, String), Long] =
+      colDomain.values.toSet.map { owner: (String, String) =>
+        val (tbl, pk) = owner
+        val m = spark.read.parquet(s"$src/$tbl.parquet")
+          .agg(max(col(pk))).head().getAs[Number](0).longValue()
+        owner -> (m + 1L)
+      }.toMap
     for (t <- tables) {
       val in = spark.read.parquet(s"$src/$t.parquet")
-      val out = replicate(in, t, factor)
+      val out = replicate(in, t, factor, k => domainOffsets(colDomain(k)))
       // file sizing tracks the growth: factor × the source's file count,
       // floor 1 — so maxPartitionBytes-driven split behavior at read time
       // scales the way a real bigger table's would

@@ -625,13 +625,16 @@ class TextDedupSpec extends SparkSuite {
     assert(langs === Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
-  test("fuzzyNamePairs: (brand, type)-blocked Jaro-Winkler, exact cut") {
+  test("fuzzyNamePairs: (brand, type, initial)-blocked Jaro-Winkler, " +
+      "exact cut") {
     val part = Seq(
       (1L, "red widget", "B1", "small"), // vs 2: jw = 0.96 exactly
       (2L, "red widgey", "B1", "small"),
       (3L, "red widget", "B2", "small"), // name twin of 1, blocked by brand
       (4L, "blue bolt", "B1", "small"), // same block, dissimilar
-      (5L, "red widget", "B1", "large")) // name twin of 1, blocked by type
+      (5L, "red widget", "B1", "large"), // name twin of 1, blocked by type
+      (6L, "xed widget", "B1", "small")) // initial-blocked (jw 0.933 < θ
+      // anyway: for 10-char names a first-char mismatch caps m at 9)
       .toDF("p_partkey", "p_name", "p_brand", "p_type")
     val got = Dedup.fuzzyNamePairs(part, threshold = 0.94)
       .as[(Long, Long, Double)].collect().toSeq
