@@ -134,9 +134,16 @@ object FeatureEng {
     * "reference batch vs serving batch"); values bin into `nBins`
     * fixed-width bands (clamped top band catches the tail), and each
     * bin contributes `(p_a − p_b)·ln(p_a/p_b)` with add-one smoothing
-    * over `(count + 1)/(N + nBins)` so an empty bin cannot divide by
-    * zero — both engines share the identical smoothed arithmetic.
-    * Emits one row per bin with both cohorts' counts, smoothed
+    * over `(count + 1)/(N + nBins)` so a bin empty in ONE cohort cannot
+    * divide by zero — both engines share the identical smoothed
+    * arithmetic. A bin empty in BOTH cohorts is absent from the output
+    * relation entirely (and thus from the PSI sum), while the
+    * denominators still add the full `nBins`: the omitted smoothed
+    * contribution is nonzero only when the cohort totals differ, and
+    * both engines omit it identically (r9 advice #3 — a statistical
+    * convention, not a gate risk; left-join a 0..nBins-1 bin spine in
+    * both engines if full fixed-bin semantics are ever wanted). Emits
+    * one row per OBSERVED bin with both cohorts' counts, smoothed
     * frequencies, and the PSI contribution; Σ contrib is the index.
     *
     * Scale posture: ONE partial/final aggregate over a `(cohort, bin)`
@@ -179,7 +186,9 @@ object FeatureEng {
     * share [[psiDrift]]'s fixed-width bands; WOE = ln(p_non/p_evt) with
     * the same add-one smoothing (an all-event bin cannot blow up), and
     * `iv_contrib = (p_non − p_evt)·WOE` is non-negative by construction,
-    * summing to the feature's IV.
+    * summing to the feature's IV. As in [[psiDrift]], a bin with no
+    * observations at all is absent from the relation and the IV sum
+    * (identically in both engines — see the note there).
     *
     * Scale posture: identical to fe5 — one partial/final aggregate over
     * the bounded bin key carrying two conditional counts, arithmetic on

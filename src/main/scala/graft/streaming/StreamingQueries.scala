@@ -1280,10 +1280,15 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
     // fold the drained per-type state into the global metric row; the
-    // type count is exact by construction (state rows = distinct types)
+    // type count is exact by construction (state rows = distinct types),
+    // and a NULL event_type — which forms its own state row — is
+    // excluded from it, matching count(DISTINCT event_type)'s NULL
+    // semantics in the oracle (r9 advice #2; latent only, no nulls in
+    // the shipped data)
     val m = spark.table(name).agg(
       sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
-      min(col("mn")).as("mn"), cnt(lit(1)).as("n_types"))
+      min(col("mn")).as("mn"),
+      cnt(col("event_type")).as("n_types"))
     def rule(rn: String, observed: Column, threshold: Double,
         passed: Column) =
       m.select(lit(rn).as("rule"),
