@@ -49,6 +49,7 @@ object SparkEntry {
     * k, DP budget ε and noise seed — shared by queries and twins. */
   private val kAnonWidths = Seq(500, 2000, 10000)
   private val kAnonK = 5
+  private val tClosenessT = 0.2
   private val dpEpsilon = 0.5
   private val dpSeed = 2026
 
@@ -2479,6 +2480,8 @@ object SparkEntry {
       Graph.kCore(Tables(s, dir, "events"))),
     "gr11_assortativity" -> ((s, dir) => // Newman degree correlation
       Graph.assortativity(Tables(s, dir, "events"))),
+    "gr12_hits" -> ((s, dir) => // Kleinberg hubs/authorities, L1-normalized
+      Graph.hits(Tables(s, dir, "events"))),
 
     // ---- privacy lane: disclosure-risk audit + DP release ----
     // (thresholds shared with the twins; scale posture on operators.Privacy)
@@ -2494,6 +2497,10 @@ object SparkEntry {
       // rows in QI groups under k are suppressed, survivors carry only
       // the generalized band (scale posture on Privacy.kSuppress)
       Privacy.kSuppress(Tables(s, dir, "customer"), kAnonWidths(1), kAnonK)),
+    "priv4_t_closeness" -> ((s, dir) => // distribution-leak audit: TVD of
+      // each QI group's sensitive distribution vs the global one
+      Privacy.tCloseness(Tables(s, dir, "customer"), kAnonWidths(2),
+        tClosenessT)),
 
     // ---- feature-engineering / data-audit lane (operators.FeatureEng) ----
     "fe1_target_encode" -> ((s, dir) => // smoothed (m-estimate) encoder
@@ -2510,6 +2517,12 @@ object SparkEntry {
       FeatureEng.psiDrift(Tables(s, dir, "orders"))),
     "fe6_woe_iv" -> ((s, dir) => // weight-of-evidence feature screen
       FeatureEng.woeIv(Tables(s, dir, "orders"))),
+    "fe7_chi2" -> ((s, dir) => // chi-square categorical independence screen
+      FeatureEng.chiSquare(Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"))),
+    "fe8_mutual_info" -> ((s, dir) => // mutual-information dependence screen
+      FeatureEng.mutualInfo(Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"))),
 
     // ---- in-engine Naive Bayes: the counting-aggregate trainable model
     // (exactness contract on operators.NaiveBayes) ----
@@ -3565,15 +3578,20 @@ object SparkEntry {
       "gr9_communities" -> GraphSql.labelPropagation(),
       "gr10_kcore" -> GraphSql.kCore(),
       "gr11_assortativity" -> GraphSql.assortativity,
+      "gr12_hits" -> GraphSql.hits(),
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),
+      "priv4_t_closeness" -> PrivacySql.tCloseness(kAnonWidths(2),
+        tClosenessT),
       "fe1_target_encode" -> FeatureEngSql.targetEncode(),
       "fe2_assoc_rules" -> FeatureEngSql.associationRules(),
       "fe4_cv_target_encode" -> FeatureEngSql.cvTargetEncode(),
       "fe3_benford" -> FeatureEngSql.benford,
       "fe5_psi_drift" -> FeatureEngSql.psiDrift(),
       "fe6_woe_iv" -> FeatureEngSql.woeIv(),
+      "fe7_chi2" -> FeatureEngSql.chiSquare,
+      "fe8_mutual_info" -> FeatureEngSql.mutualInfo,
       "t35_nb_model" -> NaiveBayesSql.model,
       "t36_nb_classify" -> NaiveBayesSql.apply,
       "t37_nb_eval" -> NaiveBayesSql.evaluate,

@@ -256,6 +256,71 @@ object FeatureEng {
           - expectedCol), 6).as("gap"))
       .orderBy("digit")
   }
+
+  /** The shared `segment × orderstatus` contingency relation the two
+    * categorical screens below consume: ONE fact shuffle to the
+    * |segments|·|statuses| cell relation (persisted — the margins are
+    * second-level aggregates of it, the fe4 pattern), margins broadcast
+    * back. All inputs to the float expressions are exact integer counts,
+    * so both engines' pre-rounding doubles are bit-identical. */
+  private def contingency(orders: DataFrame,
+      customer: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val joined = orders.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderstatus").as("status"))
+    val cell = joined.groupBy("segment", "status")
+      .agg(count(lit(1)).as("n")).persist()
+    val rowTot = cell.groupBy("segment").agg(sum("n").as("n_seg"))
+    val colTot = cell.groupBy("status").agg(sum("n").as("n_st"))
+    val tot = cell.agg(sum("n").as("n_tot"))
+    (cell, rowTot, colTot, tot)
+  }
+
+  /** Chi-square independence screen of a categorical feature against a
+    * categorical target (Pearson 1900) — the classic pre-model feature
+    * filter: per observed cell, the count, the independence-expected
+    * count `n_seg·n_st/N`, and the chi² contribution `(n−e)²/e`; Σ
+    * contrib is the statistic against `(|seg|−1)·(|st|−1)` dof. Cells
+    * never observed are absent from the relation (their contribution is
+    * `e`, the same fixed-spine trade [[psiDrift]] documents).
+    *
+    * Scale posture: one fact shuffle to the bounded cell relation;
+    * margins are second-level aggregates broadcast back — the fe4/fe5
+    * shape. */
+  def chiSquare(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val (cell, rowTot, colTot, tot) = contingency(orders, customer)
+    val e = col("n_seg").cast("double") * col("n_st") / col("n_tot")
+    cell.join(broadcast(rowTot), "segment")
+      .join(broadcast(colTot), "status")
+      .crossJoin(tot)
+      .select(col("segment"), col("status"), col("n"),
+        round(e, 6).as("expected"),
+        round((col("n") - e) * (col("n") - e) / e, 6).as("chi2_contrib"))
+      .orderBy("segment", "status")
+  }
+
+  /** Mutual information between the same categorical pair — the
+    * information-theoretic sibling of [[chiSquare]] (feature-selection
+    * by dependence strength in nats): per observed cell,
+    * `p·ln(p / (p_seg·p_st))` with all probabilities exact count ratios;
+    * Σ contrib is I(segment; status). Zero-count cells contribute 0 by
+    * the usual `0·ln 0 = 0` convention and are absent from the relation.
+    */
+  def mutualInfo(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val (cell, rowTot, colTot, tot) = contingency(orders, customer)
+    val p = col("n").cast("double") / col("n_tot")
+    val indep = col("n_seg").cast("double") * col("n_st") /
+      (col("n_tot").cast("double") * col("n_tot"))
+    cell.join(broadcast(rowTot), "segment")
+      .join(broadcast(colTot), "status")
+      .crossJoin(tot)
+      .select(col("segment"), col("status"), col("n"),
+        round(p, 6).as("p_cell"),
+        round(p * log(p / indep), 9).as("mi_contrib"))
+      .orderBy("segment", "status")
+  }
 }
 
 /** DuckDB twins — identical arithmetic, identical rounding, identical
@@ -392,4 +457,48 @@ object FeatureEngSql {
        |FROM per CROSS JOIN tot
        |ORDER BY digit""".stripMargin
   }
+
+  /** Shared contingency CTEs for the chi² / MI twins. Counts CAST to
+    * BIGINT: DuckDB sum() over integers is HUGEINT, which the driver's
+    * hash gate normalizes differently (the r9 lesson). */
+  private val contingencyCtes: String =
+    s"""j AS (
+       |  SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       |cell AS (SELECT segment, status, count(*) AS n FROM j GROUP BY 1, 2),
+       |rt AS (SELECT segment, CAST(sum(n) AS BIGINT) AS n_seg
+       |       FROM cell GROUP BY 1),
+       |ct AS (SELECT status, CAST(sum(n) AS BIGINT) AS n_st
+       |       FROM cell GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cell)""".stripMargin
+
+  def chiSquare: String =
+    s"""WITH $contingencyCtes
+       |SELECT cell.segment, cell.status, cell.n,
+       |       round(CAST(rt.n_seg AS DOUBLE) * ct.n_st / tot.n_tot, 6)
+       |         AS expected,
+       |       round((cell.n - CAST(rt.n_seg AS DOUBLE) * ct.n_st / tot.n_tot)
+       |             * (cell.n - CAST(rt.n_seg AS DOUBLE) * ct.n_st / tot.n_tot)
+       |             / (CAST(rt.n_seg AS DOUBLE) * ct.n_st / tot.n_tot), 6)
+       |         AS chi2_contrib
+       |FROM cell
+       |JOIN rt ON rt.segment = cell.segment
+       |JOIN ct ON ct.status = cell.status
+       |CROSS JOIN tot
+       |ORDER BY cell.segment, cell.status""".stripMargin
+
+  def mutualInfo: String =
+    s"""WITH $contingencyCtes
+       |SELECT cell.segment, cell.status, cell.n,
+       |       round(CAST(cell.n AS DOUBLE) / tot.n_tot, 6) AS p_cell,
+       |       round((CAST(cell.n AS DOUBLE) / tot.n_tot)
+       |             * ln((CAST(cell.n AS DOUBLE) / tot.n_tot)
+       |                  / (CAST(rt.n_seg AS DOUBLE) * ct.n_st
+       |                     / (CAST(tot.n_tot AS DOUBLE) * tot.n_tot))), 9)
+       |         AS mi_contrib
+       |FROM cell
+       |JOIN rt ON rt.segment = cell.segment
+       |JOIN ct ON ct.status = cell.status
+       |CROSS JOIN tot
+       |ORDER BY cell.segment, cell.status""".stripMargin
 }

@@ -240,6 +240,62 @@ object Graph {
     rank.select(col("node"), round(col("rank"), 9).as("rank")).orderBy("node")
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999) — the directed-graph
+    * complement of [[pagerank]]: a node is a good HUB if it points at
+    * good authorities and a good AUTHORITY if good hubs point at it —
+    * the two-score decomposition link-quality pipelines use when
+    * in-links and out-links mean different things (curation sources vs
+    * canonical pages). Synchronous mutual recursion, `iters` rounds,
+    * L1-normalized each half-step; emits `(node, hub, authority)`
+    * rounded to 9 decimals, nodes with no in-edges carrying authority 0
+    * (resp. hubs 0 for sinks).
+    *
+    * Scale posture: identical to [[pagerank]] — node-keyed relations,
+    * one edge equi-join + one aggregate per half-step, the L1 total as a
+    * one-row scalar cross join, per-round persist+count on a re-based
+    * RDD (the 2^rounds analysis-blowup discipline), every prep released
+    * at exit with only the materialized result cache resident. The
+    * oracle is the identical recurrence unrolled as DuckDB CTEs. */
+  def hits(events: DataFrame, iters: Int = 3): DataFrame = {
+    val ed = edges(events).persist()
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct().persist()
+    var hub = nodes.select(col("node"), lit(1.0).as("h")).persist()
+    var auth: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val aRaw = ed.join(hub, ed("src") === hub("node"))
+        .groupBy(col("dst").as("node")).agg(sum("h").as("a_raw"))
+      val aTot = aRaw.agg(sum("a_raw").as("a_tot"))
+      val nextA = rebased(nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(aTot)
+        .select(col("node"),
+          (coalesce(col("a_raw"), lit(0.0)) / col("a_tot")).as("a")))
+        .persist()
+      nextA.count()
+      if (auth != null) auth.unpersist()
+      auth = nextA
+      val hRaw = ed.join(auth, ed("dst") === auth("node"))
+        .groupBy(col("src").as("node")).agg(sum("a").as("h_raw"))
+      val hTot = hRaw.agg(sum("h_raw").as("h_tot"))
+      val nextH = rebased(nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(hTot)
+        .select(col("node"),
+          (coalesce(col("h_raw"), lit(0.0)) / col("h_tot")).as("h")))
+        .persist()
+      nextH.count()
+      hub.unpersist()
+      hub = nextH
+    }
+    val res = rebased(hub
+      .join(auth, Seq("node"))
+      .select(col("node"), round(col("h"), 9).as("hub"),
+        round(col("a"), 9).as("authority"))
+      .orderBy("node")).persist()
+    res.count()
+    Seq(ed, nodes, hub, auth).foreach(_.unpersist())
+    res
+  }
+
   /** Link prediction over the interaction graph — Adamic–Adar scores
     * (Adamic & Adar 2003) for node pairs at distance 2 that are NOT yet
     * edges: `aa(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z)`, the classic
@@ -654,6 +710,36 @@ object GraphSql {
        |pr0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt),
        |$steps
        |SELECT node, round(rank, 9) AS rank FROM pr$iters ORDER BY node""".stripMargin
+  }
+
+  /** Twin of [[Graph.hits]] — the identical mutual recurrence unrolled,
+    * L1 totals as scalar subqueries, 9-decimal rounding at the end. */
+  def hits(iters: Int = 3): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst AS node, sum(p.h) AS a_raw
+         |  FROM ed e JOIN h${i - 1} p ON p.node = e.src GROUP BY 1),
+         |a$i AS (
+         |  SELECT n.node,
+         |         coalesce(ar.a_raw, CAST(0 AS DOUBLE))
+         |           / (SELECT sum(a_raw) FROM ar$i) AS a
+         |  FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node),
+         |hr$i AS (
+         |  SELECT e.src AS node, sum(a.a) AS h_raw
+         |  FROM ed e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |h$i AS (
+         |  SELECT n.node,
+         |         coalesce(hr.h_raw, CAST(0 AS DOUBLE))
+         |           / (SELECT sum(h_raw) FROM hr$i) AS h
+         |  FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+       |$steps
+       |SELECT h.node, round(h.h, 9) AS hub, round(a.a, 9) AS authority
+       |FROM h$iters h JOIN a$iters a ON a.node = h.node
+       |ORDER BY h.node""".stripMargin
   }
 
   /** Twin of [[Graph.linkPrediction]] — same wedges, same anti-join, same

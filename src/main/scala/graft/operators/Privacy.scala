@@ -96,6 +96,48 @@ object Privacy {
       .orderBy("c_custkey")
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the disclosure ladder after k-anonymity and l-diversity: a
+    * group can be large (high k) and diverse (high l) yet still leak if
+    * its SENSITIVE-VALUE DISTRIBUTION diverges from the table's (e.g. a
+    * group that is 90% one segment against a uniform global). Per
+    * quasi-identifier group (nation × balance band at `width`): the
+    * group size and the total-variation distance between the group's
+    * segment distribution and the global one, with `pass = tvd ≤ t`
+    * (rounded BEFORE thresholding, the repo convention).
+    *
+    * TVD over the full segment domain folds to group-present cells only:
+    * `0.5·(Σ_{v∈grp} |p_grp − p_glob| + 1 − Σ_{v∈grp} p_glob)` — the
+    * absent segments' contribution is the global mass the group never
+    * covers, so no domain spine is needed.
+    *
+    * Scale posture: one fact shuffle to the bounded `(nation, band,
+    * segment)` cell relation (persisted; margins are second-level
+    * aggregates — the fe4 pattern), margins broadcast back. */
+  def tCloseness(customer: DataFrame, width: Int, t: Double): DataFrame = {
+    val base = customer.select(col("c_nationkey"),
+      floor(col("c_acctbal") / width).cast("long").as("band"),
+      col("c_mktsegment").as("seg"))
+    val cell = base.groupBy("c_nationkey", "band", "seg")
+      .agg(count(lit(1)).as("n")).persist()
+    val grp = cell.groupBy("c_nationkey", "band").agg(sum("n").as("n_grp"))
+    val glob = cell.groupBy("seg").agg(sum("n").as("n_seg"))
+    val tot = cell.agg(sum("n").as("n_tot"))
+    val pGrp = col("n").cast("double") / col("n_grp")
+    val pGlob = col("n_seg").cast("double") / col("n_tot")
+    cell.join(broadcast(grp), Seq("c_nationkey", "band"))
+      .join(broadcast(glob), "seg")
+      .crossJoin(tot)
+      .groupBy(col("c_nationkey"), col("band"), col("n_grp"))
+      .agg(
+        round(lit(0.5) * (sum(abs(pGrp - pGlob))
+          + (lit(1.0) - sum(pGlob))), 6).as("tvd"))
+      .select(col("c_nationkey"), col("band"),
+        col("n_grp").cast("long").as("n_grp"), col("tvd"),
+        (col("tvd") <= t).as("pass"))
+      .orderBy("c_nationkey", "band")
+  }
+
   /** Laplace(0, 1/ε) noise derived deterministically from
     * `xxhash64(key, seed)`: the low 52 hash bits map to a uniform
     * u ∈ (0,1) (offset by 2⁻⁵³ so u is never exactly 0, 1, or ½ away
@@ -200,6 +242,40 @@ object PrivacySql {
        |      AND g.band = CAST(floor(c.c_acctbal / $width) AS BIGINT)
        |WHERE g.grp_size >= $k
        |ORDER BY c.c_custkey""".stripMargin
+
+  /** Twin of [[Privacy.tCloseness]]: identical folded-TVD arithmetic
+    * (float literals CAST to DOUBLE — bare decimals parse as DECIMAL in
+    * DuckDB), identical rounding-before-threshold. */
+  def tCloseness(width: Int, t: Double): String =
+    s"""WITH base AS (
+       |  SELECT c_nationkey,
+       |         CAST(floor(c_acctbal / $width) AS BIGINT) AS band,
+       |         c_mktsegment AS seg
+       |  FROM customer),
+       |cell AS (SELECT c_nationkey, band, seg, count(*) AS n
+       |         FROM base GROUP BY 1, 2, 3),
+       |grp AS (SELECT c_nationkey, band, CAST(sum(n) AS BIGINT) AS n_grp
+       |        FROM cell GROUP BY 1, 2),
+       |gl AS (SELECT seg, CAST(sum(n) AS BIGINT) AS n_seg
+       |        FROM cell GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cell),
+       |tv AS (
+       |  SELECT cell.c_nationkey, cell.band, grp.n_grp,
+       |         round(CAST(0.5 AS DOUBLE)
+       |           * (sum(abs(CAST(cell.n AS DOUBLE) / grp.n_grp
+       |                      - CAST(gl.n_seg AS DOUBLE) / tot.n_tot))
+       |              + (CAST(1.0 AS DOUBLE)
+       |                 - sum(CAST(gl.n_seg AS DOUBLE) / tot.n_tot))), 6)
+       |           AS tvd
+       |  FROM cell
+       |  JOIN grp ON grp.c_nationkey = cell.c_nationkey
+       |          AND grp.band = cell.band
+       |  JOIN gl ON gl.seg = cell.seg
+       |  CROSS JOIN tot
+       |  GROUP BY cell.c_nationkey, cell.band, grp.n_grp)
+       |SELECT c_nationkey, band, n_grp, tvd,
+       |       tvd <= CAST($t AS DOUBLE) AS pass
+       |FROM tv ORDER BY c_nationkey, band""".stripMargin
 
   /** Twin of [[Privacy.dpVerify]]: the group count is the real oracle
     * value; the violation counters are definitionally zero for a correct
