@@ -1903,6 +1903,8 @@ object SparkEntry {
     "t34_calibration" -> ((s, dir) => // reliability curve of the t16 scorer
       TextAnalysis.calibrationOfHashedLr(Tables(s, dir, "documents"),
         array_contains(TextAnalysis.tokens(col("text")), "spark"))),
+    "t38_zipf" -> ((s, dir) => // quantized-log Zipf rank-frequency fit
+      TextAnalysis.zipfAudit(Tables(s, dir, "documents"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2373,6 +2375,8 @@ object SparkEntry {
     "st26_stream_nb_serve" -> ((s, dir) => // t35's fitted model serving a
       // stream: STATELESS scoring projection, verdict final per row
       graft.streaming.StreamingQueries.nbServe(s, dir)),
+    "st27_stream_psi" -> ((s, dir) => // fe5's drift monitor as stream state
+      graft.streaming.StreamingQueries.psiMonitor(s, dir)),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -2523,6 +2527,8 @@ object SparkEntry {
     "fe8_mutual_info" -> ((s, dir) => // mutual-information dependence screen
       FeatureEng.mutualInfo(Tables(s, dir, "orders"),
         Tables(s, dir, "customer"))),
+    "fe9_corr_matrix" -> ((s, dir) => // exact-sum Pearson redundancy screen
+      FeatureEng.corrMatrix(Tables(s, dir, "lineitem"))),
 
     // ---- in-engine Naive Bayes: the counting-aggregate trainable model
     // (exactness contract on operators.NaiveBayes) ----
@@ -3030,6 +3036,7 @@ object SparkEntry {
       "st25_stream_benford" -> FeatureEngSql.benford,
       // stream-served predictions == the batch classifier's own oracle
       "st26_stream_nb_serve" -> NaiveBayesSql.apply,
+      "st27_stream_psi" -> FeatureEngSql.psiDrift(),
       "d5_merge_cdc" -> // from-scratch recompute: global latest op, D wins
         """WITH ops AS (
           |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
@@ -3319,6 +3326,7 @@ object SparkEntry {
         s"${TextAnalysisSql.tokenDrift(batchAPredSql, 50)} ORDER BY token",
       "t21_unigram_lm" -> TextAnalysisSql.unigramLm,
       "t32_perplexity_filter" -> TextAnalysisSql.perplexityFilter(0.5),
+      "t38_zipf" -> TextAnalysisSql.zipfAudit(),
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),
       "t34_calibration" -> TextAnalysisSql.calibrationOfHashedLr(64,
@@ -3592,6 +3600,7 @@ object SparkEntry {
       "fe6_woe_iv" -> FeatureEngSql.woeIv(),
       "fe7_chi2" -> FeatureEngSql.chiSquare,
       "fe8_mutual_info" -> FeatureEngSql.mutualInfo,
+      "fe9_corr_matrix" -> FeatureEngSql.corrMatrix,
       "t35_nb_model" -> NaiveBayesSql.model,
       "t36_nb_classify" -> NaiveBayesSql.apply,
       "t37_nb_eval" -> NaiveBayesSql.evaluate,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Feature-engineering and data-audit aggregates the curation pipeline
@@ -153,13 +153,22 @@ object FeatureEng {
   def psiDrift(
       orders: DataFrame,
       nBins: Int = 10,
-      width: Double = 50000.0): DataFrame = {
-    val bin = least(floor(col("o_totalprice") / width), lit(nBins - 1))
-      .cast("int")
-    val cohort = pmod(col("o_orderkey"), lit(2)).cast("int")
-    val counts = orders
-      .groupBy(cohort.as("cohort"), bin.as("bin"))
-      .agg(count(lit(1)).as("n"))
+      width: Double = 50000.0): DataFrame =
+    psiFace(orders
+      .groupBy(psiCohort.as("cohort"), psiBin(nBins, width).as("bin"))
+      .agg(count(lit(1)).as("n")), nBins)
+
+  /** The fixed-width band and deterministic cohort the PSI lanes share
+    * (batch fe5 and streaming st27 extract them with the same columns,
+    * so they cannot diverge on the binning). */
+  def psiBin(nBins: Int, width: Double): Column =
+    least(floor(col("o_totalprice") / width), lit(nBins - 1)).cast("int")
+  def psiCohort: Column = pmod(col("o_orderkey"), lit(2)).cast("int")
+
+  /** PSI presentation over a `(cohort, bin, n)` cell relation — shared
+    * by the batch audit and the streaming monitor's drained state
+    * (the benfordFace pattern: one arithmetic, two ingestion modes). */
+  def psiFace(counts: DataFrame, nBins: Int = 10): DataFrame = {
     // pivot the 2×nBins cell relation wide via a self-aligned aggregate;
     // persisted — the totals branch would otherwise re-run the fact scan
     // (no subplan sharing, the fe4 lesson); released by the harness's
@@ -276,6 +285,66 @@ object FeatureEng {
     val colTot = cell.groupBy("status").agg(sum("n").as("n_st"))
     val tot = cell.agg(sum("n").as("n_tot"))
     (cell, rowTot, colTot, tot)
+  }
+
+  /** The integer-scaled numeric columns [[corrMatrix]] correlates, shared
+    * with the SQL twin so the scaling can never diverge: quantity is
+    * integral; the three money/rate columns are exact at 2 decimals, so
+    * ×100 + round yields the intended integer in both engines (the
+    * benford cents precedent). */
+  val corrCols: Seq[String] = Seq("quantity", "extendedprice", "discount",
+    "tax")
+  val corrPairs: Seq[(String, String)] =
+    for { i <- corrCols.indices; j <- corrCols.indices if i < j }
+      yield (corrCols(i), corrCols(j))
+
+  /** Pairwise Pearson correlation matrix over the lineitem numeric
+    * columns — the feature-redundancy screen run before any model fit.
+    * One row per unordered column pair: `(col_a, col_b, n, r)`.
+    *
+    * Exactness (the decimal-sum variant of the quantization pattern):
+    * every co-moment is a sum of INTEGER-scaled values accumulated in
+    * DECIMAL(38,0) — exact and summation-order independent (plain BIGINT
+    * would overflow: Σ price_cents² ≈ 7e19 at sf0.1) — mirrored by
+    * DuckDB's exact HUGEINT sums; the closed-form correlation then runs
+    * on identical doubles in both engines before 6-decimal rounding.
+    * The ×100 scale factors cancel in r.
+    *
+    * Scale posture: ONE scan computes all 15 sums in a single
+    * partial/final aggregate (4 sums, 4 squares, 6 cross-products, n);
+    * the six output rows are projections of the persisted one-row
+    * relation. */
+  def corrMatrix(lineitem: DataFrame): DataFrame = {
+    val scaled: Map[String, Column] = Map(
+      "quantity" -> round(col("l_quantity")).cast("long"),
+      "extendedprice" -> round(col("l_extendedprice") * 100).cast("long"),
+      "discount" -> round(col("l_discount") * 100).cast("long"),
+      "tax" -> round(col("l_tax") * 100).cast("long"))
+    val proj = lineitem.select(corrCols.map(n => scaled(n).as(n)): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val aggs = corrCols.flatMap { n =>
+      Seq(sum(dec(col(n))).as(s"s_$n"),
+        sum(dec(col(n) * col(n))).as(s"ss_$n"))
+    } ++ corrPairs.map { case (a, b) =>
+      sum(dec(col(a) * col(b))).as(s"sp_${a}_$b")
+    } :+ count(lit(1)).as("n")
+    val s = proj.agg(aggs.head, aggs.tail: _*).persist()
+    val rows = corrPairs.map { case (a, b) =>
+      val n = col("n").cast("double")
+      val num = n * col(s"sp_${a}_$b").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+      val dx = n * col(s"ss_$a").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+      val dy = n * col(s"ss_$b").cast("double") -
+        col(s"s_$b").cast("double") * col(s"s_$b").cast("double")
+      // zero-variance guard: a constant column has no defined correlation
+      // — NULL in both engines (ANSI division would throw; DuckDB would
+      // produce inf/NaN)
+      s.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        when(dx * dy === 0, lit(null).cast("double"))
+          .otherwise(round(num / sqrt(dx * dy), 6)).as("r"))
+    }
+    rows.reduce(_ unionAll _).orderBy("col_a", "col_b")
   }
 
   /** Chi-square independence screen of a categorical feature against a
@@ -456,6 +525,44 @@ object FeatureEngSql {
        |         - (CASE digit $cases END)), 6) AS gap
        |FROM per CROSS JOIN tot
        |ORDER BY digit""".stripMargin
+  }
+
+  /** Twin of [[FeatureEng.corrMatrix]]: identical integer scaling
+    * (shared column list), exact HUGEINT co-moment sums mirroring the
+    * Scala side's DECIMAL(38,0), identical double combination. */
+  def corrMatrix: String = {
+    val scaledSql = Map(
+      "quantity" -> "CAST(round(l_quantity) AS BIGINT)",
+      "extendedprice" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "discount" -> "CAST(round(l_discount * 100) AS BIGINT)",
+      "tax" -> "CAST(round(l_tax * 100) AS BIGINT)")
+    val projCols = FeatureEng.corrCols
+      .map(n => s"${scaledSql(n)} AS $n").mkString(",\n       |         ")
+    val sumCols = (FeatureEng.corrCols.flatMap { n =>
+      Seq(s"sum($n) AS s_$n", s"sum($n * $n) AS ss_$n")
+    } ++ FeatureEng.corrPairs.map { case (a, b) =>
+      s"sum($a * $b) AS sp_${a}_$b"
+    } :+ "count(*) AS n").mkString(",\n       |         ")
+    val selects = FeatureEng.corrPairs.map { case (a, b) =>
+      val dx = s"""(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+         |              - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))""".stripMargin
+      val dy = s"""(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+         |              - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))""".stripMargin
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |       CASE WHEN $dx * $dy = 0 THEN NULL
+         |            ELSE round((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+         |                        - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |                       / sqrt($dx * $dy), 6) END AS r
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (
+       |  SELECT $projCols
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT $sumCols
+       |  FROM p)
+       |$selects
+       |ORDER BY col_a, col_b""".stripMargin
   }
 
   /** Shared contingency CTEs for the chi² / MI twins. Counts CAST to

@@ -983,6 +983,49 @@ object TextAnalysis {
           - sum(col("c_db") * log(col("s_r")))) / sum(col("c_db")), 6)
           .as("log_ratio"))
   }
+
+  /** Zipf rank-frequency audit of the corpus vocabulary — the classic
+    * corpus-health check (natural language follows freq ~ rank^-s with
+    * s near 1; machine-generated or templated text bends the curve):
+    * least-squares fit of ln(freq) on ln(rank) over the top `topN`
+    * vocabulary terms, emitting `(n, slope, intercept, r2)`.
+    *
+    * Exactness (the NB-lane quantization pattern): both log coordinates
+    * are QUANTIZED to BIGINT (`round(ln(v)*1e6)`), so the five
+    * regression sums are exact integers — summation-order independent —
+    * and the closed-form combination runs on identical doubles in both
+    * engines before the 6-decimal rounding. The 1e6 scale cancels in
+    * slope and r2; the intercept divides it back out.
+    *
+    * Scale posture: one token-count shuffle (vocab-keyed), the global
+    * rank via [[Ranks.withGlobalRank]] (range exchange + broadcast
+    * offsets — never a single-partition window), then one 5-sum
+    * aggregate over the bounded topN relation. */
+  def zipfAudit(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    val tf = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val (ranked, _) = Ranks.withGlobalRank(
+      tf, Seq(col("freq").desc, col("token")), "rank")
+    val top = ranked.where(col("rank") <= topN)
+      .select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("x_q"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y_q"))
+    val s = top.agg(count(lit(1)).as("n"),
+      sum("x_q").as("sx"), sum("y_q").as("sy"),
+      sum(col("x_q") * col("y_q")).as("sxy"),
+      sum(col("x_q") * col("x_q")).as("sxx"),
+      sum(col("y_q") * col("y_q")).as("syy"))
+    val n = col("n").cast("double")
+    val num = n * col("sxy") - col("sx").cast("double") * col("sy")
+    val denx = n * col("sxx") - col("sx").cast("double") * col("sx")
+    val deny = n * col("syy") - col("sy").cast("double") * col("sy")
+    val slope = num / denx
+    s.select(col("n"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx")) / n / lit(1e6), 6)
+        .as("intercept"),
+      round(num * num / (denx * deny), 6).as("r2"))
+  }
 }
 
 /** DuckDB twins of [[TextAnalysis]] for the driver oracle. Kept adjacent to
@@ -1569,4 +1612,38 @@ object TextAnalysisSql {
        |CROSS JOIN tot_t CROSS JOIN tot_r
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** Twin of [[TextAnalysis.zipfAudit]]: identical quantized-log
+    * regression sums (exact BIGINT), identical double combination. */
+  def zipfAudit(topN: Int = 1000): String =
+    s"""WITH tf AS (
+       |  SELECT t.token, count(*) AS freq
+       |  FROM documents, unnest($toks) AS t(token) GROUP BY 1),
+       |rk AS (
+       |  SELECT freq,
+       |         row_number() OVER (ORDER BY freq DESC, token) AS rank
+       |  FROM tf),
+       |q AS (
+       |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x_q,
+       |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y_q
+       |  FROM rk WHERE rank <= $topN),
+       |s AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(x_q) AS BIGINT) AS sx,
+       |         CAST(sum(y_q) AS BIGINT) AS sy,
+       |         CAST(sum(x_q * y_q) AS BIGINT) AS sxy,
+       |         CAST(sum(x_q * x_q) AS BIGINT) AS sxx,
+       |         CAST(sum(y_q * y_q) AS BIGINT) AS syy
+       |  FROM q),
+       |c AS (
+       |  SELECT n,
+       |         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+       |         CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS denx,
+       |         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS deny,
+       |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+       |  FROM s)
+       |SELECT n, round(num / denx, 6) AS slope,
+       |       round((syd - (num / denx) * sxd) / n / 1e6, 6) AS intercept,
+       |       round(num * num / (denx * deny), 6) AS r2
+       |FROM c""".stripMargin
 }

@@ -1331,6 +1331,34 @@ object StreamingQueries {
     graft.operators.FeatureEng.benfordFace(spark.table(name))
   }
 
+  /** Streaming PSI drift monitor — `fe5_psi_drift` as an always-on
+    * ingest monitor over the order stream: the state is the 2×nBins
+    * `(cohort, bin)` count relation ONLY (bounded keyed streaming
+    * aggregate, the st23/st24/st25 state class); band and cohort are
+    * extracted with the SHARED [[graft.operators.FeatureEng.psiBin]] /
+    * `psiCohort` columns, and the PSI presentation evaluates on the
+    * drained state via the shared [[graft.operators.FeatureEng.psiFace]]
+    * — so batch and stream cannot diverge on binning or arithmetic, and
+    * both hash-match the same DuckDB oracle. This is drift monitoring's
+    * deployment shape: the reference-vs-serving comparison runs DURING
+    * ingest, not in a nightly batch. */
+  def psiMonitor(outer: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val spark = childSession(outer)
+    val name = "st27_psi_" + math.abs(dir.hashCode)
+    val counts = tableStream(spark, dir, "orders", maxFilesPerTrigger = Some(2))
+      .groupBy(graft.operators.FeatureEng.psiCohort.as("cohort"),
+        graft.operators.FeatureEng.psiBin(10, 50000.0).as("bin"))
+      .agg(cnt(lit(1)).as("n"))
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.FeatureEng.psiFace(spark.table(name), 10)
+  }
+
   /** Streaming model serving — the fitted Naive Bayes of `t35`-`t37`
     * scoring an ingest stream: the model trains ONCE batch-side and its
     * bounded artifacts ([[graft.operators.NaiveBayes.servingArtifacts]] —

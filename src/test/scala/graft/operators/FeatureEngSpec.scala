@@ -144,4 +144,71 @@ class FeatureEngSpec extends SparkSuite {
         math.log10(1.0 + 1.0 / d) +- 1e-6)
     }
   }
+
+  // shared 2×2 contingency: A/F 2, A/O 1, B/F 1 (B/O never observed);
+  // margins: A 3, B 1; F 3, O 1; N 4.
+  private def contOrders = Seq(
+    (1L, 1L, "F"), (2L, 1L, "F"), (3L, 1L, "O"), (4L, 2L, "F"))
+    .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+  private def contCustomer = Seq((1L, "A"), (2L, "B"))
+    .toDF("c_custkey", "c_mktsegment")
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("chiSquare: hand-computed expected counts and contributions") {
+    val got = FeatureEng.chiSquare(contOrders, contCustomer)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // e(A,F)=3·3/4=2.25  e(A,O)=3·1/4=0.75  e(B,F)=1·3/4=0.75
+    def chi(n: Long, e: Double) = r6((n - e) * (n - e) / e)
+    assert(got === Seq(
+      ("A", "F", 2L, 2.25, chi(2, 2.25)),
+      ("A", "O", 1L, 0.75, chi(1, 0.75)),
+      ("B", "F", 1L, 0.75, chi(1, 0.75))))
+  }
+
+  test("mutualInfo: hand-computed cell contributions; independence -> 0") {
+    val got = FeatureEng.mutualInfo(contOrders, contCustomer)
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    def mi(n: Double, rm: Double, cm: Double) = {
+      val p = n / 4; val ind = (rm / 4) * (cm / 4)
+      BigDecimal(p * math.log(p / ind))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === Map(
+      ("A", "F") -> mi(2, 3, 3), ("A", "O") -> mi(1, 3, 1),
+      ("B", "F") -> mi(1, 1, 3)))
+    // an exactly independent 2×2 table has zero MI in every cell
+    val indep = Seq(
+      (1L, 1L, "F"), (2L, 1L, "O"), (3L, 2L, "F"), (4L, 2L, "O"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    FeatureEng.mutualInfo(indep, contCustomer).collect()
+      .foreach(r => assert(r.getDouble(4) === 0.0))
+  }
+
+  test("corrMatrix: exact r = 1 / r = -1 on constructed columns") {
+    // quantity ↑ with price (r=1), against discount (r=-1); tax constant
+    // (zero variance -> NaN/null denominator -> excluded from checks)
+    val li = Seq(
+      (1.0, 10.00, 0.03, 0.05),
+      (2.0, 20.00, 0.02, 0.05),
+      (3.0, 30.00, 0.01, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = FeatureEng.corrMatrix(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("quantity", "extendedprice")) === Some(1.0))
+    assert(got(("quantity", "discount")) === Some(-1.0))
+    assert(got(("extendedprice", "discount")) === Some(-1.0))
+    // constant column: zero variance -> NULL in both engines, never a
+    // fabricated correlation (or an ANSI division error)
+    assert(got(("quantity", "tax")) === None)
+    assert(got(("extendedprice", "tax")) === None)
+    assert(got(("discount", "tax")) === None)
+    assert(got.size === 6)
+    // n carried on every row
+    assert(FeatureEng.corrMatrix(li).select("n").as[Long]
+      .collect().forall(_ === 3L))
+  }
 }

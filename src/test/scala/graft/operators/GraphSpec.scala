@@ -265,6 +265,17 @@ class GraphSpec extends SparkSuite {
       6L -> 4L))
   }
 
+  test("hits: hand-computed hubs/authorities on a 3-chain") {
+    // edges 1→2, 2→3. Fixed point from iteration 1 on:
+    // hubs (1, 2) = ½ each (3 points at nothing); authorities (2, 3) = ½.
+    val r = Graph.hits(eventsOf(Seq(1L, 2L, 3L)), iters = 3)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(r === Seq(
+      (1L, 0.5, 0.0),
+      (2L, 0.5, 0.5),
+      (3L, 0.0, 0.5)))
+  }
+
   test("cache lifecycle: no resident cache growth across the graph lane " +
       "(r9 verdict ask #6)") {
     // The harness clears the cache between queries, but the operators
@@ -293,6 +304,7 @@ class GraphSpec extends SparkSuite {
       "labelPropagation" -> (() =>
         Graph.labelPropagation(ev, iters = 2).collect()),
       "kCore" -> (() => Graph.kCore(ev, k = 2, rounds = 2).collect()),
+      "hits" -> (() => Graph.hits(ev, iters = 2).collect()),
       "bfsHops" -> (() =>
         Graph.bfsHops(ev, col("node") === 1L, hops = 2).collect()))
     ops.foreach { case (name, run) =>

@@ -93,4 +93,23 @@ class PrivacySpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().head
     assert(r === ((2L, 0L, 0L)))
   }
+
+  test("tCloseness: hand-computed TVD, including group-absent segments") {
+    // Global: A 3, B 3 (p = ½ each). Group (1, 0) = {A, B}: TVD 0.
+    // Group (2, 0) = {A, A}: TVD = ½·(|1 − ½| + (1 − ½)) = ½ — the
+    // folded form charges absent B its global mass. Group (3, 0) =
+    // {B, B}: ½ by symmetry.
+    val c = Seq(
+      (1L, "x", 1L, 10.0, "A"), (2L, "x", 1L, 20.0, "B"),
+      (3L, "x", 2L, 30.0, "A"), (4L, "x", 2L, 40.0, "A"),
+      (5L, "x", 3L, 50.0, "B"), (6L, "x", 3L, 60.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val got = Privacy.tCloseness(c, width = 1000, t = 0.2)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 2L, 0.0, true),
+      (2L, 0L, 2L, 0.5, false),
+      (3L, 0L, 2L, 0.5, false)))
+  }
 }

@@ -99,4 +99,22 @@ class TextAnalysisSpec extends SparkSuite {
     val bad = mass.where(col("m") > 1.0 + 1e-9).count()
     assert(bad === 0L, s"$bad contexts with probability mass > 1")
   }
+
+  test("zipfAudit: an exact rank^-1 law fits slope -1 with r2 = 1") {
+    // token frequencies 12, 6, 4, 3 = 12 / rank for ranks 1..4, so
+    // ln(freq) = ln 12 - 1·ln(rank): slope -1, intercept ln 12, r2 1
+    // (up to the 1e-6 log quantization both engines share).
+    val words =
+      Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++ Seq.fill(4)("cc") ++
+        Seq.fill(3)("dd")
+    val docs = words.grouped(5).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val r = TextAnalysis.zipfAudit(docs, topN = 10)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r._1 === 4L)
+    assert(math.abs(r._2 - (-1.0)) < 1e-5, s"slope ${r._2}")
+    assert(math.abs(r._3 - math.log(12.0)) < 1e-5, s"intercept ${r._3}")
+    assert(r._4 > 0.9999999, s"r2 ${r._4}")
+  }
 }
