@@ -1005,6 +1005,50 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("fe7/fe8/priv4: margins derive from the persisted cell relation " +
+      "and the bounded joins broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    for (name <- Seq("fe7_chi2", "fe8_mutual_info", "priv4_t_closeness")) {
+      val exec = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      // the fact scan lives INSIDE the cached cell relation: cell + two
+      // margins + total = 4 cache reads, parquet never at the top level
+      assert(deepCollect(exec) { case s: FileSourceScanExec => s }.isEmpty,
+        s"$name must not rescan the fact table for its margins:\n$exec")
+      assert(deepCollect(exec) { case s: InMemoryTableScanExec => s }.size === 4,
+        s"$name: cell + margins + total must share the cached cells:\n$exec")
+      assert(deepCollect(exec) { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$name: bounded margin joins must broadcast:\n$exec")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("fe9/t38: single-aggregate regression shapes — one scan for all " +
+      "sums, no global window") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // fe9: the six output rows are projections of the ONE cached sums row
+    val fe9 = SparkEntry.queries("fe9_corr_matrix")(spark, dir)
+      .queryExecution.executedPlan
+    assert(deepCollect(fe9) { case s: FileSourceScanExec => s }.isEmpty,
+      s"fe9 must not rescan lineitem per pair:\n$fe9")
+    assert(deepCollect(fe9) { case s: InMemoryTableScanExec => s }.size === 6,
+      s"fe9: the six pair rows must share the cached sums row:\n$fe9")
+    spark.catalog.clearCache()
+    // t38: the global rank rides Ranks.withGlobalRank — no unpartitioned
+    // window anywhere (the k9-k11 de-funnel contract)
+    val t38 = SparkEntry.queries("t38_zipf")(spark, dir)
+      .queryExecution.executedPlan
+    val global = deepCollect(t38) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, s"t38 carries a global window:\n$global")
+    spark.catalog.clearCache()
+  }
+
   test("fe4: the fact table shuffles once; every higher aggregate " +
       "derives from the persisted cell relation") {
     import org.apache.spark.sql.execution.FileSourceScanExec
