@@ -2529,6 +2529,8 @@ object SparkEntry {
         Tables(s, dir, "customer"))),
     "fe9_corr_matrix" -> ((s, dir) => // exact-sum Pearson redundancy screen
       FeatureEng.corrMatrix(Tables(s, dir, "lineitem"))),
+    "fe10_ks_test" -> ((s, dir) => // exact two-sample KS via prefix sums
+      FeatureEng.ksTest(Tables(s, dir, "orders"))),
 
     // ---- in-engine Naive Bayes: the counting-aggregate trainable model
     // (exactness contract on operators.NaiveBayes) ----
@@ -3601,6 +3603,7 @@ object SparkEntry {
       "fe7_chi2" -> FeatureEngSql.chiSquare,
       "fe8_mutual_info" -> FeatureEngSql.mutualInfo,
       "fe9_corr_matrix" -> FeatureEngSql.corrMatrix,
+      "fe10_ks_test" -> FeatureEngSql.ksTest,
       "t35_nb_model" -> NaiveBayesSql.model,
       "t36_nb_classify" -> NaiveBayesSql.apply,
       "t37_nb_eval" -> NaiveBayesSql.evaluate,

@@ -287,6 +287,38 @@ object FeatureEng {
     (cell, rowTot, colTot, tot)
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between the PSI lanes' cohorts —
+    * the nonparametric companion of [[psiDrift]]: instead of binning,
+    * D = max over observed values of |F_a(v) − F_b(v)|, the exact
+    * supremum distance between the two empirical CDFs. Emits one row
+    * `(n_a, n_b, d_stat, at_value)` with the statistic rounded BEFORE
+    * the argmax ordering (ties break to the smallest value) — the
+    * rounded-before-ranked convention.
+    *
+    * Scale posture: one value-keyed counting shuffle to the distinct-
+    * value relation, then exact cumulative counts via
+    * [[Ranks.withPrefixSums]] (range exchange + per-partition running
+    * sums + broadcast offsets — the distributed scan, never a global
+    * window), one bounded top-1. The CDFs are integer ratios, so both
+    * engines compare identical doubles. */
+  def ksTest(orders: DataFrame): DataFrame = {
+    val cell = orders.groupBy(col("o_totalprice").as("v"))
+      .agg(sum(when(psiCohort === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(psiCohort === 1, 1L).otherwise(0L)).as("n_b"))
+    val cum = Ranks.withPrefixSums(cell, Seq(col("v")), Seq("n_a", "n_b"))
+      .persist()
+    val tot = cum.agg(max("cum_n_a").as("tot_a"), max("cum_n_b").as("tot_b"))
+    cum.crossJoin(tot)
+      .select(col("tot_a"), col("tot_b"),
+        round(abs(col("cum_n_a").cast("double") / col("tot_a")
+          - col("cum_n_b").cast("double") / col("tot_b")), 6).as("d_stat"),
+        col("v"))
+      .orderBy(col("d_stat").desc, col("v"))
+      .limit(1)
+      .select(col("tot_a").as("n_a"), col("tot_b").as("n_b"),
+        col("d_stat"), col("v").as("at_value"))
+  }
+
   /** The integer-scaled numeric columns [[corrMatrix]] correlates, shared
     * with the SQL twin so the scaling can never diverge: quantity is
     * integral; the three money/rate columns are exact at 2 decimals, so
@@ -526,6 +558,33 @@ object FeatureEngSql {
        |FROM per CROSS JOIN tot
        |ORDER BY digit""".stripMargin
   }
+
+  /** Twin of [[FeatureEng.ksTest]]: identical cumulative counts (window
+    * form — DuckDB is the single-node oracle), identical rounded-before-
+    * ranked argmax. */
+  def ksTest: String =
+    s"""WITH cell AS (
+       |  SELECT o_totalprice AS v,
+       |         CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_b
+       |  FROM orders GROUP BY 1),
+       |cum AS (
+       |  SELECT v,
+       |         CAST(sum(n_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |           AS BIGINT) AS ca,
+       |         CAST(sum(n_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |           AS BIGINT) AS cb
+       |  FROM cell),
+       |tot AS (SELECT max(ca) AS tot_a, max(cb) AS tot_b FROM cum),
+       |d AS (
+       |  SELECT tot.tot_a, tot.tot_b,
+       |         round(abs(CAST(ca AS DOUBLE) / tot.tot_a
+       |               - CAST(cb AS DOUBLE) / tot.tot_b), 6) AS d_stat, v
+       |  FROM cum CROSS JOIN tot)
+       |SELECT tot_a AS n_a, tot_b AS n_b, d_stat, v AS at_value
+       |FROM d ORDER BY d_stat DESC, v LIMIT 1""".stripMargin
 
   /** Twin of [[FeatureEng.corrMatrix]]: identical integer scaling
     * (shared column list), exact HUGEINT co-moment sums mirroring the

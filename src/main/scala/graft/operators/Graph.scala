@@ -250,46 +250,55 @@ object Graph {
     * rounded to 9 decimals, nodes with no in-edges carrying authority 0
     * (resp. hubs 0 for sinks).
     *
+    * Exactness + cost (the key structural fact): HITS is a LINEAR
+    * recurrence, so the per-round L1 normalization commutes with the
+    * sums — normalizing once at the END yields the identical vectors.
+    * The loop therefore runs in exact BIGINT (h₀ = 1; every half-step is
+    * an integer sum — summation-order independent, no per-round totals,
+    * no float state), and the only float op is one division per value at
+    * the end, on identical integers in both engines. Magnitudes are
+    * bounded by Π of the alternating degree products (< deg_max^(2·iters)
+    * — fine for the registered 3 iterations; a deep/hot-graph deployment
+    * would flip to per-round normalized doubles, same plan shape).
+    *
     * Scale posture: identical to [[pagerank]] — node-keyed relations,
-    * one edge equi-join + one aggregate per half-step, the L1 total as a
-    * one-row scalar cross join, per-round persist+count on a re-based
-    * RDD (the 2^rounds analysis-blowup discipline), every prep released
-    * at exit with only the materialized result cache resident. The
-    * oracle is the identical recurrence unrolled as DuckDB CTEs. */
+    * one edge equi-join + one aggregate per half-step, ONE persist+count
+    * per round on a re-based RDD (the 2^rounds analysis-blowup
+    * discipline; the a-relation's cache fills as the h-step reads it),
+    * every prep released at exit with only the materialized result cache
+    * resident. The oracle is the identical recurrence unrolled as
+    * DuckDB CTEs. */
   def hits(events: DataFrame, iters: Int = 3): DataFrame = {
     val ed = edges(events).persist()
     val nodes = ed.select(col("src").as("node"))
       .union(ed.select(col("dst").as("node"))).distinct().persist()
-    var hub = nodes.select(col("node"), lit(1.0).as("h")).persist()
+    var hub = nodes.select(col("node"), lit(1L).as("h")).persist()
     var auth: DataFrame = null
     (1 to iters).foreach { _ =>
       val aRaw = ed.join(hub, ed("src") === hub("node"))
-        .groupBy(col("dst").as("node")).agg(sum("h").as("a_raw"))
-      val aTot = aRaw.agg(sum("a_raw").as("a_tot"))
+        .groupBy(col("dst").as("node")).agg(sum("h").as("a"))
       val nextA = rebased(nodes.join(aRaw, Seq("node"), "left")
-        .crossJoin(aTot)
-        .select(col("node"),
-          (coalesce(col("a_raw"), lit(0.0)) / col("a_tot")).as("a")))
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a")))
+        .persist() // populated when the h-step below first reads it
+      val hRaw = ed.join(nextA, ed("dst") === nextA("node"))
+        .groupBy(col("src").as("node")).agg(sum("a").as("h"))
+      val nextH = rebased(nodes.join(hRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h")))
         .persist()
-      nextA.count()
+      nextH.count() // materializes nextA and nextH in one job
       if (auth != null) auth.unpersist()
       auth = nextA
-      val hRaw = ed.join(auth, ed("dst") === auth("node"))
-        .groupBy(col("src").as("node")).agg(sum("a").as("h_raw"))
-      val hTot = hRaw.agg(sum("h_raw").as("h_tot"))
-      val nextH = rebased(nodes.join(hRaw, Seq("node"), "left")
-        .crossJoin(hTot)
-        .select(col("node"),
-          (coalesce(col("h_raw"), lit(0.0)) / col("h_tot")).as("h")))
-        .persist()
-      nextH.count()
       hub.unpersist()
       hub = nextH
     }
+    val aTot = auth.agg(sum("a").as("a_tot"))
+    val hTot = hub.agg(sum("h").as("h_tot"))
     val res = rebased(hub
       .join(auth, Seq("node"))
-      .select(col("node"), round(col("h"), 9).as("hub"),
-        round(col("a"), 9).as("authority"))
+      .crossJoin(hTot).crossJoin(aTot)
+      .select(col("node"),
+        round(col("h").cast("double") / col("h_tot"), 9).as("hub"),
+        round(col("a").cast("double") / col("a_tot"), 9).as("authority"))
       .orderBy("node")).persist()
     res.count()
     Seq(ed, nodes, hub, auth).foreach(_.unpersist())
@@ -712,32 +721,35 @@ object GraphSql {
        |SELECT node, round(rank, 9) AS rank FROM pr$iters ORDER BY node""".stripMargin
   }
 
-  /** Twin of [[Graph.hits]] — the identical mutual recurrence unrolled,
-    * L1 totals as scalar subqueries, 9-decimal rounding at the end. */
+  /** Twin of [[Graph.hits]] — the identical INTEGER mutual recurrence
+    * unrolled (normalization commutes with the linear recurrence, so it
+    * happens once at the end), 9-decimal rounding. */
   def hits(iters: Int = 3): String = {
     val steps = (1 to iters).map { i =>
       s"""ar$i AS (
-         |  SELECT e.dst AS node, sum(p.h) AS a_raw
+         |  SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS a
          |  FROM ed e JOIN h${i - 1} p ON p.node = e.src GROUP BY 1),
          |a$i AS (
-         |  SELECT n.node,
-         |         coalesce(ar.a_raw, CAST(0 AS DOUBLE))
-         |           / (SELECT sum(a_raw) FROM ar$i) AS a
+         |  SELECT n.node, coalesce(ar.a, CAST(0 AS BIGINT)) AS a
          |  FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node),
          |hr$i AS (
-         |  SELECT e.src AS node, sum(a.a) AS h_raw
+         |  SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS h
          |  FROM ed e JOIN a$i a ON a.node = e.dst GROUP BY 1),
          |h$i AS (
-         |  SELECT n.node,
-         |         coalesce(hr.h_raw, CAST(0 AS DOUBLE))
-         |           / (SELECT sum(h_raw) FROM hr$i) AS h
+         |  SELECT n.node, coalesce(hr.h, CAST(0 AS BIGINT)) AS h
          |  FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH $edgeCtes,
        |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
-       |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+       |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),
        |$steps
-       |SELECT h.node, round(h.h, 9) AS hub, round(a.a, 9) AS authority
+       |SELECT h.node,
+       |       round(CAST(h.h AS DOUBLE)
+       |             / (SELECT CAST(sum(h) AS DOUBLE) FROM h$iters), 9)
+       |         AS hub,
+       |       round(CAST(a.a AS DOUBLE)
+       |             / (SELECT CAST(sum(a) AS DOUBLE) FROM a$iters), 9)
+       |         AS authority
        |FROM h$iters h JOIN a$iters a ON a.node = h.node
        |ORDER BY h.node""".stripMargin
   }

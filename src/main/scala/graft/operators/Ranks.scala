@@ -76,6 +76,59 @@ object Ranks {
     (ranked, total)
   }
 
+  /** `df` + exact INCLUSIVE prefix sums of `sumCols` (BIGINT) over the
+    * unique total order `order` — the distributed SCAN primitive, built
+    * the same way [[withGlobalRank]] ranks: range exchange + local sorts,
+    * one bounded job collects the p per-partition COLUMN TOTALS, the
+    * driver prefix-sums them into per-partition offsets, and a broadcast
+    * join + a PER-PARTITION running-sum window (partitioned by pid —
+    * p-way parallel, never a single-partition funnel) yields
+    * `offset(pid, c) + running_sum(c)`. Cumulative distribution
+    * functions, running totals, and the KS statistic all derive from it
+    * without a global window. Output columns are named `cum_<col>`. */
+  def withPrefixSums(df: DataFrame, order: Seq[Column],
+      sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val mid = "__ps_mid"
+    val pidCol = "__ps_pid"
+    val sorted = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(mid, monotonically_increasing_id())
+      .persist()
+    val totals = sorted
+      .groupBy(shiftrightunsigned(col(mid), 33).as(pidCol))
+      .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+        sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), sumCols.map(c => r.getAs[Long](c))))
+      .sortBy(_._1)
+    val accs = Array.fill(sumCols.size)(0L)
+    val offsets = totals.map { case (pid, ts) =>
+      val row = pid +: accs.toSeq
+      ts.zipWithIndex.foreach { case (t, i) => accs(i) += t }
+      row
+    }.toSeq
+    import spark.implicits._
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        offsets.map(org.apache.spark.sql.Row.fromSeq), 1),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(pidCol,
+          org.apache.spark.sql.types.LongType) +:
+        sumCols.map(c => org.apache.spark.sql.types.StructField(
+          s"__ps_off_$c", org.apache.spark.sql.types.LongType))))
+    val w = Window.partitionBy(pidCol).orderBy(col(mid))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sorted
+      .withColumn(pidCol, shiftrightunsigned(col(mid), 33))
+      .join(broadcast(offDf), pidCol)
+    sumCols.foldLeft(cum) { (d, c) =>
+      d.withColumn(s"cum_$c", col(s"__ps_off_$c") + sum(col(c)).over(w))
+    }.drop(mid +: pidCol +: sumCols.map(c => s"__ps_off_$c"): _*)
+  }
+
   /** `df` + exact `ntile(n)` (1-based, BIGINT) over the unique total
     * order `order`, via [[withGlobalRank]]: with N rows the first
     * `N mod n` tiles hold `⌊N/n⌋+1` rows and the rest `⌊N/n⌋` — the

@@ -71,4 +71,56 @@ class RanksSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"),
       s"single-partition exchange in plan:\n$plan")
   }
+
+  test("withPrefixSums equals the global running-sum window (two cols)") {
+    val rows = (1 to 301).map(i => ((i * 7919) % 13, i.toLong,
+      (i % 7).toLong, ((i * 3) % 5).toLong))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 5))
+      .toDF("k", "id", "a", "b")
+    val order = Seq(col("k"), col("id"))
+    val got = Ranks.withPrefixSums(df, order, Seq("a", "b"))
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("cum_a", sum(col("a")).over(w))
+      .withColumn("cum_b", sum(col("b")).over(w))
+    assert(got.select("k", "id", "a", "b", "cum_a", "cum_b")
+      .except(expected).isEmpty)
+    assert(expected
+      .except(got.select("k", "id", "a", "b", "cum_a", "cum_b")).isEmpty)
+    // last cumulative value is the column total
+    assert(got.agg(max("cum_a")).head.getLong(0) ===
+      rows.map(_._3).sum)
+  }
+
+  test("withPrefixSums: the plan's only window is pid-partitioned — " +
+      "no single-partition exchange") {
+    val rows = (1 to 64).map(i => ((i * 7919) % 13, i.toLong, 1L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 5))
+      .toDF("k", "id", "a")
+    val got = Ranks.withPrefixSums(df, Seq(col("k"), col("id")), Seq("a"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in plan:\n$plan")
+    // the running-sum window must carry a partition spec (the pid)
+    import org.apache.spark.sql.execution.window.WindowExec
+    got.collect() // materialize through AQE
+    val exec = got.queryExecution.executedPlan
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[WindowExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deep(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deep(q.plan)
+      case w: WindowExec =>
+        Seq(w) ++ w.children.flatMap(deep)
+      case other => other.children.flatMap(deep)
+    }
+    val windows = deep(exec)
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"global window leaked into the scan primitive:\n$exec")
+  }
 }
