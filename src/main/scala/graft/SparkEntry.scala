@@ -1905,6 +1905,11 @@ object SparkEntry {
         array_contains(TextAnalysis.tokens(col("text")), "spark"))),
     "t38_zipf" -> ((s, dir) => // quantized-log Zipf rank-frequency fit
       TextAnalysis.zipfAudit(Tables(s, dir, "documents"))),
+    "t39_heaps" -> ((s, dir) => // Heaps'-law vocabulary-growth fit
+      TextAnalysis.heapsAudit(Tables(s, dir, "documents"))),
+    "fe11_cramers_v" -> ((s, dir) => // chi-square effect size in [0,1]
+      FeatureEng.cramersV(Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -3329,6 +3334,8 @@ object SparkEntry {
       "t21_unigram_lm" -> TextAnalysisSql.unigramLm,
       "t32_perplexity_filter" -> TextAnalysisSql.perplexityFilter(0.5),
       "t38_zipf" -> TextAnalysisSql.zipfAudit(),
+      "t39_heaps" -> TextAnalysisSql.heapsAudit(),
+      "fe11_cramers_v" -> FeatureEngSql.cramersV,
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),
       "t34_calibration" -> TextAnalysisSql.calibrationOfHashedLr(64,

@@ -379,6 +379,42 @@ object FeatureEng {
     rows.reduce(_ unionAll _).orderBy("col_a", "col_b")
   }
 
+  /** Effect-size summary of [[chiSquare]] — Cramér's V, the normalized
+    * [0, 1] association strength (χ² alone grows with N; V is what a
+    * feature-selection cutoff actually thresholds): one row
+    * `(n, r_levels, c_levels, chi2, cramers_v)` with
+    * `V = sqrt(χ² / (N · min(r−1, c−1)))`. Same bounded contingency
+    * shape.
+    *
+    * Unlike [[chiSquare]]'s per-cell presentation (observed cells only),
+    * V must carry the FULL statistic including never-observed cells'
+    * `e` contributions — recovered algebraically without a domain spine:
+    * `χ² = Σ_all (n−e)²/e = Σ_all n²/e − N`, and zero cells contribute 0
+    * to `Σ n²/e`, so the observed-cell sum IS the complete χ². (A
+    * perfect 2×2 association scores V = 1 exactly; the per-cell form
+    * would leak the two empty cells' mass and cap at √½.) */
+  def cramersV(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val (cell, rowTot, colTot, tot) = contingency(orders, customer)
+    val term = col("n").cast("double") * col("n") * col("n_tot") /
+      (col("n_seg").cast("double") * col("n_st"))
+    val contrib = cell.join(broadcast(rowTot), "segment")
+      .join(broadcast(colTot), "status")
+      .crossJoin(tot)
+      .select(col("n_tot"), term.as("t"))
+    val r = cell.select(countDistinct("segment").as("r_levels"),
+      countDistinct("status").as("c_levels"))
+    // greatest(·, 0): χ² ≥ 0 mathematically; at exact independence the
+    // float sum can land a last-ulp below zero and sqrt would yield NaN
+    val chi2 = greatest(sum("t") - col("n"), lit(0.0))
+    contrib.groupBy(col("n_tot").as("n")).agg(chi2.as("chi2"))
+      .crossJoin(r)
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") / (col("n")
+          * least(col("r_levels") - 1, col("c_levels") - 1))), 6)
+          .as("cramers_v"))
+  }
+
   /** Chi-square independence screen of a categorical feature against a
     * categorical target (Pearson 1900) — the classic pre-model feature
     * filter: per observed cell, the count, the independence-expected
@@ -637,6 +673,30 @@ object FeatureEngSql {
        |ct AS (SELECT status, CAST(sum(n) AS BIGINT) AS n_st
        |       FROM cell GROUP BY 1),
        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cell)""".stripMargin
+
+  def cramersV: String =
+    s"""WITH $contingencyCtes,
+       |c2 AS (
+       |  -- full-chi2 identity: sum over ALL cells of (n-e)^2/e equals
+       |  -- sum over OBSERVED cells of n^2*N/(n_seg*n_st), minus N
+       |  -- (zero cells contribute 0 to the first term) - so no domain
+       |  -- spine is needed; greatest(.,0) guards the sqrt at exact
+       |  -- independence where the float sum can land an ulp below 0
+       |  SELECT tot.n_tot AS n,
+       |         greatest(sum(CAST(cell.n AS DOUBLE) * cell.n * tot.n_tot
+       |                      / (CAST(rt.n_seg AS DOUBLE) * ct.n_st))
+       |                  - tot.n_tot, CAST(0 AS DOUBLE)) AS chi2
+       |  FROM cell
+       |  JOIN rt ON rt.segment = cell.segment
+       |  JOIN ct ON ct.status = cell.status
+       |  CROSS JOIN tot
+       |  GROUP BY tot.n_tot),
+       |lv AS (SELECT count(DISTINCT segment) AS r_levels,
+       |              count(DISTINCT status) AS c_levels FROM cell)
+       |SELECT n, r_levels, c_levels, round(chi2, 6) AS chi2,
+       |       round(sqrt(chi2 / (n * least(r_levels - 1, c_levels - 1))), 6)
+       |         AS cramers_v
+       |FROM c2 CROSS JOIN lv""".stripMargin
 
   def chiSquare: String =
     s"""WITH $contingencyCtes

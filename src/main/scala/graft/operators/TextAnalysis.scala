@@ -990,6 +990,12 @@ object TextAnalysis {
     * least-squares fit of ln(freq) on ln(rank) over the top `topN`
     * vocabulary terms, emitting `(n, slope, intercept, r2)`.
     *
+    * Relation to [[zipfSlope]] (t29): t29 is the quick top-100 screen
+    * with float regression sums inside the 6-place rounding; this is the
+    * EXACT-at-scale form — the rank comes from [[Ranks.withGlobalRank]]
+    * (no single-partition window at full-vocabulary width) and the five
+    * regression sums are order-independent integers, plus r2.
+    *
     * Exactness (the NB-lane quantization pattern): both log coordinates
     * are QUANTIZED to BIGINT (`round(ln(v)*1e6)`), so the five
     * regression sums are exact integers — summation-order independent —
@@ -1006,11 +1012,19 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("freq"))
     val (ranked, _) = Ranks.withGlobalRank(
       tf, Seq(col("freq").desc, col("token")), "rank")
-    val top = ranked.where(col("rank") <= topN)
+    quantLogFit(ranked.where(col("rank") <= topN)
       .select(
         round(log(col("rank").cast("double")) * 1e6).cast("long").as("x_q"),
-        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y_q"))
-    val s = top.agg(count(lit(1)).as("n"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y_q")))
+  }
+
+  /** Closed-form least-squares `(n, slope, intercept, r2)` over a
+    * relation of QUANTIZED log coordinates `(x_q, y_q)` (BIGINT,
+    * `round(ln(v)·1e6)`): the five regression sums are exact integers —
+    * summation-order independent — and the combination runs on identical
+    * doubles in both engines. Shared by the Zipf and Heaps audits. */
+  private def quantLogFit(pts: DataFrame): DataFrame = {
+    val s = pts.agg(count(lit(1)).as("n"),
       sum("x_q").as("sx"), sum("y_q").as("sy"),
       sum(col("x_q") * col("y_q")).as("sxy"),
       sum(col("x_q") * col("x_q")).as("sxx"),
@@ -1019,12 +1033,57 @@ object TextAnalysis {
     val num = n * col("sxy") - col("sx").cast("double") * col("sy")
     val denx = n * col("sxx") - col("sx").cast("double") * col("sx")
     val deny = n * col("syy") - col("sy").cast("double") * col("sy")
-    val slope = num / denx
+    // zero-variance guards (both engines identically): a constant x has
+    // no defined slope; a constant y (e.g. a vocabulary that saturates
+    // in the first bucket - the flat Heaps curve IS the finding on a
+    // fixed-vocab corpus) fits slope 0 with an undefined r2.
+    val slope = when(denx === 0, lit(null).cast("double"))
+      .otherwise(num / denx)
     s.select(col("n"),
       round(slope, 6).as("slope"),
       round((col("sy").cast("double") - slope * col("sx")) / n / lit(1e6), 6)
         .as("intercept"),
-      round(num * num / (denx * deny), 6).as("r2"))
+      when(denx * deny === 0, lit(null).cast("double"))
+        .otherwise(round(num * num / (denx * deny), 6)).as("r2"))
+  }
+
+  /** Heaps'-law corpus audit (the growth companion of [[zipfAudit]] and
+    * the FITTED face of [[vocabGrowth]]): V(n) ≈ K·n^β — vocabulary
+    * size as a power of cumulative TOKEN count. Natural corpora sit at
+    * β ≈ 0.4–0.6; templated or deduplicated-to-death corpora bend flat.
+    * One row `(n, slope, intercept, r2)` where slope is β and
+    * `exp(intercept)` estimates K, fitted over the per-bucket cumulative
+    * (tokens, vocab) points with the shared quantized-log regression.
+    *
+    * Scale posture: two bounded bucket aggregates (per-bucket token
+    * totals; first-seen vocabulary counts — the vocabGrowth shape), then
+    * all arithmetic on ≤ nBuckets rows. The cumulative window runs over
+    * the BOUNDED bucket relation, never corpus rows. */
+  def heapsAudit(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = docs.agg(min("doc_id").as("lo"),
+      (max("doc_id") - min("doc_id") + 1).as("span"))
+    def bucketOf(idCol: String) =
+      expr(s"($idCol - lo) * $nBuckets div span").as("bucket")
+    val toksPer = docs.crossJoin(broadcast(stats))
+      .select(bucketOf("doc_id"), size(tokens(col("text"))).as("nt"))
+      .groupBy("bucket").agg(sum("nt").as("n_toks"))
+    val newToks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(stats))
+      .select(bucketOf("first_doc"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quantLogFit(toksPer.join(newToks, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_tokens"))
+      .select(sum("n_toks").over(cum).as("ct"),
+        sum("new_tokens").over(cum).as("cv"))
+      .where(col("ct") > 0 && col("cv") > 0)
+      .select(
+        round(log(col("ct").cast("double")) * 1e6).cast("long").as("x_q"),
+        round(log(col("cv").cast("double")) * 1e6).cast("long").as("y_q")))
   }
 }
 
@@ -1613,20 +1672,10 @@ object TextAnalysisSql {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  /** Twin of [[TextAnalysis.zipfAudit]]: identical quantized-log
-    * regression sums (exact BIGINT), identical double combination. */
-  def zipfAudit(topN: Int = 1000): String =
-    s"""WITH tf AS (
-       |  SELECT t.token, count(*) AS freq
-       |  FROM documents, unnest($toks) AS t(token) GROUP BY 1),
-       |rk AS (
-       |  SELECT freq,
-       |         row_number() OVER (ORDER BY freq DESC, token) AS rank
-       |  FROM tf),
-       |q AS (
-       |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x_q,
-       |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y_q
-       |  FROM rk WHERE rank <= $topN),
+  /** The shared quantized-log-fit SQL tail: expects a CTE chain ending
+    * in `q(x_q BIGINT, y_q BIGINT)` — twin of `TextAnalysis.quantLogFit`. */
+  private def quantLogFitSql(ctes: String): String =
+    s"""WITH $ctes,
        |s AS (
        |  SELECT count(*) AS n,
        |         CAST(sum(x_q) AS BIGINT) AS sx,
@@ -1642,8 +1691,57 @@ object TextAnalysisSql {
        |         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS deny,
        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
        |  FROM s)
-       |SELECT n, round(num / denx, 6) AS slope,
-       |       round((syd - (num / denx) * sxd) / n / 1e6, 6) AS intercept,
-       |       round(num * num / (denx * deny), 6) AS r2
+       |SELECT n,
+       |       round(CASE WHEN denx = 0 THEN NULL ELSE num / denx END, 6)
+       |         AS slope,
+       |       round((syd - (CASE WHEN denx = 0 THEN NULL
+       |                          ELSE num / denx END) * sxd) / n / 1e6, 6)
+       |         AS intercept,
+       |       CASE WHEN denx * deny = 0 THEN NULL
+       |            ELSE round(num * num / (denx * deny), 6) END AS r2
        |FROM c""".stripMargin
+
+  /** Twin of [[TextAnalysis.zipfAudit]]: identical quantized-log
+    * regression sums (exact BIGINT), identical double combination. */
+  def zipfAudit(topN: Int = 1000): String =
+    quantLogFitSql(
+      s"""tf AS (
+       |  SELECT t.token, count(*) AS freq
+       |  FROM documents, unnest($toks) AS t(token) GROUP BY 1),
+       |rk AS (
+       |  SELECT freq,
+       |         row_number() OVER (ORDER BY freq DESC, token) AS rank
+       |  FROM tf),
+       |q AS (
+       |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x_q,
+       |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y_q
+       |  FROM rk WHERE rank <= $topN)""".stripMargin)
+
+  /** Twin of [[TextAnalysis.heapsAudit]]: the vocabGrowth bucket CTEs,
+    * cumulative (tokens, vocab), the shared quantized-log fit. */
+  def heapsAudit(nBuckets: Int = 10): String =
+    quantLogFitSql(
+      s"""st AS (SELECT min(doc_id) AS lo,
+       |                   max(doc_id) - min(doc_id) + 1 AS span
+       |            FROM documents),
+       |tp AS (SELECT (doc_id - lo) * $nBuckets // span AS bucket,
+       |              CAST(sum(len($toks)) AS BIGINT) AS n_toks
+       |       FROM documents, st GROUP BY 1),
+       |fd AS (SELECT t.token, min(doc_id) AS first_doc
+       |       FROM documents, unnest($toks) AS t(token) GROUP BY 1),
+       |nt AS (SELECT (first_doc - lo) * $nBuckets // span AS bucket,
+       |              count(*) AS new_tokens
+       |       FROM fd, st GROUP BY 1),
+       |cumrel AS (
+       |  SELECT CAST(sum(tp.n_toks)
+       |           OVER (ORDER BY tp.bucket ROWS UNBOUNDED PRECEDING)
+       |           AS BIGINT) AS ct,
+       |         CAST(sum(coalesce(nt.new_tokens, 0))
+       |           OVER (ORDER BY tp.bucket ROWS UNBOUNDED PRECEDING)
+       |           AS BIGINT) AS cv
+       |  FROM tp LEFT JOIN nt ON nt.bucket = tp.bucket),
+       |q AS (
+       |  SELECT CAST(round(ln(CAST(ct AS DOUBLE)) * 1e6) AS BIGINT) AS x_q,
+       |         CAST(round(ln(CAST(cv AS DOUBLE)) * 1e6) AS BIGINT) AS y_q
+       |  FROM cumrel WHERE ct > 0 AND cv > 0)""".stripMargin)
 }

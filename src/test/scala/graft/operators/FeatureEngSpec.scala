@@ -187,6 +187,19 @@ class FeatureEngSpec extends SparkSuite {
       .foreach(r => assert(r.getDouble(4) === 0.0))
   }
 
+  test("cramersV: perfect association gives V = 1; independence gives 0") {
+    // perfect: A<->F, B<->O (2x2, every row on the diagonal)
+    val perfect = Seq((1L, 1L, "F"), (2L, 1L, "F"), (3L, 2L, "O"),
+      (4L, 2L, "O")).toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val p = FeatureEng.cramersV(perfect, contCustomer).collect().head
+    assert(p.getLong(0) === 4L && p.getDouble(4) === 1.0)
+    // independence: chi2 = 0 -> V = 0
+    val indep = Seq((1L, 1L, "F"), (2L, 1L, "O"), (3L, 2L, "F"),
+      (4L, 2L, "O")).toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val i = FeatureEng.cramersV(indep, contCustomer).collect().head
+    assert(i.getDouble(3) === 0.0 && i.getDouble(4) === 0.0)
+  }
+
   test("corrMatrix: exact r = 1 / r = -1 on constructed columns") {
     // quantity ↑ with price (r=1), against discount (r=-1); tax constant
     // (zero variance -> NaN/null denominator -> excluded from checks)

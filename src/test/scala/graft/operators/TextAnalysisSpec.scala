@@ -100,6 +100,37 @@ class TextAnalysisSpec extends SparkSuite {
     assert(bad === 0L, s"$bad contexts with probability mass > 1")
   }
 
+  test("heapsAudit: exact power law fits beta exactly; flat vocab " +
+      "fits slope 0 with undefined r2") {
+    // doc_ids 0..9 -> 10 buckets of one doc each, arranged so the
+    // CUMULATIVE totals hit cum_toks = 4^(i+1) and cum_vocab = 2^(i+1)
+    // exactly (bucket 0 carries 4 tokens / 2 fresh; bucket i > 0 adds
+    // 4^(i+1)-4^i tokens with 2^(i+1)-2^i fresh): V = sqrt(n) ->
+    // slope 1/2, r2 = 1 (up to the shared 1e-6 quantization).
+    val docs = (0 until 10).map { i =>
+      val toks =
+        if (i == 0) 4L else (1L << (2 * (i + 1))) - (1L << (2 * i))
+      val fresh =
+        if (i == 0) Seq("w0", "w1")
+        else ((1L << i) until (1L << (i + 1))).map(v => s"w$v")
+      (i.toLong,
+        (fresh ++ Seq.fill((toks - fresh.size).toInt)("w0")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = TextAnalysis.heapsAudit(docs, nBuckets = 10)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r._1 === 10L)
+    assert(math.abs(r._2 - 0.5) < 1e-5, s"beta ${r._2}")
+    assert(r._4 > 0.9999999, s"r2 ${r._4}")
+    // saturated vocabulary: every token seen in bucket 0 -> flat curve,
+    // slope exactly 0, r2 undefined (NULL), intercept = ln(vocab)
+    val flat = (0 until 10)
+      .map(i => (i.toLong, "alpha beta gamma")).toDF("doc_id", "text")
+    val f = TextAnalysis.heapsAudit(flat, nBuckets = 10).collect().head
+    assert(f.getDouble(1) === 0.0)
+    assert(math.abs(f.getDouble(2) - math.log(3.0)) < 1e-5)
+    assert(f.isNullAt(3))
+  }
+
   test("zipfAudit: an exact rank^-1 law fits slope -1 with r2 = 1") {
     // token frequencies 12, 6, 4, 3 = 12 / rank for ranks 1..4, so
     // ln(freq) = ln 12 - 1·ln(rank): slope -1, intercept ln 12, r2 1
