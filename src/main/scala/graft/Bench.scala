@@ -42,8 +42,8 @@ import org.apache.spark.sql.SparkSession
   *    process, and the OFFICIAL per-query number is the MEDIAN of its
   *    per-draw values (each per-draw value is still the min-of-3 rule
   *    above). Draws ≥ 2 are LIGHT (r10): only queries above
-  *    `SPARK_GRAFT_LIGHT_THRESH` (default 1.0s) re-measure — the
-  *    sub-second tail keeps its full-draw-1 value — so a second draw
+  *    `SPARK_GRAFT_LIGHT_THRESH` (default 2.0s) re-measure — the
+  *    light tail keeps its full-draw-1 value — so a second draw
   *    fits the budget on a loaded host and the driver's artifact is a
   *    median where a median can matter (r9: the driver admitted only
   *    one cold 371s draw because full-draw wall ≈ 2 × measured time). Rationale: the r7 official draw recorded dedup_containment
@@ -195,8 +195,14 @@ object Bench {
     // cross-draw median cannot change the total materially. Admission for
     // the next draw is predicted from the per-query WALL cost actually
     // observed (hygiene included), not from the last draw's full wall.
+    // default 2.0s (raised from 1.0 after the first r10 full run): at
+    // 1.0 the light set was ~130 queries whose observed wall predicted
+    // just over the remaining budget on a loaded host — the exact
+    // regression this protocol exists to prevent. At 2.0 the light set
+    // is the ~45-query heavy tail (where cross-draw medians actually
+    // move the total) and draw 2 admits with ~200s margin.
     val lightThresh =
-      sys.env.getOrElse("SPARK_GRAFT_LIGHT_THRESH", "1.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_LIGHT_THRESH", "2.0").toDouble
     case class QDraw(sec: Double, ok: Boolean, runs: Seq[Double], wall: Double)
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
