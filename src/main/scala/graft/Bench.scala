@@ -17,31 +17,27 @@ import org.apache.spark.sql.SparkSession
   *    artifact (reload/ingest sources, bucketed tables) for the measured
   *    dir, so a round-trip query's timed region is its scan/probe, not its
   *    fixture sink.
-  *  - heavy tail re-measured: any query whose first measurement exceeds
-  *    [[heavySecs]] runs twice more and reports the MINIMUM of 3 — this
-  *    host shows order-of-magnitude per-run noise on allocation-heavy
-  *    queries (measured: same query 5.3s..50s across identical runs;
-  *    also 10.5/11.3/2.1 for one query in one r5 suite run), and the
-  *    noise is strictly one-sided (interference only ever ADDS time), so
-  *    the minimum is the estimator of the query's true cost — the same
-  *    reasoning as timeit's min rule. Single-run queries (≤ heavySecs)
-  *    still report their one draw. The threshold sits at 1.5s (lowered
-  *    from 3.0 in r6 per the r5 verdict: first-draw noise up to 4× was
-  *    observed on sub-3s queries, e.g. dedup_jaccard_exact drew
-  *    [9.33, 5.08, 2.34]); queries whose true cost is under ~0.65s — the
-  *    bulk of the suite — ship a single draw, bounding the absolute
-  *    error a noisy draw can contribute while keeping the suite's wall
-  *    clock inside the driver's bench window. NOTE for cross-round
-  *    comparison: r1–r4 reported median-of-3 above 3.0s; r5+ reports
-  *    min-of-3, so round deltas across that boundary conflate the
-  *    estimator change with real speedups (see VERDICT r5 advice).
+  *  - ONE run per query per draw (r11, per the r10 verdict's #1 ask).
+  *    Rounds 5–10 re-ran every query above a 1.5s threshold twice more
+  *    inside each draw and reported the min-of-3 — that outlier
+  *    protection is now the cross-draw median's job alone. Rationale
+  *    (quantified in VERDICT r10): the intra-draw re-runs cost ~488s of
+  *    wall on a 344s measured suite, which is exactly what starved the
+  *    r9 and r10 driver runs to `ndraws: 1` — a single COLD draw with
+  *    no outlier protection at all, the worst of both estimators. One
+  *    run per query makes a full draw's wall ≈ its measured time, so
+  *    the 1800s budget admits 2–3 draws and the official number is a
+  *    genuine cross-draw median. NOTE for cross-round comparison:
+  *    r1–r4 reported median-of-3 above 3.0s, r5–r10 min-of-3 above
+  *    1.5s; r11+ reports single runs medianed across draws, so per-query
+  *    deltas across those boundaries conflate the estimator change with
+  *    real speedups.
   *  - a failing query contributes `ok=false` instead of silently
   *    contributing a fast time.
   *  - MULTI-DRAW protocol (r8, per the r7 verdict's #1 ask): the whole
   *    measured suite runs `SPARK_GRAFT_DRAWS` times (default 3) in one
   *    process, and the OFFICIAL per-query number is the MEDIAN of its
-  *    per-draw values (each per-draw value is still the min-of-3 rule
-  *    above). Draws ≥ 2 are LIGHT (r10): only queries above
+  *    per-draw values (one run each). Draws ≥ 2 are LIGHT (r10): only queries above
   *    `SPARK_GRAFT_LIGHT_THRESH` (default 2.0s) re-measure — the
   *    light tail keeps its full-draw-1 value — so a second draw
   *    fits the budget on a loaded host and the driver's artifact is a
@@ -69,7 +65,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val warmupDir = "/root/testdata/sf0.001"
-  private val heavySecs = 1.5
 
   /** Median (numeric: mean of the two middles for even counts). */
   private[graft] def median(xs: Seq[Double]): Double = {
@@ -206,21 +201,18 @@ object Bench {
     case class QDraw(sec: Double, ok: Boolean, runs: Seq[Double], wall: Double)
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
-    // draw = one pass over the non-skipped suite; per-draw per-query value
-    // keeps the intra-draw min-of-3 rule for the heavy tail
+    // draw = one pass over the non-skipped suite, ONE timed run per query
+    // (r11: outlier protection lives entirely in the cross-draw median —
+    // intra-draw re-runs doubled the draw's wall and starved the driver
+    // to ndraws:1, see the scaladoc)
     def oneDraw(skip: Set[String]): Map[String, QDraw] =
       selected.flatMap { case (name, fn) =>
         if (skip(name)) None
         else {
           val w0 = System.nanoTime()
-          val first = runOne(spark, name, fn, sfDir)
-          val runs =
-            if (first._2 && first._1 > heavySecs)
-              Seq(first, runOne(spark, name, fn, sfDir), runOne(spark, name, fn, sfDir))
-            else Seq(first)
+          val (sec, ok) = runOne(spark, name, fn, sfDir)
           val wall = (System.nanoTime() - w0) / 1e9
-          Some(name -> QDraw(runs.map(_._1).min, runs.forall(_._2),
-            runs.map(_._1), wall))
+          Some(name -> QDraw(sec, ok, Seq(sec), wall))
         }
       }.toMap
     val drawsDone =
