@@ -276,6 +276,38 @@ class GraphSpec extends SparkSuite {
       (3L, 0.0, 0.5)))
   }
 
+  test("hits: hot-hub BIGINT headroom guard auto-flips to the float path " +
+    "(r10 verdict #2)") {
+    // Star graph, k = 100k: 0 → {1..k} and {1..k} → 0, deg_max = k.
+    // Un-normalized integer magnitudes grow as k^round, so at iters = 4
+    // the a-step would need k·k³ = 1e20 > Long.MaxValue — under ANSI mode
+    // the pure-integer loop would THROW mid-round; producing a result at
+    // all proves the headroom guard flipped (the conservative bound
+    // max(h)·deg_max² > Long.MaxValue fires before round 3).
+    // Closed-form fixed point (reached from round 1 on, so the flip's
+    // normalized-double rounds must reproduce it to 9dp):
+    //   hub(v)        = 1/(1+k)   for every node (uniform)
+    //   authority(0)  = 1/2
+    //   authority(v≠0)= 1/(2k)
+    val k = 100000L
+    val leaves = spark.range(1, k + 1).toDF("id")
+    val star = leaves.select(lit(0L).as("src"), col("id").as("dst"))
+      .union(leaves.select(col("id").as("src"), lit(0L).as("dst")))
+    val r = Graph.hitsOnEdges(star, iters = 4)
+      .as[(Long, Double, Double)].collect()
+    assert(r.length === k + 1)
+    val hubExp = BigDecimal(1.0 / (1 + k))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val authLeafExp = BigDecimal(1.0 / (2 * k))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r.foreach { case (node, hub, auth) =>
+      assert(hub === hubExp, s"hub($node)")
+      if (node == 0L) assert(auth === 0.5, "authority(0)")
+      else assert(auth === authLeafExp, s"authority($node)")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("cache lifecycle: no resident cache growth across the graph lane " +
       "(r9 verdict ask #6)") {
     // The harness clears the cache between queries, but the operators
