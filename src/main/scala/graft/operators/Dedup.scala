@@ -749,39 +749,53 @@ object Dedup {
     * the similarity rounded to 6 decimals BEFORE thresholding, so the
     * cross-engine cut can never disagree on a boundary ulp.
     *
-    * Scale posture: candidates meet through an equi-join on the
-    * composite blocking key (`p_brand × p_type × first name character` —
-    * the category domains are FIXED, so their blocks densify
-    * quadratically with catalog growth; the name initial is the
-    * dimension that tracks name diversity and is the census-era blocking
-    * key of the record-linkage literature). A lossless harmonic-form
+    * Scale posture: candidates meet through ONE exploded equi-join on the
+    * composite blocking key `p_brand × p_type × (band, key)` with three
+    * name bands — first char, second char, sorted-first-two — the
+    * LSH-band pattern (the category domains are FIXED, so their blocks
+    * densify quadratically with catalog growth; the name bands track
+    * name diversity). A lossless harmonic-form
     * match-count prefilter (length + byte-histogram bounds, see the
     * in-body derivation) rejects most surviving candidates in O(len)
     * before the kernel; the kernel is the native codegen expression, a
     * static call per candidate pair with no boxing. The blocking columns
     * are the standard ER trade: products that disagree on brand,
-    * category, or name initial are out of matching scope by
-    * construction, exactly as the oracle twin declares. */
+    * category, or on BOTH of the first two name characters in a
+    * non-transposition way are out of matching scope by construction,
+    * exactly as the oracle twin declares. */
   def fuzzyNamePairs(part: DataFrame, threshold: Double = 0.94): DataFrame = {
-    // Blocking key (r10, fourth-scaling-point knob move): `(brand, type,
-    // first name character)`. The initial-character block is the
-    // original census blocking key of the record-linkage literature the
-    // JW metric comes from (Winkler blocked on surname initials), and it
-    // is the dimension that keeps candidate growth linear when the
-    // category domains saturate: (brand × type) is a FIXED domain, so
-    // catalog growth makes those blocks quadratically denser, while the
-    // name initial tracks name diversity. Recall trade, declared in the
-    // oracle twin identically: a pair whose names differ in their FIRST
-    // character is out of matching scope — for names ≤ 10 chars such a
-    // pair cannot reach jw 0.94 anyway (m ≤ len−1 caps jw < 0.94); for
-    // longer names it is the standard blocking trade, mitigated the way
-    // the SNM lane does (multi-pass over complementary keys).
+    // Blocking key (r10 single-initial; widened to MULTI-BAND in r11 per
+    // ADVICE r10 #1): `(brand, type)` × one of THREE name bands, met
+    // through a single exploded equi-join (the LSH-band pattern — one
+    // shuffle, not three passes):
+    //   band 0: first character  (Winkler's census surname-initial block)
+    //   band 1: second character (catches a substitution/typo in the
+    //           FIRST character, which band 0 alone silently dropped)
+    //   band 2: the first two characters SORTED (catches the adjacent
+    //           TRANSPOSITION of the first two characters — the r10
+    //           advice counter-example 'abcdefghij'/'bacdefghij' scores
+    //           jw 0.9667 with m=10, t=1 yet differs in BOTH of the
+    //           first two characters, so neither single-char band admits
+    //           it)
+    // (brand × type) is a FIXED domain, so catalog growth makes those
+    // blocks quadratically denser; the name bands track name diversity
+    // and keep candidate growth linear. Remaining recall trade, declared
+    // in the oracle twin identically: a pair whose first two characters
+    // differ in a non-transposition way (two independent edits in
+    // positions 1–2) is out of matching scope — such names lose ≥2
+    // matches AND the whole prefix boost, so only very long names could
+    // still reach 0.94.
+    val bands = (name: Column) => array(
+      substring(name, 1, 1),
+      substring(name, 2, 1),
+      concat(least(substring(name, 1, 1), substring(name, 2, 1)),
+        greatest(substring(name, 1, 1), substring(name, 2, 1))))
     val a = part.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
-      substring(col("p_name"), 1, 1).as("initial"),
-      col("p_partkey").as("part_a"), col("p_name").as("name_a"))
+      col("p_partkey").as("part_a"), col("p_name").as("name_a"),
+      posexplode(bands(col("p_name"))).as(Seq("band", "key")))
     val b = part.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
-      substring(col("p_name"), 1, 1).as("initial"),
-      col("p_partkey").as("part_b"), col("p_name").as("name_b"))
+      col("p_partkey").as("part_b"), col("p_name").as("name_b"),
+      posexplode(bands(col("p_name"))).as(Seq("band", "key")))
     // Lossless match-count prefilter: jw ≥ θ with prefix weight 0.1 over
     // ≤4 chars ⇒ jaro ≥ (θ−0.4)/0.6 = jMin; jaro = (m/|a| + m/|b| +
     // (m−t)/m)/3 with (m−t)/m ≤ 1 ⇒ m·(1/|a| + 1/|b|) ≥ 3·jMin − 1,
@@ -802,11 +816,15 @@ object Dedup {
         (graft.functions.hist_common(col("name_a"), col("name_b"))
           .cast("double") >= mLower)
       else lit(true)
-    a.join(b, Seq("brand", "ptype", "initial"))
+    a.join(b, Seq("brand", "ptype", "band", "key"))
       .where(col("part_a") < col("part_b") && mBound)
       .select(col("part_a"), col("part_b"),
         round(jaro_winkler(col("name_a"), col("name_b")), 6).as("jw"))
       .where(col("jw") >= threshold)
+      // a pair can meet in up to all three bands; jw is deterministic so
+      // duplicates are identical rows — dedup AFTER the threshold cut so
+      // the distinct shuffles only survivors (ids + jw, never names)
+      .dropDuplicates("part_a", "part_b")
       .orderBy("part_a", "part_b")
   }
 
@@ -989,16 +1007,23 @@ object DedupSql {
        |                  substr(b.text, 1, $prefixLen)) <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Twin of [[Dedup.fuzzyNamePairs]]: identical `(brand, type)`
-    * blocking and the identical round-then-threshold cut over DuckDB's
-    * own `jaro_winkler_similarity` (the kernel contract both engines
-    * share — see [[graft.core.JaroWinkler]]). */
+  /** Twin of [[Dedup.fuzzyNamePairs]]: identical `(brand, type)` block,
+    * identical three name bands (first char OR second char OR
+    * sorted-first-two — the union-of-bands the Spark side meets through
+    * its exploded equi-join), and the identical round-then-threshold cut
+    * over DuckDB's own `jaro_winkler_similarity` (the kernel contract
+    * both engines share — see [[graft.core.JaroWinkler]]). */
   def fuzzyNamePairs(threshold: Double): String =
     s"""SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
        |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
        |FROM part a JOIN part b
        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-       | AND substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+       | AND (substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+       |   OR substring(a.p_name, 2, 1) = substring(b.p_name, 2, 1)
+       |   OR (least(substring(a.p_name, 1, 1), substring(a.p_name, 2, 1))
+       |         = least(substring(b.p_name, 1, 1), substring(b.p_name, 2, 1))
+       |       AND greatest(substring(a.p_name, 1, 1), substring(a.p_name, 2, 1))
+       |         = greatest(substring(b.p_name, 1, 1), substring(b.p_name, 2, 1))))
        | AND a.p_partkey < b.p_partkey
        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
        |        >= $threshold

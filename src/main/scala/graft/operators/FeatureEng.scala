@@ -395,17 +395,28 @@ object FeatureEng {
     * would leak the two empty cells' mass and cap at √½.) */
   def cramersV(orders: DataFrame, customer: DataFrame): DataFrame = {
     val (cell, rowTot, colTot, tot) = contingency(orders, customer)
-    val term = col("n").cast("double") * col("n") * col("n_tot") /
-      (col("n_seg").cast("double") * col("n_st"))
+    // per-cell terms QUANTIZED to the 1e-6 grid as integers (ADVICE r10
+    // #2, the NB/Zipf-lane convention): a raw double sum's partial-
+    // aggregation order is nondeterministic across engines AND runs, so
+    // a value within an ulp of a 0.5e-6 rounding boundary could flip the
+    // hash gate intermittently; integer summation is order-independent.
+    // The ≤0.5e-6-per-cell quantization error is far inside the 6dp
+    // output rounding for this bounded (|seg|×|st|) relation.
+    // DECIMAL(38,0) accumulation ⇔ DuckDB HUGEINT — terms reach N·1e6,
+    // past int64 at 100 TB row counts.
+    val termQ = round(col("n").cast("double") * col("n") * col("n_tot") /
+      (col("n_seg").cast("double") * col("n_st")) * lit(1e6))
+      .cast("decimal(38,0)")
     val contrib = cell.join(broadcast(rowTot), "segment")
       .join(broadcast(colTot), "status")
       .crossJoin(tot)
-      .select(col("n_tot"), term.as("t"))
+      .select(col("n_tot"), termQ.as("tq"))
     val r = cell.select(countDistinct("segment").as("r_levels"),
       countDistinct("status").as("c_levels"))
     // greatest(·, 0): χ² ≥ 0 mathematically; at exact independence the
-    // float sum can land a last-ulp below zero and sqrt would yield NaN
-    val chi2 = greatest(sum("t") - col("n"), lit(0.0))
+    // quantized sum can land a grid step below zero and sqrt would NaN
+    val chi2 = greatest(sum("tq").cast("double") / lit(1e6) - col("n"),
+      lit(0.0))
     contrib.groupBy(col("n_tot").as("n")).agg(chi2.as("chi2"))
       .crossJoin(r)
       .select(col("n"), col("r_levels"), col("c_levels"),
@@ -680,11 +691,16 @@ object FeatureEngSql {
        |  -- full-chi2 identity: sum over ALL cells of (n-e)^2/e equals
        |  -- sum over OBSERVED cells of n^2*N/(n_seg*n_st), minus N
        |  -- (zero cells contribute 0 to the first term) - so no domain
-       |  -- spine is needed; greatest(.,0) guards the sqrt at exact
-       |  -- independence where the float sum can land an ulp below 0
+       |  -- spine is needed. Per-cell terms quantized to the 1e-6 grid
+       |  -- as HUGEINT (Spark: DECIMAL(38,0)) so the sum is order-
+       |  -- independent; greatest(.,0) guards the sqrt at exact
+       |  -- independence where the quantized sum can land below 0
        |  SELECT tot.n_tot AS n,
-       |         greatest(sum(CAST(cell.n AS DOUBLE) * cell.n * tot.n_tot
-       |                      / (CAST(rt.n_seg AS DOUBLE) * ct.n_st))
+       |         greatest(CAST(sum(CAST(round(CAST(cell.n AS DOUBLE)
+       |                      * cell.n * tot.n_tot
+       |                      / (CAST(rt.n_seg AS DOUBLE) * ct.n_st)
+       |                      * CAST(1000000.0 AS DOUBLE)) AS HUGEINT))
+       |                    AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
        |                  - tot.n_tot, CAST(0 AS DOUBLE)) AS chi2
        |  FROM cell
        |  JOIN rt ON rt.segment = cell.segment

@@ -111,6 +111,16 @@ object Privacy {
     * absent segments' contribution is the global mass the group never
     * covers, so no domain spine is needed.
     *
+    * EXACT-INTEGER TVD (ADVICE r10 #2): `p_grp − p_glob =
+    * (n·n_tot − n_seg·n_grp)/(n_grp·n_tot)`, so the per-cell |Δ| terms
+    * sum as EXACT integers over the group's common denominator, and the
+    * absent-segment mass `1 − Σ p_glob` folds to
+    * `(n_tot − Σ n_seg)·n_grp` over the same denominator. ONE double
+    * division happens at the very end, so partial-aggregation order
+    * cannot move the value by an ulp (the repo's summation-order
+    * independence convention). Accumulation is DECIMAL(38,0) ⇔ DuckDB
+    * HUGEINT — `n·n_tot` is rows², past int64 at 100 TB row counts.
+    *
     * Scale posture: one fact shuffle to the bounded `(nation, band,
     * segment)` cell relation (persisted; margins are second-level
     * aggregates — the fe4 pattern), margins broadcast back. */
@@ -123,17 +133,22 @@ object Privacy {
     val grp = cell.groupBy("c_nationkey", "band").agg(sum("n").as("n_grp"))
     val glob = cell.groupBy("seg").agg(sum("n").as("n_seg"))
     val tot = cell.agg(sum("n").as("n_tot"))
-    val pGrp = col("n").cast("double") / col("n_grp")
-    val pGlob = col("n_seg").cast("double") / col("n_tot")
+    val dNum = abs(col("n").cast("decimal(38,0)") * col("n_tot")
+      - col("n_seg").cast("decimal(38,0)") * col("n_grp"))
     cell.join(broadcast(grp), Seq("c_nationkey", "band"))
       .join(broadcast(glob), "seg")
       .crossJoin(tot)
-      .groupBy(col("c_nationkey"), col("band"), col("n_grp"))
-      .agg(
-        round(lit(0.5) * (sum(abs(pGrp - pGlob))
-          + (lit(1.0) - sum(pGlob))), 6).as("tvd"))
+      .groupBy(col("c_nationkey"), col("band"), col("n_grp"), col("n_tot"))
+      .agg(sum(dNum).as("a_num"),
+        sum(col("n_seg").cast("decimal(38,0)")).as("b_seg"))
       .select(col("c_nationkey"), col("band"),
-        col("n_grp").cast("long").as("n_grp"), col("tvd"),
+        col("n_grp").cast("long").as("n_grp"),
+        round((col("a_num")
+            + (col("n_tot").cast("decimal(38,0)") - col("b_seg"))
+              * col("n_grp")).cast("double")
+          / (lit(2.0) * col("n_grp").cast("double")
+            * col("n_tot").cast("double")), 6).as("tvd"))
+      .select(col("c_nationkey"), col("band"), col("n_grp"), col("tvd"),
         (col("tvd") <= t).as("pass"))
       .orderBy("c_nationkey", "band")
   }
@@ -243,9 +258,10 @@ object PrivacySql {
        |WHERE g.grp_size >= $k
        |ORDER BY c.c_custkey""".stripMargin
 
-  /** Twin of [[Privacy.tCloseness]]: identical folded-TVD arithmetic
-    * (float literals CAST to DOUBLE — bare decimals parse as DECIMAL in
-    * DuckDB), identical rounding-before-threshold. */
+  /** Twin of [[Privacy.tCloseness]]: identical EXACT-INTEGER folded-TVD
+    * arithmetic — HUGEINT numerators (⇔ Spark DECIMAL(38,0)) summed over
+    * the common denominator, ONE double division at the end — and
+    * identical rounding-before-threshold. */
   def tCloseness(width: Int, t: Double): String =
     s"""WITH base AS (
        |  SELECT c_nationkey,
@@ -261,18 +277,19 @@ object PrivacySql {
        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cell),
        |tv AS (
        |  SELECT cell.c_nationkey, cell.band, grp.n_grp,
-       |         round(CAST(0.5 AS DOUBLE)
-       |           * (sum(abs(CAST(cell.n AS DOUBLE) / grp.n_grp
-       |                      - CAST(gl.n_seg AS DOUBLE) / tot.n_tot))
-       |              + (CAST(1.0 AS DOUBLE)
-       |                 - sum(CAST(gl.n_seg AS DOUBLE) / tot.n_tot))), 6)
-       |           AS tvd
+       |         round(CAST(sum(abs(CAST(cell.n AS HUGEINT) * tot.n_tot
+       |                            - CAST(gl.n_seg AS HUGEINT) * grp.n_grp))
+       |                    + (CAST(tot.n_tot AS HUGEINT)
+       |                       - sum(CAST(gl.n_seg AS HUGEINT))) * grp.n_grp
+       |                    AS DOUBLE)
+       |           / (CAST(2.0 AS DOUBLE) * CAST(grp.n_grp AS DOUBLE)
+       |             * CAST(tot.n_tot AS DOUBLE)), 6) AS tvd
        |  FROM cell
        |  JOIN grp ON grp.c_nationkey = cell.c_nationkey
        |          AND grp.band = cell.band
        |  JOIN gl ON gl.seg = cell.seg
        |  CROSS JOIN tot
-       |  GROUP BY cell.c_nationkey, cell.band, grp.n_grp)
+       |  GROUP BY cell.c_nationkey, cell.band, grp.n_grp, tot.n_tot)
        |SELECT c_nationkey, band, n_grp, tvd,
        |       tvd <= CAST($t AS DOUBLE) AS pass
        |FROM tv ORDER BY c_nationkey, band""".stripMargin

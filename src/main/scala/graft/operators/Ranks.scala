@@ -50,9 +50,18 @@ object Ranks {
     val mid = s"__${out}_mid"
     val pidCol = s"__${out}_pid"
     val offCol = s"__${out}_off"
-    val sorted = df.repartitionByRange(p, order: _*)
+    // REBASED onto its own RDD before the persist (ADVICE r10 #4): the
+    // offsets job and the final join are two separate consumers, and
+    // repartitionByRange's boundary SAMPLING plus shuffle-read order are
+    // not deterministic across plan re-executions — if a cached partition
+    // were lost and the two consumers re-planned independently, rows
+    // could land on different pids/mids than the collected offsets
+    // assumed, silently corrupting ranks. The rebase pins both consumers
+    // to ONE materialized RDD (and its one sampled boundary set).
+    val sortedPlan = df.repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(mid, monotonically_increasing_id())
+    val sorted = spark.createDataFrame(sortedPlan.rdd, sortedPlan.schema)
       .persist()
     val counts = sorted
       .groupBy(shiftrightunsigned(col(mid), 33).as(pidCol))
@@ -93,9 +102,13 @@ object Ranks {
     val p = spark.sessionState.conf.numShufflePartitions
     val mid = "__ps_mid"
     val pidCol = "__ps_pid"
-    val sorted = df.repartitionByRange(p, order: _*)
+    // rebased-before-persist: same recompute hazard as [[withGlobalRank]]
+    // (the collected per-partition totals must describe the SAME pid/mid
+    // assignment the cumulative join reads — ADVICE r10 #4)
+    val sortedPlan = df.repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(mid, monotonically_increasing_id())
+    val sorted = spark.createDataFrame(sortedPlan.rdd, sortedPlan.schema)
       .persist()
     val totals = sorted
       .groupBy(shiftrightunsigned(col(mid), 33).as(pidCol))

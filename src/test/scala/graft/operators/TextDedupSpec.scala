@@ -625,7 +625,7 @@ class TextDedupSpec extends SparkSuite {
     assert(langs === Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
-  test("fuzzyNamePairs: (brand, type, initial)-blocked Jaro-Winkler, " +
+  test("fuzzyNamePairs: (brand, type, name-band)-blocked Jaro-Winkler, " +
       "exact cut") {
     val part = Seq(
       (1L, "red widget", "B1", "small"), // vs 2: jw = 0.96 exactly
@@ -633,13 +633,29 @@ class TextDedupSpec extends SparkSuite {
       (3L, "red widget", "B2", "small"), // name twin of 1, blocked by brand
       (4L, "blue bolt", "B1", "small"), // same block, dissimilar
       (5L, "red widget", "B1", "large"), // name twin of 1, blocked by type
-      (6L, "xed widget", "B1", "small")) // initial-blocked (jw 0.933 < θ
-      // anyway: for 10-char names a first-char mismatch caps m at 9)
+      (6L, "xed widget", "B1", "small")) // first-char typo: ADMITTED by the
+      // second-char band (r11), then cut by the score (jw 0.9333 < θ —
+      // the mismatch forfeits the prefix boost)
       .toDF("p_partkey", "p_name", "p_brand", "p_type")
     val got = Dedup.fuzzyNamePairs(part, threshold = 0.94)
       .as[(Long, Long, Double)].collect().toSeq
     // jaro = (9/10 + 9/10 + 1)/3 = 0.93333…, prefix 4 →
     // jw = 0.93333… + 0.4·(1 − 0.93333…) = 0.96
     assert(got === Seq((1L, 2L, 0.96)))
+  }
+
+  test("fuzzyNamePairs: adjacent transposition of the first two chars is " +
+      "caught by the sorted-two-char band (r10 advice #1)") {
+    // 'abcdefghij' vs 'bacdefghij': m = 10, t = 1, no prefix boost →
+    // jw = jaro = (1 + 1 + 9/10)/3 = 0.966667 ≥ 0.94. First AND second
+    // characters both differ, so neither single-char band admits it —
+    // only band 2 (sorted first two chars: "ab" == "ab") does.
+    val part = Seq(
+      (1L, "abcdefghij", "B1", "small"),
+      (2L, "bacdefghij", "B1", "small"))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+    val got = Dedup.fuzzyNamePairs(part, threshold = 0.94)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0.966667)))
   }
 }
