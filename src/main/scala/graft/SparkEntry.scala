@@ -1907,6 +1907,9 @@ object SparkEntry {
       TextAnalysis.zipfAudit(Tables(s, dir, "documents"))),
     "t39_heaps" -> ((s, dir) => // Heaps'-law vocabulary-growth fit
       TextAnalysis.heapsAudit(Tables(s, dir, "documents"))),
+    "t39_heaps_synth" -> ((s, dir) => // non-degenerate Heaps fit over the
+      // deterministic integer-Zipf token stream (beta ~ 1/2 branch)
+      TextAnalysis.heapsSynth(Tables(s, dir, "lineitem"))),
     "fe11_cramers_v" -> ((s, dir) => // chi-square effect size in [0,1]
       FeatureEng.cramersV(Tables(s, dir, "orders"),
         Tables(s, dir, "customer"))),
@@ -3335,6 +3338,7 @@ object SparkEntry {
       "t32_perplexity_filter" -> TextAnalysisSql.perplexityFilter(0.5),
       "t38_zipf" -> TextAnalysisSql.zipfAudit(),
       "t39_heaps" -> TextAnalysisSql.heapsAudit(),
+      "t39_heaps_synth" -> TextAnalysisSql.heapsSynth(),
       "fe11_cramers_v" -> FeatureEngSql.cramersV,
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),

@@ -131,6 +131,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(f.isNullAt(3))
   }
 
+  test("heapsSynth: the integer-Zipf stream fits a non-degenerate " +
+      "beta ~ 1/2 with r2 defined (r10 verdict ask #4)") {
+    // synthetic lineitem key space: 20k positions across ~3k orderkeys.
+    // The s = 2 integer inverse-CDF draw gives V(n) ~ sqrt(n), so the
+    // fitted Heaps exponent must land NEAR 1/2 with a tight fit — the
+    // power-law branch the shipped 31-token corpus can never exercise.
+    val li = (0 until 20000)
+      .map(i => ((i / 7).toLong + 1, (i % 7).toLong + 1))
+      .toDF("l_orderkey", "l_linenumber")
+    val r = TextAnalysis.heapsSynth(li, nBuckets = 10)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r._1 === 10L)
+    assert(r._2 > 0.35 && r._2 < 0.65, s"beta ${r._2} not near 1/2")
+    assert(r._4 > 0.95, s"r2 ${r._4} not a tight power-law fit")
+  }
+
   test("zipfAudit: an exact rank^-1 law fits slope -1 with r2 = 1") {
     // token frequencies 12, 6, 4, 3 = 12 / rank for ranks 1..4, so
     // ln(freq) = ln 12 - 1·ln(rank): slope -1, intercept ln 12, r2 1
