@@ -30,7 +30,17 @@ object StreamingQueries {
     */
   private[streaming] def childSession(outer: SparkSession): SparkSession = {
     val spark = outer.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 state partitions by default (r11, measured: the drained lane's
+    // cost is per-partition state-store commit rounds — a stream-stream
+    // join opens 4 stores per partition per batch, and even the EMPTY
+    // watermark-advance batch pays the full round. At sf0.1 the heavy
+    // 6-query cohort medians 24.6s at width 4 vs ~30.8s at width 8 vs
+    // 38.3s at width 16; width 2 adds <1.5s more but halves row-work
+    // parallelism headroom). A cluster deployment sizes this to its key
+    // cardinality per query — the knob is env-tunable and frozen into
+    // each query's checkpoint, as the st5 scaladoc documents.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
     // Production-posture state store, DEFAULT ON (r7 verdict ask #5): the
     // HDFS-backed provider keeps every version of every key's state on
     // the JVM heap — fine at sf0.1, memory-unbounded at 100 TB. RocksDB
@@ -837,7 +847,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(src).schema
 
     val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src)
+      .option("maxFilesPerTrigger", "4").parquet(src)
       .writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch {
@@ -880,10 +890,13 @@ object StreamingQueries {
   /** Multi-micro-batch stateful streaming: the single-file sources above
     * drain in ONE `AvailableNow` batch (the file source admits whole files),
     * which exercises state plumbing but not cross-batch accumulation. Here
-    * the source is re-laid as 8 splits admitted 2 per trigger → 4 real
+    * the source is re-laid as 8 splits admitted 4 per trigger → 2 real
     * micro-batches, so the per-batch deltas genuinely accumulate through
     * the state store across commits; their sum must still equal the batch
-    * `groupBy.count`. The spec asserts the multi-batch execution shape. */
+    * `groupBy.count`. The spec asserts the multi-batch execution shape.
+    * (r11: 2 batches, down from 4 — cross-batch accumulation needs ≥ 2,
+    * and each extra drained batch costs a full state-store commit round;
+    * the lane-wide drain floor was the r10 verdict's #5 ask.) */
   def multiBatchState(outer: SparkSession, dir: String): DataFrame = {
     val spark = childSession(outer)
     import spark.implicits._
@@ -897,7 +910,7 @@ object StreamingQueries {
     val name = "st11_multibatch_" + math.abs(dir.hashCode)
 
     val deltas = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src)
+      .option("maxFilesPerTrigger", "4").parquet(src)
       .select(col("user_id")).as[Long]
       .groupByKey(identity)
       .flatMapGroupsWithState[Long, (Long, Long)](
@@ -962,7 +975,7 @@ object StreamingQueries {
     val name = "st20_markov_" + math.abs(dir.hashCode)
 
     val transitions = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src)
+      .option("maxFilesPerTrigger", "4").parquet(src)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
@@ -1024,7 +1037,7 @@ object StreamingQueries {
     val name = "st21_anomaly_" + math.abs(dir.hashCode)
 
     val flagged = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src)
+      .option("maxFilesPerTrigger", "4").parquet(src)
       .select(col("event_type"), col("ts"), col("event_id"), col("value"))
       .as[(String, Long, Long, Double)]
       .groupByKey(_._1)
@@ -1097,7 +1110,7 @@ object StreamingQueries {
     val name = "st22_attrib_" + math.abs(dir.hashCode)
 
     val verdicts = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src)
+      .option("maxFilesPerTrigger", "4").parquet(src)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
@@ -1214,7 +1227,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(src).schema
     val name = "st23_cms_" + math.abs(dir.hashCode)
     val sk = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src)
+      .option("maxFilesPerTrigger", "4").parquet(src)
       .agg(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42))
         .as("sk"), count(lit(1)).as("n"))
     val q = sk.writeStream
@@ -1268,7 +1281,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(src).schema
     val name = "st24_contract_" + math.abs(dir.hashCode)
     val metrics = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src)
+      .option("maxFilesPerTrigger", "4").parquet(src)
       .groupBy(col("event_type"))
       .agg(cnt(lit(1)).as("n"),
         sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
