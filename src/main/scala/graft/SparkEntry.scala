@@ -1115,6 +1115,79 @@ object SparkEntry {
         .agg(countDistinct("user_id").as("n_active"))
         .orderBy("cohort", "day_offset")
     }),
+    "e10_cohort_ltv" -> ((s, dir) => {
+      // cohort LTV triangle: per signup cohort (first-seen day), the
+      // per-offset revenue and its CUMULATIVE total — the money face of
+      // e5's retention matrix (the growth-analytics "LTV by cohort age"
+      // curve). Value sums are cents-exact integers (the benford
+      // precedent), so the running totals are summation-order
+      // independent; the cumulative window runs over the BOUNDED
+      // (cohort × offset) cell relation partitioned by cohort — never a
+      // row-scaled window. Same two user-keyed aggregates + user-keyed
+      // join scale shape as e5.
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      val cells = ev.join(first, "user_id")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("day"), col("cohort")).as("day_offset"),
+          col("cents"))
+        .groupBy("cohort", "day_offset").agg(sum("cents").as("c"))
+      val wLtv = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort").orderBy("day_offset")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      cells.select(col("cohort"), col("day_offset"),
+        round(col("c").cast("double") / 100, 2).as("rev"),
+        round(sum(col("c")).over(wLtv).cast("double") / 100, 2)
+          .as("cum_ltv"))
+        .orderBy("cohort", "day_offset")
+    }),
+    "e11_seasonality" -> ((s, dir) => {
+      // hour-of-day seasonal index per event type: each type's hourly
+      // profile against the corpus-wide profile (index > 1 = the hour is
+      // over-represented for that type) — the seasonality screen a
+      // volume-drift monitor consults before alerting. One fact shuffle
+      // to the bounded (|type| × 24) cells; margins are second-level
+      // aggregates broadcast back (the fe4/fe5 shape); the index is
+      // n·N/(n_type·n_hod) on doubles derived from exact counts.
+      val cells = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 3600000000000) % 24").as("hod"))
+        .groupBy("event_type", "hod").agg(count(lit(1)).as("n"))
+        .persist()
+      val byType = cells.groupBy("event_type").agg(sum("n").as("n_type"))
+      val byHod = cells.groupBy("hod").agg(sum("n").as("n_hod"))
+      val tot = cells.agg(sum("n").as("n_tot"))
+      cells.join(broadcast(byType), "event_type")
+        .join(broadcast(byHod), "hod")
+        .crossJoin(tot)
+        .select(col("event_type"), col("hod"), col("n"),
+          round(col("n").cast("double") / col("n_type"), 6).as("share"),
+          round(col("n").cast("double") * col("n_tot")
+            / (col("n_type").cast("double") * col("n_hod")), 6)
+            .as("seasonal_index"))
+        .orderBy("event_type", "hod")
+    }),
+    "a18_mode" -> ((s, dir) => {
+      // exact per-group MODE with a deterministic tie-break (largest
+      // count, then smallest hour) — the categorical profiling statistic
+      // the a11/a12 profilers lack. One bounded (|type| × 24) counting
+      // aggregate, then a row_number over the BOUNDED cell relation
+      // partitioned by type — never a row-scaled window.
+      val cells = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 3600000000000) % 24").as("hod"))
+        .groupBy("event_type", "hod").agg(count(lit(1)).as("n"))
+      val wm = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("n").desc, col("hod"))
+      cells.withColumn("rn", row_number().over(wm))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("hod").as("mode_hod"), col("n"))
+        .orderBy("event_type")
+    }),
     "e4_funnel" -> ((s, dir) => {
       // strict sequential funnel view -> click -> purchase per user:
       // each stage's first qualifying event must be STRICTLY after the
@@ -1913,6 +1986,12 @@ object SparkEntry {
     "fe11_cramers_v" -> ((s, dir) => // chi-square effect size in [0,1]
       FeatureEng.cramersV(Tables(s, dir, "orders"),
         Tables(s, dir, "customer"))),
+    "fe13_vif" -> ((s, dir) => // multicollinearity screen: closed-form
+      // 3-variable variance-inflation factors from exact co-moments
+      FeatureEng.vif(Tables(s, dir, "lineitem"))),
+    "fe12_woe_ntile" -> ((s, dir) => // equal-frequency (decile) WOE/IV via
+      // the distributed exact ntile -- no single-partition window
+      FeatureEng.woeIvNtile(Tables(s, dir, "orders"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2973,6 +3052,54 @@ object SparkEntry {
           |       count(DISTINCT user_id) AS n_active
           |FROM ev JOIN first USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+      "e10_cohort_ltv" -> // identical cents-exact cumulative triangle
+        """WITH ev AS (
+          |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          |         CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |first AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+          |cells AS (
+          |  SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+          |         date_diff('day', cohort, day) AS day_offset,
+          |         CAST(sum(cents) AS BIGINT) AS c
+          |  FROM ev JOIN first USING (user_id) GROUP BY 1, 2)
+          |SELECT cohort, day_offset,
+          |       round(CAST(c AS DOUBLE) / 100, 2) AS rev,
+          |       round(CAST(sum(c) OVER (PARTITION BY cohort
+          |               ORDER BY day_offset ROWS UNBOUNDED PRECEDING)
+          |             AS DOUBLE) / 100, 2) AS cum_ltv
+          |FROM cells ORDER BY cohort, day_offset""".stripMargin,
+      "e11_seasonality" -> // identical bounded cells + broadcast margins
+        """WITH cells AS (
+          |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+          |       FROM cells GROUP BY 1),
+          |bh AS (SELECT hod, CAST(sum(n) AS BIGINT) AS n_hod
+          |       FROM cells GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cells)
+          |SELECT c.event_type, c.hod, CAST(c.n AS BIGINT) AS n,
+          |       round(CAST(c.n AS DOUBLE) / bt.n_type, 6) AS share,
+          |       round(CAST(c.n AS DOUBLE) * t.n_tot
+          |             / (CAST(bt.n_type AS DOUBLE) * bh.n_hod), 6)
+          |         AS seasonal_index
+          |FROM cells c
+          |JOIN bt ON bt.event_type = c.event_type
+          |JOIN bh ON bh.hod = c.hod
+          |CROSS JOIN t
+          |ORDER BY c.event_type, c.hod""".stripMargin,
+      "a18_mode" -> // identical cells, row_number tie-break
+        """WITH cells AS (
+          |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, hod, n,
+          |             row_number() OVER (PARTITION BY event_type
+          |                                ORDER BY n DESC, hod) AS rn
+          |      FROM cells)
+          |SELECT event_type, hod AS mode_hod, CAST(n AS BIGINT) AS n
+          |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
       "e4_funnel" ->
         """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
           |           WHERE event_type = 'view' GROUP BY 1),
@@ -3340,6 +3467,8 @@ object SparkEntry {
       "t39_heaps" -> TextAnalysisSql.heapsAudit(),
       "t39_heaps_synth" -> TextAnalysisSql.heapsSynth(),
       "fe11_cramers_v" -> FeatureEngSql.cramersV,
+      "fe13_vif" -> FeatureEngSql.vif,
+      "fe12_woe_ntile" -> FeatureEngSql.woeIvNtile(),
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),
       "t34_calibration" -> TextAnalysisSql.calibrationOfHashedLr(64,

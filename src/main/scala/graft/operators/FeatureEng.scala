@@ -209,11 +209,18 @@ object FeatureEng {
     val bin = least(floor(col("o_totalprice") / width), lit(nBins - 1))
       .cast("int")
     val isEvt = col("o_orderstatus") === "F"
-    // persisted for the totals branch (the fe4/fe5 pattern)
-    val wide = orders.groupBy(bin.as("bin")).agg(
+    woeFace(orders.groupBy(bin.as("bin")).agg(
       sum(when(isEvt, 1L).otherwise(0L)).as("n_evt"),
-      sum(when(isEvt, 0L).otherwise(1L)).as("n_non"))
-      .persist()
+      sum(when(isEvt, 0L).otherwise(1L)).as("n_non")), nBins)
+  }
+
+  /** WOE/IV presentation over a `(bin, n_evt, n_non)` wide relation —
+    * shared by the fixed-width ([[woeIv]], fe6) and equal-frequency
+    * ([[woeIvNtile]], fe12) screens (the psiFace pattern: one
+    * arithmetic, two binnings). Persisted for the totals branch (the
+    * fe4/fe5 no-subplan-sharing lesson). */
+  private def woeFace(wide0: DataFrame, nBins: Int): DataFrame = {
+    val wide = wide0.persist()
     val tot = wide.agg(sum("n_evt").as("tot_evt"), sum("n_non").as("tot_non"))
     val pEvt = (col("n_evt") + 1).cast("double") / (col("tot_evt") + nBins)
     val pNon = (col("n_non") + 1).cast("double") / (col("tot_non") + nBins)
@@ -222,6 +229,28 @@ object FeatureEng {
         round(log(pNon / pEvt), 6).as("woe"),
         round((pNon - pEvt) * log(pNon / pEvt), 6).as("iv_contrib"))
       .orderBy("bin")
+  }
+
+  /** Equal-frequency WOE/IV — [[woeIv]] over exact ntile bins instead of
+    * fixed-width bands: the scorecard-standard binning when the feature
+    * is heavy-tailed (fixed-width bands starve the tail bins; deciles
+    * hold the per-bin counts equal so every WOE estimate carries the
+    * same weight). Bins come from [[Ranks.withGlobalNtile]] — exact
+    * global ntile over the UNIQUE total order `(o_totalprice,
+    * o_orderkey)` built scale-safe (range exchange + broadcast offsets,
+    * never a single-partition window); the DuckDB twin's `ntile()`
+    * window over the same order produces the identical split
+    * (`RanksSpec` pins the Spark=DuckDB tile-size convention). Face
+    * arithmetic shared with fe6 via `woeFace`. */
+  def woeIvNtile(orders: DataFrame, nBins: Int = 10): DataFrame = {
+    val binned = Ranks.withGlobalNtile(
+      orders.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus")),
+      Seq(col("o_totalprice"), col("o_orderkey")), nBins, "bin")
+    val isEvt = col("o_orderstatus") === "F"
+    woeFace(binned.groupBy("bin").agg(
+      sum(when(isEvt, 1L).otherwise(0L)).as("n_evt"),
+      sum(when(isEvt, 0L).otherwise(1L)).as("n_non")), nBins)
   }
 
   /** Benford's-law expected first-digit frequencies, rounded once in
@@ -377,6 +406,76 @@ object FeatureEng {
           .otherwise(round(num / sqrt(dx * dy), 6)).as("r"))
     }
     rows.reduce(_ unionAll _).orderBy("col_a", "col_b")
+  }
+
+  /** The three columns [[vif]] screens — the first three of
+    * [[corrCols]], scaled identically (shared with the SQL twin). */
+  val vifCols: Seq[String] = corrCols.take(3)
+
+  /** Variance-inflation factors over three lineitem features — the
+    * multicollinearity screen run after [[corrMatrix]]'s pairwise pass
+    * (pairwise r can look tame while a LINEAR COMBINATION of the others
+    * reconstructs a feature; VIF_i = 1/(1 − R²_i) is what a modeling
+    * pipeline actually thresholds, rule-of-thumb: > 5 suspicious, > 10
+    * drop). For three variables the matrix inverse is closed-form:
+    * `R²_i = (r_ij² + r_ik² − 2·r_ij·r_ik·r_jk)/(1 − r_jk²)` and
+    * `VIF_i = (1 − r_jk²)/det(R)` with
+    * `det(R) = 1 − r12² − r13² − r23² + 2·r12·r13·r23`.
+    *
+    * Exactness: the co-moment sums are the [[corrMatrix]] pattern —
+    * integer-scaled values accumulated in DECIMAL(38,0) ⇔ DuckDB
+    * HUGEINT, exact and order-independent; every correlation and the
+    * closed forms then run on identical doubles in both engines before
+    * the 6-decimal rounding. Degenerate geometry (zero variance or a
+    * singular R) yields NULL in both engines, never a throw.
+    *
+    * Scale posture: ONE scan computes the 10 sums in a single
+    * partial/final aggregate; the three output rows are projections of
+    * the persisted one-row relation. */
+  def vif(lineitem: DataFrame): DataFrame = {
+    val scaled: Map[String, Column] = Map(
+      "quantity" -> round(col("l_quantity")).cast("long"),
+      "extendedprice" -> round(col("l_extendedprice") * 100).cast("long"),
+      "discount" -> round(col("l_discount") * 100).cast("long"))
+    val proj = lineitem.select(vifCols.map(n => scaled(n).as(n)): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pairs = for { i <- vifCols.indices; j <- vifCols.indices if i < j }
+      yield (vifCols(i), vifCols(j))
+    val aggs = vifCols.flatMap { n =>
+      Seq(sum(dec(col(n))).as(s"s_$n"),
+        sum(dec(col(n) * col(n))).as(s"ss_$n"))
+    } ++ pairs.map { case (a, b) =>
+      sum(dec(col(a) * col(b))).as(s"sp_${a}_$b")
+    } :+ count(lit(1)).as("n")
+    val s = proj.agg(aggs.head, aggs.tail: _*).persist()
+    val n = col("n").cast("double")
+    def dvar(a: String) = n * col(s"ss_$a").cast("double") -
+      col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+    def corrOf(a: String, b: String): Column = {
+      val key = if (vifCols.indexOf(a) < vifCols.indexOf(b))
+        s"sp_${a}_$b" else s"sp_${b}_$a"
+      val num = n * col(key).cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+      when(dvar(a) * dvar(b) === 0, lit(null).cast("double"))
+        .otherwise(num / sqrt(dvar(a) * dvar(b)))
+    }
+    val rows = vifCols.map { v =>
+      val Seq(j, k) = vifCols.filterNot(_ == v)
+      val (rij, rik, rjk) = (corrOf(v, j), corrOf(v, k), corrOf(j, k))
+      val det = lit(1.0) - corrOf(vifCols(0), vifCols(1)) * corrOf(vifCols(0), vifCols(1)) -
+        corrOf(vifCols(0), vifCols(2)) * corrOf(vifCols(0), vifCols(2)) -
+        corrOf(vifCols(1), vifCols(2)) * corrOf(vifCols(1), vifCols(2)) +
+        lit(2.0) * corrOf(vifCols(0), vifCols(1)) * corrOf(vifCols(0), vifCols(2)) *
+          corrOf(vifCols(1), vifCols(2))
+      val denJk = lit(1.0) - rjk * rjk
+      val r2 = when(denJk === 0, lit(null).cast("double"))
+        .otherwise((rij * rij + rik * rik - lit(2.0) * rij * rik * rjk) / denJk)
+      val vifV = when(det === 0, lit(null).cast("double"))
+        .otherwise(denJk / det)
+      s.select(lit(v).as("feature"), col("n"),
+        round(r2, 6).as("r2_on_others"), round(vifV, 6).as("vif"))
+    }
+    rows.reduce(_ unionAll _).orderBy("feature")
   }
 
   /** Effect-size summary of [[chiSquare]] — Cramér's V, the normalized
@@ -669,6 +768,97 @@ object FeatureEngSql {
        |  FROM p)
        |$selects
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Twin of [[FeatureEng.woeIvNtile]]: DuckDB's own `ntile()` window
+    * over the identical unique order (the Spark side's distributed ntile
+    * reproduces this split exactly — RanksSpec), then the identical
+    * smoothed WOE arithmetic as the fe6 twin above. */
+  def woeIvNtile(nBins: Int = 10): String =
+    s"""WITH b AS (
+       |  SELECT ntile($nBins) OVER (ORDER BY o_totalprice, o_orderkey)
+       |           AS bin,
+       |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS evt
+       |  FROM orders),
+       |wide AS (
+       |  SELECT CAST(bin AS BIGINT) AS bin,
+       |         sum(evt) AS n_evt, sum(1 - evt) AS n_non
+       |  FROM b GROUP BY 1),
+       |tot AS (SELECT sum(n_evt) AS tot_evt, sum(n_non) AS tot_non
+       |        FROM wide)
+       |SELECT w.bin, CAST(w.n_evt AS BIGINT) AS n_evt,
+       |       CAST(w.n_non AS BIGINT) AS n_non,
+       |       round(ln((CAST(w.n_non + 1 AS DOUBLE) / (tot.tot_non + $nBins))
+       |                / (CAST(w.n_evt + 1 AS DOUBLE)
+       |                   / (tot.tot_evt + $nBins))), 6) AS woe,
+       |       round(((CAST(w.n_non + 1 AS DOUBLE) / (tot.tot_non + $nBins))
+       |              - (CAST(w.n_evt + 1 AS DOUBLE) / (tot.tot_evt + $nBins)))
+       |             * ln((CAST(w.n_non + 1 AS DOUBLE)
+       |                   / (tot.tot_non + $nBins))
+       |                  / (CAST(w.n_evt + 1 AS DOUBLE)
+       |                     / (tot.tot_evt + $nBins))), 6) AS iv_contrib
+       |FROM wide w CROSS JOIN tot
+       |ORDER BY w.bin""".stripMargin
+
+  /** Twin of [[FeatureEng.vif]]: identical HUGEINT co-moment sums,
+    * identical correlation expressions computed ONCE in a CTE (double
+    * multiplication commutes exactly, so operand order is immaterial),
+    * identical closed forms and degeneracy guards. */
+  def vif: String = {
+    val scaledSql = Map(
+      "quantity" -> "CAST(round(l_quantity) AS BIGINT)",
+      "extendedprice" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "discount" -> "CAST(round(l_discount * 100) AS BIGINT)")
+    val cols = FeatureEng.vifCols
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    def rName(a: String, b: String) =
+      if (cols.indexOf(a) < cols.indexOf(b)) s"r_${a}_$b" else s"r_${b}_$a"
+    val projCols = cols.map(n => s"${scaledSql(n)} AS $n")
+      .mkString(",\n       |         ")
+    val sumCols = (cols.flatMap { n =>
+      Seq(s"sum($n) AS s_$n", s"sum($n * $n) AS ss_$n")
+    } ++ pairs.map { case (a, b) =>
+      s"sum($a * $b) AS sp_${a}_$b"
+    } :+ "count(*) AS n").mkString(",\n       |         ")
+    def dv(a: String) = s"(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)" +
+      s" - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))"
+    val rDefs = pairs.map { case (a, b) =>
+      val num = s"(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)" +
+        s" - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+      s"CASE WHEN ${dv(a)} * ${dv(b)} = 0 THEN NULL" +
+        s" ELSE $num / sqrt(${dv(a)} * ${dv(b)}) END AS ${rName(a, b)}"
+    }.mkString(",\n       |       ")
+    val r01 = rName(cols(0), cols(1))
+    val r02 = rName(cols(0), cols(2))
+    val r12 = rName(cols(1), cols(2))
+    val det = s"(CAST(1.0 AS DOUBLE) - $r01 * $r01 - $r02 * $r02" +
+      s" - $r12 * $r12 + CAST(2.0 AS DOUBLE) * $r01 * $r02 * $r12)"
+    val selects = cols.map { v =>
+      val Seq(j, k) = cols.filterNot(_ == v)
+      val rij = rName(v, j); val rik = rName(v, k); val rjk = rName(j, k)
+      val den = s"(CAST(1.0 AS DOUBLE) - $rjk * $rjk)"
+      s"""SELECT '$v' AS feature, n,
+         |       round(CASE WHEN $den = 0 THEN NULL
+         |                  ELSE ($rij * $rij + $rik * $rik
+         |                        - CAST(2.0 AS DOUBLE) * $rij * $rik * $rjk)
+         |                       / $den END, 6) AS r2_on_others,
+         |       round(CASE WHEN $det = 0 THEN NULL
+         |                  ELSE $den / $det END, 6) AS vif
+         |FROM r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (
+       |  SELECT $projCols
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT $sumCols
+       |  FROM p),
+       |r AS (
+       |  SELECT n,
+       |       $rDefs
+       |  FROM s)
+       |$selects
+       |ORDER BY feature""".stripMargin
   }
 
   /** Shared contingency CTEs for the chi² / MI twins. Counts CAST to
