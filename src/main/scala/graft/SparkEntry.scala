@@ -1171,6 +1171,30 @@ object SparkEntry {
             .as("seasonal_index"))
         .orderBy("event_type", "hod")
     }),
+    "w12_mad_anomaly" -> ((s, dir) => {
+      // Robust anomaly flags: MAD z-scores per event type — w7's
+      // mean/std z is itself dragged by the outliers it hunts (masking);
+      // the median/MAD pair is the robust standard (Hampel identifier,
+      // |0.6745·(v − med)/MAD| > 3.5). Two bounded per-type aggregates
+      // (exact `percentile` ⇔ quantile_cont, the a6-proven parity)
+      // broadcast back onto the scan; the z is ROUNDED BEFORE the
+      // threshold per the repo convention.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .where(col("value").isNotNull)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .where(col("mad") > 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6)
+            .as("rz"))
+        .where(abs(col("rz")) > 3.5)
+        .orderBy("event_id")
+    }),
     "a18_mode" -> ((s, dir) => {
       // exact per-group MODE with a deterministic tie-break (largest
       // count, then smallest hour) — the categorical profiling statistic
@@ -1976,6 +2000,9 @@ object SparkEntry {
     "t34_calibration" -> ((s, dir) => // reliability curve of the t16 scorer
       TextAnalysis.calibrationOfHashedLr(Tables(s, dir, "documents"),
         array_contains(TextAnalysis.tokens(col("text")), "spark"))),
+    "t40_tfidf_retrieval" -> ((s, dir) => // inverted-index sparse cosine
+      // retrieval: quantized-idf integer weights, exact dot/norms
+      TextAnalysis.tfidfRetrieval(Tables(s, dir, "documents"))),
     "t38_zipf" -> ((s, dir) => // quantized-log Zipf rank-frequency fit
       TextAnalysis.zipfAudit(Tables(s, dir, "documents"))),
     "t39_heaps" -> ((s, dir) => // Heaps'-law vocabulary-growth fit
@@ -2464,6 +2491,12 @@ object SparkEntry {
       graft.streaming.StreamingQueries.nbServe(s, dir)),
     "st27_stream_psi" -> ((s, dir) => // fe5's drift monitor as stream state
       graft.streaming.StreamingQueries.psiMonitor(s, dir)),
+    "st28_stream_ks" -> ((s, dir) => // binned two-sample KS on drained
+      // (cohort, bin) state -- the O(|bins|) monitor form of fe10
+      graft.streaming.StreamingQueries.ksMonitor(s, dir)),
+    "mm7_ahash" -> ((s, dir) => // perceptual average-hash dedup screen
+      // over the payload "pixels" (integer-exact, fully oracle-checked)
+      Multimodal.aHash(Tables(s, dir, "documents"))),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -3089,6 +3122,22 @@ object SparkEntry {
           |JOIN bh ON bh.hod = c.hod
           |CROSS JOIN t
           |ORDER BY c.event_type, c.hod""".stripMargin,
+      "w12_mad_anomaly" -> // identical exact medians + Hampel threshold
+        """WITH ev AS (SELECT event_id, event_type, value FROM events
+          |            WHERE value IS NOT NULL),
+          |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+          |        FROM ev GROUP BY 1),
+          |mad AS (SELECT ev.event_type, med.med,
+          |               quantile_cont(abs(ev.value - med.med), 0.5) AS mad
+          |        FROM ev JOIN med USING (event_type) GROUP BY 1, 2)
+          |SELECT ev.event_id, ev.event_type, ev.value,
+          |       round(CAST(0.6745 AS DOUBLE) * (ev.value - mad.med)
+          |             / mad.mad, 6) AS rz
+          |FROM ev JOIN mad USING (event_type)
+          |WHERE mad.mad > 0
+          |  AND abs(round(CAST(0.6745 AS DOUBLE) * (ev.value - mad.med)
+          |                / mad.mad, 6)) > 3.5
+          |ORDER BY event_id""".stripMargin,
       "a18_mode" -> // identical cells, row_number tie-break
         """WITH cells AS (
           |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hod,
@@ -3174,6 +3223,7 @@ object SparkEntry {
       // stream-served predictions == the batch classifier's own oracle
       "st26_stream_nb_serve" -> NaiveBayesSql.apply,
       "st27_stream_psi" -> FeatureEngSql.psiDrift(),
+      "st28_stream_ks" -> FeatureEngSql.ksBinned(),
       "d5_merge_cdc" -> // from-scratch recompute: global latest op, D wins
         """WITH ops AS (
           |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
@@ -3466,6 +3516,7 @@ object SparkEntry {
       "t38_zipf" -> TextAnalysisSql.zipfAudit(),
       "t39_heaps" -> TextAnalysisSql.heapsAudit(),
       "t39_heaps_synth" -> TextAnalysisSql.heapsSynth(),
+      "t40_tfidf_retrieval" -> TextAnalysisSql.tfidfRetrieval(),
       "fe11_cramers_v" -> FeatureEngSql.cramersV,
       "fe13_vif" -> FeatureEngSql.vif,
       "fe12_woe_ntile" -> FeatureEngSql.woeIvNtile(),
@@ -3717,6 +3768,7 @@ object SparkEntry {
           |ORDER BY r_name, o_orderstatus""".stripMargin,
       "mm5_resize" -> MultimodalSql.resize(128),
       "mm6_quantize" -> SimilaritySql.quantizeInt8Stats,
+      "mm7_ahash" -> MultimodalSql.aHash(),
       "gr1_degrees" -> GraphSql.degrees,
       "gr2_triangles" -> GraphSql.triangles,
       "gr3_pagerank" -> GraphSql.pagerank(),

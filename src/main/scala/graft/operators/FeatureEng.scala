@@ -348,6 +348,39 @@ object FeatureEng {
         col("d_stat"), col("v").as("at_value"))
   }
 
+  /** Binned two-sample KS presentation over a `(cohort, bin, n)` cell
+    * relation — the bounded-state sibling of [[ksTest]] (fe10's exact D
+    * needs the full distinct-value relation; an always-on monitor keeps
+    * only the `(cohort, bin)` counts — the st27 state class — and reads
+    * the BINNED statistic off the drained state):
+    * `D = max_bins |cumA/totA − cumB/totB|`, integer cumulative counts,
+    * one double ratio pair per bin (exact integers → identical doubles),
+    * max is order-independent, tie-break on the smallest bin. The
+    * cumulative window runs over the BOUNDED bin relation only. Shared
+    * by the streaming monitor (st28) so stream and batch arithmetic can
+    * never diverge. */
+  def ksBinnedFace(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wide = counts.groupBy("bin").agg(
+      sum(when(col("cohort") === 0, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("cohort") === 1, col("n")).otherwise(0L)).as("n_b"))
+      .persist()
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = wide.select(col("bin"), sum("n_a").over(cum).as("ca"),
+      sum("n_b").over(cum).as("cb"))
+    val tot = c.agg(max("ca").as("ta"), max("cb").as("tb"))
+    c.crossJoin(tot)
+      .select(col("ta"), col("tb"),
+        round(abs(col("ca").cast("double") / col("ta")
+          - col("cb").cast("double") / col("tb")), 6).as("d_stat"),
+        col("bin"))
+      .orderBy(col("d_stat").desc, col("bin"))
+      .limit(1)
+      .select(col("ta").as("n_a"), col("tb").as("n_b"), col("d_stat"),
+        col("bin").as("at_bin"))
+  }
+
   /** The integer-scaled numeric columns [[corrMatrix]] correlates, shared
     * with the SQL twin so the scaling can never diverge: quantity is
     * integral; the three money/rate columns are exact at 2 decimals, so
@@ -769,6 +802,35 @@ object FeatureEngSql {
        |$selects
        |ORDER BY col_a, col_b""".stripMargin
   }
+
+  /** Twin of [[FeatureEng.ksBinnedFace]] over the batch cells (the fe5
+    * binning text, identical cumulative/ratio/tie-break arithmetic). */
+  def ksBinned(nBins: Int = 10, width: Double = 50000.0): String =
+    s"""WITH src AS (
+       |  SELECT CAST(least(floor(o_totalprice / $width), ${nBins - 1})
+       |           AS INTEGER) AS bin,
+       |         CAST(o_orderkey % 2 AS INTEGER) AS cohort
+       |  FROM orders),
+       |wide AS (
+       |  SELECT bin,
+       |         CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_b
+       |  FROM src GROUP BY bin),
+       |c AS (SELECT bin,
+       |             CAST(sum(n_a) OVER (ORDER BY bin
+       |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+       |             CAST(sum(n_b) OVER (ORDER BY bin
+       |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+       |      FROM wide),
+       |t AS (SELECT max(ca) AS ta, max(cb) AS tb FROM c)
+       |SELECT ta AS n_a, tb AS n_b,
+       |       round(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb),
+       |             6) AS d_stat,
+       |       bin AS at_bin
+       |FROM c CROSS JOIN t
+       |ORDER BY d_stat DESC, bin LIMIT 1""".stripMargin
 
   /** Twin of [[FeatureEng.woeIvNtile]]: DuckDB's own `ntile()` window
     * over the identical unique order (the Spark side's distributed ntile

@@ -125,6 +125,42 @@ object Multimodal {
         sum("nf").as("n_frames"),
         sum("fb").as("sampled_bytes"))
 
+  /** Perceptual average-hash (aHash) near-dup screen — the classic
+    * image-dedup fingerprint (mean-threshold the pixel grid, one bit per
+    * cell, hamming-near hashes ≈ visually-near media): 63 "pixels"
+    * mean-thresholded into a 63-bit BIGINT (63, not 64, so the hash
+    * stays positive in both engines' int64), plus its popcount and the
+    * exact-bucket size `n_bucket` (identical hashes = dedup candidates).
+    * Per the lane's decode-stub convention the pixel grid is the first
+    * 63 code points of the payload text (a real decoder yields the 8×8
+    * grayscale grid instead — same expression shape, same plan); the
+    * arithmetic is integer-exact so the full query is DuckDB-checkable,
+    * unlike the murmur-based [[featurize]].
+    *
+    * Scale posture: one narrow codegen projection per row (no shuffle
+    * for the hash), one hash-keyed window for the bucket size — the
+    * exact-dedup exchange carries `(doc_id, hash)` only. */
+  def aHash(docs: DataFrame, nPx: Int = 63): DataFrame = {
+    val px = transform(sequence(lit(1), lit(nPx)),
+      i => ascii(col("text").substr(i, lit(1))))
+    val mean = aggregate(col("px"), lit(0L), (a, x) => a + x)
+      .cast("double") / lit(nPx.toDouble)
+    val hash = aggregate(
+      transform(col("px"), (x, i) =>
+        when(x.cast("double") > col("mean"),
+          call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    docs.where(length(col("text")) >= nPx)
+      .select(col("doc_id"), px.as("px"))
+      .select(col("doc_id"), col("px"), mean.as("mean"))
+      .select(col("doc_id"), hash.as("ahash"))
+      .withColumn("n_ones", bit_count(col("ahash")))
+      .withColumn("n_bucket", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic fake feature vector (`dim` floats in [-1, 1]) from
     * frame-level murmur hashes — rows-only checked; connects the binary
     * pipeline to the [[Similarity]] operators. A real extractor replaces
@@ -183,6 +219,32 @@ object MultimodalSql {
        |       $payloadLen AS n_bytes,
        |       least($payloadLen, $nBytes) AS resized_bytes
        |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Twin of [[Multimodal.aHash]]: identical code-point pixels, mean
+    * threshold, bit assembly, and bucket window (`unicode()` ⇔ Spark's
+    * `ascii()` — both return the first character's code point). */
+  def aHash(nPx: Int = 63): String =
+    s"""WITH px AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, ${nPx + 1}),
+       |                        i -> unicode(substr(text, i, 1))) AS px
+       |  FROM documents WHERE length(text) >= $nPx),
+       |m AS (
+       |  SELECT doc_id, px,
+       |         CAST(list_sum(px) AS DOUBLE) / CAST($nPx.0 AS DOUBLE)
+       |           AS mean
+       |  FROM px),
+       |h AS (
+       |  SELECT doc_id,
+       |         list_sum(list_transform(range(0, $nPx),
+       |           i -> CASE WHEN CAST(px[i + 1] AS DOUBLE) > mean
+       |                     THEN (CAST(1 AS BIGINT) << i)
+       |                     ELSE CAST(0 AS BIGINT) END)) AS ahash
+       |  FROM m)
+       |SELECT doc_id, CAST(ahash AS BIGINT) AS ahash,
+       |       bit_count(CAST(ahash AS BIGINT)) AS n_ones,
+       |       CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_bucket
+       |FROM h ORDER BY doc_id""".stripMargin
 
   /** Typed mapPartitions decode twin (same stub arithmetic; BIGINT casts
     * for the same HUGEINT reason as [[frameStats]]). */

@@ -514,6 +514,71 @@ object TextAnalysis {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Sparse TF-IDF cosine retrieval — the inverted-index complement of
+    * the dense ANN lane (`sim_*` ranks embeddings; this ranks the sparse
+    * term vectors a retrieval stack serves from an inverted index):
+    * every query document (deterministic draw `doc_id % queryMod = 0`)
+    * against the corpus, top `topK` by cosine over tf·idf weights,
+    * `(query_id, rank, doc_id, cos_sim)`.
+    *
+    * Exactness (the quantized-idf pattern): `idf_q = round(ln(N/df)·1e6)`
+    * is an exact BIGINT in both engines, so weights `w = tf·idf_q`, dot
+    * products `Σ w_q·w_d`, and norms `Σ w²` are EXACT integer sums
+    * (DECIMAL(38,0) ⇔ HUGEINT — w² reaches ~1e19, past int64), and the
+    * one float op per pair is the final `dot/(√n_q·√n_d)` on identical
+    * integers. Rounded BEFORE ranking, per the repo convention. Terms
+    * with idf 0 (df = N) carry weight 0 and are dropped — they cannot
+    * move a dot product, and dropping them keeps an all-ubiquitous-terms
+    * document from dividing by a zero norm.
+    *
+    * Scale posture: candidates meet through the term-keyed equi-join of
+    * the query-side postings (a bounded `1/queryMod` draw) against the
+    * corpus postings — the inverted-index probe, never an all-pairs
+    * join; per-pair accumulation is one (q, d)-keyed aggregate; the
+    * top-k window partitions by query. A 100 TB deployment adds the
+    * standard df-ceiling / impact-ordered pruning (WAND) in front of the
+    * probe; this corpus's ~31-term vocabulary is fully dense, so a
+    * ceiling would only empty the result. */
+  def tfidfRetrieval(docs: DataFrame, queryMod: Int = 100,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val tok = docs.where(size(t) > 0)
+      .select(col("doc_id"), explode(t).as("term"))
+    val n = tok.agg(countDistinct("doc_id").as("n_docs"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wtd = tf.join(dfr, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * round(log(col("n_docs").cast("double") / col("df"))
+          * 1e6).cast("long")).as("w"))
+      .where(col("w") =!= 0)
+    val norm = wtd.select(col("doc_id"),
+        (col("w").cast("decimal(38,0)") * col("w")).as("w2"))
+      .groupBy("doc_id").agg(sum("w2").as("n2"))
+    val dot = wtd.where(pmod(col("doc_id"), lit(queryMod)) === 0)
+      .select(col("doc_id").as("q_id"), col("term"), col("w").as("wq"))
+      .join(wtd.select(col("doc_id").as("d_id"), col("term"),
+        col("w").as("wd")), "term")
+      .where(col("d_id") =!= col("q_id"))
+      .groupBy("q_id", "d_id")
+      .agg(sum(col("wq").cast("decimal(38,0)") * col("wd")).as("dot"))
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("d_id"))
+    dot
+      .join(norm.select(col("doc_id").as("q_id"), col("n2").as("nq")), "q_id")
+      .join(norm.select(col("doc_id").as("d_id"), col("n2").as("nd")), "d_id")
+      .select(col("q_id"), col("d_id"),
+        round(col("dot").cast("double")
+          / (sqrt(col("nq").cast("double")) * sqrt(col("nd").cast("double"))),
+          6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= topK)
+      .select(col("q_id").as("query_id"), col("rank"), col("d_id").as("doc_id"),
+        col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Model-based quality scoring via the feature-hashing trick — the
     * fastText-style classifier shape every production corpus pipeline runs
     * after the rule filters ([[gopherFilter]]): tokens → `dim` hashed
@@ -1423,6 +1488,48 @@ object TextAnalysisSql {
        |               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
        |        FROM tf JOIN df USING (term), n))
        |WHERE rank <= $topK ORDER BY doc_id, rank""".stripMargin
+
+  /** Twin of [[TextAnalysis.tfidfRetrieval]]: identical quantized-idf
+    * integer weights (HUGEINT dot products and norms ⇔ Spark
+    * DECIMAL(38,0)), one float division per pair, rounded before ranked.
+    * The postings CTE is MATERIALIZED — it feeds the norms and both join
+    * arms (the nearDupClusters re-evaluation lesson). */
+  def tfidfRetrieval(queryMod: Int = 100, topK: Int = 5): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, t.term FROM documents, unnest($toks) AS t(term)),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |wtd AS MATERIALIZED (
+       |  SELECT doc_id, term, w FROM (
+       |    SELECT tf.doc_id, tf.term,
+       |           tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / dfr.df)
+       |                              * 1e6) AS BIGINT) AS w
+       |    FROM tf JOIN dfr USING (term) CROSS JOIN n)
+       |  WHERE w <> 0),
+       |nrm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+       |        FROM wtd GROUP BY 1),
+       |dot AS (
+       |  SELECT q.doc_id AS q_id, c.doc_id AS d_id,
+       |         sum(CAST(q.w AS HUGEINT) * c.w) AS d
+       |  FROM wtd q JOIN wtd c USING (term)
+       |  WHERE q.doc_id % $queryMod = 0 AND c.doc_id <> q.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT q_id, d_id,
+       |         round(CAST(dot.d AS DOUBLE)
+       |               / (sqrt(CAST(nq.n2 AS DOUBLE))
+       |                  * sqrt(CAST(nd.n2 AS DOUBLE))), 6) AS cos_sim
+       |  FROM dot
+       |  JOIN nrm nq ON nq.doc_id = dot.q_id
+       |  JOIN nrm nd ON nd.doc_id = dot.d_id),
+       |rk AS (SELECT q_id, d_id, cos_sim,
+       |              row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY cos_sim DESC, d_id) AS rank
+       |       FROM scored)
+       |SELECT q_id AS query_id, CAST(rank AS BIGINT) AS rank,
+       |       d_id AS doc_id, cos_sim
+       |FROM rk WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
   /** Twin of [[TextAnalysis.bm25]] — identical formula, same constants. */
   def bm25(queryTerms: Seq[String], topK: Int,

@@ -1372,6 +1372,33 @@ object StreamingQueries {
     graft.operators.FeatureEng.psiFace(spark.table(name), 10)
   }
 
+  /** Streaming two-sample KS drift monitor — the distributional sibling
+    * of [[psiMonitor]] (PSI is the banker's binned divergence; KS is the
+    * statistician's max-CDF-gap): the state is the same bounded
+    * `(cohort, bin)` count relation (SHARED
+    * [[graft.operators.FeatureEng.psiBin]]/`psiCohort` columns, so the
+    * stream, the batch face, and the oracle can never diverge on the
+    * binning), and the BINNED KS statistic evaluates on the drained
+    * state via the shared [[graft.operators.FeatureEng.ksBinnedFace]].
+    * fe10 keeps the exact full-relation D for batch audits; this is the
+    * O(|bins|)-state form an always-on ingest can actually hold. */
+  def ksMonitor(outer: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val spark = childSession(outer)
+    val name = "st28_ks_" + math.abs(dir.hashCode)
+    val counts = tableStream(spark, dir, "orders", maxFilesPerTrigger = Some(2))
+      .groupBy(graft.operators.FeatureEng.psiCohort.as("cohort"),
+        graft.operators.FeatureEng.psiBin(10, 50000.0).as("bin"))
+      .agg(cnt(lit(1)).as("n"))
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.FeatureEng.ksBinnedFace(spark.table(name))
+  }
+
   /** Streaming model serving — the fitted Naive Bayes of `t35`-`t37`
     * scoring an ingest stream: the model trains ONCE batch-side and its
     * bounded artifacts ([[graft.operators.NaiveBayes.servingArtifacts]] —
