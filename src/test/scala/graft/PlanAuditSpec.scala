@@ -1066,4 +1066,62 @@ class PlanAuditSpec extends SparkSuite {
       s"cell-relation joins are bounded and must broadcast:\n$exec")
     spark.catalog.clearCache()
   }
+
+  test("t40: retrieval candidates meet through the term-keyed postings " +
+      "join, never all-pairs; the top-k window partitions by query") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("t40_tfidf_retrieval")
+    assert(!p.contains("CartesianProduct"),
+      s"sparse retrieval must never degenerate to all-pairs:\n$p")
+    val exec = SparkEntry.queries("t40_tfidf_retrieval")(spark, dir)
+      .queryExecution.executedPlan
+    val global = deepCollect(exec) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, s"per-query top-k went global:\n${global.mkString("\n")}")
+  }
+
+  test("fe12: the exact ntile binning carries no window at all " +
+      "(range exchange + broadcast offsets), and no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("fe12_woe_ntile")(spark, dir)
+      .queryExecution.executedPlan
+    assert(deepCollect(exec) { case w: WindowExec => w }.isEmpty,
+      "the distributed ntile must not plan a WindowExec")
+    spark.catalog.clearCache()
+  }
+
+  test("fe13: one scan computes all VIF co-moments; the three feature " +
+      "rows share the cached sums row") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val exec = SparkEntry.queries("fe13_vif")(spark, dir)
+      .queryExecution.executedPlan
+    assert(deepCollect(exec) { case s: FileSourceScanExec => s }.isEmpty,
+      s"VIF must not rescan lineitem per output row:\n$exec")
+    assert(deepCollect(exec) { case s: InMemoryTableScanExec => s }.size === 3,
+      s"the three feature rows must share the cached sums row:\n$exec")
+    spark.catalog.clearCache()
+  }
+
+  test("mm7: the aHash window partitions by hash, never globally") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("mm7_ahash")(spark, dir)
+      .queryExecution.executedPlan
+    val global = deepCollect(exec) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"bucket sizing must partition by ahash:\n${global.mkString("\n")}")
+  }
+
+  test("w12/e11: per-type stats broadcast back onto the scan") {
+    val pw = plan("w12_mad_anomaly")
+    assert(!pw.contains("SortMergeJoin"),
+      s"bounded per-type stats must broadcast:\n$pw")
+    val pe = plan("e11_seasonality")
+    assert(!pe.contains("SortMergeJoin"),
+      s"bounded margins must broadcast:\n$pe")
+    assert(!pe.contains("CartesianProduct"), pe)
+  }
 }

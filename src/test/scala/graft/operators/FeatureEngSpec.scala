@@ -224,4 +224,65 @@ class FeatureEngSpec extends SparkSuite {
     assert(FeatureEng.corrMatrix(li).select("n").as[Long]
       .collect().forall(_ === 3L))
   }
+
+  test("vif: hand-computed closed form (r_qp = r_qd = 0.8, r_pd = 0.4)") {
+    // q = (1,2,3,4), p_cents = (1,2,4,3), d_cents = (1,3,2,4):
+    // det(R) = 1 − .64 − .64 − .16 + 2·.256 = 0.072
+    // R²_q = (0.64 + 0.64 − 2·0.8·0.8·0.4)/(1 − 0.16) = 0.914285714…,
+    //   VIF_q = 0.84/0.072 = 11.666667
+    // R²_p = R²_d = 0.288/0.36 = 0.8, VIF = 0.36/0.072 = 5.0
+    val li = Seq(
+      (1.0, 0.01, 0.01), (2.0, 0.02, 0.03),
+      (3.0, 0.04, 0.02), (4.0, 0.03, 0.04))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    val r = FeatureEng.vif(li)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(r === Seq(
+      ("discount", 4L, 0.8, 5.0),
+      ("extendedprice", 4L, 0.8, 5.0),
+      ("quantity", 4L, 0.914286, 11.666667)))
+  }
+
+  test("vif: a perfectly collinear pair makes R singular -> NULL vif; " +
+      "the third variable's R2 on a degenerate pair is NULL too") {
+    // q == p_cents exactly (r_qp = 1); d independent of both (r = 0)
+    val li = Seq(
+      (1.0, 0.01, 0.01), (2.0, 0.02, 0.01),
+      (1.0, 0.01, 0.02), (2.0, 0.02, 0.02))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    val rows = FeatureEng.vif(li).collect()
+    rows.foreach(r => assert(r.isNullAt(3), s"vif must be NULL: $r"))
+    val byFeat = rows.map(r => r.getString(0) -> r).toMap
+    // regressing q on {p, d}: p reconstructs q exactly -> R2 = 1
+    assert(byFeat("quantity").getDouble(2) === 1.0)
+    assert(byFeat("extendedprice").getDouble(2) === 1.0)
+    // regressing d on {q, p}: the predictor pair is itself collinear
+    // (r_qp = 1 -> 1 − r_jk² = 0) -> R2 undefined
+    assert(byFeat("discount").isNullAt(2))
+  }
+
+  test("woeIvNtile: hand-computed two-tile split") {
+    // prices 10 < 20 < 30 < 40 -> tile 1 = {10, 20} (both F),
+    // tile 2 = {30, 40} (both O). Smoothed (n+1)/(tot+2):
+    // bin 1: p_evt = 3/4, p_non = 1/4 -> woe = ln(1/3), iv = 0.549306
+    val orders = Seq(
+      (1L, 10.0, "F"), (2L, 20.0, "F"), (3L, 30.0, "O"), (4L, 40.0, "O"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    val r = FeatureEng.woeIvNtile(orders, nBins = 2)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val woe1 = BigDecimal(math.log((1.0 / 4) / (3.0 / 4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val iv = BigDecimal((1.0 / 4 - 3.0 / 4) * math.log((1.0 / 4) / (3.0 / 4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r === Seq((1L, 2L, 0L, woe1, iv), (2L, 0L, 2L, -woe1, iv)))
+  }
+
+  test("ksBinnedFace: hand-computed max CDF gap with tie-break") {
+    val counts = Seq((0, 0, 3L), (0, 1, 1L), (1, 0, 1L), (1, 1, 3L))
+      .toDF("cohort", "bin", "n")
+    val r = FeatureEng.ksBinnedFace(counts)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // cum bin 0: |3/4 − 1/4| = 0.5; bin 1: |1 − 1| = 0 -> D at bin 0
+    assert(r === Seq((4L, 4L, 0.5, 0)))
+  }
 }

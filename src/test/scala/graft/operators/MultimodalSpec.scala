@@ -64,4 +64,22 @@ class MultimodalSpec extends SparkSuite {
     val rp = Multimodal.repartitionForDecode(df, rowsPerPartition = 10)
     assert(rp.rdd.getNumPartitions === 10)
   }
+
+  test("aHash: mean-threshold bits, exact buckets, short docs excluded") {
+    // 62 × 'a' (97) + 'z' (122): mean = (62·97 + 122)/63 ≈ 97.397 — only
+    // the last pixel (index 62) exceeds it -> hash = 2^62, popcount 1.
+    val hot = "a" * 62 + "z"
+    val docs = Seq(
+      (1L, hot), (2L, hot),          // exact perceptual duplicates
+      (3L, "z" + "a" * 62),          // same pixels, different position ->
+                                      // bit 0, not bit 62
+      (4L, "too short"))             // < 63 chars: excluded
+      .toDF("doc_id", "text")
+    val r = Multimodal.aHash(docs)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(r === Seq(
+      (1L, 1L << 62, 1, 2L),
+      (2L, 1L << 62, 1, 2L),
+      (3L, 1L, 1, 1L)))
+  }
 }

@@ -147,6 +147,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r._4 > 0.95, s"r2 ${r._4} not a tight power-law fit")
   }
 
+  test("tfidfRetrieval: hand-computed cosines; ubiquitous terms carry " +
+      "no weight; self excluded") {
+    // doc 0 is the query (0 % 100 == 0). 'apple' appears in every doc ->
+    // idf 0 -> dropped everywhere. Shared discriminative term: 'banana'.
+    val docs = Seq(
+      (0L, "apple banana"),
+      (1L, "apple banana"),          // identical nonzero vector -> cos 1
+      (3L, "apple banana banana cherry"), // partial match
+      (7L, "apple cherry"))          // no shared nonzero term -> absent
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfRetrieval(docs, queryMod = 100, topK = 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // quantized idf: banana df=3/N=4 -> q_b = round(ln(4/3)·1e6);
+    // cherry df=2 -> q_c = round(ln(2)·1e6)
+    val qB = math.round(math.log(4.0 / 3) * 1e6)
+    val qC = math.round(math.log(2.0) * 1e6)
+    val cos03 = BigDecimal((qB * (2 * qB)).toDouble /
+        (math.sqrt((qB * qB).toDouble) *
+          math.sqrt((2 * qB * 2 * qB + qC * qC).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r === Seq((0L, 1, 1L, 1.0), (0L, 2, 3L, cos03)))
+  }
+
   test("zipfAudit: an exact rank^-1 law fits slope -1 with r2 = 1") {
     // token frequencies 12, 6, 4, 3 = 12 / rank for ranks 1..4, so
     // ln(freq) = ln 12 - 1·ln(rank): slope -1, intercept ln 12, r2 1

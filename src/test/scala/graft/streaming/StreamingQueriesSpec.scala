@@ -247,6 +247,20 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("ksMonitor: the drained binned KS equals the batch face over the " +
+      "same shared binning") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.ksMonitor(spark, dir).collect()
+    import org.apache.spark.sql.functions._
+    val batch = graft.operators.FeatureEng.ksBinnedFace(
+      Tables(spark, dir, "orders")
+        .groupBy(graft.operators.FeatureEng.psiCohort.as("cohort"),
+          graft.operators.FeatureEng.psiBin(10, 50000.0).as("bin"))
+        .agg(count(lit(1)).as("n"))).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("nbServe: stream-served predictions equal the batch classifier " +
       "row for row (scores included)") {
     val dir = "/root/testdata/sf0.001"
