@@ -548,11 +548,17 @@ object TextAnalysis {
     val n = tok.agg(countDistinct("doc_id").as("n_docs"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // persisted: the postings relation feeds THREE consumers (norms +
+    // both probe arms) whose lineage otherwise re-runs the tf and df
+    // shuffles each (no subplan sharing); released by the harness's
+    // per-query clearCache. At 100 TB this is the materialized inverted
+    // index a retrieval stack builds once and probes many times.
     val wtd = tf.join(dfr, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         (col("tf") * round(log(col("n_docs").cast("double") / col("df"))
           * 1e6).cast("long")).as("w"))
       .where(col("w") =!= 0)
+      .persist()
     val norm = wtd.select(col("doc_id"),
         (col("w").cast("decimal(38,0)") * col("w")).as("w2"))
       .groupBy("doc_id").agg(sum("w2").as("n2"))
