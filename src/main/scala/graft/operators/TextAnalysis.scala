@@ -532,15 +532,23 @@ object TextAnalysis {
     * document from dividing by a zero norm.
     *
     * Scale posture: candidates meet through the term-keyed equi-join of
-    * the query-side postings (a bounded `1/queryMod` draw) against the
-    * corpus postings — the inverted-index probe, never an all-pairs
-    * join; per-pair accumulation is one (q, d)-keyed aggregate; the
-    * top-k window partitions by query. A 100 TB deployment adds the
-    * standard df-ceiling / impact-ordered pruning (WAND) in front of the
-    * probe; this corpus's ~31-term vocabulary is fully dense, so a
-    * ceiling would only empty the result. */
+    * the query-side postings against the corpus postings — the
+    * inverted-index probe, never an all-pairs join; per-pair
+    * accumulation is one (q, d)-keyed aggregate; the top-k window
+    * partitions by query. The query side is a BOUNDED BATCH
+    * (`doc_id % queryMod = 0 AND doc_id < maxQueryId`) — the serving
+    * contract: a retrieval workload is a fixed query set, so corpus
+    * growth scales the INDEX linearly while the probe's query arm stays
+    * constant (an unbounded fraction-of-corpus draw would grow the
+    * candidate join quadratically on a dense-vocabulary corpus). The
+    * default cap covers every sf0.01/sf0.1 document, so the registered
+    * results are unchanged; replicated-growth corpora keep the sf0.1
+    * query batch. A 100 TB deployment adds the standard df-ceiling /
+    * impact-ordered pruning (WAND) in front of the probe; this corpus's
+    * ~31-term vocabulary is fully dense, so a ceiling would only empty
+    * the result. */
   def tfidfRetrieval(docs: DataFrame, queryMod: Int = 100,
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5, maxQueryId: Long = 5000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = tokens(col("text"))
     val tok = docs.where(size(t) > 0)
@@ -562,7 +570,8 @@ object TextAnalysis {
     val norm = wtd.select(col("doc_id"),
         (col("w").cast("decimal(38,0)") * col("w")).as("w2"))
       .groupBy("doc_id").agg(sum("w2").as("n2"))
-    val dot = wtd.where(pmod(col("doc_id"), lit(queryMod)) === 0)
+    val dot = wtd.where(pmod(col("doc_id"), lit(queryMod)) === 0
+        && col("doc_id") < maxQueryId)
       .select(col("doc_id").as("q_id"), col("term"), col("w").as("wq"))
       .join(wtd.select(col("doc_id").as("d_id"), col("term"),
         col("w").as("wd")), "term")
@@ -1500,7 +1509,8 @@ object TextAnalysisSql {
     * DECIMAL(38,0)), one float division per pair, rounded before ranked.
     * The postings CTE is MATERIALIZED — it feeds the norms and both join
     * arms (the nearDupClusters re-evaluation lesson). */
-  def tfidfRetrieval(queryMod: Int = 100, topK: Int = 5): String =
+  def tfidfRetrieval(queryMod: Int = 100, topK: Int = 5,
+      maxQueryId: Long = 5000L): String =
     s"""WITH tok AS (
        |  SELECT doc_id, t.term FROM documents, unnest($toks) AS t(term)),
        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
@@ -1519,7 +1529,8 @@ object TextAnalysisSql {
        |  SELECT q.doc_id AS q_id, c.doc_id AS d_id,
        |         sum(CAST(q.w AS HUGEINT) * c.w) AS d
        |  FROM wtd q JOIN wtd c USING (term)
-       |  WHERE q.doc_id % $queryMod = 0 AND c.doc_id <> q.doc_id
+       |  WHERE q.doc_id % $queryMod = 0 AND q.doc_id < $maxQueryId
+       |    AND c.doc_id <> q.doc_id
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT q_id, d_id,
