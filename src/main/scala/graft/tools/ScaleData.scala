@@ -102,15 +102,26 @@ object ScaleData {
         d.withColumn(k,
           (col(k) + lit(i.toLong * domainOffset(k))).cast(df.schema(k).dataType))
       }
-      // text-bearing columns rotate per replica for the SAME reason in
-      // both tables: real growth does not add exact copies, and an
-      // unrotated column makes every fuzzy-match lane's OUTPUT (not just
-      // its work) grow quadratically in the replica count — p_name was
-      // missed until r10 and distorted dedup_fuzzy_names' scaling rows.
+      // similarity-bearing columns rotate per replica for the SAME reason
+      // in every table: real growth does not add exact copies, and an
+      // unrotated column makes every fuzzy/similarity lane's OUTPUT (not
+      // just its work) grow quadratically in the replica count — p_name
+      // was missed until r10 and distorted dedup_fuzzy_names' scaling
+      // rows; `embedding` was missed until r11 and distorted
+      // dedup_semantic's (10 exact copies of every vector ⇒ quadratic
+      // cosine-1.0 duplicate pairs). The embedding rotation is a CYCLIC
+      // ELEMENT SHIFT — norm-preserving and deterministic, and shifted
+      // random vectors are near-orthogonal to their originals, which is
+      // the growth shape a real corpus has.
       if (table == "documents")
         shifted.withColumn("text", rotateText(col("text"), i))
       else if (table == "part")
         shifted.withColumn("p_name", rotateText(col("p_name"), i))
+      else if (table == "embeddings" && i > 0)
+        shifted.withColumn("embedding",
+          concat(
+            slice(col("embedding"), i % 64 + 1, 64 - i % 64),
+            slice(col("embedding"), 1, i % 64)))
       else shifted
     }.reduce(_ unionAll _)
   }
