@@ -113,24 +113,36 @@ object Similarity {
     * either drop the removed rows or audit the clustering.
     *
     * The coarse quantizer here is the deterministic sample-seed variant
-    * (every `seedStride`-th `vec_id` is a seed; assignment is argmax
-    * rounded-cosine, seed-id tie-break) so the whole operator — including
-    * cluster assignment — is exactly twinned in
-    * [[SimilaritySql.semanticDedup]]. The 100 TB deployment swaps the
+    * (every `seedStride`-th `vec_id` below `seedCap` is a seed;
+    * assignment is argmax rounded-cosine, seed-id tie-break) so the
+    * whole operator — including cluster assignment — is exactly twinned
+    * in [[SimilaritySql.semanticDedup]]. The 100 TB deployment swaps the
     * seed set for a trained k-means artifact with the `pq_codebook`
     * lifecycle; everything downstream is unchanged.
+    *
+    * The SEED COUNT IS A DEPLOYMENT CONSTANT (`seedCap` bounds it —
+    * SemDeDup's own shape: the paper runs k-means with a fixed,
+    * corpus-chosen k, e.g. 50k for LAION). With k ∝ corpus size the
+    * ASSIGNMENT term N·k is quadratic — measured 16.5× at 10× rows on
+    * the r11 scaling corpus before the cap (every vector scored every
+    * seed). With fixed k, assignment is exactly linear; the default cap
+    * covers every sf0.01/sf0.1 vec_id, so registered results are
+    * unchanged.
     *
     * Scale shape, and why this is the production face of the fenced
     * [[bruteForcePairs]] lane: the quadratic term is bounded by
     * Σ|cluster|² instead of n² — pair candidates come from a cluster-id
-    * equi-join, never a corpus×corpus product. Embeddings cross the wire
+    * equi-join, never a corpus×corpus product (clusters grow as N/k for
+    * fixed k; the 100 TB knobs are k itself and a hot-cluster size cap,
+    * exactly as in the paper). Embeddings cross the wire
     * twice: once for assignment (the groupBy key carries the embedding,
     * so partial aggregation folds the |seeds| candidate rows to ONE row
     * per vector map-side before the exchange) and once keyed by
     * `cluster_id` for the within-cluster join. */
   def semanticDedup(emb: DataFrame, threshold: Double = 0.4,
-      seedStride: Int = 50): DataFrame = {
-    val seeds = emb.where(pmod(col("vec_id"), lit(seedStride)) === 0)
+      seedStride: Int = 50, seedCap: Long = 2000L): DataFrame = {
+    val seeds = emb.where(pmod(col("vec_id"), lit(seedStride)) === 0
+        && col("vec_id") < seedCap)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("c_emb"))
     val assigned = emb
       .join(broadcast(seeds))
@@ -1144,10 +1156,12 @@ object SimilaritySql {
     * quantizer, the same argmax rounded-cosine assignment (seed-id
     * tie-break), the same within-cluster pair rule on the rounded
     * cosine — exact down to the kept flag. */
-  def semanticDedup(threshold: Double, seedStride: Int): String =
+  def semanticDedup(threshold: Double, seedStride: Int,
+      seedCap: Long = 2000L): String =
     s"""WITH seeds AS (
        |  SELECT vec_id AS cluster_id, embedding AS c_emb
-       |  FROM embeddings WHERE vec_id % $seedStride = 0),
+       |  FROM embeddings
+       |  WHERE vec_id % $seedStride = 0 AND vec_id < $seedCap),
        |scored AS (
        |  SELECT e.vec_id, e.embedding, s.cluster_id,
        |         row_number() OVER (PARTITION BY e.vec_id
