@@ -116,6 +116,14 @@ object Bench {
     // subtrees (bloom builds, dedup stages) must not hand a warm cache to
     // the next measured query
     spark.catalog.clearCache()
+    // clearCache drops blocks ASYNCHRONOUSLY; the previous query's block
+    // removal otherwise overlaps this query's timed region (one of the
+    // r11 in-suite variance hypotheses for dedup_jaccard_exact). A
+    // blocking unpersist of whatever RDDs remain makes release complete
+    // BEFORE the clock starts.
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    catch { case _: Exception => }
     // the sink queries leave hundreds of MB of dirty pages behind; the
     // kernel's deferred writeback otherwise lands as a ~10s stall INSIDE
     // one random later query's timing per run — flush here, untimed

@@ -383,6 +383,15 @@ object Dedup {
             >= ceil((col("a.sz") + col("b.sz")) * alphaFrac - eps))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // Materialized EAGERLY (persist + count) before the verify join
+      // (VERDICT r11 ask #2): the relation is bounded — two 8-byte ids
+      // per surviving candidate pair — and pinning it gives AQE an exact
+      // cached size for the verify join's strategy choice, so the plan
+      // cannot re-randomize run to run mid-suite (r11 builder draws
+      // [10.1, 6.7, 2.5] on identical data). Lifecycle: same
+      // harness-clearCache contract as the persists above.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
 
     candidates
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -457,6 +466,10 @@ object Dedup {
           && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // Eager materialization before the verify join — same AQE-pinning
+      // rationale and lifecycle as [[jaccardPairsExact]] (r11 ask #2).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
 
     candidates
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
