@@ -347,7 +347,19 @@ object Graph {
       res
     } else {
       // AUTO-FLIP: seed per-round-normalized doubles from the exact state
-      // (divide by its L1 total — commutes with the remaining sums)
+      // (divide by its L1 total — commutes with the remaining sums).
+      // LOUD by design (ADVICE r11 #4): the DuckDB oracle twin
+      // (GraphSql.hits) unrolls the exact integer recurrence with no such
+      // flip, so on a registered dataset the flipped result diverges from
+      // the oracle — 9dp-rounded doubles vs exact-integer normalization
+      // differ in the last digit. If this line ever shows up in a
+      // Verify/Bench log for a registered query, the corpus got
+      // hub-heavy enough to trip the headroom guard and the gr12 oracle
+      // needs a matching float unroll BEFORE the round's gate run.
+      System.err.println(s"[graft] hitsOnEdges OVERFLOW AUTO-FLIP after " +
+        s"$done exact rounds (deg_max=$degMax, h_max=$hMax): continuing " +
+        "in per-round-normalized doubles; exact-integer oracle twins " +
+        "(gr12_hits) will NOT match this result")
       val hTot0 = hub.agg(sum("h").as("tot"))
       var hubD = rebased(hub.crossJoin(hTot0)
         .select(col("node"),
@@ -809,7 +821,17 @@ object GraphSql {
 
   /** Twin of [[Graph.hits]] — the identical INTEGER mutual recurrence
     * unrolled (normalization commutes with the linear recurrence, so it
-    * happens once at the end), 9-decimal rounding. */
+    * happens once at the end), 9-decimal rounding.
+    *
+    * NO FLIP HERE (ADVICE r11 #4): [[Graph.hitsOnEdges]] carries an
+    * overflow headroom guard that auto-flips to per-round-normalized
+    * doubles on hub-heavy graphs; this twin always unrolls the exact
+    * integer recurrence. The pairing is valid only while the registered
+    * events graph stays under the guard (deg_max² · h_max ≤ Long.Max) —
+    * the Spark side prints a loud stderr banner the moment it flips, so
+    * a corpus change that trips it is caught at the gate run, not
+    * misread as an operator bug. A flipped registry would need a
+    * matching float unroll here. */
   def hits(iters: Int = 3): String = {
     val steps = (1 to iters).map { i =>
       s"""ar$i AS (

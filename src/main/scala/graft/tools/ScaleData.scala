@@ -117,12 +117,19 @@ object ScaleData {
         shifted.withColumn("text", rotateText(col("text"), i))
       else if (table == "part")
         shifted.withColumn("p_name", rotateText(col("p_name"), i))
-      else if (table == "embeddings" && i > 0)
+      else if (table == "embeddings" && i > 0) {
+        // shift derived from the ACTUAL array size, and never zero:
+        // 1 + (i-1) mod (dim-1) ∈ [1, dim-1], so no replica (at any
+        // factor, for any embedding dimension) is an exact copy — the
+        // hardcoded `i % 64` form was the identity at i ≡ 0 (mod 64)
+        // and wrong for non-64-dim tables (ADVICE r11 #2)
+        val dim = size(col("embedding"))
+        val shift = lit(1) + pmod(lit(i - 1), dim - lit(1))
         shifted.withColumn("embedding",
           concat(
-            slice(col("embedding"), i % 64 + 1, 64 - i % 64),
-            slice(col("embedding"), 1, i % 64)))
-      else shifted
+            slice(col("embedding"), shift + 1, dim - shift),
+            slice(col("embedding"), lit(1), shift)))
+      } else shifted
     }.reduce(_ unionAll _)
   }
 
