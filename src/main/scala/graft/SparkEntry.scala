@@ -2003,6 +2003,9 @@ object SparkEntry {
     "t40_tfidf_retrieval" -> ((s, dir) => // inverted-index sparse cosine
       // retrieval: quantized-idf integer weights, exact dot/norms
       TextAnalysis.tfidfRetrieval(Tables(s, dir, "documents"))),
+    "t41_contamination" -> ((s, dir) => // eval-vs-train n-gram overlap
+      // screen: eval shingle set broadcasts, corpus never self-joined
+      Dedup.contaminationReport(Tables(s, dir, "documents"))),
     "t38_zipf" -> ((s, dir) => // quantized-log Zipf rank-frequency fit
       TextAnalysis.zipfAudit(Tables(s, dir, "documents"))),
     "t39_heaps" -> ((s, dir) => // Heaps'-law vocabulary-growth fit
@@ -3517,6 +3520,7 @@ object SparkEntry {
       "t39_heaps" -> TextAnalysisSql.heapsAudit(),
       "t39_heaps_synth" -> TextAnalysisSql.heapsSynth(),
       "t40_tfidf_retrieval" -> TextAnalysisSql.tfidfRetrieval(),
+      "t41_contamination" -> DedupSql.contamination(3, 50, 0.5),
       "fe11_cramers_v" -> FeatureEngSql.cramersV,
       "fe13_vif" -> FeatureEngSql.vif,
       "fe12_woe_ntile" -> FeatureEngSql.woeIvNtile(),

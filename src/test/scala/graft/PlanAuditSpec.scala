@@ -530,6 +530,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges.size > wide, "narrow exchanges must exist (kept-flag/sort)")
   }
 
+  test("t41_contamination: eval shingle set broadcasts; corpus never " +
+      "self-joined") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val text = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("t41_contamination")(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // the corpus-scale branch: train shingles filtered by a BROADCAST
+    // LeftSemi against the bounded eval set — never a shuffled semi-join
+    assert(text.contains("BroadcastHashJoin") && text.contains("LeftSemi"),
+      text)
+    assert(!text.contains("SortMergeJoin"),
+      s"corpus-side semi-join must not shuffle-sort the train corpus: $text")
+    // exactly one scan branch reads the full documents table per side;
+    // no self-join of the corpus on itself (every remaining join input
+    // is bounded: eval shingles or the matched-shingle set)
+    assert(!text.contains("CartesianProduct")
+      && !text.contains("BroadcastNestedLoopJoin"), text)
+  }
+
   test("t22_chunk: chunking is narrow — the only exchange is the output sort") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     val exchanges = try {

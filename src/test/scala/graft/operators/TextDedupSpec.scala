@@ -43,6 +43,33 @@ class TextDedupSpec extends SparkSuite {
     assert(Dedup.jaccardPairsExact(d, threshold = 0.8).collect().isEmpty)
   }
 
+  test("contaminationReport: per-eval-doc overlap against TRAIN only, " +
+      "hand-computed") {
+    val d = docs(
+      0L  -> "alpha beta gamma delta",       // eval: {abg, bgd}
+      5L  -> "one two three four five",      // eval: {ott, ttf, tff}
+      10L -> "qqq www eee rrr",              // eval: zero train overlap
+      15L -> "qqq www eee rrr",              // eval dup of 10: eval-side
+                                             // overlap must NOT count
+      1L  -> "alpha beta gamma zulu",        // train: shares "alpha beta gamma"
+      2L  -> "unrelated totally different words here",
+      3L  -> "three four five six")          // train: shares "three four five"
+    val got = Dedup.contaminationReport(d, shingleN = 3, evalMod = 5,
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet === Set(0L, 5L, 10L, 15L))
+    // doc 0: 2 shingles, "alpha beta gamma" hit in train doc 1 -> 1/2,
+    // rounded 0.5 >= 0.5 -> contaminated
+    assert(got(0L) === ((2L, 1L, 0.5, true)))
+    // doc 5: 3 shingles, "three four five" hit in train doc 3 -> 1/3
+    assert(got(5L) === ((3L, 1L, 0.333333, false)))
+    // docs 10/15 duplicate EACH OTHER but nothing in train: clean
+    assert(got(10L) === ((2L, 0L, 0.0, false)))
+    assert(got(15L) === ((2L, 0L, 0.0, false)))
+  }
+
   test("charEntropy: closed form matches hand-computed distributions") {
     // "aaaa" -> norm "aaaa": H = 0; "abab" -> uniform over {a,b}: H = ln 2
     // "ab" + junk punctuation -> norm "ab": H = ln 2 over 2 chars
