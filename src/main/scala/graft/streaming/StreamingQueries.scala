@@ -41,6 +41,15 @@ object StreamingQueries {
     // each query's checkpoint, as the st5 scaladoc documents.
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
+    // State width 4 bounds the per-batch store-commit round, but it must
+    // not also choke the SOURCE scan: the r12 stage traces show the
+    // dominant stages are the scan+map fronts (4 tasks, ~1s each) whose
+    // split count comes from maxPartitionBytes, not shuffle width.
+    // Smaller splits widen the map side while the stateful exchange
+    // stays at 4. Env-tunable; a cluster deployment leaves this at the
+    // session default and gets its map width from real file counts.
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SPLIT_BYTES", s"${2 * 1024 * 1024}"))
     // Production-posture state store, DEFAULT ON (r7 verdict ask #5): the
     // HDFS-backed provider keeps every version of every key's state on
     // the JVM heap — fine at sf0.1, memory-unbounded at 100 TB. RocksDB
@@ -49,9 +58,22 @@ object StreamingQueries {
     // REQUIRES it). Every stateful query in this object flows through
     // this one choke point, so Verify/Bench/specs all exercise the real
     // provider; SPARK_GRAFT_STATE_STORE=hdfs opts out for A/B timing.
-    if (!sys.env.get("SPARK_GRAFT_STATE_STORE").exists(_.equalsIgnoreCase("hdfs")))
+    if (!sys.env.get("SPARK_GRAFT_STATE_STORE").exists(_.equalsIgnoreCase("hdfs"))) {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing (r12): a commit persists only the
+      // batch's delta; full snapshots move to the maintenance thread.
+      // Measured NEUTRAL at sf0.1 (heavy cohort 23.6s vs 23.3s — state
+      // here is KBs, so snapshot-vs-changelog doesn't move the floor),
+      // but it is the posture a production RocksDB deployment runs: at
+      // real state sizes the per-commit snapshot upload is the term that
+      // grows with state while the changelog grows only with the batch.
+      // Env-toggleable for A/B timing.
+      if (!sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").exists(_.equalsIgnoreCase("off")))
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+    }
     spark
   }
 
