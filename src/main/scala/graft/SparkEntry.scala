@@ -1195,6 +1195,51 @@ object SparkEntry {
         .where(abs(col("rz")) > 3.5)
         .orderBy("event_id")
     }),
+    "w13_cusum" -> ((s, dir) => {
+      // CUSUM changepoint screen over hourly volumes per event type —
+      // the drift detector an ingestion monitor runs upstream of w7/w12's
+      // pointwise outlier flags (a LEVEL SHIFT never trips a z-score but
+      // accumulates in a CUSUM). The recursive statistic
+      // S_t = max(0, S_{t-1} + y_t) is re-expressed with the
+      // reflection identity S_t = cumsum_t − min(0, running_min(cumsum))
+      // so both engines compute it with two stock window functions over
+      // the BOUNDED (|type| × hours) cell relation — no recursion, no
+      // row-scaled window. y_t = n·x_t − Σx (mean-centered, scaled by n)
+      // keeps the whole recurrence in exact integers; the only float is
+      // the final ratio against σ_scaled = sqrt(n·Σx² − (Σx)²), a
+      // closed form on DECIMAL(38,0)-exact sums (fe9/fe13 precedent),
+      // ROUNDED BEFORE the 4σ threshold per the repo convention.
+      val cells = Tables(s, dir, "events")
+        .select(col("event_type"), expr("ts div 3600000000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("x"))
+      val stats = cells.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hr")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = cells.join(broadcast(stats), "event_type")
+        .withColumn("y", col("n") * col("x") - col("sx"))
+        .withColumn("cs", sum("y").over(wCum))
+      val s2 = cum.withColumn("rm", min("cs").over(wCum))
+        .withColumn("cusum", col("cs") - least(lit(0L), col("rm")))
+        // σ_scaled² = n·Σx² − (Σx)², exact in DECIMAL(38,0) ⇔ HUGEINT;
+        // one cast to double feeds the identical sqrt in both engines
+        .withColumn("sig", sqrt(greatest(
+          (col("n").cast("decimal(38,0)") * col("sxx")
+            - col("sx").cast("decimal(38,0)") * col("sx")).cast("double"),
+          lit(0.0))))
+        .withColumn("ratio", when(col("sig") > 0,
+          round(col("cusum").cast("double") / col("sig"), 6)))
+      s2.groupBy("event_type").agg(
+          max(col("n")).as("n_hours"),
+          max(col("ratio")).as("max_ratio"),
+          count(when(col("ratio") > 4.0, lit(1))).as("n_alarms"),
+          min(when(col("ratio") > 4.0, col("hr"))).as("first_alarm_hr"))
+        .orderBy("event_type")
+    }),
     "a18_mode" -> ((s, dir) => {
       // exact per-group MODE with a deterministic tie-break (largest
       // count, then smallest hour) — the categorical profiling statistic
@@ -2022,6 +2067,9 @@ object SparkEntry {
     "fe12_woe_ntile" -> ((s, dir) => // equal-frequency (decile) WOE/IV via
       // the distributed exact ntile -- no single-partition window
       FeatureEng.woeIvNtile(Tables(s, dir, "orders"))),
+    "fe14_pca2" -> ((s, dir) => // 2-feature covariance eigen split:
+      // one-scan exact co-moments, closed quadratic eigenvalues
+      FeatureEng.pca2(Tables(s, dir, "lineitem"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -3141,6 +3189,40 @@ object SparkEntry {
           |  AND abs(round(CAST(0.6745 AS DOUBLE) * (ev.value - mad.med)
           |                / mad.mad, 6)) > 3.5
           |ORDER BY event_id""".stripMargin,
+      "w13_cusum" -> // identical reflection-identity CUSUM, exact ints
+        """WITH cells AS (
+          |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+          |         count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |st AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx, sum(x * x) AS sxx
+          |  FROM cells GROUP BY 1),
+          |cum AS (
+          |  SELECT c.event_type, c.hr, st.n, st.sx, st.sxx,
+          |         CAST(sum(st.n * c.x - st.sx) OVER (
+          |             PARTITION BY c.event_type ORDER BY c.hr
+          |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+          |  FROM cells c JOIN st USING (event_type)),
+          |s2 AS (
+          |  SELECT event_type, hr, n, cs,
+          |         cs - least(CAST(0 AS BIGINT), min(cs) OVER (
+          |             PARTITION BY event_type ORDER BY hr
+          |             ROWS UNBOUNDED PRECEDING)) AS cusum,
+          |         sqrt(greatest(CAST(CAST(n AS HUGEINT) * sxx
+          |             - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+          |             CAST(0.0 AS DOUBLE))) AS sig
+          |  FROM cum),
+          |r AS (
+          |  SELECT event_type, hr, n,
+          |         CASE WHEN sig > 0
+          |              THEN round(CAST(cusum AS DOUBLE) / sig, 6)
+          |         END AS ratio
+          |  FROM s2)
+          |SELECT event_type, max(n) AS n_hours, max(ratio) AS max_ratio,
+          |       count(CASE WHEN ratio > 4.0 THEN 1 END) AS n_alarms,
+          |       min(CASE WHEN ratio > 4.0 THEN hr END) AS first_alarm_hr
+          |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
       "a18_mode" -> // identical cells, row_number tie-break
         """WITH cells AS (
           |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hod,
@@ -3523,6 +3605,7 @@ object SparkEntry {
       "t41_contamination" -> DedupSql.contamination(3, 50, 0.5),
       "fe11_cramers_v" -> FeatureEngSql.cramersV,
       "fe13_vif" -> FeatureEngSql.vif,
+      "fe14_pca2" -> FeatureEngSql.pca2,
       "fe12_woe_ntile" -> FeatureEngSql.woeIvNtile(),
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),

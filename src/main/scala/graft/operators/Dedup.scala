@@ -383,15 +383,11 @@ object Dedup {
             >= ceil((col("a.sz") + col("b.sz")) * alphaFrac - eps))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      // Materialized EAGERLY (persist + count) before the verify join
-      // (VERDICT r11 ask #2): the relation is bounded — two 8-byte ids
-      // per surviving candidate pair — and pinning it gives AQE an exact
-      // cached size for the verify join's strategy choice, so the plan
-      // cannot re-randomize run to run mid-suite (r11 builder draws
-      // [10.1, 6.7, 2.5] on identical data). Lifecycle: same
-      // harness-clearCache contract as the persists above.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates.count()
+      // NOT eagerly materialized (r12 reversal of the r11-ask-#2 pin):
+      // an r12 stage trace at sf1 showed the cached-candidates form
+      // flipped the verify join off AQE's runtime-stats path and tripled
+      // the standalone wall (10.6s → 29s) — the distinct's own exchange
+      // already gives AQE an exact size for the verify join's strategy.
 
     candidates
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -401,6 +397,16 @@ object Dedup {
           / size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // The VERIFIED pair relation persists (lazily): it is bounded (one
+      // narrow row per surviving duplicate pair) while its lineage holds
+      // the expensive array-intersection join — and the registered query
+      // sorts this result, whose range-boundary SAMPLING pass would
+      // otherwise execute that whole lineage a second time (the r12 sf1
+      // stage trace: two stages each reading the same 699 MB pair-
+      // expanded exchange, ~1000 task-seconds of duplicated intersect
+      // CPU). First execution fills the cache mid-plan; the sort's real
+      // pass reads it. Harness clearCache releases it.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Asymmetric shingle containment `C(A→B) = |A∩B| / |A| ≥ θ` — the
@@ -466,10 +472,9 @@ object Dedup {
           && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      // Eager materialization before the verify join — same AQE-pinning
-      // rationale and lifecycle as [[jaccardPairsExact]] (r11 ask #2).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates.count()
+      // No eager candidate materialization — same r12 reversal and
+      // rationale as [[jaccardPairsExact]] (the cached form tripled the
+      // sf1 standalone wall by losing AQE's runtime join selection).
 
     candidates
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -479,6 +484,11 @@ object Dedup {
           / size(col("sh_a")))
       .where(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))
+      // Verified-pairs persist: bounded output over an expensive lineage
+      // that the registered query's sort would otherwise execute twice —
+      // see [[jaccardPairsExact]]'s closing note (r12 sf1 stage trace:
+      // the duplicated pass was 1017 task-seconds here).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Contamination screen (VERDICT r11 ask #5) — the audit every

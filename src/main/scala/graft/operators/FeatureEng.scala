@@ -511,6 +511,46 @@ object FeatureEng {
     rows.reduce(_ unionAll _).orderBy("feature")
   }
 
+  /** Closed-form 2-feature PCA on the exact covariance matrix — the
+    * redundancy screen between [[corrMatrix]]'s pairwise view and
+    * [[vif]]'s regression view: the eigen split of the 2×2 covariance
+    * says how much of the joint variance one principal direction
+    * carries (`evr1` → 1 means the features are one dimension in
+    * disguise; `lambda_ratio` is the conditioning of the pair). All
+    * five co-moments accumulate in ONE scan as DECIMAL(38,0) ⇔ HUGEINT
+    * (the fe9/fe13 exactness pattern — inputs quantized to integer
+    * grids, so the sums are order-independent); the eigenvalues are the
+    * closed quadratic form `λ± = ((A+C) ± sqrt((A−C)² + 4B²))/2` on
+    * identical doubles in both engines, where `A = n·Σx²−(Σx)²` etc.
+    * are the n²-scaled covariance entries (the scale cancels in every
+    * reported ratio). Outputs are dimensionless (corr, evr, ratio), so
+    * no magnitude sits against the 6dp rounding grid. */
+  def pca2(lineitem: DataFrame): DataFrame = {
+    val proj = lineitem.select(
+      round(col("l_quantity")).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val s = proj.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x") * col("x"))).as("sxx"),
+      sum(dec(col("y") * col("y"))).as("syy"),
+      sum(dec(col("x") * col("y"))).as("sxy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val a = n * d("sxx") - d("sx") * d("sx")
+    val c0 = n * d("syy") - d("sy") * d("sy")
+    val b = n * d("sxy") - d("sx") * d("sy")
+    val disc = sqrt(greatest(
+      (a - c0) * (a - c0) + lit(4.0) * b * b, lit(0.0)))
+    val l1 = ((a + c0) + disc) / lit(2.0)
+    val l2 = ((a + c0) - disc) / lit(2.0)
+    s.select(col("n"),
+      round(when(a * c0 > 0, b / sqrt(a * c0)), 6).as("corr_xy"),
+      round(when(a + c0 > 0, l1 / (a + c0)), 6).as("evr1"),
+      round(when(l1 > 0, l2 / l1), 6).as("lambda_ratio"))
+  }
+
   /** Effect-size summary of [[chiSquare]] — Cramér's V, the normalized
     * [0, 1] association strength (χ² alone grows with N; V is what a
     * feature-selection cutoff actually thresholds): one row
@@ -922,6 +962,48 @@ object FeatureEngSql {
        |$selects
        |ORDER BY feature""".stripMargin
   }
+
+  /** Twin of [[FeatureEng.pca2]]: identical HUGEINT co-moments,
+    * identical n²-scaled covariance entries and quadratic eigen closed
+    * form on doubles (operand order mirrored expression by expression),
+    * identical degeneracy guards. */
+  val pca2: String =
+    """WITH p AS (
+      |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      |  FROM p),
+      |d AS (
+      |  SELECT CAST(n AS BIGINT) AS n,
+      |         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS a,
+      |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS c,
+      |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS b
+      |  FROM s),
+      |e AS (
+      |  SELECT n, a, b, c,
+      |         sqrt(greatest((a - c) * (a - c)
+      |             + CAST(4.0 AS DOUBLE) * b * b,
+      |             CAST(0.0 AS DOUBLE))) AS disc
+      |  FROM d),
+      |f AS (
+      |  SELECT n, a, b, c,
+      |         ((a + c) + disc) / CAST(2.0 AS DOUBLE) AS l1,
+      |         ((a + c) - disc) / CAST(2.0 AS DOUBLE) AS l2
+      |  FROM e)
+      |SELECT n,
+      |       round(CASE WHEN a * c > 0 THEN b / sqrt(a * c) END, 6)
+      |         AS corr_xy,
+      |       round(CASE WHEN a + c > 0 THEN l1 / (a + c) END, 6)
+      |         AS evr1,
+      |       round(CASE WHEN l1 > 0 THEN l2 / l1 END, 6)
+      |         AS lambda_ratio
+      |FROM f""".stripMargin
 
   /** Shared contingency CTEs for the chi² / MI twins. Counts CAST to
     * BIGINT: DuckDB sum() over integers is HUGEINT, which the driver's

@@ -103,6 +103,12 @@ object Similarity {
     a.join(b, col("vec_a") < col("vec_b")
         && cosRounded(col("emb_a"), col("emb_b")) >= threshold)
       .select(col("vec_a"), col("vec_b"), cosRounded(col("emb_a"), col("emb_b")).as("cos"))
+      // bounded survivors over the O(n²) lineage: the registered query
+      // sorts this result, and a range sort's boundary-sampling pass
+      // would run the whole quadratic loop a second time (the Dedup
+      // verify-join lesson, r12 sf1 stage traces). Lazily persisted;
+      // harness clearCache releases it.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

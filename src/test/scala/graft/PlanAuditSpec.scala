@@ -1145,4 +1145,32 @@ class PlanAuditSpec extends SparkSuite {
       s"bounded margins must broadcast:\n$pe")
     assert(!pe.contains("CartesianProduct"), pe)
   }
+
+  test("w13: the CUSUM windows partition by event_type over bounded " +
+      "cells; per-type stats broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("w13_cusum")(spark, dir)
+      .queryExecution.executedPlan
+    val global = deepCollect(exec) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"CUSUM windows must partition by type:\n${global.mkString("\n")}")
+    val p = plan("w13_cusum")
+    assert(!p.contains("SortMergeJoin"),
+      s"bounded per-type stats must broadcast:\n$p")
+  }
+
+  test("fe14: one scan feeds all five PCA co-moments; no window, " +
+      "no join at all") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("fe14_pca2")(spark, dir)
+      .queryExecution.executedPlan
+    assert(deepCollect(exec) { case s: FileSourceScanExec => s }.size === 1,
+      s"PCA co-moments must come from ONE lineitem scan:\n$exec")
+    assert(deepCollect(exec) { case w: WindowExec => w }.isEmpty, s"$exec")
+    val p = plan("fe14_pca2")
+    assert(!p.contains("Join"), s"a one-row closed form joins nothing:\n$p")
+  }
 }

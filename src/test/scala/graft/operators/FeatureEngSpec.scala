@@ -261,6 +261,40 @@ class FeatureEngSpec extends SparkSuite {
     assert(byFeat("discount").isNullAt(2))
   }
 
+  test("pca2: perfectly correlated pair -> corr 1, evr1 1, ratio 0") {
+    // x = (1,2,3,4), y_cents = (2,4,6,8): A = 4·30−100 = 20,
+    // C = 4·120−400 = 80, B = 4·60−200 = 40; disc = √(60²+4·40²) = 100
+    // λ1 = (100+100)/2 = 100, λ2 = 0; corr = 40/√1600 = 1
+    val li = Seq((1.0, 0.02), (2.0, 0.04), (3.0, 0.06), (4.0, 0.08))
+      .toDF("l_quantity", "l_extendedprice")
+    val r = FeatureEng.pca2(li)
+      .as[(Long, Double, Double, Double)].head()
+    assert(r === ((4L, 1.0, 1.0, 0.0)))
+  }
+
+  test("pca2: uncorrelated equal-variance pair -> corr 0, evr1 0.5, " +
+      "ratio 1 (isotropic)") {
+    // x = (1,2,1,2), y_cents = (1,1,2,2): A = C = 4, B = 36−36 = 0;
+    // disc = 0 -> λ1 = λ2 = 4
+    val li = Seq((1.0, 0.01), (2.0, 0.01), (1.0, 0.02), (2.0, 0.02))
+      .toDF("l_quantity", "l_extendedprice")
+    val r = FeatureEng.pca2(li)
+      .as[(Long, Double, Double, Double)].head()
+    assert(r === ((4L, 0.0, 0.5, 1.0)))
+  }
+
+  test("pca2: a zero-variance feature -> corr NULL, the live feature " +
+      "carries all variance (evr1 1)") {
+    // x constant: A = 0 (corr undefined); C = 2·5−9 = 1, B = 0
+    val li = Seq((1.0, 0.01), (1.0, 0.02))
+      .toDF("l_quantity", "l_extendedprice")
+    val row = FeatureEng.pca2(li).collect().head
+    assert(row.getLong(0) === 2L)
+    assert(row.isNullAt(1), s"corr must be NULL on zero variance: $row")
+    assert(row.getDouble(2) === 1.0)
+    assert(row.getDouble(3) === 0.0)
+  }
+
   test("woeIvNtile: hand-computed two-tile split") {
     // prices 10 < 20 < 30 < 40 -> tile 1 = {10, 20} (both F),
     // tile 2 = {30, 40} (both O). Smoothed (n+1)/(tot+2):
