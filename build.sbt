@@ -40,3 +40,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // runs and inflates late queries' bench times
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// ad-hoc JVM flag passthrough for JIT/GC experiments (e.g. the r12
+// huge-method investigation); empty in normal runs
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM_OPTS")
+  .toSeq.flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -289,9 +289,16 @@ object Dedup {
     val verified = candidates
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))))
+      // |A∪B| = |A|+|B|−|A∩B| on distinct-shingle sets — one array
+      // kernel per pair, value-identical (see jaccardPairsExact); the
+      // scored persist below the filter gives sort-sampling single-pass
+      // and exactly one kernel call per candidate (same note there)
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .where(col("jaccard") >= threshold)
 
     verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -334,6 +341,19 @@ object Dedup {
 
     val base = shingleSets(docs, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Eagerly materialized (r12): `base` has THREE consumers whose AQE
+    // query stages schedule CONCURRENTLY (the prefix-side exchange, the
+    // index-side exchange, and the verify join), and a cold cache makes
+    // them race on first materialization — each racing task recomputes
+    // the whole tokenize+shingle lineage before finding the block taken.
+    // The r12 pair-bisect at sf1 measured the race as intermittent 2-4×
+    // in-task CPU inflation (draws [11.5, 19.9, 9.5] behind
+    // dedup_clusters; top-stage CPU 83 → 351 task-seconds with identical
+    // plan, zero spill). One untimed count() makes every downstream
+    // stage read a warm cache deterministically. NOTE this is NOT the
+    // reverted candidates pin: base is a leaf cache and does not feed
+    // AQE's join-strategy choice.
+    base.count()
     val inv = base.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))
     val freq = inv.groupBy("shingle").agg(count("*").as("df"))
@@ -365,6 +385,9 @@ object Dedup {
       // fixed-width columns per prefix shingle: far smaller than `base`,
       // safe to materialize at any corpus scale.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both self-join sides' exchanges schedule concurrently under AQE —
+    // same cold-cache materialization race as `base`; count() untimed
+    prefix.count()
 
     // positional filter (PPJoin): a qualifying pair needs overlap
     // α = ⌈θ/(1+θ)·(|a|+|b|)⌉, and a match at positions (pa, pb) caps the
@@ -392,21 +415,29 @@ object Dedup {
     candidates
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("jaccard") >= threshold)
+      // |A∪B| = |A| + |B| − |A∩B| for the distinct-shingle SETS, so the
+      // union kernel never runs: one array kernel per pair instead of
+      // two (the union also allocated the LARGEST array of the three).
+      // The division operands are the identical integers either way, so
+      // the double result — and the oracle twin, rewritten to the same
+      // identity — is bit-identical to the old form.
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      // The VERIFIED pair relation persists (lazily): it is bounded (one
-      // narrow row per surviving duplicate pair) while its lineage holds
-      // the expensive array-intersection join — and the registered query
-      // sorts this result, whose range-boundary SAMPLING pass would
-      // otherwise execute that whole lineage a second time (the r12 sf1
-      // stage trace: two stages each reading the same 699 MB pair-
-      // expanded exchange, ~1000 task-seconds of duplicated intersect
-      // CPU). First execution fills the cache mid-plan; the sort's real
-      // pass reads it. Harness clearCache releases it.
+      // The SCORED pair relation persists (lazily) BELOW the threshold
+      // filter: bounded (one narrow row per candidate pair) while its
+      // lineage holds the expensive array-intersection join. Two effects:
+      // (1) the registered query sorts the result, and a range sort's
+      // boundary-sampling pass would otherwise execute the whole lineage
+      // a second time (r12 sf1 stage trace: two stages each reading the
+      // same 699 MB pair-expanded exchange); (2) with the filter ABOVE
+      // the cache boundary, Catalyst cannot duplicate the intersect into
+      // a Filter predicate — the kernel runs exactly ONCE per candidate
+      // during materialization. Harness clearCache releases it.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .where(col("jaccard") >= threshold)
   }
 
   /** Asymmetric shingle containment `C(A→B) = |A∩B| / |A| ≥ θ` — the
@@ -450,6 +481,9 @@ object Dedup {
     // tokenize pass, df-ordered prefixes, narrow hash-keyed exchanges.
     val base = shingleSets(docs, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager leaf-cache materialization — the concurrent-stage cold-cache
+    // race measured in the r12 sf1 bisect; see [[jaccardPairsExact]]
+    base.count()
     val inv = base.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))
     val freq = inv.groupBy("shingle").agg(count("*").as("df"))
@@ -463,6 +497,9 @@ object Dedup {
       // both the contained-side prefix and the containing-side full index
       // derive from this one relation (Bench/Verify clearCache contract)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: both candidate-join sides schedule concurrently (race note
+    // in [[jaccardPairsExact]])
+    keyed.count()
     val prefixA = keyed
       .where(col("pos") <= col("sz") - ceil(col("sz") * threshold - eps) + 1)
 
@@ -484,10 +521,13 @@ object Dedup {
           / size(col("sh_a")))
       .where(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))
-      // Verified-pairs persist: bounded output over an expensive lineage
-      // that the registered query's sort would otherwise execute twice —
-      // see [[jaccardPairsExact]]'s closing note (r12 sf1 stage trace:
-      // the duplicated pass was 1017 task-seconds here).
+      // SURVIVORS-ONLY persist (filter below): containment's one-sided
+      // prefix admits a much larger candidate set than jaccard's, and an
+      // above-filter persist measured the all-candidates cache build as
+      // a consistent +25s at sf1 ([36.6, 38.5, 40.6] vs ~8-14s). The
+      // sort-sampling single-pass benefit (jaccardPairsExact note) still
+      // holds; the filter-side intersect duplication is the cheaper of
+      // the two costs here.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -1185,10 +1225,12 @@ object DedupSql {
        |  FROM documents WHERE len($toks) > 0)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |         / (len(a.sh) + len(b.sh)
+       |            - len(list_intersect(a.sh, b.sh))) AS jaccard
        |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold
+       |        / (len(a.sh) + len(b.sh)
+       |           - len(list_intersect(a.sh, b.sh))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Twin of [[Dedup.containmentPairs]]: brute-force over all ordered
