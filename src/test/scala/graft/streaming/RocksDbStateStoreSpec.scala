@@ -48,8 +48,11 @@ class RocksDbStateStoreSpec extends SparkSuite {
       .orderBy("event_type").collect()
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
 
-    // walk the checkpoint's state dir: RocksDB snapshots are zip uploads;
-    // the heap-backed provider's .delta files must be absent
+    // walk the checkpoint's state dir: with changelog checkpointing on
+    // (the r12 default posture) each commit uploads an N.changelog and
+    // full snapshots move to the maintenance thread, so the per-batch
+    // artifact is the changelog (a .zip may or may not have landed yet);
+    // the heap-backed provider's .delta files must be absent either way
     val stateFiles = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(p: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(p).foreach { st =>
@@ -57,8 +60,9 @@ class RocksDbStateStoreSpec extends SparkSuite {
         else stateFiles += st.getPath.getName
       }
     walk(new org.apache.hadoop.fs.Path(s"$ckpt/state"))
-    assert(stateFiles.exists(_.endsWith(".zip")),
-      s"expected RocksDB snapshot zips in the state dir, saw: $stateFiles")
+    assert(stateFiles.exists(n =>
+        n.endsWith(".changelog") || n.endsWith(".zip")),
+      s"expected RocksDB changelog/snapshot artifacts, saw: $stateFiles")
     assert(!stateFiles.exists(_.endsWith(".delta")),
       s"HDFS-backed provider artifacts present — RocksDB not engaged: $stateFiles")
   }
