@@ -129,11 +129,25 @@ object Bench {
     // one random later query's timing per run — flush here, untimed
     try new ProcessBuilder("sync").inheritIO().start().waitFor()
     catch { case _: Exception => }
-    // likewise for heap garbage: ~100 earlier queries' debris otherwise
-    // surfaces as a collection pause inside whichever allocation-heavy
-    // query it lands on (measured: a2_indexed_equiv 7.2s mid-suite vs
-    // 2.4s standalone) — collect here, untimed
-    System.gc()
+    // NO hygiene System.gc() by default since r12. It was added when
+    // earlier queries' heap debris surfaced as collection pauses inside
+    // random queries (r8: a2_indexed_equiv 7.2s mid-suite vs 2.4s) —
+    // but a full GC also UNLOADS prior queries' generated classes, and
+    // HotSpot zombifies every compiled method that inlined through
+    // them: the r12 PrintCompilation study caught the shared
+    // ArrayIntersect kernel cycling compiled → not-entrant → zombie
+    // around these collections, after which an array-kernel-bound query
+    // runs at interpreter speed for most of a draw (10-25× real CPU on
+    // identical input — the dedup_containment artifact mystery of
+    // r9-r12). The full-suite A/B at sf0.1 (archived:
+    // BENCH_DETAIL_r12_sf01_gcprotocol_{on,off}.json) measured the
+    // gc-off protocol 13% faster in total (310.3 vs 356.8s), ~100s less
+    // wall per full draw, worst single-query regression +0.6s, and the
+    // original a2 pause case IMPROVED (1.89 → 1.58s) — the 24g G1 heap
+    // absorbs the debris incrementally. SPARK_GRAFT_BENCH_GC=on
+    // restores the old protocol for A/B.
+    if (sys.env.get("SPARK_GRAFT_BENCH_GC").exists(_.equalsIgnoreCase("on")))
+      System.gc()
     tracer.foreach(_.clear()) // fresh stage window for the timed region
     val t0 = System.nanoTime()
     val ok =
