@@ -1195,6 +1195,41 @@ object SparkEntry {
         .where(abs(col("rz")) > 3.5)
         .orderBy("event_id")
     }),
+    "e12_holdout_lift" -> ((s, dir) => {
+      // holdout conversion uplift with a two-proportion z-score — the
+      // A/B readout every growth-analytics deployment runs; the "arms"
+      // are the deterministic user_id % 2 split (integer arithmetic,
+      // never RNG — the p8/p18 discipline). ONE distinct-counting
+      // aggregate produces all four exact integers; the lift and the
+      // pooled-variance z are closed forms on those integers, so both
+      // engines compute identical doubles (the fe9 precedent), rounded
+      // to 6dp. Scale: the exchange carries (cohort, user) pairs for
+      // the distinct counts — 16 bytes/row — and the output is one row.
+      // conversion = HIGH-VALUE purchase (value ≥ 200): on this event
+      // mix every user purchases *something*, which would make plain
+      // purchase-conversion degenerate (1.0 in both arms)
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          pmod(col("user_id"), lit(2L)).as("cohort"))
+      val conv = col("event_type") === "purchase" && col("value") >= 200.0
+      val agg = ev.agg(
+        countDistinct(when(col("cohort") === 0, col("user_id"))).as("n_ctl"),
+        countDistinct(when(col("cohort") === 1, col("user_id"))).as("n_trt"),
+        countDistinct(when(col("cohort") === 0 && conv, col("user_id")))
+          .as("c_ctl"),
+        countDistinct(when(col("cohort") === 1 && conv, col("user_id")))
+          .as("c_trt"))
+      val p0 = col("c_ctl").cast("double") / col("n_ctl")
+      val p1 = col("c_trt").cast("double") / col("n_trt")
+      val pPool = (col("c_ctl") + col("c_trt")).cast("double") /
+        (col("n_ctl") + col("n_trt"))
+      val se = sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n_ctl") + lit(1.0) / col("n_trt")))
+      agg.select(col("n_ctl"), col("n_trt"),
+        round(p0, 6).as("conv_ctl"), round(p1, 6).as("conv_trt"),
+        round(p1 - p0, 6).as("lift"),
+        round(when(se > 0, (p1 - p0) / se), 6).as("z"))
+    }),
     "w13_cusum" -> ((s, dir) => {
       // CUSUM changepoint screen over hourly volumes per event type —
       // the drift detector an ingestion monitor runs upstream of w7/w12's
@@ -2051,6 +2086,10 @@ object SparkEntry {
     "t41_contamination" -> ((s, dir) => // eval-vs-train n-gram overlap
       // screen: eval shingle set broadcasts, corpus never self-joined
       Dedup.contaminationReport(Tables(s, dir, "documents"))),
+    "t42_ngram_novelty" -> ((s, dir) => // per-doc first-occurrence
+      // n-gram novelty: the corpus-diversity curve (min-doc attribution,
+      // one explode, no window, no self-join)
+      Dedup.ngramNovelty(Tables(s, dir, "documents"))),
     "t38_zipf" -> ((s, dir) => // quantized-log Zipf rank-frequency fit
       TextAnalysis.zipfAudit(Tables(s, dir, "documents"))),
     "t39_heaps" -> ((s, dir) => // Heaps'-law vocabulary-growth fit
@@ -3189,6 +3228,40 @@ object SparkEntry {
           |  AND abs(round(CAST(0.6745 AS DOUBLE) * (ev.value - mad.med)
           |                / mad.mad, 6)) > 3.5
           |ORDER BY event_id""".stripMargin,
+      "e12_holdout_lift" -> // identical exact distinct counts + pooled-z
+        """WITH a AS (
+          |  SELECT
+          |    count(DISTINCT CASE WHEN user_id % 2 = 0
+          |                        THEN user_id END) AS n_ctl,
+          |    count(DISTINCT CASE WHEN user_id % 2 = 1
+          |                        THEN user_id END) AS n_trt,
+          |    count(DISTINCT CASE WHEN user_id % 2 = 0
+          |                        AND event_type = 'purchase'
+          |                        AND value >= 200.0
+          |                        THEN user_id END) AS c_ctl,
+          |    count(DISTINCT CASE WHEN user_id % 2 = 1
+          |                        AND event_type = 'purchase'
+          |                        AND value >= 200.0
+          |                        THEN user_id END) AS c_trt
+          |  FROM events),
+          |d AS (
+          |  SELECT CAST(n_ctl AS BIGINT) AS n_ctl,
+          |         CAST(n_trt AS BIGINT) AS n_trt,
+          |         CAST(c_ctl AS DOUBLE) / n_ctl AS p0,
+          |         CAST(c_trt AS DOUBLE) / n_trt AS p1,
+          |         CAST(c_ctl + c_trt AS DOUBLE) / (n_ctl + n_trt) AS pp
+          |  FROM a),
+          |e AS (
+          |  SELECT n_ctl, n_trt, p0, p1,
+          |         sqrt(pp * (CAST(1.0 AS DOUBLE) - pp)
+          |              * (CAST(1.0 AS DOUBLE) / n_ctl
+          |                 + CAST(1.0 AS DOUBLE) / n_trt)) AS se
+          |  FROM d)
+          |SELECT n_ctl, n_trt,
+          |       round(p0, 6) AS conv_ctl, round(p1, 6) AS conv_trt,
+          |       round(p1 - p0, 6) AS lift,
+          |       round(CASE WHEN se > 0 THEN (p1 - p0) / se END, 6) AS z
+          |FROM e""".stripMargin,
       "w13_cusum" -> // identical reflection-identity CUSUM, exact ints
         """WITH cells AS (
           |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
@@ -3603,6 +3676,7 @@ object SparkEntry {
       "t39_heaps_synth" -> TextAnalysisSql.heapsSynth(),
       "t40_tfidf_retrieval" -> TextAnalysisSql.tfidfRetrieval(),
       "t41_contamination" -> DedupSql.contamination(3, 50, 0.5),
+      "t42_ngram_novelty" -> DedupSql.ngramNovelty(3),
       "fe11_cramers_v" -> FeatureEngSql.cramersV,
       "fe13_vif" -> FeatureEngSql.vif,
       "fe14_pca2" -> FeatureEngSql.pca2,

@@ -592,6 +592,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-document n-gram NOVELTY — the corpus-diversity curve every
+    * pretraining data report plots next to its dedup rates: for each doc
+    * (in `doc_id` ingestion order), the fraction of its distinct
+    * shingles appearing for the FIRST time in the corpus. A novelty
+    * collapse flags a crawl loop or a template flood long before an
+    * exact-dup pass would (near-dups and boilerplate share shingles
+    * without sharing normalized text); the complement of t28's
+    * vocab-growth view at n-gram rather than token granularity.
+    *
+    * First-occurrence attribution is `min(doc_id)` per shingle — exact,
+    * order-free, and identical in both engines. Scale shape: ONE
+    * explode of the distinct-shingle sets → a shingle-keyed min
+    * aggregate (map-side combining; the exchange carries one row per
+    * distinct (shingle, min-doc) candidate, never per occurrence) →
+    * the novel-count side collapses to ONE ROW PER DOC before the
+    * doc-keyed join with the per-doc totals. No window, no self-join.
+    * Output `(doc_id, n_shingles, n_novel, novelty_frac)`. */
+  def ngramNovelty(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val inv = shingleSets(docs, shingleN)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      // two consumers (first-occurrence min and per-doc totals) would
+      // otherwise re-run the tokenize+shingle scan; eager per the r12
+      // leaf-cache race note in [[jaccardPairsExact]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    inv.count()
+    val novel = inv.groupBy("shingle").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    val tot = inv.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    tot.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Cross-checkable SimHash invariant: every EXACT duplicate pair (same
     * normalized text, both docs tokenizable) has SimHash Hamming distance
     * 0, so [[simhashPairs]] must surface it. Output is one row
@@ -1232,6 +1268,28 @@ object DedupSql {
        |        / (len(a.sh) + len(b.sh)
        |           - len(list_intersect(a.sh, b.sh))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Twin of [[Dedup.ngramNovelty]]: identical distinct-shingle
+    * relation, identical min-doc first-occurrence attribution, counts
+    * CAST to BIGINT (the HUGEINT lesson). */
+  def ngramNovelty(shingleN: Int): String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, ${shinglesSql(shingleN)} AS sh
+       |  FROM documents WHERE len($toks) > 0),
+       |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+       |novel AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+       |  FROM (SELECT min(doc_id) AS doc_id FROM inv GROUP BY shingle)
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+       |  FROM inv GROUP BY 1)
+       |SELECT t.doc_id, t.n_shingles,
+       |       coalesce(n.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+       |       round(CAST(coalesce(n.n_novel, CAST(0 AS BIGINT)) AS DOUBLE)
+       |             / t.n_shingles, 6) AS novelty_frac
+       |FROM tot t LEFT JOIN novel n ON n.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   /** Twin of [[Dedup.containmentPairs]]: brute-force over all ordered
     * pairs — the pruning on the Spark side is recall-lossless by the

@@ -1161,6 +1161,29 @@ class PlanAuditSpec extends SparkSuite {
       s"bounded per-type stats must broadcast:\n$p")
   }
 
+  test("t42: novelty attribution is aggregate-only — no window, no " +
+      "self-join of the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("t42_ngram_novelty")(spark, dir)
+      .queryExecution.executedPlan
+    assert(deepCollect(exec) { case w: WindowExec => w }.isEmpty,
+      "first-occurrence must come from a min aggregate, not a window")
+    val p = plan("t42_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("e12: uplift is ONE distinct-counting aggregate over one scan; " +
+      "no join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val exec = SparkEntry.queries("e12_holdout_lift")(spark, dir)
+      .queryExecution.executedPlan
+    assert(deepCollect(exec) { case s: FileSourceScanExec => s }.size === 1,
+      s"one events scan expected:\n$exec")
+    val p = plan("e12_holdout_lift")
+    assert(!p.contains("Join"), s"closed-form z joins nothing:\n$p")
+  }
+
   test("fe14: one scan feeds all five PCA co-moments; no window, " +
       "no join at all") {
     import org.apache.spark.sql.execution.FileSourceScanExec
