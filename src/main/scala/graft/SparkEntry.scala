@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.BloomFilter
 import graft.functions.bloom_might_contain
-import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FeatureEng, FeatureEngSql, FilterStore, Graph, GraphSql, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, NaiveBayes, NaiveBayesSql, Privacy, PrivacySql, RangeJoin, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql, Training}
+import graft.operators.{AsOf, BloomPipeline, Bucketing, Dedup, DedupSql, FeatureEng, FeatureEngSql, FilterStore, Graph, GraphSql, Ingest, Kmv, KmvSql, Layout, LayoutSql, Multimodal, MultimodalSql, NaiveBayes, NaiveBayesSql, Privacy, PrivacySql, RangeJoin, Ranks, Ratings, Sampling, SamplingSql, Similarity, SimilaritySql, Skew, Tables, TextAnalysis, TextAnalysisSql, Tokenizer, TokenizerSql, Training}
 
 /** Driver contract (see the build brief + SURVEY.md §7).
   *
@@ -50,6 +50,7 @@ object SparkEntry {
   private val kAnonWidths = Seq(500, 2000, 10000)
   private val kAnonK = 5
   private val tClosenessT = 0.2
+  private val entropyLDiversityL = 3.0
   private val dpEpsilon = 0.5
   private val dpSeed = 2026
 
@@ -1230,6 +1231,36 @@ object SparkEntry {
         round(p1 - p0, 6).as("lift"),
         round(when(se > 0, (p1 - p0) / se), 6).as("z"))
     }),
+    "e13_rfm" -> ((s, dir) => {
+      // RFM segmentation — the customer-value grid every growth/CRM
+      // deployment maintains: per customer, Recency (last order date),
+      // Frequency (order count), Monetary (lifetime cents), each scored
+      // 1-5 by exact global quintile, then the bounded 5×5×5 segment
+      // grid with member counts and total spend. The quintiles come from
+      // Ranks.withGlobalNtile over UNIQUE total orders (metric,
+      // o_custkey) — the fe12 discipline: range exchange + broadcast
+      // offsets, never a single-partition window, and the tie-break
+      // makes the split engine-identical (RanksSpec pins the
+      // Spark=DuckDB ntile convention). Higher score = later last
+      // order / more orders / more spend. Scale: one orders shuffle to
+      // the per-customer relation, three rank passes over CUSTOMERS
+      // (not orders), one bounded aggregate out.
+      val perCust = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_dt"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val r = Ranks.withGlobalNtile(perCust,
+        Seq(col("last_dt"), col("o_custkey")), 5, "r_score")
+      val rf = Ranks.withGlobalNtile(r,
+        Seq(col("freq"), col("o_custkey")), 5, "f_score")
+      val rfm = Ranks.withGlobalNtile(rf,
+        Seq(col("cents"), col("o_custkey")), 5, "m_score")
+      rfm.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("total_cents"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
     "w13_cusum" -> ((s, dir) => {
       // CUSUM changepoint screen over hourly volumes per event type —
       // the drift detector an ingestion monitor runs upstream of w7/w12's
@@ -2109,6 +2140,9 @@ object SparkEntry {
     "fe14_pca2" -> ((s, dir) => // 2-feature covariance eigen split:
       // one-scan exact co-moments, closed quadratic eigenvalues
       FeatureEng.pca2(Tables(s, dir, "lineitem"))),
+    "fe15_gini" -> ((s, dir) => // Gini concentration + top-decile share
+      // via the distributed exact rank -- no single-partition window
+      FeatureEng.gini(Tables(s, dir, "orders"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2715,6 +2749,10 @@ object SparkEntry {
       // each QI group's sensitive distribution vs the global one
       Privacy.tCloseness(Tables(s, dir, "customer"), kAnonWidths(2),
         tClosenessT)),
+    "priv5_l_diversity" -> ((s, dir) => // entropy l-diversity: the strict
+      // form of the ladder's distinct-count l (quantized-cell exact sums)
+      Privacy.entropyLDiversity(Tables(s, dir, "customer"), kAnonWidths(1),
+        entropyLDiversityL)),
 
     // ---- feature-engineering / data-audit lane (operators.FeatureEng) ----
     "fe1_target_encode" -> ((s, dir) => // smoothed (m-estimate) encoder
@@ -3262,6 +3300,27 @@ object SparkEntry {
           |       round(p1 - p0, 6) AS lift,
           |       round(CASE WHEN se > 0 THEN (p1 - p0) / se END, 6) AS z
           |FROM e""".stripMargin,
+      "e13_rfm" -> // DuckDB's own ntile() over the identical unique
+        // orders (RanksSpec pins the Spark=DuckDB split convention)
+        """WITH pc AS (
+          |  SELECT o_custkey, max(o_orderdate) AS last_dt,
+          |         count(*) AS freq,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |              AS BIGINT) AS cents
+          |  FROM orders GROUP BY 1),
+          |sc AS (
+          |  SELECT cents,
+          |         ntile(5) OVER (ORDER BY last_dt, o_custkey) AS r_score,
+          |         ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+          |         ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
+          |  FROM pc)
+          |SELECT CAST(r_score AS BIGINT) AS r_score,
+          |       CAST(f_score AS BIGINT) AS f_score,
+          |       CAST(m_score AS BIGINT) AS m_score,
+          |       count(*) AS n_customers,
+          |       CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT)
+          |         AS total_cents
+          |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       "w13_cusum" -> // identical reflection-identity CUSUM, exact ints
         """WITH cells AS (
           |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
@@ -3680,6 +3739,7 @@ object SparkEntry {
       "fe11_cramers_v" -> FeatureEngSql.cramersV,
       "fe13_vif" -> FeatureEngSql.vif,
       "fe14_pca2" -> FeatureEngSql.pca2,
+      "fe15_gini" -> FeatureEngSql.gini,
       "fe12_woe_ntile" -> FeatureEngSql.woeIvNtile(),
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),
@@ -3947,6 +4007,8 @@ object SparkEntry {
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),
       "priv4_t_closeness" -> PrivacySql.tCloseness(kAnonWidths(2),
         tClosenessT),
+      "priv5_l_diversity" -> PrivacySql.entropyLDiversity(kAnonWidths(1),
+        entropyLDiversityL),
       "fe1_target_encode" -> FeatureEngSql.targetEncode(),
       "fe2_assoc_rules" -> FeatureEngSql.associationRules(),
       "fe4_cv_target_encode" -> FeatureEngSql.cvTargetEncode(),

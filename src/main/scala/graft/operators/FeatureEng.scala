@@ -641,6 +641,46 @@ object FeatureEng {
         round(p * log(p / indep), 9).as("mi_contrib"))
       .orderBy("segment", "status")
   }
+
+  /** Gini concentration of order revenue — the inequality audit a
+    * training-data pipeline runs on any weight-bearing distribution
+    * (spend per order here; token counts per domain, documents per
+    * source in the corpus case): how concentrated is the mass, and how
+    * much of it sits in the top decile?
+    *
+    * Exact rank form of the Gini coefficient over the ASCENDING order
+    * (cents, o_orderkey): `G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)`. The
+    * ranks come from [[Ranks.withGlobalRank]] — exact global ranking
+    * via range exchange + broadcast offsets, never a single-partition
+    * window — and Σ rank·x is invariant under tie permutations (equal x
+    * swap ranks freely), so the 6dp value is engine-independent. The
+    * top-decile share counts the top ⌊n/10⌋ ranks — pure integer
+    * arithmetic on the same unique order.
+    *
+    * Exactness: x is cents (BIGINT — the column is 2-decimal currency);
+    * `rank·cents` exceeds int64 at 100 TB row counts, so both moment
+    * sums accumulate as DECIMAL(38,0) ⇔ HUGEINT (fe13/fe14 precedent);
+    * the closed form runs once on the exact totals' doubles. One
+    * ranked scan, one aggregate row out. */
+  def gini(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val (ranked, total) = Ranks.withGlobalRank(base,
+      Seq(col("cents"), col("o_orderkey")), "rk")
+    val topCut = total - total / 10 // top ⌊n/10⌋ ranks are > topCut
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("s"),
+        sum(col("rk").cast("decimal(38,0)") * col("cents")).as("rs"),
+        sum(when(col("rk") > topCut, col("cents")).otherwise(0L)
+          .cast("decimal(38,0)")).as("top"))
+      .select(col("n").as("n_orders"),
+        round((lit(2.0) * col("rs").cast("double") - (nD + lit(1.0)) * sD)
+          / (nD * sD), 6).as("gini"),
+        round(col("top").cast("double") / sD, 6).as("top_decile_share"))
+  }
 }
 
 /** DuckDB twins — identical arithmetic, identical rounding, identical
@@ -1077,4 +1117,31 @@ object FeatureEngSql {
        |JOIN ct ON ct.status = cell.status
        |CROSS JOIN tot
        |ORDER BY cell.segment, cell.status""".stripMargin
+
+  /** Twin of [[FeatureEng.gini]]: DuckDB `row_number()` over the
+    * identical unique order (⇔ the Spark side's distributed rank,
+    * RanksSpec parity), HUGEINT moment sums ⇔ DECIMAL(38,0), the same
+    * closed form mirrored operand by operand, and the same integer
+    * top-decile cut `rk > n − n/10`. */
+  def gini: String =
+    """WITH r AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         row_number() OVER (
+      |           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+      |                    o_orderkey) AS rk,
+      |         count(*) OVER () AS n
+      |  FROM orders)
+      |SELECT count(*) AS n_orders,
+      |       round((2.0 * CAST(sum(CAST(rk AS HUGEINT) * cents) AS DOUBLE)
+      |              - (CAST(count(*) AS DOUBLE) + 1.0)
+      |                * CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE))
+      |             / (CAST(count(*) AS DOUBLE)
+      |                * CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)), 6)
+      |         AS gini,
+      |       round(CAST(sum(CASE WHEN rk > n - n // 10
+      |                           THEN CAST(cents AS HUGEINT)
+      |                           ELSE CAST(0 AS HUGEINT) END) AS DOUBLE)
+      |             / CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE), 6)
+      |         AS top_decile_share
+      |FROM r""".stripMargin
 }

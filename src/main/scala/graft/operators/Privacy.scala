@@ -153,6 +153,50 @@ object Privacy {
       .orderBy("c_nationkey", "band")
   }
 
+  /** Entropy l-diversity audit (Machanavajjhala et al. 2007 §4) — the
+    * strict form of the l-diversity the ladder ([[kAnonymityLadder]])
+    * reports as a distinct-count: a group holding l distinct sensitive
+    * values can still be 99% one value, so the DISTRIBUTION must carry
+    * at least `ln(l)` of Shannon entropy. Per quasi-identifier group
+    * (nation × balance band at `width`): size, distinct sensitive
+    * count, `entropy_l = exp(H)` (the "effective number of segments"),
+    * and `pass = entropy_l ≥ l` — rounded BEFORE the threshold per the
+    * repo convention.
+    *
+    * Cross-engine determinism: H = ln(n) − (Σ_v c_v·ln c_v)/n folds the
+    * per-cell probabilities out of the logs, so the only order-sensitive
+    * piece is the per-group sum of `c·ln(c)` terms. Each term is
+    * QUANTIZED to a BIGINT at 1e6 scale (the fe11 quantized-cell
+    * convention: an engine ulp in `ln` moves the pre-round value by
+    * ~1e-10 of a grid step), the integers sum exactly in any order, and
+    * ONE float expression at the end rebuilds H and exponentiates.
+    *
+    * Scale posture: one fact shuffle to the bounded
+    * `(nation, band, segment)` cell relation; everything after is
+    * arithmetic on cells. No window, no join, no driver action. */
+  def entropyLDiversity(customer: DataFrame, width: Int,
+      l: Double): DataFrame = {
+    val cell = customer.select(col("c_nationkey"),
+        floor(col("c_acctbal") / width).cast("long").as("band"),
+        col("c_mktsegment").as("seg"))
+      .groupBy("c_nationkey", "band", "seg")
+      .agg(count(lit(1)).as("c"))
+    val term = round(col("c").cast("double") *
+      log(col("c").cast("double")) * lit(1e6)).cast("long")
+    cell.groupBy("c_nationkey", "band")
+      .agg(sum(col("c")).as("n_grp"),
+        count(lit(1)).as("l_distinct"),
+        sum(term).as("sq"))
+      .select(col("c_nationkey"), col("band"), col("n_grp"),
+        col("l_distinct"),
+        round(exp(log(col("n_grp").cast("double"))
+          - col("sq").cast("double")
+            / (col("n_grp").cast("double") * lit(1e6))), 6)
+          .as("entropy_l"))
+      .withColumn("pass", col("entropy_l") >= l)
+      .orderBy("c_nationkey", "band")
+  }
+
   /** Laplace(0, 1/ε) noise derived deterministically from
     * `xxhash64(key, seed)`: the low 52 hash bits map to a uniform
     * u ∈ (0,1) (offset by 2⁻⁵³ so u is never exactly 0, 1, or ½ away
@@ -293,6 +337,35 @@ object PrivacySql {
        |SELECT c_nationkey, band, n_grp, tvd,
        |       tvd <= CAST($t AS DOUBLE) AS pass
        |FROM tv ORDER BY c_nationkey, band""".stripMargin
+
+  /** Twin of [[Privacy.entropyLDiversity]]: identical quantized
+    * `c·ln(c)` cell terms (BIGINT at 1e6 scale — exact-integer group
+    * sums in any order), identical final H/exp expression, identical
+    * rounding-before-threshold. */
+  def entropyLDiversity(width: Int, l: Double): String =
+    s"""WITH cell AS (
+       |  SELECT c_nationkey,
+       |         CAST(floor(c_acctbal / $width) AS BIGINT) AS band,
+       |         c_mktsegment AS seg, count(*) AS c
+       |  FROM customer GROUP BY 1, 2, 3),
+       |g AS (
+       |  SELECT c_nationkey, band,
+       |         CAST(sum(c) AS BIGINT) AS n_grp,
+       |         count(*) AS l_distinct,
+       |         CAST(sum(CAST(round(CAST(c AS DOUBLE)
+       |                             * ln(CAST(c AS DOUBLE)) * 1e6)
+       |                       AS BIGINT)) AS BIGINT) AS sq
+       |  FROM cell GROUP BY 1, 2),
+       |e AS (
+       |  SELECT c_nationkey, band, n_grp, l_distinct,
+       |         round(exp(ln(CAST(n_grp AS DOUBLE))
+       |                   - CAST(sq AS DOUBLE)
+       |                     / (CAST(n_grp AS DOUBLE) * 1e6)), 6)
+       |           AS entropy_l
+       |  FROM g)
+       |SELECT c_nationkey, band, n_grp, l_distinct, entropy_l,
+       |       entropy_l >= CAST($l AS DOUBLE) AS pass
+       |FROM e ORDER BY c_nationkey, band""".stripMargin
 
   /** Twin of [[Privacy.dpVerify]]: the group count is the real oracle
     * value; the violation counters are definitionally zero for a correct

@@ -1184,6 +1184,28 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"), s"closed-form z joins nothing:\n$p")
   }
 
+  test("priv5: entropy l-diversity is aggregate-only over bounded " +
+      "cells — no join, no window") {
+    val p = plan("priv5_l_diversity")
+    assert(!p.contains("Join"), s"two chained aggregates join nothing:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("fe15/e13: the rank-backed lanes carry no window at all and " +
+      "broadcast their offset relations — never a sort-merge join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("fe15_gini", "e13_rfm")) {
+      val exec = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      assert(deepCollect(exec) { case w: WindowExec => w }.isEmpty,
+        s"$name: the distributed rank replaces every window")
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: the p-row offset relation must broadcast:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("fe14: one scan feeds all five PCA co-moments; no window, " +
       "no join at all") {
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -311,6 +311,46 @@ class FeatureEngSpec extends SparkSuite {
     assert(r === Seq((1L, 2L, 0L, woe1, iv), (2L, 0L, 2L, -woe1, iv)))
   }
 
+  test("gini: a uniform distribution scores exactly 0") {
+    // all equal x: 2·Σi·x = x·n(n+1) = (n+1)·Σx → numerator 0
+    val orders = (1L to 8L).map(i => (i, 25.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = FeatureEng.gini(orders)
+      .as[(Long, Double, Double)].collect().head
+    assert(r._1 === 8L)
+    assert(r._2 === 0.0)
+  }
+
+  test("gini: one holder of everything scores (n−1)/n; hand-computed " +
+      "linear ramp hits 0.3 with an exact top-decile share") {
+    // (0,0,0,100): G = (2·4·10000 − 5·10000)/(4·10000) = 0.75
+    val concentrated = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 100.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val c = FeatureEng.gini(concentrated)
+      .as[(Long, Double, Double)].collect().head
+    assert(c === ((4L, 0.75, 0.0))) // n/10 = 0 → empty top decile
+    // prices 1..10 dollars: Σx = 5500c, Σ rk·x = 100·385 = 38500c →
+    // G = (77000 − 60500)/55000 = 0.3; top ⌊10/10⌋ = rank 10 alone →
+    // 1000/5500 = 0.181818
+    val ramp = (1L to 10L).map(i => (i, i.toDouble))
+      .toDF("o_orderkey", "o_totalprice")
+    val g = FeatureEng.gini(ramp).as[(Long, Double, Double)].collect().head
+    assert(g === ((10L, 0.3, 0.181818)))
+  }
+
+  test("gini: ties in the amount leave the statistic invariant under " +
+      "the key tie-break") {
+    // equal x swap ranks freely: Σ rk·x is permutation-invariant, so
+    // reversing the keys of tied rows must not move either output
+    val a = Seq((1L, 5.0), (2L, 5.0), (3L, 90.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val b = Seq((2L, 5.0), (1L, 5.0), (3L, 90.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val ra = FeatureEng.gini(a).as[(Long, Double, Double)].collect().head
+    val rb = FeatureEng.gini(b).as[(Long, Double, Double)].collect().head
+    assert(ra === rb)
+  }
+
   test("ksBinnedFace: hand-computed max CDF gap with tie-break") {
     val counts = Seq((0, 0, 3L), (0, 1, 1L), (1, 0, 1L), (1, 1, 3L))
       .toDF("cohort", "bin", "n")

@@ -112,4 +112,51 @@ class PrivacySpec extends SparkSuite {
       (2L, 0L, 2L, 0.5, false),
       (3L, 0L, 2L, 0.5, false)))
   }
+
+  test("entropyLDiversity: hand-computed effective segment counts on " +
+      "the ladder fixture") {
+    // width 10 groups (from `rows`):
+    //   (1,0) {A:2, B:1}: sq = round(2·ln2·1e6) = 1386294,
+    //     H = ln3 − 1386294/3e6 → exp(H) = 1.889882 (< l=3 → fail)
+    //   (1,1) {A:1}: H = ln1 − 0 = 0 → 1.0
+    //   (2,0) {B:2}: H = ln2 − 1386294/2e6 ≈ 2e-7 → rounds to 1.0
+    val got = Privacy.entropyLDiversity(customerOf(rows), width = 10,
+      l = 3.0).as[(Int, Long, Long, Long, Double, Boolean)]
+      .collect().toSeq
+    assert(got === Seq(
+      (1, 0L, 3L, 2L, 1.889882, false),
+      (1, 1L, 1L, 1L, 1.0, false),
+      (2, 0L, 2L, 1L, 1.0, false)))
+  }
+
+  test("entropyLDiversity: a uniform group attains its distinct count " +
+      "(up to the 1e6 quantization grid) and passes at that l") {
+    // {A:2, B:2, C:2}: exact H = ln3, exp = 3; the quantized cells land
+    // at 3.000001 — the grid artifact is ABOVE the exact value, so the
+    // rounded-before-threshold pass at l=3 is stable
+    val c = Seq(
+      (1L, "x", 1L, 1.0, "A"), (2L, "x", 1L, 2.0, "A"),
+      (3L, "x", 1L, 3.0, "B"), (4L, "x", 1L, 4.0, "B"),
+      (5L, "x", 1L, 5.0, "C"), (6L, "x", 1L, 6.0, "C"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val got = Privacy.entropyLDiversity(c, width = 1000, l = 3.0)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 0L, 6L, 3L, 3.000001, true)))
+  }
+
+  test("entropyLDiversity: a skewed group fails where its distinct " +
+      "count alone would pass — the strictness the lane exists for") {
+    // {A:8, B:1, C:1}: l_distinct = 3 ≥ 3 would pass the ladder's
+    // count form, but H = ln10 − 8·ln8/10 ≈ 0.639 → exp ≈ 1.9 < 3
+    val c = (1L to 8L).map(i => (i, "x", 1L, i.toDouble, "A")) ++
+      Seq((9L, "x", 1L, 9.0, "B"), (10L, "x", 1L, 10.0, "C"))
+    val got = Privacy.entropyLDiversity(
+      c.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"), width = 1000, l = 3.0)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.head._4 === 3L)     // distinct count says diverse
+    assert(got.head._5 < 2.0)      // entropy says concentrated
+    assert(got.head._6 === false)  // and the gate fails it
+  }
 }
