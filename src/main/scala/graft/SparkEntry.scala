@@ -1275,36 +1275,12 @@ object SparkEntry {
       // the final ratio against σ_scaled = sqrt(n·Σx² − (Σx)²), a
       // closed form on DECIMAL(38,0)-exact sums (fe9/fe13 precedent),
       // ROUNDED BEFORE the 4σ threshold per the repo convention.
+      // Arithmetic lives in FeatureEng.cusumFace — ONE face shared with
+      // the streaming monitor st29, the benford/psi/ks convention.
       val cells = Tables(s, dir, "events")
         .select(col("event_type"), expr("ts div 3600000000000").as("hr"))
         .groupBy("event_type", "hr").agg(count(lit(1)).as("x"))
-      val stats = cells.groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum("x").as("sx"),
-        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
-      val wCum = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("hr")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val cum = cells.join(broadcast(stats), "event_type")
-        .withColumn("y", col("n") * col("x") - col("sx"))
-        .withColumn("cs", sum("y").over(wCum))
-      val s2 = cum.withColumn("rm", min("cs").over(wCum))
-        .withColumn("cusum", col("cs") - least(lit(0L), col("rm")))
-        // σ_scaled² = n·Σx² − (Σx)², exact in DECIMAL(38,0) ⇔ HUGEINT;
-        // one cast to double feeds the identical sqrt in both engines
-        .withColumn("sig", sqrt(greatest(
-          (col("n").cast("decimal(38,0)") * col("sxx")
-            - col("sx").cast("decimal(38,0)") * col("sx")).cast("double"),
-          lit(0.0))))
-        .withColumn("ratio", when(col("sig") > 0,
-          round(col("cusum").cast("double") / col("sig"), 6)))
-      s2.groupBy("event_type").agg(
-          max(col("n")).as("n_hours"),
-          max(col("ratio")).as("max_ratio"),
-          count(when(col("ratio") > 4.0, lit(1))).as("n_alarms"),
-          min(when(col("ratio") > 4.0, col("hr"))).as("first_alarm_hr"))
-        .orderBy("event_type")
+      FeatureEng.cusumFace(cells)
     }),
     "a18_mode" -> ((s, dir) => {
       // exact per-group MODE with a deterministic tie-break (largest
@@ -2143,6 +2119,9 @@ object SparkEntry {
     "fe15_gini" -> ((s, dir) => // Gini concentration + top-decile share
       // via the distributed exact rank -- no single-partition window
       FeatureEng.gini(Tables(s, dir, "orders"))),
+    "fe16_anova" -> ((s, dir) => // one-way ANOVA F + eta^2 across the
+      // fixed priority domain: one scan, pivoted exact co-moments
+      FeatureEng.anova(Tables(s, dir, "orders"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2618,6 +2597,9 @@ object SparkEntry {
     "st28_stream_ks" -> ((s, dir) => // binned two-sample KS on drained
       // (cohort, bin) state -- the O(|bins|) monitor form of fe10
       graft.streaming.StreamingQueries.ksMonitor(s, dir)),
+    "st29_stream_cusum" -> ((s, dir) => // w13's changepoint screen on
+      // drained hourly cells via the shared cusumFace
+      graft.streaming.StreamingQueries.cusumMonitor(s, dir)),
     "mm7_ahash" -> ((s, dir) => // perceptual average-hash dedup screen
       // over the payload "pixels" (integer-exact, fully oracle-checked)
       Multimodal.aHash(Tables(s, dir, "documents"))),
@@ -2730,6 +2712,9 @@ object SparkEntry {
       Graph.assortativity(Tables(s, dir, "events"))),
     "gr12_hits" -> ((s, dir) => // Kleinberg hubs/authorities, L1-normalized
       Graph.hits(Tables(s, dir, "events"))),
+    "gr13_wcc" -> ((s, dir) => // weakly connected components, run to
+      // convergence via pointer jumping (O(log diameter) rounds)
+      Graph.connectedComponents(Tables(s, dir, "events"))),
 
     // ---- privacy lane: disclosure-risk audit + DP release ----
     // (thresholds shared with the twins; scale posture on operators.Privacy)
@@ -3322,39 +3307,7 @@ object SparkEntry {
           |         AS total_cents
           |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       "w13_cusum" -> // identical reflection-identity CUSUM, exact ints
-        """WITH cells AS (
-          |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
-          |         count(*) AS x
-          |  FROM events GROUP BY 1, 2),
-          |st AS (
-          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-          |         CAST(sum(x) AS BIGINT) AS sx, sum(x * x) AS sxx
-          |  FROM cells GROUP BY 1),
-          |cum AS (
-          |  SELECT c.event_type, c.hr, st.n, st.sx, st.sxx,
-          |         CAST(sum(st.n * c.x - st.sx) OVER (
-          |             PARTITION BY c.event_type ORDER BY c.hr
-          |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
-          |  FROM cells c JOIN st USING (event_type)),
-          |s2 AS (
-          |  SELECT event_type, hr, n, cs,
-          |         cs - least(CAST(0 AS BIGINT), min(cs) OVER (
-          |             PARTITION BY event_type ORDER BY hr
-          |             ROWS UNBOUNDED PRECEDING)) AS cusum,
-          |         sqrt(greatest(CAST(CAST(n AS HUGEINT) * sxx
-          |             - CAST(sx AS HUGEINT) * sx AS DOUBLE),
-          |             CAST(0.0 AS DOUBLE))) AS sig
-          |  FROM cum),
-          |r AS (
-          |  SELECT event_type, hr, n,
-          |         CASE WHEN sig > 0
-          |              THEN round(CAST(cusum AS DOUBLE) / sig, 6)
-          |         END AS ratio
-          |  FROM s2)
-          |SELECT event_type, max(n) AS n_hours, max(ratio) AS max_ratio,
-          |       count(CASE WHEN ratio > 4.0 THEN 1 END) AS n_alarms,
-          |       min(CASE WHEN ratio > 4.0 THEN hr END) AS first_alarm_hr
-          |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+        FeatureEngSql.cusum,
       "a18_mode" -> // identical cells, row_number tie-break
         """WITH cells AS (
           |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hod,
@@ -3441,6 +3394,7 @@ object SparkEntry {
       "st26_stream_nb_serve" -> NaiveBayesSql.apply,
       "st27_stream_psi" -> FeatureEngSql.psiDrift(),
       "st28_stream_ks" -> FeatureEngSql.ksBinned(),
+      "st29_stream_cusum" -> FeatureEngSql.cusum,
       "d5_merge_cdc" -> // from-scratch recompute: global latest op, D wins
         """WITH ops AS (
           |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
@@ -3740,6 +3694,7 @@ object SparkEntry {
       "fe13_vif" -> FeatureEngSql.vif,
       "fe14_pca2" -> FeatureEngSql.pca2,
       "fe15_gini" -> FeatureEngSql.gini,
+      "fe16_anova" -> FeatureEngSql.anova,
       "fe12_woe_ntile" -> FeatureEngSql.woeIvNtile(),
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),
@@ -4002,6 +3957,7 @@ object SparkEntry {
       "gr10_kcore" -> GraphSql.kCore(),
       "gr11_assortativity" -> GraphSql.assortativity,
       "gr12_hits" -> GraphSql.hits(),
+      "gr13_wcc" -> GraphSql.connectedComponents(),
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),

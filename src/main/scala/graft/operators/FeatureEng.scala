@@ -642,6 +642,108 @@ object FeatureEng {
       .orderBy("segment", "status")
   }
 
+  /** CUSUM changepoint presentation over an hourly `(event_type, hr, x)`
+    * volume-cell relation — the arithmetic face shared by the batch
+    * screen (`w13_cusum`) and the streaming monitor (`st29_stream_cusum`,
+    * the benfordFace/psiFace/ksBinnedFace convention: ONE face, so batch
+    * and stream cannot diverge and both hash-match the same oracle).
+    *
+    * The recursive statistic S_t = max(0, S_{t−1} + y_t) is re-expressed
+    * with the reflection identity S_t = cumsum_t − min(0,
+    * runmin(cumsum_t)) — two stock window functions over the BOUNDED
+    * cell relation, windows partitioned by type, no recursion, no
+    * row-scaled window. y_t = n·x_t − Σx keeps the recurrence in exact
+    * BIGINTs; σ_scaled = sqrt(n·Σx² − (Σx)²) is a closed form on
+    * DECIMAL(38,0)-exact sums; the per-row ratio is ROUNDED BEFORE the
+    * 4σ threshold per the repo convention. Per type: hour count, max
+    * CUSUM ratio, alarm count, first alarm hour. */
+  def cusumFace(cells: DataFrame): DataFrame = {
+    val stats = cells.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hr")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = cells.join(broadcast(stats), "event_type")
+      .withColumn("y", col("n") * col("x") - col("sx"))
+      .withColumn("cs", sum("y").over(wCum))
+    val s2 = cum.withColumn("rm", min("cs").over(wCum))
+      .withColumn("cusum", col("cs") - least(lit(0L), col("rm")))
+      .withColumn("sig", sqrt(greatest(
+        (col("n").cast("decimal(38,0)") * col("sxx")
+          - col("sx").cast("decimal(38,0)") * col("sx")).cast("double"),
+        lit(0.0))))
+      .withColumn("ratio", when(col("sig") > 0,
+        round(col("cusum").cast("double") / col("sig"), 6)))
+    s2.groupBy("event_type").agg(
+        max(col("n")).as("n_hours"),
+        max(col("ratio")).as("max_ratio"),
+        count(when(col("ratio") > 4.0, lit(1))).as("n_alarms"),
+        min(when(col("ratio") > 4.0, col("hr"))).as("first_alarm_hr"))
+      .orderBy("event_type")
+  }
+
+  /** The fixed priority domain the ANOVA pivots over — inlined into BOTH
+    * engines' plans so the per-group terms sit at fixed operand
+    * positions. */
+  val anovaGroups: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** One-way ANOVA of order value across priority classes — the
+    * does-this-categorical-matter screen (here: does priority carry any
+    * signal about order size?) run before a feature earns its encoding
+    * (fe1/fe6). F = (SSB/(k−1))/(SSW/(n−k)) and effect size
+    * η² = SSB/SST, from the classic sum decompositions
+    * SSB = Σ_g S_g²/n_g − S²/n, SSW = Q − Σ_g S_g²/n_g.
+    *
+    * Cross-engine determinism WITHOUT quantization: the group domain is
+    * FIXED ([[anovaGroups]]), so the per-group sums pivot into columns
+    * of ONE aggregate row and Σ_g S_g²/n_g is written as a single
+    * left-associated expression — operand order is identical in both
+    * engines by construction (the fe9 one-pass co-moment discipline,
+    * extended to per-group terms). All integer accumulation is cents in
+    * DECIMAL(38,0) ⇔ HUGEINT; the closed form runs once on the exact
+    * totals' doubles, rounded to 6dp.
+    *
+    * Scale posture: ONE scan, 11 conditional aggregates, one output
+    * row. No join, no window, nothing keyed by row count. */
+  def anova(orders: DataFrame): DataFrame = {
+    val k = anovaGroups.size
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val perGroup = anovaGroups.zipWithIndex.flatMap { case (g, i) =>
+      val in = col("o_orderpriority") === g
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(in, cents).otherwise(0L).cast("decimal(38,0)"))
+          .as(s"s$i"))
+    }
+    val aggs = perGroup :+
+      sum(cents.cast("decimal(38,0)") * cents).as("q")
+    val one = orders
+      .where(col("o_orderpriority").isin(anovaGroups: _*))
+      .agg(aggs.head, aggs.tail: _*)
+    // Σ_g S_g²/n_g, left-associated, zero-size groups contributing 0 —
+    // the expression tree is the SAME shape in the DuckDB twin
+    val b = anovaGroups.indices.map { i =>
+      val sd = col(s"s$i").cast("double")
+      val nd = col(s"n$i").cast("double")
+      when(col(s"n$i") > 0, sd * sd / nd).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val n = anovaGroups.indices.map(i => col(s"n$i")).reduceLeft(_ + _)
+    val s = anovaGroups.indices.map(i => col(s"s$i")).reduceLeft(_ + _)
+    val correction = s.cast("double") * s.cast("double") / n.cast("double")
+    val ssb = b - correction
+    val sst = col("q").cast("double") - correction
+    val ssw = col("q").cast("double") - b
+    one.select(n.as("n_total"),
+      round(when(ssw > 0 && n > k,
+        (ssb / lit((k - 1).toDouble)) /
+          (ssw / (n.cast("double") - lit(k.toDouble)))), 6).as("f_stat"),
+      round(when(sst > 0, ssb / sst), 6).as("eta_sq"))
+  }
+
   /** Gini concentration of order revenue — the inequality audit a
     * training-data pipeline runs on any weight-bearing distribution
     * (spend per order here; token counts per domain, documents per
@@ -1117,6 +1219,92 @@ object FeatureEngSql {
        |JOIN ct ON ct.status = cell.status
        |CROSS JOIN tot
        |ORDER BY cell.segment, cell.status""".stripMargin
+
+  /** Twin of [[FeatureEng.cusumFace]] over the batch hourly cells —
+    * identical reflection-identity CUSUM on exact integers; shared by
+    * `w13_cusum` and the streaming monitor `st29_stream_cusum` (the
+    * drained complete-mode counts equal the batch cells, so one oracle
+    * serves both). */
+  val cusum: String =
+    """WITH cells AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+      |         count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, sum(x * x) AS sxx
+      |  FROM cells GROUP BY 1),
+      |cum AS (
+      |  SELECT c.event_type, c.hr, st.n, st.sx, st.sxx,
+      |         CAST(sum(st.n * c.x - st.sx) OVER (
+      |             PARTITION BY c.event_type ORDER BY c.hr
+      |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+      |  FROM cells c JOIN st USING (event_type)),
+      |s2 AS (
+      |  SELECT event_type, hr, n, cs,
+      |         cs - least(CAST(0 AS BIGINT), min(cs) OVER (
+      |             PARTITION BY event_type ORDER BY hr
+      |             ROWS UNBOUNDED PRECEDING)) AS cusum,
+      |         sqrt(greatest(CAST(CAST(n AS HUGEINT) * sxx
+      |             - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+      |             CAST(0.0 AS DOUBLE))) AS sig
+      |  FROM cum),
+      |r AS (
+      |  SELECT event_type, hr, n,
+      |         CASE WHEN sig > 0
+      |              THEN round(CAST(cusum AS DOUBLE) / sig, 6)
+      |         END AS ratio
+      |  FROM s2)
+      |SELECT event_type, max(n) AS n_hours, max(ratio) AS max_ratio,
+      |       count(CASE WHEN ratio > 4.0 THEN 1 END) AS n_alarms,
+      |       min(CASE WHEN ratio > 4.0 THEN hr END) AS first_alarm_hr
+      |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Twin of [[FeatureEng.anova]]: identical conditional HUGEINT sums
+    * pivoted over the identical inlined group domain, the same
+    * left-associated Σ S_g²/n_g expression, the same guards. */
+  def anova: String = {
+    val gs = FeatureEng.anovaGroups
+    val k = gs.size
+    val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    val condSums = gs.zipWithIndex.map { case (g, i) =>
+      s"""|         CAST(sum(CASE WHEN o_orderpriority = '$g'
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS n$i,
+          |         sum(CASE WHEN o_orderpriority = '$g'
+          |                  THEN CAST($cents AS HUGEINT)
+          |                  ELSE CAST(0 AS HUGEINT) END) AS s$i,"""
+        .stripMargin
+    }.mkString("\n")
+    val b = gs.indices.map { i =>
+      s"(CASE WHEN n$i > 0 THEN CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+    }.mkString(" + ")
+    val n = gs.indices.map(i => s"n$i").mkString(" + ")
+    val s = gs.indices.map(i => s"s$i").mkString(" + ")
+    s"""WITH one AS (
+       |  SELECT
+       |$condSums
+       |         sum(CAST($cents AS HUGEINT) * $cents) AS q
+       |  FROM orders
+       |  WHERE o_orderpriority IN (${gs.map(g => s"'$g'").mkString(", ")})),
+       |t AS (
+       |  SELECT CAST($n AS BIGINT) AS n_total,
+       |         $b AS b,
+       |         CAST($s AS DOUBLE) * CAST($s AS DOUBLE)
+       |           / CAST($n AS DOUBLE) AS corr_term,
+       |         CAST(q AS DOUBLE) AS qd
+       |  FROM one)
+       |SELECT n_total,
+       |       round(CASE WHEN qd - b > 0 AND n_total > $k
+       |                  THEN ((b - corr_term) / CAST(${k - 1} AS DOUBLE))
+       |                       / ((qd - b)
+       |                          / (CAST(n_total AS DOUBLE)
+       |                             - CAST($k AS DOUBLE)))
+       |             END, 6) AS f_stat,
+       |       round(CASE WHEN qd - corr_term > 0
+       |                  THEN (b - corr_term) / (qd - corr_term)
+       |             END, 6) AS eta_sq
+       |FROM t""".stripMargin
+  }
 
   /** Twin of [[FeatureEng.gini]]: DuckDB `row_number()` over the
     * identical unique order (⇔ the Spark side's distributed rank,

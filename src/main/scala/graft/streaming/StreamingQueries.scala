@@ -1421,6 +1421,40 @@ object StreamingQueries {
     graft.operators.FeatureEng.ksBinnedFace(spark.table(name))
   }
 
+  /** Streaming CUSUM changepoint monitor — `w13_cusum` as an always-on
+    * ingest drift detector: the state is the `(event_type, hr)` hourly
+    * volume-cell relation ONLY (a keyed streaming count — the st23-st28
+    * bounded-state class, keyed by wall-hour so an always-on deployment
+    * evicts closed hours by watermark), and the CUSUM presentation
+    * evaluates on the drained state via the shared
+    * [[graft.operators.FeatureEng.cusumFace]] — batch and stream cannot
+    * diverge on the reflection-identity arithmetic, and both hash-match
+    * the same DuckDB oracle. This is changepoint detection's deployment
+    * shape: level shifts surface DURING ingest, not in a nightly batch.
+    */
+  def cusumMonitor(outer: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val spark = childSession(outer)
+    val name = "st29_cusum_" + math.abs(dir.hashCode)
+    val counts = graft.operators.Tables.normalizeEvents(
+        tableStream(spark, dir, "events", maxFilesPerTrigger = Some(2)))
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
+      .agg(cnt(lit(1)).as("x"))
+    val q = counts.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the face self-joins its cells (per-type stats fold back onto the
+    // cell relation) and MemoryPlan leaves can't deduplicate attribute
+    // ids across a self-join — re-base the drained state onto its own
+    // RDD (a LogicalRDD leaf analyzes like any batch relation)
+    val drained = spark.table(name)
+    graft.operators.FeatureEng.cusumFace(
+      spark.createDataFrame(drained.rdd, drained.schema))
+  }
+
   /** Streaming model serving — the fitted Naive Bayes of `t35`-`t37`
     * scoring an ingest stream: the model trains ONCE batch-side and its
     * bounded artifacts ([[graft.operators.NaiveBayes.servingArtifacts]] —

@@ -1206,6 +1206,19 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("fe16: the pivoted ANOVA is ONE scan of orders with no join " +
+      "and no window") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("fe16_anova")(spark, dir)
+      .queryExecution.executedPlan
+    assert(deepCollect(exec) { case s: FileSourceScanExec => s }.size === 1,
+      s"all 11 conditional aggregates must ride ONE orders scan:\n$exec")
+    assert(deepCollect(exec) { case w: WindowExec => w }.isEmpty, s"$exec")
+    val p = plan("fe16_anova")
+    assert(!p.contains("Join"), s"a one-row closed form joins nothing:\n$p")
+  }
+
   test("fe14: one scan feeds all five PCA co-moments; no window, " +
       "no join at all") {
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -311,6 +311,41 @@ class FeatureEngSpec extends SparkSuite {
     assert(r === Seq((1L, 2L, 0L, woe1, iv), (2L, 0L, 2L, -woe1, iv)))
   }
 
+  test("anova: hand-computed F and eta-squared on three balanced groups") {
+    // cents (1000,2000 | 3000,4000 | 5000,6000): S_g = 3000/7000/11000,
+    // B = 89.5e6, correction = 441e6/6 = 73.5e6 → SSB 16e6, SSW 1.5e6,
+    // SST 17.5e6 → F = (16e6/4)/(1.5e6/1) = 2.666667, eta² = 0.914286
+    val orders = Seq(
+      (1L, 10.0, "1-URGENT"), (2L, 20.0, "1-URGENT"),
+      (3L, 30.0, "2-HIGH"), (4L, 40.0, "2-HIGH"),
+      (5L, 50.0, "3-MEDIUM"), (6L, 60.0, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val r = FeatureEng.anova(orders)
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(r === ((6L, Some(2.666667), Some(0.914286))))
+  }
+
+  test("anova: zero within-group variance nulls F; zero total variance " +
+      "nulls both") {
+    // distinct group means, identical values inside each group → SSW = 0
+    val separated = Seq(
+      (1L, 10.0, "1-URGENT"), (2L, 10.0, "1-URGENT"),
+      (3L, 30.0, "2-HIGH"), (4L, 30.0, "2-HIGH"),
+      (5L, 50.0, "3-MEDIUM"), (6L, 50.0, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val s = FeatureEng.anova(separated)
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(s._2 === None)         // F undefined at SSW = 0
+    assert(s._3 === Some(1.0))    // all variance is between groups
+    val flat = Seq(
+      (1L, 10.0, "1-URGENT"), (2L, 10.0, "2-HIGH"), (3L, 10.0, "3-MEDIUM"),
+      (4L, 10.0, "4-NOT SPECIFIED"), (5L, 10.0, "5-LOW"), (6L, 10.0, "5-LOW"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val f = FeatureEng.anova(flat)
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(f._2 === None && f._3 === None)
+  }
+
   test("gini: a uniform distribution scores exactly 0") {
     // all equal x: 2·Σi·x = x·n(n+1) = (n+1)·Σx → numerator 0
     val orders = (1L to 8L).map(i => (i, 25.0))

@@ -265,6 +265,52 @@ class GraphSpec extends SparkSuite {
       6L -> 4L))
   }
 
+  test("connectedComponents: separate hour buckets form separate " +
+      "components, each labeled by its minimum id") {
+    // hour 0: chain 5-7-6 → component 5; hour 1: chain 11-10 →
+    // component 10; hour 2: chain 22-20-21-23 → component 20
+    val hour = 3600000000000L
+    val ev = Seq(
+      (0L, 0L, 5L), (1L, 1L, 7L), (2L, 2L, 6L),
+      (hour, 3L, 11L), (hour + 1, 4L, 10L),
+      (2 * hour, 5L, 22L), (2 * hour + 1, 6L, 20L),
+      (2 * hour + 2, 7L, 21L), (2 * hour + 3, 8L, 23L))
+      .map { case (ts, id, u) => (ts, id, u, "c", 1.0, "{}") }
+      .toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+    val r = Graph.connectedComponents(ev).as[(Long, Long)].collect().toMap
+    assert(r === Map(5L -> 5L, 6L -> 5L, 7L -> 5L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    spark.catalog.clearCache()
+  }
+
+  test("connectedComponents: a 33-node path (diameter 32) converges to " +
+      "one component — the pointer jump beats plain propagation's " +
+      "round count") {
+    // descending ids make min-propagation work against the chain
+    // direction: the worst case for a plain neighbor fold
+    val r = Graph.connectedComponents(eventsOf((1L to 33L).reverse))
+      .as[(Long, Long)].collect()
+    assert(r.length === 33)
+    assert(r.forall(_._2 === 1L),
+      s"all nodes must reach component 1: ${r.filter(_._2 != 1L).toSeq}")
+    spark.catalog.clearCache()
+  }
+
+  test("connectedComponents: full closure strictly refines gr9's " +
+      "bounded-round labels on a long chain") {
+    // at iters=4 labelPropagation leaves far nodes unmerged; the
+    // convergent pass must finish the job
+    val ev = eventsOf((1L to 12L).reverse)
+    val lp = Graph.labelPropagation(ev, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val cc = Graph.connectedComponents(ev)
+      .as[(Long, Long)].collect().toMap
+    assert(lp.values.toSet.size > 1, "bounded rounds must NOT close a 12-chain at iters=2")
+    assert(cc.values.toSet === Set(1L))
+    spark.catalog.clearCache()
+  }
+
   test("hits: hand-computed hubs/authorities on a 3-chain") {
     // edges 1→2, 2→3. Fixed point from iteration 1 on:
     // hubs (1, 2) = ½ each (3 points at nothing); authorities (2, 3) = ½.
@@ -337,6 +383,8 @@ class GraphSpec extends SparkSuite {
         Graph.labelPropagation(ev, iters = 2).collect()),
       "kCore" -> (() => Graph.kCore(ev, k = 2, rounds = 2).collect()),
       "hits" -> (() => Graph.hits(ev, iters = 2).collect()),
+      "connectedComponents" -> (() =>
+        Graph.connectedComponents(ev).collect()),
       "bfsHops" -> (() =>
         Graph.bfsHops(ev, col("node") === 1L, hops = 2).collect()))
     ops.foreach { case (name, run) =>

@@ -261,6 +261,15 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("cusumMonitor: the drained hourly cells fold through the shared " +
+      "face to the exact batch w13 screen") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.cusumMonitor(spark, dir).collect()
+    val batch = graft.SparkEntry.queries("w13_cusum")(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("nbServe: stream-served predictions equal the batch classifier " +
       "row for row (scores included)") {
     val dir = "/root/testdata/sf0.001"
