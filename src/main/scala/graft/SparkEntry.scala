@@ -1261,6 +1261,65 @@ object SparkEntry {
           sum(col("cents")).as("total_cents"))
         .orderBy("r_score", "f_score", "m_score")
     }),
+    "e14_survival" -> ((s, dir) => {
+      // Kaplan-Meier churn survival over customer LIFETIMES (days from
+      // first to last order), with right-censoring: a customer whose
+      // last order falls within 90 days of the corpus horizon is still
+      // alive ("at risk"), not churned — dropping that distinction is
+      // survival analysis's textbook bias. Per distinct event time t:
+      // the risk set n_t (lifetimes >= t), churn events d_t, and
+      // S(t) = prod_{u<=t}(1 - d_u/n_u).
+      //
+      // Cross-engine determinism: day indexes are exact integers
+      // (complete days since the epoch, both engines); the KM product
+      // re-expresses as exp(sum(ln(1 - d/n))) with each per-time ln term
+      // QUANTIZED to a BIGINT at 1e12 (the priv5 grid argument:
+      // an engine ln-ulp moves the pre-round value ~1e-4 grid steps),
+      // prefix-summed exactly, ONE exp at the end, rounded to 6dp.
+      // When n_t = d_t the curve hits exact 0 and a running flag pins
+      // every later row to 0.0 (sum-over-NULL would silently revive it).
+      //
+      // Scale: two customer-keyed aggregates; every window runs over the
+      // BOUNDED distinct-lifetime grid (days within the corpus span — a
+      // deployment constant, not a row count; the e10 bounded-cells
+      // argument). The horizon is a one-row broadcast cross join.
+      val di = "timestampdiff(DAY, timestamp_ntz'1970-01-01 00:00:00', " +
+        "o_orderdate)"
+      // persisted: the horizon aggregate and the lifetime cells are two
+      // consumers of the same customer-keyed relation — one orders scan,
+      // not two (the e11 cells discipline; harness clearCache releases)
+      val per = Tables(s, dir, "orders")
+        .select(col("o_custkey"), expr(di).as("di"))
+        .groupBy("o_custkey").agg(min("di").as("f"), max("di").as("l"))
+        .persist()
+      val mx = per.agg(max("l").as("m"))
+      val cells = per.crossJoin(broadcast(mx))
+        .select((col("l") - col("f")).as("dur"),
+          (col("m") - col("l") > 90).as("event"))
+        .groupBy("dur").agg(count(lit(1)).as("n_all"),
+          sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+      val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      val cur = org.apache.spark.sql.expressions.Window.currentRow
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("dur").desc).rowsBetween(unb, cur)
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("dur")).rowsBetween(unb, cur)
+      cells.withColumn("n_risk", sum("n_all").over(wDesc))
+        .where(col("d") > 0)
+        .withColumn("tq", when(col("n_risk") > col("d"),
+          round(log(lit(1.0) - col("d").cast("double")
+            / col("n_risk").cast("double")) * lit(1e12)).cast("long"))
+          .otherwise(lit(0L)))
+        .withColumn("dead",
+          max(when(col("n_risk") === col("d"), 1).otherwise(0)).over(wAsc))
+        .withColumn("cq", sum("tq").over(wAsc))
+        .select(col("dur").as("t_days"), col("n_risk"),
+          col("d").as("d_events"),
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(round(exp(col("cq").cast("double") / lit(1e12)), 6))
+            .as("survival"))
+        .orderBy("t_days")
+    }),
     "w13_cusum" -> ((s, dir) => {
       // CUSUM changepoint screen over hourly volumes per event type —
       // the drift detector an ingestion monitor runs upstream of w7/w12's
@@ -2603,6 +2662,9 @@ object SparkEntry {
     "mm7_ahash" -> ((s, dir) => // perceptual average-hash dedup screen
       // over the payload "pixels" (integer-exact, fully oracle-checked)
       Multimodal.aHash(Tables(s, dir, "documents"))),
+    "mm8_phash" -> ((s, dir) => // perceptual DCT-hash: integer-exact
+      // 8x8 DCT via inlined quantized basis, median-thresholded
+      Multimodal.pHash(Tables(s, dir, "documents"))),
 
     // --- O/MM extras: ORC source+sink round trip; resize-crop projection
     "o1_orc_roundtrip" -> ((s, dir) => {
@@ -3306,6 +3368,47 @@ object SparkEntry {
           |       CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT)
           |         AS total_cents
           |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "e14_survival" -> // identical integer day indexes, quantized
+        // ln terms (1e12 grid), exact prefix sums, one exp at the end
+        """WITH per AS (
+          |  SELECT o_custkey,
+          |         min(epoch_us(o_orderdate) // 86400000000) AS f,
+          |         max(epoch_us(o_orderdate) // 86400000000) AS l
+          |  FROM orders GROUP BY 1),
+          |mx AS (SELECT max(l) AS m FROM per),
+          |b AS (SELECT l - f AS dur, (m - l) > 90 AS event
+          |      FROM per CROSS JOIN mx),
+          |cells AS (
+          |  SELECT dur, count(*) AS n_all,
+          |         CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS d
+          |  FROM b GROUP BY 1),
+          |r AS (
+          |  SELECT dur, d,
+          |         CAST(sum(n_all) OVER (ORDER BY dur DESC
+          |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+          |  FROM cells),
+          |e AS (
+          |  SELECT dur, n_risk, d,
+          |         CASE WHEN n_risk > d
+          |              THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+          |                                / CAST(n_risk AS DOUBLE))
+          |                              * 1e12) AS BIGINT)
+          |              ELSE CAST(0 AS BIGINT) END AS tq,
+          |         CASE WHEN n_risk = d THEN 1 ELSE 0 END AS dd
+          |  FROM r WHERE d > 0),
+          |k AS (
+          |  SELECT dur, n_risk, d,
+          |         sum(tq) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+          |           AS cq,
+          |         max(dd) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+          |           AS dead
+          |  FROM e)
+          |SELECT dur AS t_days, n_risk, d AS d_events,
+          |       CASE WHEN dead = 1 THEN 0.0
+          |            ELSE round(exp(CAST(cq AS DOUBLE) / 1e12), 6)
+          |       END AS survival
+          |FROM k ORDER BY t_days""".stripMargin,
       "w13_cusum" -> // identical reflection-identity CUSUM, exact ints
         FeatureEngSql.cusum,
       "a18_mode" -> // identical cells, row_number tie-break
@@ -3945,6 +4048,7 @@ object SparkEntry {
       "mm5_resize" -> MultimodalSql.resize(128),
       "mm6_quantize" -> SimilaritySql.quantizeInt8Stats,
       "mm7_ahash" -> MultimodalSql.aHash(),
+      "mm8_phash" -> MultimodalSql.pHash,
       "gr1_degrees" -> GraphSql.degrees,
       "gr2_triangles" -> GraphSql.triangles,
       "gr3_pagerank" -> GraphSql.pagerank(),

@@ -161,6 +161,68 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Quantized 8×8 DCT-II basis, `round(cos((2r+1)·u·π/16)·1e4)` at index
+    * `r·8 + u` — rounded ONCE here and inlined as literals into BOTH
+    * engines' plans (the benfordExpected convention), so the transform is
+    * pure integer arithmetic and the two engines cannot disagree on a
+    * trig ulp. */
+  val pHashCos: IndexedSeq[Long] =
+    for (r <- 0 until 8; u <- 0 until 8)
+      yield math.round(math.cos((2 * r + 1) * u * math.Pi / 16) * 1e4)
+
+  /** Flattened 63×64 AC-coefficient weight matrix:
+    * `w[(k−1)·64 + r·8 + c] = cos_q(r, k/8) · cos_q(c, k%8)` for
+    * coefficient k = u·8+v ∈ [1, 63] (DC excluded — thresholding against
+    * the median is invariant to the shared AC normalization, and DC
+    * carries only brightness). Magnitudes: |w| ≤ 1e8, pixel ≤ 0x10FFFF,
+    * 64 terms → |C| < 1.4e16, comfortably inside int64. */
+  val pHashWeights: IndexedSeq[Long] =
+    for (k <- 1 until 64; r <- 0 until 8; c <- 0 until 8)
+      yield pHashCos(r * 8 + k / 8) * pHashCos(c * 8 + k % 8)
+
+  /** Perceptual DCT-hash (pHash) near-dup screen — [[aHash]]'s
+    * frequency-domain sibling (the production image-dedup pair: aHash
+    * catches exact/bright-shifted copies, pHash survives blur and
+    * re-encode because it thresholds the LOW-FREQUENCY spectrum): the
+    * 8×8 "pixel" grid (decode-stub convention: first 64 code points)
+    * transforms through the quantized integer DCT ([[pHashWeights]]),
+    * and the 63 AC coefficients threshold against their exact MEDIAN
+    * (element 32 of the sorted 63 — scale-free, so the quantization
+    * grid cancels) into a 63-bit positive BIGINT.
+    *
+    * Everything is exact integer arithmetic — code-point pixels ×
+    * inlined integer weights, integer sort, strict `>` threshold — so
+    * the full query is DuckDB-checkable, per-coefficient and per-bit.
+    *
+    * Scale posture: one codegen projection per row (4032 multiply-adds
+    * through array fold loops — no shuffle for the hash), one
+    * hash-keyed window for the bucket size; the exchange carries
+    * `(doc_id, phash)` only, never text. */
+  def pHash(docs: DataFrame): DataFrame = {
+    val wArr = array(pHashWeights.map(lit): _*)
+    val px = transform(sequence(lit(1), lit(64)),
+      i => ascii(col("text").substr(i, lit(1))).cast("long"))
+    val coefs = transform(sequence(lit(1), lit(63)), k =>
+      aggregate(sequence(lit(1), lit(64)), lit(0L),
+        (acc, i) => acc + element_at(col("px"), i.cast("int")) *
+          element_at(col("w"), ((k - 1) * 64 + i).cast("int"))))
+    val med = element_at(array_sort(col("coefs")), 32)
+    val hash = aggregate(
+      transform(col("coefs"), (c, idx) =>
+        when(c > col("med"), call_function("shiftleft", lit(1L), idx))
+          .otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    docs.where(length(col("text")) >= 64)
+      .select(col("doc_id"), wArr.as("w"), px.as("px"))
+      .select(col("doc_id"), coefs.as("coefs"))
+      .select(col("doc_id"), col("coefs"), med.as("med"))
+      .select(col("doc_id"), hash.as("phash"))
+      .withColumn("n_ones", bit_count(col("phash")))
+      .withColumn("n_bucket", count(lit(1)).over(wv))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic fake feature vector (`dim` floats in [-1, 1]) from
     * frame-level murmur hashes — rows-only checked; connects the binary
     * pipeline to the [[Similarity]] operators. A real extractor replaces
@@ -245,6 +307,40 @@ object MultimodalSql {
        |       bit_count(CAST(ahash AS BIGINT)) AS n_ones,
        |       CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_bucket
        |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[Multimodal.pHash]]: the identical inlined integer weight
+    * matrix (one flat 4032-element literal list), identical code-point
+    * pixels, integer DCT folds, median-of-63 threshold, and bit
+    * assembly. Coefficients CAST to BIGINT (DuckDB `list_sum` widens to
+    * HUGEINT; values fit int64 by construction). */
+  val pHash: String = {
+    val w = Multimodal.pHashWeights.mkString("[", ", ", "]")
+    s"""WITH wt AS (SELECT $w AS w),
+       |px AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(unicode(substr(text, CAST(i AS INT), 1))
+       |                     AS BIGINT)) AS px
+       |  FROM documents WHERE length(text) >= 64),
+       |c AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, 64), k ->
+       |           CAST(list_sum(list_transform(range(1, 65), i ->
+       |             px[i] * w[(k - 1) * 64 + i])) AS BIGINT)) AS coefs
+       |  FROM px CROSS JOIN wt),
+       |m AS (SELECT doc_id, coefs, list_sort(coefs)[32] AS med FROM c),
+       |h AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(1, 64), k ->
+       |           CASE WHEN coefs[k] > med
+       |                THEN (CAST(1 AS BIGINT) << (k - 1))
+       |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+       |  FROM m)
+       |SELECT doc_id, phash, bit_count(phash) AS n_ones,
+       |       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT)
+       |         AS n_bucket
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
 
   /** Typed mapPartitions decode twin (same stub arithmetic; BIGINT casts
     * for the same HUGEINT reason as [[frameStats]]). */

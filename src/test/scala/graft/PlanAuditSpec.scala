@@ -1206,6 +1206,48 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("mm8: the DCT hash is a shuffle-free projection; only the " +
+      "hash-keyed bucket window exchanges, carrying (doc_id, phash)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("mm8_phash")(spark, dir)
+      .queryExecution.executedPlan
+    val wins = deepCollect(exec) { case w: WindowExec => w }
+    assert(wins.size === 1 && wins.head.partitionSpec.nonEmpty,
+      s"exactly the phash-partitioned bucket window expected:\n$exec")
+    val p = plan("mm8_phash")
+    assert(!p.contains("Join"), s"the transform joins nothing:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"unused columns must not reach the scan: $read")
+  }
+
+  test("e14: KM windows run over the bounded lifetime grid (post-" +
+      "aggregation), and the horizon joins as a one-row broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val exec = SparkEntry.queries("e14_survival")(spark, dir)
+      .queryExecution.executedPlan
+    // every window's subtree must contain the duration-grid aggregate —
+    // i.e. windows consume CELLS, never customer- or order-scaled rows
+    val wins = deepCollect(exec) { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(deepCollect(w.child) { case a: BaseAggregateExec => a }.nonEmpty,
+        s"KM window must sit above the bounded cell aggregate:\n$w")
+    }
+    val p = plan("e14_survival")
+    assert(!p.contains("SortMergeJoin"),
+      s"the one-row horizon must broadcast:\n$p")
+    // the horizon and the cells consume the PERSISTED per-customer
+    // relation — both scans sit behind InMemoryTableScan (which
+    // deepCollect deliberately does not descend into: the cached
+    // fragment executes once), so no un-cached orders scan may remain
+    assert(deepCollect(exec) { case s: FileSourceScanExec => s }.isEmpty,
+      s"orders must be read through the shared persisted relation:\n$exec")
+    spark.catalog.clearCache()
+  }
+
   test("fe16: the pivoted ANOVA is ONE scan of orders with no join " +
       "and no window") {
     import org.apache.spark.sql.execution.FileSourceScanExec

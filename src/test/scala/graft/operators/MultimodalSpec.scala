@@ -82,4 +82,54 @@ class MultimodalSpec extends SparkSuite {
       (2L, 1L << 62, 1, 2L),
       (3L, 1L, 1, 1L)))
   }
+
+  test("pHash: quantized DCT basis rows sum to zero, so a flat grid " +
+      "hashes to 0 and a global brightness shift is invisible") {
+    // symmetry r ↔ 7−r negates each rounded cosine exactly for every
+    // u ≠ 0, so Σ_r cos_q(r,u) = 0 — the AC spectrum of a constant
+    // grid is exactly zero, and adding a constant to every pixel
+    // leaves every AC coefficient (hence the hash) unchanged
+    for (u <- 1 until 8)
+      assert((0 until 8).map(r => Multimodal.pHashCos(r * 8 + u)).sum === 0L)
+    val pattern = "abcdmnop" * 8
+    val shifted = pattern.map(c => (c + 1).toChar).mkString // +1 brightness
+    val docs = Seq(
+      (1L, "a" * 64),               // flat grid
+      (2L, pattern), (3L, pattern), // perceptual duplicates
+      (4L, shifted),                // brightness-shifted copy of 2/3
+      (5L, "too short"))            // < 64 chars: excluded
+      .toDF("doc_id", "text")
+    val r = Multimodal.pHash(docs)
+      .as[(Long, Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(r.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId(1L)._2 === 0L)      // flat -> zero spectrum -> hash 0
+    assert(byId(2L) === byId(3L).copy(_1 = 2L)) // duplicates share hash
+    assert(byId(4L)._2 === byId(2L)._2) // brightness shift: same hash
+    assert(byId(2L)._4 === 3L)      // 2, 3, and the shifted 4 bucket
+    assert(byId(4L)._4 === 3L)      // together on the identical hash
+  }
+
+  test("pHash: matches an independent plain-Scala reference transform") {
+    val text = "The quick brown fox jumps over the lazy dog! 0123456789abcdef"
+      .padTo(64, 'x').mkString
+    def reference(t: String): (Long, Int) = {
+      val px = t.take(64).map(_.toLong)
+      val coefs = (1 until 64).map { k =>
+        (0 until 64).map { i =>
+          px(i) * Multimodal.pHashWeights((k - 1) * 64 + i)
+        }.sum
+      }
+      val med = coefs.sorted.apply(31)
+      val hash = coefs.zipWithIndex.collect {
+        case (c, idx) if c > med => 1L << idx
+      }.sum
+      (hash, java.lang.Long.bitCount(hash))
+    }
+    val (expHash, expOnes) = reference(text)
+    val got = Multimodal.pHash(Seq((1L, text)).toDF("doc_id", "text"))
+      .as[(Long, Long, Int, Long)].collect().head
+    assert(got === ((1L, expHash, expOnes, 1L)))
+    assert(expHash !== 0L) // the fixture is non-degenerate
+  }
 }
