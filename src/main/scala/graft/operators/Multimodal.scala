@@ -194,18 +194,33 @@ object Multimodal {
     * inlined integer weights, integer sort, strict `>` threshold — so
     * the full query is DuckDB-checkable, per-coefficient and per-bit.
     *
-    * Scale posture: one codegen projection per row (4032 multiply-adds
-    * through array fold loops — no shuffle for the hash), one
-    * hash-keyed window for the bucket size; the exchange carries
-    * `(doc_id, phash)` only, never text. */
+    * Scale posture: one projection per row (4032 multiply-adds through
+    * array fold loops — no shuffle for the hash), one hash-keyed window
+    * for the bucket size; the exchange carries `(doc_id, phash)` only,
+    * never text.
+    *
+    * The pixel and coefficient arrays are pinned as PHYSICAL columns by
+    * re-basing each stage on its own RDD: higher-order array lambdas
+    * run outside whole-stage codegen (no subexpression elimination),
+    * and `CollapseProject` would otherwise inline the `px` transform
+    * into all 63×64 `element_at` references — re-running the 64
+    * substring decode thousands of times per row (measured: 424s for
+    * 4,876 docs at sf0.1 collapsed vs ~1s staged). */
   def pHash(docs: DataFrame): DataFrame = {
+    def rebased(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
     val wArr = array(pHashWeights.map(lit): _*)
     val px = transform(sequence(lit(1), lit(64)),
       i => ascii(col("text").substr(i, lit(1))).cast("long"))
+    // array folds over the physical px column: ~240ns/interpreted step
+    // but only 63×64 steps/row. (The tempting alternative — 63 flat
+    // 64-term codegen'd sum expressions — measured 4.5× SLOWER: a
+    // 4032-node expression tree per projection blows past the codegen
+    // splitting thresholds and loses common-subexpression reuse.)
     val coefs = transform(sequence(lit(1), lit(63)), k =>
       aggregate(sequence(lit(1), lit(64)), lit(0L),
         (acc, i) => acc + element_at(col("px"), i.cast("int")) *
-          element_at(col("w"), ((k - 1) * 64 + i).cast("int"))))
+          element_at(wArr, ((k - 1) * 64 + i).cast("int"))))
     val med = element_at(array_sort(col("coefs")), 32)
     val hash = aggregate(
       transform(col("coefs"), (c, idx) =>
@@ -213,10 +228,10 @@ object Multimodal {
           .otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
     val wv = org.apache.spark.sql.expressions.Window.partitionBy("phash")
-    docs.where(length(col("text")) >= 64)
-      .select(col("doc_id"), wArr.as("w"), px.as("px"))
-      .select(col("doc_id"), coefs.as("coefs"))
-      .select(col("doc_id"), col("coefs"), med.as("med"))
+    val staged = rebased(docs.where(length(col("text")) >= 64)
+      .select(col("doc_id"), px.as("px")))
+    rebased(staged.select(col("doc_id"), coefs.as("coefs"))
+      .withColumn("med", med))
       .select(col("doc_id"), hash.as("phash"))
       .withColumn("n_ones", bit_count(col("phash")))
       .withColumn("n_bucket", count(lit(1)).over(wv))

@@ -1216,9 +1216,10 @@ class PlanAuditSpec extends SparkSuite {
       s"exactly the phash-partitioned bucket window expected:\n$exec")
     val p = plan("mm8_phash")
     assert(!p.contains("Join"), s"the transform joins nothing:\n$p")
-    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(!read.contains("lang") && !read.contains("source"),
-      s"unused columns must not reach the scan: $read")
+    // the stages are pinned behind RDD re-bases (see Multimodal.pHash:
+    // CollapseProject would re-run the pixel decode 63×64 times per row)
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"the staged array columns must be physically pinned:\n$p")
   }
 
   test("e14: KM windows run over the bounded lifetime grid (post-" +
