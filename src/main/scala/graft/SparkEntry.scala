@@ -1358,6 +1358,40 @@ object SparkEntry {
         .select(col("event_type"), col("hod").as("mode_hod"), col("n"))
         .orderBy("event_type")
     }),
+    "a19_moments" -> ((s, dir) => {
+      // exact higher-moment profile per priority class: skewness and
+      // excess kurtosis from raw power sums — the distribution-shape
+      // columns a12's profiler lacks (a z-score monitor tuned on a
+      // skewed column fires asymmetrically; the profile says so BEFORE
+      // deployment). Values are integer dollars (round(o_totalprice)):
+      // v^4 stays inside DECIMAL(38,0) up to ~1e12 rows, so all four
+      // power sums are EXACT and the central-moment closed forms run
+      // once per bounded group on identical doubles in both engines
+      // (the fe13/fe14 discipline) — no float summation across rows,
+      // nothing to quantize. One scan, one bounded aggregate.
+      val v = round(col("o_totalprice")).cast("long")
+      val vd = v.cast("decimal(38,0)")
+      val g = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"), sum(vd).as("s1"),
+          sum(vd * v).as("s2"), sum(vd * v * v).as("s3"),
+          sum(vd * v * v * v).as("s4"))
+      val nD = col("n").cast("double")
+      val mu = col("s1").cast("double") / nD
+      val m2 = col("s2").cast("double") / nD - mu * mu
+      val m3 = col("s3").cast("double") / nD -
+        lit(3.0) * mu * (col("s2").cast("double") / nD) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("s4").cast("double") / nD -
+        lit(4.0) * mu * (col("s3").cast("double") / nD) +
+        lit(6.0) * mu * mu * (col("s2").cast("double") / nD) -
+        lit(3.0) * mu * mu * mu * mu
+      g.select(col("priority"), col("n"),
+          round(when(m2 > 0, m3 / sqrt(m2 * m2 * m2)), 6).as("skewness"),
+          round(when(m2 > 0, m4 / (m2 * m2) - lit(3.0)), 6)
+            .as("ex_kurtosis"))
+        .orderBy("priority")
+    }),
     "e4_funnel" -> ((s, dir) => {
       // strict sequential funnel view -> click -> purchase per user:
       // each stage's first qualifying event must be STRICTLY after the
@@ -2160,6 +2194,9 @@ object SparkEntry {
       TextAnalysis.zipfAudit(Tables(s, dir, "documents"))),
     "t39_heaps" -> ((s, dir) => // Heaps'-law vocabulary-growth fit
       TextAnalysis.heapsAudit(Tables(s, dir, "documents"))),
+    "t43_js_domains" -> ((s, dir) => // pairwise Jensen-Shannon between
+      // the sources' unigram distributions (absent-mass folded exactly)
+      TextAnalysis.jsDivergence(Tables(s, dir, "documents"))),
     "t39_heaps_synth" -> ((s, dir) => // non-degenerate Heaps fit over the
       // deterministic integer-Zipf token stream (beta ~ 1/2 branch)
       TextAnalysis.heapsSynth(Tables(s, dir, "lineitem"))),
@@ -3422,6 +3459,44 @@ object SparkEntry {
           |      FROM cells)
           |SELECT event_type, hod AS mode_hod, CAST(n AS BIGINT) AS n
           |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+      "a19_moments" -> // identical HUGEINT power sums, closed forms on
+        // identical doubles, same zero-variance guards
+        """WITH g AS (
+          |  SELECT o_orderpriority AS priority,
+          |         count(*) AS n,
+          |         sum(CAST(round(o_totalprice) AS HUGEINT)) AS s1,
+          |         sum(CAST(round(o_totalprice) AS HUGEINT)
+          |             * CAST(round(o_totalprice) AS BIGINT)) AS s2,
+          |         sum(CAST(round(o_totalprice) AS HUGEINT)
+          |             * CAST(round(o_totalprice) AS BIGINT)
+          |             * CAST(round(o_totalprice) AS BIGINT)) AS s3,
+          |         sum(CAST(round(o_totalprice) AS HUGEINT)
+          |             * CAST(round(o_totalprice) AS BIGINT)
+          |             * CAST(round(o_totalprice) AS BIGINT)
+          |             * CAST(round(o_totalprice) AS BIGINT)) AS s4
+          |  FROM orders GROUP BY 1),
+          |m AS (
+          |  SELECT priority, n,
+          |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+          |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+          |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+          |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+          |  FROM g),
+          |cm AS (
+          |  SELECT priority, n,
+          |         r2 - mu * mu AS m2,
+          |         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+          |         r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+          |           - 3.0 * mu * mu * mu * mu AS m4
+          |  FROM m)
+          |SELECT priority, n,
+          |       round(CASE WHEN m2 > 0
+          |                  THEN m3 / sqrt(m2 * m2 * m2) END, 6)
+          |         AS skewness,
+          |       round(CASE WHEN m2 > 0
+          |                  THEN m4 / (m2 * m2) - 3.0 END, 6)
+          |         AS ex_kurtosis
+          |FROM cm ORDER BY priority""".stripMargin,
       "e4_funnel" ->
         """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
           |           WHERE event_type = 'view' GROUP BY 1),
@@ -3793,6 +3868,7 @@ object SparkEntry {
       "t40_tfidf_retrieval" -> TextAnalysisSql.tfidfRetrieval(),
       "t41_contamination" -> DedupSql.contamination(3, 50, 0.5),
       "t42_ngram_novelty" -> DedupSql.ngramNovelty(3),
+      "t43_js_domains" -> TextAnalysisSql.jsDivergence,
       "fe11_cramers_v" -> FeatureEngSql.cramersV,
       "fe13_vif" -> FeatureEngSql.vif,
       "fe14_pca2" -> FeatureEngSql.pca2,

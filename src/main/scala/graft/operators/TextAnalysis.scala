@@ -811,6 +811,62 @@ object TextAnalysis {
           / sum(col("c_dt")), 6).as("xent"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between the SOURCES' unigram
+    * token distributions — the corpus-mix diagnostic a pretraining
+    * pipeline reads before setting domain weights (p10's temperature
+    * mix): JSD ≈ 0 means two sources are near-duplicates of each other
+    * at the distribution level (merging them double-counts a domain);
+    * JSD near ln 2 means disjoint vocabularies.
+    *
+    * ABSENT-TOKEN FOLD (the priv4 tCloseness trick): tokens present in
+    * only one source each contribute (p/2)·ln 2, so the whole one-sided
+    * mass folds to `ln2/2 · (1 − Σ_{t∈both} p)` with the Σ computed from
+    * EXACT integer counts — only tokens present in BOTH sources need a
+    * float term, and the pair relation stays an inner join (no domain
+    * spine, no full outer). Each shared-token term is QUANTIZED to a
+    * BIGINT on the 1e12 grid (the priv5 argument: an engine ln-ulp moves
+    * the pre-round value by ~1e-7 grid steps), so the per-pair sums are
+    * order-exact; ln 2 is inlined as the same decimal literal in both
+    * engines.
+    *
+    * Scale: one explode to (source, token) cells with map-side combine;
+    * one token-keyed self-join of the bounded cell relation (≤ vocab ×
+    * |sources|² rows in flight, |sources|²/2 rows out); totals broadcast.
+    */
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .persist()
+    val totals = cells.groupBy("source").agg(sum("c").as("n"))
+    val a = cells.select(col("source").as("sa"), col("token"),
+      col("c").as("ca"))
+    val b = cells.select(col("source").as("sb"), col("token"),
+      col("c").as("cb"))
+    val joined = a.join(b, Seq("token")).where(col("sa") < col("sb"))
+      .join(broadcast(totals.select(col("source").as("sa"),
+        col("n").as("na"))), "sa")
+      .join(broadcast(totals.select(col("source").as("sb"),
+        col("n").as("nb"))), "sb")
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    val tq = round((p / lit(2.0) * log(p / m)
+      + q / lit(2.0) * log(q / m)) * lit(1e12)).cast("long")
+    val ln2 = lit(0.6931471805599453)
+    joined.groupBy("sa", "sb", "na", "nb")
+      .agg(sum(tq).as("sq"), sum("ca").as("sca"), sum("cb").as("scb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("sq").cast("double") / lit(1e12)
+          + ln2 / lit(2.0)
+            * ((lit(1.0) - col("sca").cast("double")
+                / col("na").cast("double"))
+              + (lit(1.0) - col("scb").cast("double")
+                / col("nb").cast("double"))), 6).as("jsd"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** CCNet-style perplexity PARTITIONING of the corpus — the step after
     * [[unigramLmScore]]: split each language's documents into
     * head / middle / tail by LM cross-entropy and keep head+middle
@@ -1667,6 +1723,41 @@ object TextAnalysisSql {
        |             / sum(c_dt), 6) AS xent
        |FROM dt JOIN freq USING (token), total
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[TextAnalysis.jsDivergence]]: identical cells, identical
+    * quantized shared-token terms (1e12 grid), identical absent-mass
+    * fold with the same inlined ln 2 literal. */
+  val jsDivergence: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest($toks) AS token FROM documents),
+       |cells AS (
+       |  SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+       |        FROM cells GROUP BY 1),
+       |j AS (
+       |  SELECT a.source AS sa, b.source AS sb, ta.n AS na, tb.n AS nb,
+       |         a.c AS ca, b.c AS cb,
+       |         CAST(a.c AS DOUBLE) / CAST(ta.n AS DOUBLE) AS p,
+       |         CAST(b.c AS DOUBLE) / CAST(tb.n AS DOUBLE) AS q
+       |  FROM cells a
+       |  JOIN cells b ON b.token = a.token AND a.source < b.source
+       |  JOIN tot ta ON ta.source = a.source
+       |  JOIN tot tb ON tb.source = b.source),
+       |g AS (
+       |  SELECT sa, sb, na, nb,
+       |         CAST(sum(CAST(round((p / 2.0 * ln(p / ((p + q) / 2.0))
+       |                              + q / 2.0 * ln(q / ((p + q) / 2.0)))
+       |                             * 1e12) AS BIGINT)) AS BIGINT) AS sq,
+       |         CAST(sum(ca) AS BIGINT) AS sca,
+       |         CAST(sum(cb) AS BIGINT) AS scb
+       |  FROM j GROUP BY 1, 2, 3, 4)
+       |SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
+       |       round(CAST(sq AS DOUBLE) / 1e12
+       |             + 0.6931471805599453 / 2.0
+       |               * ((1.0 - CAST(sca AS DOUBLE) / CAST(na AS DOUBLE))
+       |                 + (1.0 - CAST(scb AS DOUBLE) / CAST(nb AS DOUBLE))),
+       |             6) AS jsd
+       |FROM g ORDER BY source_a, source_b""".stripMargin
 
   /** Twin of [[TextAnalysis.perplexityFilter]]: the unigram scores, the
     * per-language μ/σ thresholds over the same rounded xent, the same

@@ -1206,6 +1206,29 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("a19: the moment profile is ONE scan, one bounded aggregate — " +
+      "no join, no window") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val exec = SparkEntry.queries("a19_moments")(spark, dir)
+      .queryExecution.executedPlan
+    assert(deepCollect(exec) { case s: FileSourceScanExec => s }.size === 1,
+      s"all four power sums must ride ONE orders scan:\n$exec")
+    val p = plan("a19_moments")
+    assert(!p.contains("Join"), s"closed forms join nothing:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("t43: the JS pair join is token-keyed (no cartesian), totals " +
+      "broadcast, no window") {
+    val p = plan("t43_js_domains")
+    assert(!p.contains("CartesianProduct"),
+      s"pairs must come from the token-keyed equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source totals must broadcast:\n$p")
+    assert(!p.contains("Window"), p)
+    spark.catalog.clearCache()
+  }
+
   test("mm8: the DCT hash is a shuffle-free projection; only the " +
       "hash-keyed bucket window exchanges, carrying (doc_id, phash)") {
     import org.apache.spark.sql.execution.window.WindowExec
