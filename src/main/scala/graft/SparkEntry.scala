@@ -2218,6 +2218,9 @@ object SparkEntry {
     "fe16_anova" -> ((s, dir) => // one-way ANOVA F + eta^2 across the
       // fixed priority domain: one scan, pivoted exact co-moments
       FeatureEng.anova(Tables(s, dir, "orders"))),
+    "fe17_partial_corr" -> ((s, dir) => // confounder screen: residual
+      // association per pair once the third feature is partialled out
+      FeatureEng.partialCorr(Tables(s, dir, "lineitem"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -2814,6 +2817,9 @@ object SparkEntry {
     "gr13_wcc" -> ((s, dir) => // weakly connected components, run to
       // convergence via pointer jumping (O(log diameter) rounds)
       Graph.connectedComponents(Tables(s, dir, "events"))),
+    "gr14_reciprocity" -> ((s, dir) => // fraction of edges whose reverse
+      // exists: one semi-join of the edge set against its reversal
+      Graph.reciprocity(Tables(s, dir, "events"))),
 
     // ---- privacy lane: disclosure-risk audit + DP release ----
     // (thresholds shared with the twins; scale posture on operators.Privacy)
@@ -3874,6 +3880,7 @@ object SparkEntry {
       "fe14_pca2" -> FeatureEngSql.pca2,
       "fe15_gini" -> FeatureEngSql.gini,
       "fe16_anova" -> FeatureEngSql.anova,
+      "fe17_partial_corr" -> FeatureEngSql.partialCorr,
       "fe12_woe_ntile" -> FeatureEngSql.woeIvNtile(),
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),
@@ -4138,6 +4145,7 @@ object SparkEntry {
       "gr11_assortativity" -> GraphSql.assortativity,
       "gr12_hits" -> GraphSql.hits(),
       "gr13_wcc" -> GraphSql.connectedComponents(),
+      "gr14_reciprocity" -> GraphSql.reciprocity,
       "priv1_k_anonymity" -> PrivacySql.kAnonymityLadder(kAnonWidths, kAnonK),
       "priv2_verify" -> PrivacySql.dpVerify,
       "priv3_k_suppress" -> PrivacySql.kSuppress(kAnonWidths(1), kAnonK),

@@ -511,6 +511,58 @@ object FeatureEng {
     rows.reduce(_ unionAll _).orderBy("feature")
   }
 
+  /** First-order partial correlations over the same three features —
+    * the screen BETWEEN [[corrMatrix]]'s pairwise view and [[vif]]'s
+    * regression view: r_xy can be almost entirely a shared dependence
+    * on z (confounding), and `r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1 − r_xz²)(1 − r_yz²))` is the residual association once z is
+    * partialled out — the statistic a feature-selection pass compares
+    * against the raw r before keeping both columns.
+    *
+    * Exactness and scale posture are [[vif]]'s verbatim: ONE scan, ten
+    * DECIMAL(38,0) ⇔ HUGEINT sums, closed forms on identical doubles,
+    * NULL on degenerate geometry (zero variance or |r| = 1 on the
+    * controlled pair). One output row per (pair, control). */
+  def partialCorr(lineitem: DataFrame): DataFrame = {
+    val scaled: Map[String, Column] = Map(
+      "quantity" -> round(col("l_quantity")).cast("long"),
+      "extendedprice" -> round(col("l_extendedprice") * 100).cast("long"),
+      "discount" -> round(col("l_discount") * 100).cast("long"))
+    val proj = lineitem.select(vifCols.map(n => scaled(n).as(n)): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pairs = for { i <- vifCols.indices; j <- vifCols.indices if i < j }
+      yield (vifCols(i), vifCols(j))
+    val aggs = vifCols.flatMap { n =>
+      Seq(sum(dec(col(n))).as(s"s_$n"),
+        sum(dec(col(n) * col(n))).as(s"ss_$n"))
+    } ++ pairs.map { case (a, b) =>
+      sum(dec(col(a) * col(b))).as(s"sp_${a}_$b")
+    } :+ count(lit(1)).as("n")
+    val s = proj.agg(aggs.head, aggs.tail: _*).persist()
+    val n = col("n").cast("double")
+    def dvar(a: String) = n * col(s"ss_$a").cast("double") -
+      col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+    def corrOf(a: String, b: String): Column = {
+      val key = if (vifCols.indexOf(a) < vifCols.indexOf(b))
+        s"sp_${a}_$b" else s"sp_${b}_$a"
+      val num = n * col(key).cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+      when(dvar(a) * dvar(b) === 0, lit(null).cast("double"))
+        .otherwise(num / sqrt(dvar(a) * dvar(b)))
+    }
+    val rows = pairs.map { case (a, b) =>
+      val z = vifCols.filterNot(c => c == a || c == b).head
+      val (rab, raz, rbz) = (corrOf(a, b), corrOf(a, z), corrOf(b, z))
+      val den = (lit(1.0) - raz * raz) * (lit(1.0) - rbz * rbz)
+      val part = when(den <= 0, lit(null).cast("double"))
+        .otherwise((rab - raz * rbz) / sqrt(den))
+      s.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        lit(z).as("control"), col("n"),
+        round(rab, 6).as("r_raw"), round(part, 6).as("r_partial"))
+    }
+    rows.reduce(_ unionAll _).orderBy("col_a", "col_b")
+  }
+
   /** Closed-form 2-feature PCA on the exact covariance matrix — the
     * redundancy screen between [[corrMatrix]]'s pairwise view and
     * [[vif]]'s regression view: the eigen split of the 2×2 covariance
@@ -1103,6 +1155,60 @@ object FeatureEngSql {
        |  FROM s)
        |$selects
        |ORDER BY feature""".stripMargin
+  }
+
+  /** Twin of [[FeatureEng.partialCorr]]: the vif twin's identical
+    * HUGEINT sums and correlation CTE, then the identical partial-corr
+    * closed form and degeneracy guard per (pair, control) row. */
+  def partialCorr: String = {
+    val scaledSql = Map(
+      "quantity" -> "CAST(round(l_quantity) AS BIGINT)",
+      "extendedprice" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "discount" -> "CAST(round(l_discount * 100) AS BIGINT)")
+    val cols = FeatureEng.vifCols
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    def rName(a: String, b: String) =
+      if (cols.indexOf(a) < cols.indexOf(b)) s"r_${a}_$b" else s"r_${b}_$a"
+    val projCols = cols.map(n => s"${scaledSql(n)} AS $n")
+      .mkString(",\n       |         ")
+    val sumCols = (cols.flatMap { n =>
+      Seq(s"sum($n) AS s_$n", s"sum($n * $n) AS ss_$n")
+    } ++ pairs.map { case (a, b) =>
+      s"sum($a * $b) AS sp_${a}_$b"
+    } :+ "count(*) AS n").mkString(",\n       |         ")
+    def dv(a: String) = s"(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)" +
+      s" - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))"
+    val rDefs = pairs.map { case (a, b) =>
+      val num = s"(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)" +
+        s" - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+      s"CASE WHEN ${dv(a)} * ${dv(b)} = 0 THEN NULL" +
+        s" ELSE $num / sqrt(${dv(a)} * ${dv(b)}) END AS ${rName(a, b)}"
+    }.mkString(",\n       |       ")
+    val selects = pairs.map { case (a, b) =>
+      val z = cols.filterNot(c => c == a || c == b).head
+      val rab = rName(a, b); val raz = rName(a, z); val rbz = rName(b, z)
+      val den = s"((CAST(1.0 AS DOUBLE) - $raz * $raz)" +
+        s" * (CAST(1.0 AS DOUBLE) - $rbz * $rbz))"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, '$z' AS control, n,
+         |       round($rab, 6) AS r_raw,
+         |       round(CASE WHEN $den <= 0 THEN NULL
+         |                  ELSE ($rab - $raz * $rbz) / sqrt($den)
+         |             END, 6) AS r_partial
+         |FROM r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (
+       |  SELECT $projCols
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT $sumCols
+       |  FROM p),
+       |r AS (
+       |  SELECT n,
+       |       $rDefs
+       |  FROM s)
+       |$selects
+       |ORDER BY col_a, col_b""".stripMargin
   }
 
   /** Twin of [[FeatureEng.pca2]]: identical HUGEINT co-moments,

@@ -660,6 +660,32 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Directed-graph reciprocity — the fraction of directed edges whose
+    * reverse edge also exists (Newman's r for directed networks): the
+    * structural sibling of [[assortativity]] (gr11) and the clustering
+    * coefficient (gr5). Interaction graphs with high reciprocity behave
+    * like undirected ones (symmetric influence); low reciprocity means
+    * broadcast-shaped flow — the diagnostic that picks between the
+    * directed (gr12 HITS) and undirected (gr3 PageRank-style) analyses.
+    *
+    * Exact integers end to end: one LEFT SEMI self-join of the distinct
+    * edge relation against its own reversal (edge-keyed equi-join — the
+    * exchange carries 16-byte pairs), two counts, one division at the
+    * end. The edge relation persists once for its two consumers (the
+    * [[degrees]] lifecycle: at most the prep relation stays resident). */
+  def reciprocity(events: DataFrame): DataFrame = {
+    val ed = edges(events).persist()
+    val rev = ed.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = ed.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val tot = ed.agg(count(lit(1)).as("n_edges"))
+    tot.crossJoin(recip)
+      .select(col("n_edges"), col("n_reciprocal"),
+        round(when(col("n_edges") > 0,
+          col("n_reciprocal").cast("double")
+            / col("n_edges").cast("double")), 6).as("reciprocity"))
+  }
+
   /** Bounded-round k-core peeling (Seidman 1983's cores via the standard
     * iterative algorithm): each round recomputes degrees over edges whose
     * BOTH endpoints are still alive and drops nodes below `k`. After
@@ -1020,6 +1046,21 @@ object GraphSql {
        |$steps
        |SELECT node, label AS community FROM lp$iters ORDER BY node""".stripMargin
   }
+
+  /** Twin of [[Graph.reciprocity]]: identical distinct edges, EXISTS
+    * semi-join against the reversal, one final division. */
+  val reciprocity: String =
+    s"""WITH $edgeCtes,
+       |rc AS (SELECT count(*) AS n_reciprocal FROM ed
+       |       WHERE EXISTS (SELECT 1 FROM ed e2
+       |                     WHERE e2.src = ed.dst AND e2.dst = ed.src)),
+       |tt AS (SELECT count(*) AS n_edges FROM ed)
+       |SELECT n_edges, n_reciprocal,
+       |       round(CASE WHEN n_edges > 0
+       |                  THEN CAST(n_reciprocal AS DOUBLE)
+       |                       / CAST(n_edges AS DOUBLE) END, 6)
+       |         AS reciprocity
+       |FROM tt CROSS JOIN rc""".stripMargin
 
   /** Twin of [[Graph.connectedComponents]]: propagate+jump rounds
     * unrolled 10 deep (converged labels are algorithm-independent — the

@@ -1206,6 +1206,26 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("fe17: partial correlations ride the ONE persisted sum relation; " +
+      "no window, no shuffle-sort join") {
+    val p = plan("fe17_partial_corr")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"the three rows must project the persisted one-row sums:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("gr14: reciprocity joins edges to their reversal as an " +
+      "edge-keyed semi-join; the two scalars cross as broadcasts") {
+    val p = plan("gr14_reciprocity")
+    assert(!p.contains("SortMergeJoin") || p.contains("LeftSemi"),
+      s"the reversal probe must be the semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"one-row scalars must broadcast-cross:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("a19: the moment profile is ONE scan, one bounded aggregate — " +
       "no join, no window") {
     import org.apache.spark.sql.execution.FileSourceScanExec

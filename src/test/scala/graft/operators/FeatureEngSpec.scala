@@ -311,6 +311,61 @@ class FeatureEngSpec extends SparkSuite {
     assert(r === Seq((1L, 2L, 0L, woe1, iv), (2L, 0L, 2L, -woe1, iv)))
   }
 
+  test("partialCorr: a pure confounder collapses the raw correlation " +
+      "to ~0 once partialled out") {
+    // quantity q drives both price p = 10q and discount d = q + noise
+    // pattern: the raw p~d correlation is strong, but controlling for q
+    // must remove it; reference values computed independently from the
+    // exact sums in plain Scala
+    // p tracks q closely but NOT exactly (r_qp ≈ 0.999, not 1 — an
+    // exact affine p would zero the den guard instead)
+    val rows = Seq(
+      (1.0, 10.0, 0.01), (2.0, 20.5, 0.03), (3.0, 29.0, 0.02),
+      (4.0, 41.0, 0.05), (5.0, 50.5, 0.04), (6.0, 59.0, 0.07))
+    val df = rows.map { case (q, p, d) => (q, p, d) }
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    def corr(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxx = xs.map(x => x.toDouble * x).sum
+      val syy = ys.map(y => y.toDouble * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x.toDouble * y }.sum
+      (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val q = rows.map(r => math.round(r._1))
+    val p = rows.map(r => math.round(r._2 * 100))
+    val d = rows.map(r => math.round(r._3 * 100))
+    val (rqp, rqd, rpd) = (corr(q, p), corr(q, d), corr(p, d))
+    val expPartial = BigDecimal((rpd - rqp * rqd) /
+      math.sqrt((1 - rqp * rqp) * (1 - rqd * rqd)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = FeatureEng.partialCorr(df)
+      .as[(String, String, String, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val pd = got(("extendedprice", "discount"))
+    assert(pd._3 === "quantity")
+    assert(pd._5 > 0.8)            // raw correlation looks strong (0.895)
+    assert(pd._6 === expPartial)   // exact agreement with the reference
+    assert(math.abs(pd._6) < 0.5)  // ...and well under the raw value
+  }
+
+  test("partialCorr: a perfectly collinear control nulls the pair " +
+      "(den <= 0 guard)") {
+    // p = 10q exactly → r_qp = 1 → the (q, d | p) and (p, d | q) rows
+    // survive, but any pair controlled by its own copy divides by zero
+    val df = Seq((1.0, 10.0, 0.01), (2.0, 20.0, 0.05), (3.0, 30.0, 0.02))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    val got = FeatureEng.partialCorr(df)
+      .as[(String, String, String, Long, Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // quantity~discount controlled by extendedprice: r_q,p = 1 → den 0
+    assert(got(("quantity", "discount"))._6 === None)
+    assert(got(("extendedprice", "discount"))._6 === None)
+    // the collinear pair itself: r = 1 raw, den uses r with discount
+    assert(got(("quantity", "extendedprice"))._5 === Some(1.0))
+  }
+
   test("anova: hand-computed F and eta-squared on three balanced groups") {
     // cents (1000,2000 | 3000,4000 | 5000,6000): S_g = 3000/7000/11000,
     // B = 89.5e6, correction = 441e6/6 = 73.5e6 → SSB 16e6, SSW 1.5e6,

@@ -265,6 +265,18 @@ class GraphSpec extends SparkSuite {
       6L -> 4L))
   }
 
+  test("reciprocity: hand-counted mutual edges over the chain fixtures") {
+    // seq 1,2,3,1,2,4,1 → edges {1→2,2→3,3→1,2→4,4→1}: no reversals → 0
+    val r0 = Graph.reciprocity(eventsOf(seq1))
+      .as[(Long, Long, Double)].collect().head
+    assert(r0 === ((5L, 0L, 0.0)))
+    // seq 1,2,1,3 → edges {1→2, 2→1, 1→3}: the 1↔2 pair is mutual → 2/3
+    val r1 = Graph.reciprocity(eventsOf(Seq(1L, 2L, 1L, 3L)))
+      .as[(Long, Long, Double)].collect().head
+    assert(r1 === ((3L, 2L, 0.666667)))
+    spark.catalog.clearCache()
+  }
+
   test("connectedComponents: separate hour buckets form separate " +
       "components, each labeled by its minimum id") {
     // hour 0: chain 5-7-6 → component 5; hour 1: chain 11-10 →
