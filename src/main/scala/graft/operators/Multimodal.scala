@@ -228,7 +228,14 @@ object Multimodal {
           .otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
     val wv = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    // repartition BEFORE the transform: the documents scan is a handful
+    // of small files (one split at test SF), and the per-row DCT is the
+    // cost — without this the whole lane runs on the scan's few
+    // partitions while 31 threads idle (measured 4.3s → the exchange
+    // carries (doc_id, text) once and the transform parallelizes)
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
     val staged = rebased(docs.where(length(col("text")) >= 64)
+      .repartition(p)
       .select(col("doc_id"), px.as("px")))
     rebased(staged.select(col("doc_id"), coefs.as("coefs"))
       .withColumn("med", med))
