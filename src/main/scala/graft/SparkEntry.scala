@@ -2197,6 +2197,9 @@ object SparkEntry {
     "t43_js_domains" -> ((s, dir) => // pairwise Jensen-Shannon between
       // the sources' unigram distributions (absent-mass folded exactly)
       TextAnalysis.jsDivergence(Tables(s, dir, "documents"))),
+    "t44_rake" -> ((s, dir) => // RAKE keyphrase mining: stopword-run
+      // segmentation, deg/freq word scores, tie-broken top-k head
+      TextAnalysis.rake(Tables(s, dir, "documents"))),
     "t39_heaps_synth" -> ((s, dir) => // non-degenerate Heaps fit over the
       // deterministic integer-Zipf token stream (beta ~ 1/2 branch)
       TextAnalysis.heapsSynth(Tables(s, dir, "lineitem"))),
@@ -3875,6 +3878,7 @@ object SparkEntry {
       "t41_contamination" -> DedupSql.contamination(3, 50, 0.5),
       "t42_ngram_novelty" -> DedupSql.ngramNovelty(3),
       "t43_js_domains" -> TextAnalysisSql.jsDivergence,
+      "t44_rake" -> TextAnalysisSql.rake(),
       "fe11_cramers_v" -> FeatureEngSql.cramersV,
       "fe13_vif" -> FeatureEngSql.vif,
       "fe14_pca2" -> FeatureEngSql.pca2,

@@ -811,6 +811,74 @@ object TextAnalysis {
           / sum(col("c_dt")), 6).as("xent"))
   }
 
+  /** The RAKE delimiter set: the union of the four language stopword
+    * profiles, inlined into both engines. */
+  val stopAll: Seq[String] =
+    (stopEn ++ stopDe ++ stopFr ++ stopEs).distinct
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — corpus-level
+    * keyword mining, the unsupervised sibling of the tf-idf retrieval
+    * lane: candidate phrases are maximal stopword-free token runs;
+    * each word scores `deg/freq` (deg = Σ lengths of the phrases it
+    * appears in — co-occurrence degree; freq = its occurrence count),
+    * and a phrase scores the sum of its words' scores. Word stats come
+    * from ALL stopword-free runs; the REPORTED candidates are the
+    * global top-`topK` distinct phrases of 2–4 words (single tokens are
+    * vocabulary, not keyphrases; the upper band is the standard RAKE
+    * candidate cap — without it a stopword-sparse document IS one giant
+    * "phrase" and length swamps the score).
+    *
+    * Cross-engine determinism: segmentation is the stopword PREFIX
+    * COUNT (a per-doc ordered window — exact integers); phrase text
+    * re-assembles in `pos` order on both sides; `deg`/`freq` are exact
+    * integers and each word's `deg/freq` QUANTIZES to a BIGINT on the
+    * 1e9 grid, so per-phrase score sums are order-exact; the top-k
+    * head breaks ties by phrase text.
+    *
+    * Scale: token rows flow through per-DOC windows (partitioned, never
+    * global), one token-keyed stats aggregate + join (map-side combine;
+    * stopwords never reach it — they are dropped at segmentation), and
+    * a TakeOrdered head. The phrase relation exchanges fingerprint-free
+    * short strings, never documents. */
+  def rake(docs: DataFrame, topK: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "token")
+      .withColumn("is_stop", col("token").isin(stopAll: _*))
+    val wSeg = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = tok
+      .withColumn("seg",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wSeg))
+      .where(!col("is_stop"))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "seg")))
+      .persist()
+    val wordScore = seg.groupBy("token")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+      .select(col("token"),
+        round(col("deg").cast("double") / col("freq").cast("double")
+          * lit(1e9)).cast("long").as("score_q"))
+    val phrases = seg.join(wordScore, "token")
+      .groupBy("doc_id", "seg")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum("score_q").as("sq"))
+      .where(col("n_words").between(2, 4))
+    phrases.groupBy("phrase")
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("sq")).as("sq"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        round(col("sq").cast("double") / lit(1e9), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Pairwise Jensen-Shannon divergence between the SOURCES' unigram
     * token distributions — the corpus-mix diagnostic a pretraining
     * pipeline reads before setting domain weights (p10's temperature
@@ -1723,6 +1791,50 @@ object TextAnalysisSql {
        |             / sum(c_dt), 6) AS xent
        |FROM dt JOIN freq USING (token), total
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[TextAnalysis.rake]]: identical stopword segmentation via
+    * the prefix-count window, identical quantized word scores (1e9
+    * grid), phrase text re-assembled in position order, same tie-broken
+    * top-k head. */
+  def rake(topK: Int = 25): String = {
+    val stops = TextAnalysis.stopAll.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, i AS pos, tk[i] AS token,
+       |         tk[i] IN ($stops) AS is_stop
+       |  FROM (SELECT doc_id, $toks AS tk FROM documents) base,
+       |       unnest(range(1, len(tk) + 1)) AS r(i)),
+       |seg0 AS (
+       |  SELECT doc_id, pos, token, is_stop,
+       |         sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+       |           PARTITION BY doc_id ORDER BY pos
+       |           ROWS UNBOUNDED PRECEDING) AS seg
+       |  FROM tok),
+       |seg AS (
+       |  SELECT doc_id, pos, token, seg,
+       |         count(*) OVER (PARTITION BY doc_id, seg) AS plen
+       |  FROM seg0 WHERE NOT is_stop),
+       |ws AS (
+       |  SELECT token,
+       |         CAST(round(CAST(sum(plen) AS DOUBLE)
+       |                    / CAST(count(*) AS DOUBLE) * 1e9) AS BIGINT)
+       |           AS score_q
+       |  FROM seg GROUP BY 1),
+       |ph AS (
+       |  SELECT s.doc_id, s.seg,
+       |         string_agg(s.token, ' ' ORDER BY s.pos) AS phrase,
+       |         count(*) AS n_words,
+       |         CAST(sum(ws.score_q) AS BIGINT) AS sq
+       |  FROM seg s JOIN ws USING (token)
+       |  GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND 4),
+       |agg AS (
+       |  SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+       |         count(*) AS n_occurrences, max(sq) AS sq
+       |  FROM ph GROUP BY 1)
+       |SELECT phrase, n_words, n_occurrences,
+       |       round(CAST(sq AS DOUBLE) / 1e9, 6) AS score
+       |FROM agg ORDER BY score DESC, phrase LIMIT $topK""".stripMargin
+  }
 
   /** Twin of [[TextAnalysis.jsDivergence]]: identical cells, identical
     * quantized shared-token terms (1e12 grid), identical absent-mass

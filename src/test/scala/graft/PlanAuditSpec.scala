@@ -1226,6 +1226,23 @@ class PlanAuditSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("t44: RAKE windows partition by document (never global); the " +
+      "word-stats join is token-keyed, the head is TakeOrdered") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("t44_rake")(spark, dir)
+      .queryExecution.executedPlan
+    val global = deepCollect(exec) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"segmentation windows must partition by doc:\n${global.mkString("\n")}")
+    val p = plan("t44_rake")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k head must not global-sort:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("a19: the moment profile is ONE scan, one bounded aggregate — " +
       "no join, no window") {
     import org.apache.spark.sql.execution.FileSourceScanExec

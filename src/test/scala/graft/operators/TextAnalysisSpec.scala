@@ -187,4 +187,35 @@ class TextAnalysisSpec extends SparkSuite {
     assert(math.abs(r._3 - math.log(12.0)) < 1e-5, s"intercept ${r._3}")
     assert(r._4 > 0.9999999, s"r2 ${r._4}")
   }
+
+  test("rake: hand-computed deg/freq scores, stopword segmentation, " +
+      "occurrence counting and the tie-broken head") {
+    // doc 1 "big data the big model": runs [big data], [big model]
+    // doc 2 "big data is big data": runs [big data] ×2
+    // word stats over ALL runs: big freq 4 deg 8, data freq 3 deg 6,
+    // model freq 1 deg 2 — every score 2.0 → both phrases score 4.0;
+    // "big data" sorts first by text and carries 3 occurrences
+    val docs = Seq(
+      (1L, "big data the big model"),
+      (2L, "big data is big data")).toDF("doc_id", "text")
+    val r = TextAnalysis.rake(docs, topK = 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(
+      ("big data", 2L, 3L, 4.0),
+      ("big model", 2L, 1L, 4.0)))
+  }
+
+  test("rake: a stopword-free document is ONE run and the 2-4 word " +
+      "candidate band drops it from the report") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 6-word run: banded out
+      (2L, "alpha beta the alpha beta")).toDF("doc_id", "text")
+    val r = TextAnalysis.rake(docs, topK = 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r.map(_._1) === Seq("alpha beta"))
+    // but the 6-word run still feeds the word stats: alpha deg =
+    // 6 + 2 + 2 = 10 over freq 3, beta likewise → score 2 × 10/3
+    assert(r.head._4 === BigDecimal(20.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
