@@ -2389,6 +2389,9 @@ object SparkEntry {
       Dedup.nearDupClusters(Tables(s, dir, "documents")).orderBy("doc_id")),
     "p16_leakage_split" -> ((s, dir) => // cluster-aware train/test split
       Dedup.leakageSafeSplit(Tables(s, dir, "documents"))),
+    "dedup_keep_best" -> ((s, dir) => // survivor policy: each near-dup
+      // cluster keeps its highest-quality member, not the minimum id
+      Dedup.keepBest(Tables(s, dir, "documents"))),
     "dedup_embedding_cos" -> ((s, dir) =>
       Similarity.bruteForcePairs(Tables(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
@@ -3900,6 +3903,7 @@ object SparkEntry {
       "dedup_minhash_lsh" -> DedupSql.minhashLshPairs(0.8, 3),
       "dedup_containment" -> DedupSql.containmentAllPairs(0.8, 3),
       "dedup_clusters" -> DedupSql.nearDupClusters(0.8, 3),
+      "dedup_keep_best" -> DedupSql.keepBest(0.8, 3),
       "p16_leakage_split" -> DedupSql.leakageSafeSplit(80, 0.8, 3),
       "pipe1_clean_corpus" -> DedupSql.cleanCorpus(0.5),
       "pipe2_pretrain_corpus" -> DedupSql.pretrainCorpus("doc_id % 100 = 0", 0.5),

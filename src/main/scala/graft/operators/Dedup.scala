@@ -769,6 +769,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup KEEP-BEST selection — the survivor policy a quality-aware
+    * corpus dedup actually wants: [[nearDupClusters]] groups the
+    * near-duplicates, and instead of keeping the arbitrary minimum id,
+    * each cluster keeps its HIGHEST-QUALITY member (t2's score; ties
+    * broken by doc_id on the 6dp-rounded value, so the pick is
+    * cross-engine exact). Singletons keep themselves. Output per doc:
+    * `(doc_id, cluster_rep, quality, is_keeper)` — the is_keeper=false
+    * rows are exactly what the dedup pass deletes, and WHICH text
+    * survives is no longer an accident of ingestion order.
+    *
+    * Scale: the cluster relation is pair-participating-docs-sized (left
+    * join), quality is a per-row projection, and the argmax window
+    * partitions by cluster — near-dup clusters are tiny dense groups,
+    * never a row-scaled partition. */
+  def keepBest(docs: DataFrame, threshold: Double = 0.8,
+      shingleN: Int = 3): DataFrame = {
+    val cl = nearDupClusters(docs, threshold, shingleN)
+    val scored = graft.operators.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_rep")
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.join(cl, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_rep"))
+      .withColumn("is_keeper", row_number().over(w) === 1)
+      .select("doc_id", "cluster_rep", "quality", "is_keeper")
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus cleaning — the composed LLM-data pipeline in one
     * plan: quality-filter (cheap per-row scores) → exact dedup (keep the
     * lowest doc_id per normalized text) → surviving doc ids. The shape a
@@ -1254,6 +1284,21 @@ object DedupSql {
        |LEFT JOIN (${nearDupClusters(threshold, shingleN)}) cl
        |  ON cl.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Twin of [[Dedup.keepBest]]: the same cluster subquery, the t2
+    * quality subquery, identical rounded-quality/doc_id argmax. */
+  def keepBest(threshold: Double, shingleN: Int): String =
+    s"""SELECT doc_id, cluster_rep, quality,
+       |       row_number() OVER (PARTITION BY cluster_rep
+       |                          ORDER BY quality DESC, doc_id) = 1
+       |         AS is_keeper
+       |FROM (
+       |  SELECT q.doc_id, q.quality,
+       |         coalesce(cl.cluster, q.doc_id) AS cluster_rep
+       |  FROM (${graft.operators.TextAnalysisSql.qualityScore}) q
+       |  LEFT JOIN (${nearDupClusters(threshold, shingleN)}) cl
+       |    ON cl.doc_id = q.doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   def minhashLshPairs(threshold: Double, shingleN: Int): String =
     s"""WITH sets AS (

@@ -163,6 +163,27 @@ class TextDedupSpec extends SparkSuite {
     assert(got === truth)
   }
 
+  test("keepBest: the cluster keeps its highest-quality member, NOT " +
+      "the minimum id; singletons keep themselves") {
+    // docs 1 and 2 are near-dups; doc 2 ends with distinct tokens and
+    // stop-words so its quality score strictly exceeds doc 1's (doc 1
+    // repeats one word: low distinct_ratio) — min-id keeping would
+    // pick 1, the quality policy must pick 2
+    val dup = baseWords.take(57)
+    val d = docs(
+      (1L, (dup ++ Seq("pad", "pad", "pad")).mkString(" ")),
+      (2L, (dup ++ Seq("the", "fresh", "words")).mkString(" ")),
+      (5L, (1 to 60).map(i => s"z$i").mkString(" ")))
+    val r = Dedup.keepBest(d, threshold = 0.8)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L)._2 === 1L && r(2L)._2 === 1L, "1-2 must cluster (rep 1)")
+    assert(r(2L)._3 > r(1L)._3, "fixture must make doc 2 the better one")
+    assert(r(2L)._4 === true, "the higher-quality member survives")
+    assert(r(1L)._4 === false, "min-id keeping would have kept doc 1")
+    assert(r(5L)._4 === true && r(5L)._2 === 5L, "singleton keeps itself")
+  }
+
   test("minhashLshPairs: jaccard values are exact int ratios") {
     val d = docs(
       (1L, baseWords.mkString(" ")),
