@@ -1341,6 +1341,62 @@ object SparkEntry {
         .groupBy("event_type", "hr").agg(count(lit(1)).as("x"))
       FeatureEng.cusumFace(cells)
     }),
+    "w14_mann_kendall" -> ((s, dir) => {
+      // Mann-Kendall trend test + Theil-Sen slope over hourly volumes
+      // per event type — the robust MONOTONE-TREND detector that
+      // completes the w-lane's drift family (w13's CUSUM sees level
+      // SHIFTS; MK sees gradual drift a changepoint statistic smears
+      // over): S = Σ sign(x_j − x_i) over all hour pairs i<j, the
+      // tie-corrected variance n(n−1)(2n+5)/18 − Σ_t t(t−1)(2t+5)/18
+      // (counts tie heavily — the correction is NOT optional on count
+      // data), the continuity-corrected z, and the Theil-Sen median of
+      // the pairwise slopes (the robust trend magnitude).
+      //
+      // Exactness: S, n, and the tie term are exact integers (the sign
+      // fold and the tie triple products commute); z is ONE closed form
+      // on their doubles, rounded BEFORE the 1.96 verdict; each pairwise
+      // slope (x_j−x_i)/(h_j−h_i) is the identical double division in
+      // both engines, and the median is the a6-proven exact
+      // percentile ⇔ quantile_cont parity over the identical multiset.
+      //
+      // Scale: the pair relation is |type| × hours² — hours grow with
+      // TIME, not data volume (a deployment constant like w13's cells);
+      // the type-keyed self-join carries 24-byte cell rows and the
+      // per-type aggregates fold it without materialization.
+      val cells = Tables(s, dir, "events")
+        .select(col("event_type"), expr("ts div 3600000000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("x"))
+        .persist()
+      val pairs = cells.select(col("event_type"),
+          col("hr").as("h1"), col("x").as("x1"))
+        .join(cells.select(col("event_type"),
+          col("hr").as("h2"), col("x").as("x2")), Seq("event_type"))
+        .where(col("h2") > col("h1"))
+      val pstats = pairs.groupBy("event_type").agg(
+        sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"),
+        expr("percentile((x2 - x1) / (h2 - h1), 0.5)").as("sen_raw"))
+      val ties = cells.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(sum(col("c") * (col("c") - 1) * (lit(2L) * col("c") + 5))
+          .as("tie_term"))
+      val nh = cells.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val varS = (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+        - col("tie_term")).cast("double") / lit(18.0)
+      val z = when(varS > 0,
+        when(col("s_stat") > 0,
+          (col("s_stat") - lit(1L)).cast("double") / sqrt(varS))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + lit(1L)).cast("double") / sqrt(varS))
+          .otherwise(lit(0.0)))
+      nh.join(broadcast(pstats), "event_type")
+        .join(broadcast(ties), "event_type")
+        .select(col("event_type"), col("n").as("n_hours"),
+          col("s_stat"), round(z, 6).as("z"),
+          (abs(round(z, 6)) > 1.96).as("trend"),
+          round(col("sen_raw"), 6).as("sen_slope"))
+        .orderBy("event_type")
+    }),
     "a18_mode" -> ((s, dir) => {
       // exact per-group MODE with a deterministic tie-break (largest
       // count, then smallest hour) — the categorical profiling statistic
@@ -3471,6 +3527,50 @@ object SparkEntry {
           |      FROM cells)
           |SELECT event_type, hod AS mode_hod, CAST(n AS BIGINT) AS n
           |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+      "w14_mann_kendall" -> // identical exact S / tie term / n, one
+        // closed-form z, quantile_cont over the identical slope multiset
+        """WITH cells AS (
+          |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+          |         count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |p AS (
+          |  SELECT a.event_type,
+          |         CAST(sum(CASE WHEN b.x > a.x THEN 1
+          |                       WHEN b.x < a.x THEN -1
+          |                       ELSE 0 END) AS BIGINT) AS s_stat,
+          |         quantile_cont((b.x - a.x) / (b.hr - a.hr), 0.5)
+          |           AS sen_raw
+          |  FROM cells a JOIN cells b
+          |    ON b.event_type = a.event_type AND b.hr > a.hr
+          |  GROUP BY 1),
+          |t AS (
+          |  SELECT event_type,
+          |         CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT)
+          |           AS tie_term
+          |  FROM (SELECT event_type, x, count(*) AS c
+          |        FROM cells GROUP BY 1, 2)
+          |  GROUP BY 1),
+          |n AS (SELECT event_type, count(*) AS n FROM cells GROUP BY 1),
+          |j AS (
+          |  SELECT n.event_type, n.n, p.s_stat, p.sen_raw,
+          |         CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term
+          |              AS DOUBLE) / 18.0 AS var_s
+          |  FROM n JOIN p USING (event_type) JOIN t USING (event_type)),
+          |z AS (
+          |  SELECT event_type, n, s_stat, sen_raw,
+          |         CASE WHEN var_s > 0 THEN
+          |           CASE WHEN s_stat > 0
+          |                THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+          |                WHEN s_stat < 0
+          |                THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+          |                ELSE 0.0 END
+          |         END AS zv
+          |  FROM j)
+          |SELECT event_type, n AS n_hours, s_stat,
+          |       round(zv, 6) AS z,
+          |       abs(round(zv, 6)) > 1.96 AS trend,
+          |       round(sen_raw, 6) AS sen_slope
+          |FROM z ORDER BY event_type""".stripMargin,
       "a19_moments" -> // identical HUGEINT power sums, closed forms on
         // identical doubles, same zero-variance guards
         """WITH g AS (

@@ -1226,6 +1226,19 @@ class PlanAuditSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("w14: the MK pair relation is a type-keyed equi-join over the " +
+      "bounded hourly cells — no cartesian, no window at all") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("w14_mann_kendall")(spark, dir)
+      .queryExecution.executedPlan
+    assert(deepCollect(exec) { case w: WindowExec => w }.isEmpty,
+      "MK is aggregate-only: sign folds + exact percentile")
+    val p = plan("w14_mann_kendall")
+    assert(!p.contains("CartesianProduct"),
+      s"hour pairs must come from the event_type equi-join:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("t44: RAKE windows partition by document (never global); the " +
       "word-stats join is token-keyed, the head is TakeOrdered") {
     import org.apache.spark.sql.execution.window.WindowExec
