@@ -1245,11 +1245,16 @@ object SparkEntry {
       // order / more orders / more spend. Scale: one orders shuffle to
       // the per-customer relation, three rank passes over CUSTOMERS
       // (not orders), one bounded aggregate out.
+      // cents accumulate in DECIMAL(38,0) (the fe13/fe15/a19 exact-sum
+      // discipline — a plain BIGINT sum would wrap silently at extreme
+      // row counts); cast back to long only after each sum, mirroring
+      // the twin's HUGEINT-then-BIGINT
       val perCust = Tables(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_dt"),
           count(lit(1)).as("freq"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          sum(round(col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("long").as("cents"))
       val r = Ranks.withGlobalNtile(perCust,
         Seq(col("last_dt"), col("o_custkey")), 5, "r_score")
       val rf = Ranks.withGlobalNtile(r,
@@ -1258,7 +1263,8 @@ object SparkEntry {
         Seq(col("cents"), col("o_custkey")), 5, "m_score")
       rfm.groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("cents")).as("total_cents"))
+          sum(col("cents").cast("decimal(38,0)")).cast("long")
+            .as("total_cents"))
         .orderBy("r_score", "f_score", "m_score")
     }),
     "e14_survival" -> ((s, dir) => {
@@ -2471,6 +2477,15 @@ object SparkEntry {
       Dedup.pretrainCorpus(docs, docs.where(col("doc_id") % 100 === 0),
         minQuality = 0.5).orderBy("doc_id")
     }),
+    "pipe5_corpus_prep" -> ((s, dir) => {
+      // the corpus-PREP showcase: quality filter -> near-dup KEEP-BEST ->
+      // benchmark decontamination -> sequence packing, one composed plan
+      // (each stage keeps its standalone oracle; this checks the chain
+      // and that the pack layout is computed over exactly the survivors)
+      val docs = Tables(s, dir, "documents")
+      Dedup.corpusPrep(docs, docs.where(col("doc_id") % 100 === 0))
+        .orderBy("doc_id")
+    }),
     "dedup_editdist" -> ((s, dir) => // length-banded bounded edit distance
       Dedup.editDistancePairs(Tables(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
@@ -3457,7 +3472,7 @@ object SparkEntry {
         """WITH pc AS (
           |  SELECT o_custkey, max(o_orderdate) AS last_dt,
           |         count(*) AS freq,
-          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
           |              AS BIGINT) AS cents
           |  FROM orders GROUP BY 1),
           |sc AS (
@@ -4008,6 +4023,9 @@ object SparkEntry {
       "pipe1_clean_corpus" -> DedupSql.cleanCorpus(0.5),
       "pipe2_pretrain_corpus" -> DedupSql.pretrainCorpus("doc_id % 100 = 0", 0.5),
       "pipe3_export_corpus" -> SamplingSql.exportCorpus(64, 50, 8),
+      "pipe5_corpus_prep" -> DedupSql.corpusPrep("doc_id % 100 = 0",
+        minQuality = 0.5, threshold = 0.8, shingleN = 3, contamN = 5,
+        budget = 512),
       "mm1_meta" -> MultimodalSql.attachMeta,
       "mm2_frame_stats" -> MultimodalSql.frameStats,
       "mm3_decode_batch" -> MultimodalSql.decodeBatch,

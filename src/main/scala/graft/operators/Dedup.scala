@@ -847,6 +847,71 @@ object Dedup {
       .join(exactKeepers(kept).where(col("is_keeper")).select("doc_id"), "doc_id")
   }
 
+  /** The corpus-PREP showcase — every stage a pretraining data pipeline
+    * chains before tokenized text reaches a trainer, in ONE plan:
+    *
+    *   1. quality score + threshold (t2's score — ONE tokenize+score
+    *      scan of the raw corpus; `text`, `quality` and `n_tokens` ride
+    *      in a persisted relation every later stage reuses, so neither
+    *      the score nor the token count is ever recomputed);
+    *   2. near-dup KEEP-BEST over the survivors ([[nearDupClusters]] on
+    *      the filtered corpus + the [[keepBest]] argmax — each cluster
+    *      keeps its highest rounded-quality member, ties to the lower
+    *      doc_id);
+    *   3. benchmark decontamination of the keepers (the [[TextAnalysis
+    *      .contamination]] shape: benchmark shingles broadcast into a
+    *      semi-join — the corpus is never self-joined here);
+    *   4. sequence packing of the clean set ([[TextAnalysis
+    *      .packSequences]]' running-total rule over the stage-1 token
+    *      counts — no re-tokenize; the global window is the oracle-simple
+    *      face, a 100 TB run shards it per source like t8).
+    *
+    * Output per surviving doc: `(doc_id, quality, n_tokens, seq_id,
+    * seq_offset)` — the doc set IS the cleaned corpus and the pack
+    * columns are its training-sequence layout. Every stage keeps its
+    * standalone oracle-checked query (`t2`/`dedup_keep_best`/`t11`/
+    * `t7_pack`); this checks their composition end to end.
+    *
+    * Scale shape: one raw-corpus scan; cluster finding is the banded-LSH
+    * path (bucket joins, nothing quadratic); contamination's bench side
+    * is bounded and broadcasts; the only corpus-wide exchanges carry
+    * `(doc_id, fingerprint/score)`-narrow rows. */
+  def corpusPrep(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minQuality: Double = 0.5,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      contamN: Int = 5,
+      budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qualityScore(docs, keep = Seq("text"))
+      .where(col("quality") >= minQuality)
+      .select(col("doc_id"), col("text"), col("quality"), col("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cl = nearDupClusters(scored, threshold, shingleN)
+    val wBest = Window.partitionBy("cluster_rep")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val keepers = scored.join(cl, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("text"), col("quality"), col("n_tokens"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_rep"))
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select("doc_id", "text", "quality", "n_tokens")
+    val clean = keepers
+      .join(TextAnalysis.contamination(keepers, benchmark, contamN), "doc_id")
+      .where(!col("contaminated"))
+    val wPack = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clean
+      .select(col("doc_id"), col("quality"),
+        col("n_tokens").cast("bigint").as("n_tokens"))
+      .withColumn("cum_after", sum("n_tokens").over(wPack))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        floor((col("cum_after") - col("n_tokens")) / budget).as("seq_id"),
+        ((col("cum_after") - col("n_tokens")) % budget).as("seq_offset"))
+  }
+
   /** Near-dup pairs via 64-bit SimHash: `(doc_a, doc_b, hamming)` with
     * Hamming distance ≤ `maxHamming`. Blocking: the 64-bit signature is
     * cut into `maxHamming + 1` bands — by pigeonhole any pair within the
@@ -1380,6 +1445,67 @@ object DedupSql {
        |SELECT doc_id, lang_pred, quality, n_tokens FROM (
        |  SELECT *, min(doc_id) OVER (PARTITION BY nrm) AS keeper FROM kept)
        |WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[Dedup.corpusPrep]]: the per-stage twins composed in the
+    * identical order — quality threshold over [[TextAnalysisSql
+    * .qualityScore]], the [[nearDupClusters]] recursive closure restricted
+    * to the quality survivors, the [[keepBest]] argmax, the
+    * [[TextAnalysisSql.contamination]] shingle-intersection screen, and
+    * [[TextAnalysisSql.packSequences]]' running-total rule over the
+    * clean set. All non-recursive CTEs MATERIALIZED (the nearDupClusters
+    * lesson: an inlined Jaccard re-evaluates per recursion step). */
+  def corpusPrep(benchPredSql: String, minQuality: Double,
+      threshold: Double, shingleN: Int, contamN: Int, budget: Int): String =
+    s"""WITH RECURSIVE
+       |q AS MATERIALIZED (${TextAnalysisSql.qualityScore}),
+       |kept0 AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text, q.quality, q.n_tokens
+       |  FROM documents d JOIN q USING (doc_id)
+       |  WHERE q.quality >= $minQuality),
+       |sets AS MATERIALIZED (
+       |  SELECT doc_id, ${shinglesSql(shingleN)} AS sh
+       |  FROM kept0 WHERE len($toks) > 0),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v),
+       |cl AS MATERIALIZED (
+       |  SELECT v AS doc_id, min(l) AS cluster FROM reach GROUP BY v),
+       |keepers AS MATERIALIZED (
+       |  SELECT doc_id, text, quality, n_tokens FROM (
+       |    SELECT k.doc_id, k.text, k.quality, k.n_tokens,
+       |           row_number() OVER (
+       |             PARTITION BY coalesce(cl.cluster, k.doc_id)
+       |             ORDER BY k.quality DESC, k.doc_id) AS rn
+       |    FROM kept0 k LEFT JOIN cl USING (doc_id))
+       |  WHERE rn = 1),
+       |bench AS MATERIALIZED (
+       |  SELECT list_distinct(flatten(list(${shinglesSql(contamN)}))) AS bsh
+       |  FROM documents WHERE ($benchPredSql) AND len($toks) > 0),
+       |clean AS MATERIALIZED (
+       |  SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens
+       |  FROM keepers, bench
+       |  WHERE coalesce(len(list_intersect(${shinglesSql(contamN)}, bsh)), 0)
+       |          = 0)
+       |SELECT doc_id, quality, n_tokens,
+       |       CAST(floor((cum_after - n_tokens) / $budget) AS BIGINT)
+       |         AS seq_id,
+       |       CAST((cum_after - n_tokens) % $budget AS BIGINT) AS seq_offset
+       |FROM (
+       |  SELECT doc_id, quality, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS cum_after
+       |  FROM clean)
+       |ORDER BY doc_id""".stripMargin
 
   /** Twin of [[Dedup.sortedNeighborhoodPairs]]: identical sort key
     * (keyLen-char prefix of the normalized text), identical window

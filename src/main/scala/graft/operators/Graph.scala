@@ -603,7 +603,7 @@ object Graph {
     * semantics [[labelPropagation]]'s fixed 4 rounds deliberately stop
     * short of (gr9 is the bounded-budget community face; THIS is the
     * partition of the graph every dedup/leakage pass needs exact).
-    * Labels are component minima; output `(node, component)`.
+    * Labels are component minima; output `(node, component, converged)`.
     *
     * Each round composes one neighbor-min fold with one POINTER JUMP
     * (`label ← label(label)` — sound because labels only decrease and
@@ -656,7 +656,15 @@ object Graph {
       converged = changed == 0L
     }
     Seq(und, sym).foreach(_.unpersist(false))
-    labels.select(col("node"), col("label").as("component"))
+    // converged is structurally true here — the loop above exits only
+    // when a round changes zero labels. The column exists so the SQL
+    // twin's FIXED unroll carries the same flag derived from its own
+    // last two rounds: a diameter > 2^rounds graph flips the twin's
+    // flag to false and the cross-engine mismatch names its cause
+    // instead of presenting as an inscrutable label diff (the kCore
+    // convention).
+    labels.select(col("node"), col("label").as("component"),
+        lit(true).as("converged"))
       .orderBy("node")
   }
 
@@ -1091,7 +1099,11 @@ object GraphSql {
        |  UNION ALL SELECT b AS u, a AS v FROM und),
        |cc0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),
        |$steps
-       |SELECT node, label AS component FROM cc$rounds ORDER BY node""".stripMargin
+       |SELECT node, label AS component,
+       |       ((SELECT count(*) FROM cc$rounds a
+       |         JOIN cc${rounds - 1} b ON b.node = a.node
+       |         WHERE b.label != a.label) = 0) AS converged
+       |FROM cc$rounds ORDER BY node""".stripMargin
   }
 
   /** Twin of [[Graph.kCore]]: the identical peel rounds unrolled, with

@@ -362,6 +362,26 @@ class PlanAuditSpec extends SparkSuite {
       s"model kernel appears $nScore times - survivor cache lost?")
   }
 
+  test("pipe5: corpus-prep composition — scored pass cached and shared, " +
+      "bench side broadcast, never a per-pair corpus plan") {
+    val p = plan("pipe5_corpus_prep")
+    // stage 1's tokenize+score relation is persisted: keep-best,
+    // decontamination and packing all read the cache, not the parquet
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"the one tokenize+score pass must be cached and shared:\n$p")
+    // the contamination stage's benchmark shingles broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"no per-pair corpus plan in the composition:\n$p")
+    // the final plan re-reads raw documents parquet only for the bounded
+    // benchmark branch — the corpus side comes from the cache
+    val rawScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(rawScans <= 2, s"corpus must not be re-scanned per stage ($rawScans):\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("t16: model scoring is one projection — no explode, no join, no agg") {
     val p = plan("t16_hashed_lr")
     assert(p.contains("hashed_lr_score"), p)

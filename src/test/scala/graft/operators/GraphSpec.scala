@@ -289,7 +289,8 @@ class GraphSpec extends SparkSuite {
       (2 * hour + 2, 7L, 21L), (2 * hour + 3, 8L, 23L))
       .map { case (ts, id, u) => (ts, id, u, "c", 1.0, "{}") }
       .toDF("ts", "event_id", "user_id", "event_type", "value", "props")
-    val r = Graph.connectedComponents(ev).as[(Long, Long)].collect().toMap
+    val r = Graph.connectedComponents(ev).select("node", "component")
+      .as[(Long, Long)].collect().toMap
     assert(r === Map(5L -> 5L, 6L -> 5L, 7L -> 5L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
@@ -302,10 +303,11 @@ class GraphSpec extends SparkSuite {
     // descending ids make min-propagation work against the chain
     // direction: the worst case for a plain neighbor fold
     val r = Graph.connectedComponents(eventsOf((1L to 33L).reverse))
-      .as[(Long, Long)].collect()
+      .as[(Long, Long, Boolean)].collect()
     assert(r.length === 33)
     assert(r.forall(_._2 === 1L),
       s"all nodes must reach component 1: ${r.filter(_._2 != 1L).toSeq}")
+    assert(r.forall(_._3), "fixpoint loop must emit converged = true")
     spark.catalog.clearCache()
   }
 
@@ -316,7 +318,7 @@ class GraphSpec extends SparkSuite {
     val ev = eventsOf((1L to 12L).reverse)
     val lp = Graph.labelPropagation(ev, iters = 2)
       .as[(Long, Long)].collect().toMap
-    val cc = Graph.connectedComponents(ev)
+    val cc = Graph.connectedComponents(ev).select("node", "component")
       .as[(Long, Long)].collect().toMap
     assert(lp.values.toSet.size > 1, "bounded rounds must NOT close a 12-chain at iters=2")
     assert(cc.values.toSet === Set(1L))

@@ -184,6 +184,34 @@ class TextDedupSpec extends SparkSuite {
     assert(r(5L)._4 === true && r(5L)._2 === 5L, "singleton keeps itself")
   }
 
+  test("corpusPrep: quality gate, keep-best dedup, decontamination and " +
+      "packing compose end to end") {
+    // one planted drop per stage: doc 7 fails the quality gate; doc 1
+    // loses the near-dup argmax to doc 2 (keepBest's fixture); doc 9
+    // shares the benchmark 5-gram b1..b5; docs 5/11 are clean singletons
+    val dup = baseWords.take(57)
+    val d = docs(
+      (1L, (dup ++ Seq("pad", "pad", "pad")).mkString(" ")),
+      (2L, (dup ++ Seq("the", "fresh", "words")).mkString(" ")),
+      (5L, (1 to 60).map(i => s"z$i").mkString(" ")),
+      (7L, "spam spam spam"),
+      (9L, ((1 to 27).map(i => s"y$i") ++ Seq("b1", "b2", "b3", "b4", "b5")
+        ++ (28 to 55).map(i => s"y$i")).mkString(" ")),
+      (11L, (1 to 60).map(i => s"u$i").mkString(" ")))
+    val bench = docs((100L, "b1 b2 b3 b4 b5"))
+    val r = Dedup.corpusPrep(d, bench, budget = 64)
+      .orderBy("doc_id")
+      .as[(Long, Double, Long, Long, Long)].collect()
+    assert(r.map(_._1).toSeq === Seq(2L, 5L, 11L),
+      s"stage drops: 7 (quality), 1 (keep-best), 9 (contamination): ${r.toSeq}")
+    assert(r.forall(_._3 === 60L), s"all survivors are 60-token docs: ${r.toSeq}")
+    // pack layout over survivors in doc_id order at budget 64: doc 2 at
+    // (0, 0); doc 5 at cum 60 -> (0, 60), straddling the boundary;
+    // doc 11 at cum 120 -> (1, 56)
+    assert(r.map(x => (x._4, x._5)).toSeq === Seq((0L, 0L), (0L, 60L), (1L, 56L)))
+    spark.catalog.clearCache()
+  }
+
   test("minhashLshPairs: jaccard values are exact int ratios") {
     val d = docs(
       (1L, baseWords.mkString(" ")),
