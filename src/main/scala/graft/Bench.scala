@@ -78,6 +78,22 @@ import org.apache.spark.sql.SparkSession
   *    and the re-measure itself runs last in the session so it can
   *    carry end-of-suite drag); `light_passes` discloses whether it
   *    ran.
+  *  - PROTOCOL FROZEN (r13, VERDICT r12 ask #1). The measurement channel
+  *    is FINAL as configured in r12: gc-off hygiene, ONE timed run per
+  *    query per draw, cross-draw MEDIAN for the heavy set
+  *    (> SPARK_GRAFT_LIGHT_THRESH, default 2.0s), MIN-of-2 when the
+  *    light tail's single re-measure gives a query exactly two samples,
+  *    streaming-last deterministic order, 3-draw / 1800s-budget
+  *    admission. Three consecutive estimator changes (r10 min-of-3 →
+  *    r11 cross-draw median → r12 gc-off + light min-of-2) made no two
+  *    consecutive officials directly comparable; from r13 on the
+  *    estimator does not change, so round-over-round per-query deltas
+  *    are clean. Telemetry MAY still be added outside the timed region —
+  *    r13 adds per-query shuffle/spill/input/output BYTE totals to the
+  *    detail artifact (VERDICT r12 ask #3: time ratios prove local CPU
+  *    shape; exchange bytes are the cluster-network half local[32]
+  *    can't time). Captured after each run from the [[StageTracer]],
+  *    after the clock stops — the estimator is untouched.
   */
 object Bench {
   private val warmupDir = "/root/testdata/sf0.001"
@@ -151,7 +167,13 @@ object Bench {
     // restores the old protocol for A/B.
     if (sys.env.get("SPARK_GRAFT_BENCH_GC").exists(_.equalsIgnoreCase("on")))
       System.gc()
-    tracer.foreach(_.clear()) // fresh stage window for the timed region
+    // drain in-flight listener events from the PREVIOUS query before
+    // clearing, so its late stage-completions can't leak into this
+    // query's byte/trace window (untimed — the clock hasn't started)
+    tracer.foreach { t =>
+      org.apache.spark.GraftBus.drain(spark.sparkContext, 2000)
+      t.clear() // fresh stage window for the timed region
+    }
     val t0 = System.nanoTime()
     val ok =
       try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
@@ -256,7 +278,8 @@ object Bench {
     // move the total) and draw 2 admits with ~200s margin.
     val lightThresh =
       sys.env.getOrElse("SPARK_GRAFT_LIGHT_THRESH", "2.0").toDouble
-    case class QDraw(sec: Double, ok: Boolean, runs: Seq[Double], wall: Double)
+    case class QDraw(sec: Double, ok: Boolean, runs: Seq[Double],
+        wall: Double, bytes: Option[StageTracer.Bytes] = None)
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     // draw = one pass over the non-skipped suite, ONE timed run per query
@@ -289,6 +312,10 @@ object Bench {
         else {
           val w0 = System.nanoTime()
           val (sec, ok) = runOne(spark, name, fn, sfDir, Some(tracer))
+          // per-query byte totals (r13, ask #3): clock already stopped;
+          // drain so the final stage completions are counted
+          org.apache.spark.GraftBus.drain(spark.sparkContext, 2000)
+          val bytes = if (ok) Some(tracer.byteTotals) else None
           val wall = (System.nanoTime() - w0) / 1e9
           if (shouldTrace(name, sec, ok)) {
             tracesLeft -= 1
@@ -302,7 +329,7 @@ object Bench {
               f"$sec%.2fs vs baseline ${baseline.getOrElse(name, -1.0)}%.2fs" +
               " - stage metrics captured")
           }
-          Some(name -> QDraw(sec, ok, Seq(sec), wall))
+          Some(name -> QDraw(sec, ok, Seq(sec), wall, bytes))
         }
       }.toMap
     var skip = Set.empty[String]
@@ -402,7 +429,17 @@ object Bench {
       val traceJson = traces.get(k)
         .map(es => s""","slow_trace":${es.mkString("[", ",", "]")}""")
         .getOrElse("")
-      s""""$k":{"sec":$t,"ok":$ok,"draws":$perDraw,"runs":$runsJson$traceJson}"""
+      // shuffle-byte accounting (r13): bytes are plan-determined, so the
+      // most recent measuring draw's totals stand for the query
+      val bytesJson = per.reverseIterator.flatMap(_.bytes).nextOption()
+        .map { b =>
+          def f1(d: Double) = f"$d%.1f".replace(",", ".")
+          s""","shufReadMB":${f1(b.shuffleReadMB)}""" +
+          s""","shufWriteMB":${f1(b.shuffleWriteMB)}""" +
+          s""","spillMB":${f1(b.spillMB)},"inputMB":${f1(b.inputMB)}""" +
+          s""","outputMB":${f1(b.outputMB)}"""
+        }.getOrElse("")
+      s""""$k":{"sec":$t,"ok":$ok,"draws":$perDraw,"runs":$runsJson$bytesJson$traceJson}"""
     }.mkString("{", ",", "}")
     val target = detailPath(total, drawTotals, force)
     if (target != "BENCH_DETAIL.json")

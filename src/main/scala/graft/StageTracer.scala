@@ -25,6 +25,12 @@ import scala.collection.mutable
   * All state is synchronized: listener events arrive on the bus thread
   * while clear()/snapshot run on the main thread.
   */
+object StageTracer {
+  /** Byte totals across one query's stages (MB). */
+  final case class Bytes(shuffleReadMB: Double, shuffleWriteMB: Double,
+      spillMB: Double, inputMB: Double, outputMB: Double)
+}
+
 final class StageTracer extends SparkListener {
 
   private final case class StageRec(
@@ -71,6 +77,20 @@ final class StageTracer extends SparkListener {
 
   /** Forget everything seen so far — called untimed before each query. */
   def clear(): Unit = synchronized { stages.clear(); taskDur.clear() }
+
+  /** Per-query BYTE totals since the last clear() — the shuffle-byte
+    * accounting of the 100 TB argument (VERDICT r12 ask #3): local
+    * wall-clock ratios prove CPU shape, but bytes-on-exchange is the
+    * cluster-network half local[32] cannot time. Summed over every stage
+    * of the query's timed region; drain the listener bus before reading. */
+  def byteTotals: StageTracer.Bytes = synchronized {
+    StageTracer.Bytes(
+      shuffleReadMB = stages.map(_.shuffleReadMB).sum,
+      shuffleWriteMB = stages.map(_.shuffleWriteMB).sum,
+      spillMB = stages.map(_.spillMB).sum,
+      inputMB = stages.map(_.inputMB).sum,
+      outputMB = stages.map(_.outputMB).sum)
+  }
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
