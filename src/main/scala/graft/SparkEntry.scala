@@ -1454,6 +1454,33 @@ object SparkEntry {
             .as("ex_kurtosis"))
         .orderBy("priority")
     }),
+    "a20_iqr_outliers" -> ((s, dir) => {
+      // Tukey-fence outlier audit per event type — the robust anomaly
+      // count a monitoring profile quotes next to a12's mean/stddev
+      // (z-scores assume normality; the IQR fence doesn't): Q1/Q3 via
+      // the EXACT percentile (the a6-proven percentile ⇔ quantile_cont
+      // parity), fences Q1 − 1.5·IQR / Q3 + 1.5·IQR rounded 6dp BEFORE
+      // the comparison (rounded-before-thresholded), outliers counted
+      // against the rounded fences. Scale: one bounded per-type
+      // aggregate (|type| rows broadcast back), one counting pass.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val q = ev.groupBy("event_type").agg(
+          expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .select(col("event_type"),
+          round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 6).as("lo"),
+          round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 6).as("hi"))
+      ev.join(broadcast(q), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          min(col("lo")).as("lo_fence"), min(col("hi")).as("hi_fence"))
+        .withColumn("outlier_frac",
+          round(col("n_outliers").cast("double") / col("n"), 6))
+        .orderBy("event_type")
+    }),
     "e4_funnel" -> ((s, dir) => {
       // strict sequential funnel view -> click -> purchase per user:
       // each stage's first qualifying event must be STRICTLY after the
@@ -2259,6 +2286,14 @@ object SparkEntry {
     "t43_js_domains" -> ((s, dir) => // pairwise Jensen-Shannon between
       // the sources' unigram distributions (absent-mass folded exactly)
       TextAnalysis.jsDivergence(Tables(s, dir, "documents"))),
+    "t45_readability" -> ((s, dir) => // Flesch reading-ease profile:
+      // cross-engine-exact counting rules, one narrow projection
+      TextAnalysis.readability(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+    "t46_code_detect" -> ((s, dir) => // code-vs-prose structural screen:
+      // symbol + indent densities, rounded-before-thresholded verdict
+      TextAnalysis.codeDetect(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
     "t44_rake" -> ((s, dir) => // RAKE keyphrase mining: stopword-run
       // segmentation, deg/freq word scores, tie-broken top-k head
       TextAnalysis.rake(Tables(s, dir, "documents"))),
@@ -2286,6 +2321,10 @@ object SparkEntry {
     "fe17_partial_corr" -> ((s, dir) => // confounder screen: residual
       // association per pair once the third feature is partialled out
       FeatureEng.partialCorr(Tables(s, dir, "lineitem"))),
+    "fe18_spearman" -> ((s, dir) => // monotone-association screen:
+      // exact average-tie ranks via the distributed global rank,
+      // Pearson closed form on the DECIMAL(38,0) rank power sums
+      FeatureEng.spearman(Tables(s, dir, "lineitem"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -3586,6 +3625,27 @@ object SparkEntry {
           |       abs(round(zv, 6)) > 1.96 AS trend,
           |       round(sen_raw, 6) AS sen_slope
           |FROM z ORDER BY event_type""".stripMargin,
+      "a20_iqr_outliers" -> // identical exact quantiles (a6 parity),
+        // identical fence arithmetic rounded before the comparison
+        """WITH q AS (
+          |  SELECT event_type,
+          |         quantile_cont(value, 0.25) AS q1,
+          |         quantile_cont(value, 0.75) AS q3
+          |  FROM events GROUP BY 1),
+          |f AS (
+          |  SELECT event_type,
+          |         round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+          |         round(q3 + 1.5 * (q3 - q1), 6) AS hi
+          |  FROM q)
+          |SELECT e.event_type, count(*) AS n,
+          |       CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |       min(f.lo) AS lo_fence, min(f.hi) AS hi_fence,
+          |       round(CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+          |                          THEN 1 ELSE 0 END) AS DOUBLE)
+          |             / count(*), 6) AS outlier_frac
+          |FROM events e JOIN f USING (event_type)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "a19_moments" -> // identical HUGEINT power sums, closed forms on
         // identical doubles, same zero-variance guards
         """WITH g AS (
@@ -3997,12 +4057,15 @@ object SparkEntry {
       "t42_ngram_novelty" -> DedupSql.ngramNovelty(3),
       "t43_js_domains" -> TextAnalysisSql.jsDivergence,
       "t44_rake" -> TextAnalysisSql.rake(),
+      "t45_readability" -> TextAnalysisSql.readability,
+      "t46_code_detect" -> TextAnalysisSql.codeDetect(),
       "fe11_cramers_v" -> FeatureEngSql.cramersV,
       "fe13_vif" -> FeatureEngSql.vif,
       "fe14_pca2" -> FeatureEngSql.pca2,
       "fe15_gini" -> FeatureEngSql.gini,
       "fe16_anova" -> FeatureEngSql.anova,
       "fe17_partial_corr" -> FeatureEngSql.partialCorr,
+      "fe18_spearman" -> FeatureEngSql.spearman,
       "fe12_woe_ntile" -> FeatureEngSql.woeIvNtile(),
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),

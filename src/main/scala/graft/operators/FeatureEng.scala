@@ -835,6 +835,58 @@ object FeatureEng {
           / (nD * sD), 6).as("gini"),
         round(col("top").cast("double") / sD, 6).as("top_decile_share"))
   }
+
+  /** Spearman rank correlation between quantity and line revenue — the
+    * monotone-association screen feature pipelines run where Pearson
+    * (fe9) assumes linearity: rank the two columns, Pearson the ranks.
+    * Ties use the standard AVERAGE-rank convention made integer-exact:
+    * with `m` the tie group's minimum unique rank (over the full
+    * tie-broken order) and `c` its size, the DOUBLED average rank
+    * `2m + c − 1` is an integer — identical to DuckDB's
+    * `2·rank() + count(*) OVER (PARTITION BY v) − 1` because `rank()`
+    * is the min rank by definition. The rho closed form then runs ONCE
+    * on the exact DECIMAL(38,0) power sums' doubles, the same operation
+    * order both engines (the fe13/fe14 discipline); `Σ d·d ≤ 4n³` keeps
+    * the sums exact past 10¹² rows.
+    *
+    * Scale shape: two [[Ranks.withGlobalRank]] passes (range exchange +
+    * broadcast offsets — never a single-partition window), one BOUNDED
+    * group (quantity's ~50 distinct values, broadcast back) and one
+    * value-keyed group+join for the near-unique price, one aggregate
+    * row out. */
+  def spearman(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      round(col("l_quantity")).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val (r1, _) = Ranks.withGlobalRank(base,
+      Seq(col("x"), col("l_orderkey"), col("l_linenumber")), "rx")
+    val (r2, _) = Ranks.withGlobalRank(r1,
+      Seq(col("y"), col("l_orderkey"), col("l_linenumber")), "ry")
+    val gx = r2.groupBy("x")
+      .agg(min("rx").as("mx"), count(lit(1)).as("cx"))
+    val gy = r2.groupBy("y")
+      .agg(min("ry").as("my"), count(lit(1)).as("cy"))
+    val d = r2.join(broadcast(gx), "x").join(gy, "y")
+      .select((lit(2L) * col("mx") + col("cx") - 1L).as("dx"),
+        (lit(2L) * col("my") + col("cy") - 1L).as("dy"))
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      sum(col("dx").cast("decimal(38,0)")).as("sx"),
+      sum(col("dy").cast("decimal(38,0)")).as("sy"),
+      sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
+      sum(col("dy").cast("decimal(38,0)") * col("dy")).as("syy"),
+      sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"))
+    val nD = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, syy, sxy) =
+      (col("sxx").cast("double"), col("syy").cast("double"),
+        col("sxy").cast("double"))
+    val vx = nD * sxx - sx * sx
+    val vy = nD * syy - sy * sy
+    agg.select(col("n").as("n_rows"),
+      round(when(vx > 0 && vy > 0,
+        (nD * sxy - sx * sy) / sqrt(vx * vy)), 6).as("rho"))
+  }
 }
 
 /** DuckDB twins — identical arithmetic, identical rounding, identical
@@ -1438,4 +1490,36 @@ object FeatureEngSql {
       |             / CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE), 6)
       |         AS top_decile_share
       |FROM r""".stripMargin
+
+  /** Twin of [[FeatureEng.spearman]]: DuckDB's own `rank()` IS the tie
+    * group's min rank, so `2·rank() + count(*) OVER (PARTITION BY v) − 1`
+    * is the identical integer doubled-average-rank; HUGEINT power sums,
+    * the identical closed form on their doubles, identical guards. */
+  val spearman: String =
+    s"""WITH base AS (
+       |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT 2 * (rank() OVER (ORDER BY x))
+       |           + (count(*) OVER (PARTITION BY x)) - 1 AS dx,
+       |         2 * (rank() OVER (ORDER BY y))
+       |           + (count(*) OVER (PARTITION BY y)) - 1 AS dy
+       |  FROM base),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(dx AS HUGEINT)) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(dy AS HUGEINT)) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(dx AS HUGEINT) * dx) AS DOUBLE) AS sxx,
+       |         CAST(sum(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS syy,
+       |         CAST(sum(CAST(dx AS HUGEINT) * dy) AS DOUBLE) AS sxy
+       |  FROM r)
+       |SELECT n AS n_rows,
+       |       round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+       |                   AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+       |                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+       |                       / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+       |                              * (CAST(n AS DOUBLE) * syy - sy * sy))
+       |             END, 6) AS rho
+       |FROM s""".stripMargin
 }

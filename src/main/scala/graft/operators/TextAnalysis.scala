@@ -340,6 +340,59 @@ object TextAnalysis {
       length(redacted).as("redacted_len"))
   }
 
+  /** Flesch-style reading-ease score — the readability axis of corpus
+    * quality reporting (a pretraining mix quotes its reading-level
+    * distribution next to its quality and language mixes). Counting
+    * rules chosen for CROSS-ENGINE exactness, not linguistic perfection:
+    * words = the house tokenizer; sentences = maximal `[.!?]+` runs
+    * (floored at 1 so headline-like docs still score); syllables =
+    * maximal vowel runs `[aeiouy]+` of the lowercased text (the standard
+    * cheap heuristic). The score is the published Flesch formula
+    * `206.835 − 1.015·(words/sentence) − 84.6·(syllables/word)` computed
+    * in the same operation order on both engines over exact integer
+    * counts, rounded 6dp. One narrow projection — no shuffle, linear at
+    * any scale. */
+  def readability(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val words = size(t).cast("bigint")
+    val sents = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("bigint"))
+    val sylls = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+      .cast("bigint")
+    docs.where(size(t) > 0)
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          6))
+  }
+
+  /** Code-vs-prose detector — the cheap structural screen a pretraining
+    * mix runs before routing documents to code-specific filters: symbol
+    * density (`{}()[];=<>` per character) and indented-line density
+    * (newline followed by two spaces or a tab, per line). Both ratios
+    * are exact-integer divisions rounded 6dp, and the verdict compares
+    * the ROUNDED values (rounded-before-thresholded, the repo-wide
+    * convention) so an ulp cannot flip `is_code` in one engine only.
+    * One narrow projection, no shuffle. */
+  def codeDetect(docs: DataFrame, symThresh: Double = 0.02,
+      indentThresh: Double = 0.2): DataFrame = {
+    val nChars = length(col("text")).cast("bigint")
+    val nLines = size(split(col("text"), "\n", -1)).cast("bigint")
+    val nIndent = regexp_count(col("text"), lit("\\n(  |\\t)")).cast("bigint")
+    val nSym = regexp_count(col("text"), lit("[{}()\\[\\];=<>]"))
+      .cast("bigint")
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), nLines.as("n_lines"), nIndent.as("n_indent"),
+        nSym.as("n_sym"),
+        round(nSym.cast("double") / nChars, 6).as("sym_ratio"),
+        round(nIndent.cast("double") / nLines, 6).as("indent_ratio"))
+      .withColumn("is_code",
+        col("sym_ratio") >= symThresh || col("indent_ratio") >= indentThresh)
+  }
+
   /** Benchmark-contamination scan: documents sharing at least one word
     * `n`-gram with a benchmark corpus. The scale shape is an inverted
     * semi-join on exploded benchmark shingles (benchmark side is tiny and
@@ -1796,6 +1849,49 @@ object TextAnalysisSql {
     * the prefix-count window, identical quantized word scores (1e9
     * grid), phrase text re-assembled in position order, same tie-broken
     * top-k head. */
+  /** Twin of [[TextAnalysis.readability]]: identical counting regexes,
+    * identical operation order in the Flesch formula over exact ints. */
+  val readability: String =
+    s"""SELECT doc_id, n_words, n_sentences, n_syllables,
+       |       round(206.835
+       |             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+       |             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+       |             6) AS flesch
+       |FROM (
+       |  SELECT doc_id,
+       |         CAST(len($toks) AS BIGINT) AS n_words,
+       |         greatest(CAST(1 AS BIGINT),
+       |           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+       |           AS n_sentences,
+       |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |              AS BIGINT) AS n_syllables
+       |  FROM documents WHERE len($toks) > 0)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[TextAnalysis.codeDetect]]: identical symbol/indent
+    * regexes, identical rounded-before-thresholded verdict. */
+  def codeDetect(symThresh: Double = 0.02,
+      indentThresh: Double = 0.2): String =
+    s"""SELECT doc_id, n_lines, n_indent, n_sym, sym_ratio, indent_ratio,
+       |       (sym_ratio >= $symThresh OR indent_ratio >= $indentThresh)
+       |         AS is_code
+       |FROM (
+       |  SELECT doc_id, n_lines, n_indent, n_sym,
+       |         round(CAST(n_sym AS DOUBLE) / n_chars, 6) AS sym_ratio,
+       |         round(CAST(n_indent AS DOUBLE) / n_lines, 6)
+       |           AS indent_ratio
+       |  FROM (
+       |    SELECT doc_id,
+       |           CAST(length(text) AS BIGINT) AS n_chars,
+       |           CAST(len(string_split(text, chr(10))) AS BIGINT)
+       |             AS n_lines,
+       |           CAST(len(regexp_extract_all(text, '\\n(  |\\t)'))
+       |                AS BIGINT) AS n_indent,
+       |           CAST(len(regexp_extract_all(text, '[{}()\\[\\];=<>]'))
+       |                AS BIGINT) AS n_sym
+       |    FROM documents WHERE length(text) > 0))
+       |ORDER BY doc_id""".stripMargin
+
   def rake(topK: Int = 25): String = {
     val stops = TextAnalysis.stopAll.map(s => s"'$s'").mkString(", ")
     s"""WITH tok AS (

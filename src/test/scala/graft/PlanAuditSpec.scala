@@ -382,6 +382,23 @@ class PlanAuditSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("a20: the bounded fence relation broadcasts back onto the scan; " +
+      "no window, no sort-merge") {
+    val p = plan("a20_iqr_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), s"no window in the outlier count:\n$p")
+  }
+
+  test("t45/t46: the text screens are narrow projections — no join, " +
+      "no aggregate beyond the output sort") {
+    Seq("t45_readability", "t46_code_detect").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q must not aggregate:\n$p")
+    }
+  }
+
   test("t16: model scoring is one projection — no explode, no join, no agg") {
     val p = plan("t16_hashed_lr")
     assert(p.contains("hashed_lr_score"), p)

@@ -441,6 +441,36 @@ class FeatureEngSpec extends SparkSuite {
     assert(ra === rb)
   }
 
+  test("spearman: perfect monotone = 1, inverse = -1, constant = null") {
+    def li(rows: (Long, Double, Double)*) =
+      rows.map { case (k, q, p) => (k, 1L, q, p) }
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val up = FeatureEng.spearman(li(
+      (1L, 1.0, 0.10), (2L, 2.0, 0.20), (3L, 3.0, 0.90), (4L, 4.0, 5.0)))
+      .as[(Long, Option[Double])].collect().head
+    assert(up === ((4L, Some(1.0))))
+    val down = FeatureEng.spearman(li(
+      (1L, 1.0, 5.0), (2L, 2.0, 0.90), (3L, 3.0, 0.20), (4L, 4.0, 0.10)))
+      .as[(Long, Option[Double])].collect().head
+    assert(down === ((4L, Some(-1.0))))
+    val const = FeatureEng.spearman(li(
+      (1L, 7.0, 0.10), (2L, 7.0, 0.20), (3L, 7.0, 0.30)))
+      .as[(Long, Option[Double])].collect().head
+    assert(const === ((3L, None)), "zero rank variance must null rho")
+  }
+
+  test("spearman: average-rank tie convention, hand-computed") {
+    // x = [1,1,2] -> avg ranks [1.5, 1.5, 3] -> doubled [3,3,6];
+    // y = [10,20,30]c -> doubled ranks [2,4,6]. Pearson over them:
+    // num = 3*54 - 12*12 = 18; vx = 18, vy = 24 -> 18/sqrt(432)
+    val d = Seq((1L, 1L, 1.0, 0.10), (2L, 1L, 1.0, 0.20),
+      (3L, 1L, 2.0, 0.30))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val r = FeatureEng.spearman(d)
+      .as[(Long, Option[Double])].collect().head
+    assert(r === ((3L, Some(0.866025))))
+  }
+
   test("ksBinnedFace: hand-computed max CDF gap with tie-break") {
     val counts = Seq((0, 0, 3L), (0, 1, 1L), (1, 0, 1L), (1, 1, 3L))
       .toDF("cohort", "bin", "n")

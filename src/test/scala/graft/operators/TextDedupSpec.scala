@@ -426,6 +426,32 @@ class TextDedupSpec extends SparkSuite {
       orig.length - (8 - 5) - (15 - 5) - 2 * (8 - 5))
   }
 
+  test("readability: hand-computed Flesch on exact counting rules") {
+    val r = TextAnalysis.readability(docs(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "aaa bbb")))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    // doc 1: 6 words, 2 sentence runs, 6 vowel runs ->
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(r(1L) === ((6L, 2L, 6L, 119.19)))
+    // doc 2: no terminator -> sentences floored at 1; syllables: "aaa"
+    // is one vowel run, "bbb" has none -> 206.835 - 2.03 - 42.3
+    assert(r(2L) === ((2L, 1L, 1L, 162.505)))
+  }
+
+  test("codeDetect: symbol and indent densities flag code, spare prose") {
+    val code = "def f(x):\n  return x;\n  y = [1];"
+    val r = TextAnalysis.codeDetect(docs(
+      (1L, code), (2L, "just a plain sentence")))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4),
+          x.getDouble(5), x.getBoolean(6)))).toMap
+    // 3 lines, 2 indented continuations, 7 symbols over 32 chars
+    assert(r(1L) === ((3L, 2L, 7L, 0.21875, 0.666667, true)))
+    assert(r(2L) === ((1L, 0L, 0L, 0.0, 0.0, false)))
+  }
+
   test("contamination: flags docs sharing a 5-gram with the benchmark") {
     val leak = (1 to 10).map(i => s"b$i").mkString(" ")
     val d = docs(
