@@ -2525,6 +2525,10 @@ object SparkEntry {
       Dedup.corpusPrep(docs, docs.where(col("doc_id") % 100 === 0))
         .orderBy("doc_id")
     }),
+    "mm9_video_neardup" -> ((s, dir) => // frame-sampled perceptual-hash
+      // video dedup: per-frame aHash, stop-frame df cap, shared-hash
+      // pair join — the multimodal dedup composition
+      Multimodal.videoNearDup(Tables(s, dir, "documents"))),
     "dedup_editdist" -> ((s, dir) => // length-banded bounded edit distance
       Dedup.editDistancePairs(Tables(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
@@ -4321,6 +4325,7 @@ object SparkEntry {
       "mm6_quantize" -> SimilaritySql.quantizeInt8Stats,
       "mm7_ahash" -> MultimodalSql.aHash(),
       "mm8_phash" -> MultimodalSql.pHash,
+      "mm9_video_neardup" -> MultimodalSql.videoNearDup(),
       "gr1_degrees" -> GraphSql.degrees,
       "gr2_triangles" -> GraphSql.triangles,
       "gr3_pagerank" -> GraphSql.pagerank(),

@@ -245,6 +245,63 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Video near-duplicate detection — the multimodal dedup composition a
+    * video corpus pipeline runs: sample up to [[maxFrames]] COMPLETE
+    * 64-char frame windows (the [[frames]] stride rule restricted to
+    * full windows, over the decode-stub text), perceptual-hash each
+    * frame (the [[aHash]] rule per window), drop STOP FRAMES
+    * (hashes appearing in more than `maxDf` videos — the black-frame /
+    * intro-card removal every production video dedup ships; a
+    * deterministic SPEC rule mirrored exactly in the twin, not a recall
+    * optimization), then pair videos sharing ≥ `minShared` distinct
+    * frame hashes via the hash-keyed equi-join.
+    *
+    * Output `(vid_a, vid_b, n_shared)`. All arithmetic is exact integers
+    * (code-point pixels, integer mean threshold comparison on the same
+    * double division both engines), so the full composition is
+    * DuckDB-checkable.
+    *
+    * Scale posture: frames explode ≤ [[maxFrames]] per video (linear);
+    * the candidate join is hash-keyed with the stop-frame cap bounding
+    * bucket width at `maxDf` — pair expansion ≤ maxDf²/2 per bucket, a
+    * SPEC constant, never corpus-scaled; exchanges carry `(vid, hash)`
+    * only. */
+  def videoNearDup(docs: DataFrame, minShared: Int = 2,
+      maxDf: Int = 50): DataFrame = {
+    val vids = docs
+      .where(pmod(col("doc_id"), lit(3)) === 2 && length(col("text")) >= 64)
+      .select(col("doc_id").as("vid"), col("text"))
+    val framed = vids.select(col("vid"), col("text"),
+      explode(sequence(lit(0),
+        least(lit(maxFrames - 1),
+          (length(col("text")) / 64).cast("int") - 1))).as("f"))
+    val px = transform(sequence(lit(1), lit(63)),
+      i => ascii(col("text").substr(col("f") * 64 + i, lit(1))).cast("long"))
+    val mean = aggregate(col("px"), lit(0L), (a, x) => a + x)
+      .cast("double") / lit(63.0)
+    val hash = aggregate(
+      transform(col("px"), (x, i) =>
+        when(x.cast("double") > col("mean"),
+          call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+    val hashed = framed
+      .select(col("vid"), px.as("px"))
+      .select(col("vid"), col("px"), mean.as("mean"))
+      .select(col("vid"), hash.as("fhash"))
+      .distinct()
+    val dfCounts = hashed.groupBy("fhash").agg(count(lit(1)).as("df"))
+    val kept = hashed
+      .join(dfCounts.where(col("df") <= maxDf).select("fhash"), "fhash")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.vid") < col("b.vid"))
+      .groupBy(col("a.vid").as("vid_a"), col("b.vid").as("vid_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("vid_a", "vid_b")
+  }
+
   /** Deterministic fake feature vector (`dim` floats in [-1, 1]) from
     * frame-level murmur hashes — rows-only checked; connects the binary
     * pipeline to the [[Similarity]] operators. A real extractor replaces
@@ -363,6 +420,43 @@ object MultimodalSql {
        |         AS n_bucket
        |FROM h ORDER BY doc_id""".stripMargin
   }
+
+  /** Twin of [[Multimodal.videoNearDup]]: identical complete-frame rule,
+    * identical per-frame aHash arithmetic (`unicode()` ⇔ `ascii()`),
+    * identical stop-frame document-frequency cap and shared-hash pair
+    * join. */
+  def videoNearDup(minShared: Int = 2, maxDf: Int = 50): String =
+    s"""WITH vids AS (
+       |  SELECT doc_id AS vid, text FROM documents
+       |  WHERE doc_id % 3 = 2 AND length(text) >= 64),
+       |fr AS (
+       |  SELECT vid, text, CAST(r.f AS INT) AS f
+       |  FROM vids, unnest(range(0,
+       |    least(8, CAST(length(text) // 64 AS BIGINT)))) AS r(f)),
+       |px AS (
+       |  SELECT vid,
+       |         list_transform(range(1, 64),
+       |                        i -> unicode(substr(text, f * 64 + i, 1)))
+       |           AS px
+       |  FROM fr),
+       |m AS (
+       |  SELECT vid, px,
+       |         CAST(list_sum(px) AS DOUBLE) / CAST(63.0 AS DOUBLE) AS mean
+       |  FROM px),
+       |h AS (
+       |  SELECT DISTINCT vid,
+       |         CAST(list_sum(list_transform(range(0, 63),
+       |           i -> CASE WHEN CAST(px[i + 1] AS DOUBLE) > mean
+       |                     THEN (CAST(1 AS BIGINT) << i)
+       |                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fhash
+       |  FROM m),
+       |keepf AS (
+       |  SELECT fhash FROM h GROUP BY fhash HAVING count(*) <= $maxDf),
+       |k AS (SELECT vid, fhash FROM h JOIN keepf USING (fhash))
+       |SELECT a.vid AS vid_a, b.vid AS vid_b, count(*) AS n_shared
+       |FROM k a JOIN k b ON a.fhash = b.fhash AND a.vid < b.vid
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY vid_a, vid_b""".stripMargin
 
   /** Typed mapPartitions decode twin (same stub arithmetic; BIGINT casts
     * for the same HUGEINT reason as [[frameStats]]). */

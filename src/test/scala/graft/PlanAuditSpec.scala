@@ -399,6 +399,18 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("mm9: video candidates meet through the frame-hash equi-join — " +
+      "never a per-pair plan; exchanges carry (vid, hash), not text") {
+    val p = plan("mm9_video_neardup")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"video dedup must stay hash-blocked:\n$p")
+    val exchangesWithText = p.linesIterator.filter(_.contains("Exchange"))
+      .count(_.contains("text"))
+    assert(exchangesWithText === 0,
+      s"no exchange may carry the text column:\n$p")
+  }
+
   test("t16: model scoring is one projection — no explode, no join, no agg") {
     val p = plan("t16_hashed_lr")
     assert(p.contains("hashed_lr_score"), p)

@@ -132,4 +132,29 @@ class MultimodalSpec extends SparkSuite {
     assert(got === ((1L, expHash, expOnes, 1L)))
     assert(expHash !== 0L) // the fixture is non-degenerate
   }
+
+  test("videoNearDup: shared-frame pairs, threshold, stop-frame cap, " +
+      "modality filter") {
+    // frame block P(k): first k chars 'z', rest 'a' — 64 chars whose
+    // aHash has exactly the first k bits set (k strictly between 0 and
+    // 63 keeps the mean strictly between the two levels), so distinct k
+    // give distinct frame hashes
+    def P(k: Int) = "z" * k + "a" * (64 - k)
+    val d = Seq(
+      (2L, P(10) + P(20) + P(30)),  // video
+      (5L, P(10) + P(20) + P(40)),  // video: shares 2 frames with vid 2
+      (8L, P(30) + P(50)),          // video: shares only 1 with vid 2
+      (11L, P(50) + P(40) + P(10)), // video: shares 2 with vid 5
+      (3L, P(10) + P(20) + P(30)))  // doc 3 % 3 = 0 -> image: excluded
+      .toDF("doc_id", "text")
+    val got = Multimodal.videoNearDup(d, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 5L, 2L), (5L, 11L, 2L)))
+    // stop-frame cap: P(10) appears in 3 videos; at maxDf = 2 it drops,
+    // leaving every pair below the threshold
+    val capped = Multimodal.videoNearDup(d, minShared = 2, maxDf = 2)
+      .collect()
+    assert(capped.isEmpty,
+      s"stop-frame removal must break both pairs: ${capped.toSeq}")
+  }
 }
