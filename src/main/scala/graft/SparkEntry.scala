@@ -2819,6 +2819,9 @@ object SparkEntry {
     "st29_stream_cusum" -> ((s, dir) => // w13's changepoint screen on
       // drained hourly cells via the shared cusumFace
       graft.streaming.StreamingQueries.cusumMonitor(s, dir)),
+    "st30_stream_intake_gate" -> ((s, dir) => // the t2/t45 screens as an
+      // always-on per-source admission ledger (shared faces, bounded state)
+      graft.streaming.StreamingQueries.intakeGate(s, dir)),
     "mm7_ahash" -> ((s, dir) => // perceptual average-hash dedup screen
       // over the payload "pixels" (integer-exact, fully oracle-checked)
       Multimodal.aHash(Tables(s, dir, "documents"))),
@@ -3764,6 +3767,21 @@ object SparkEntry {
       "st27_stream_psi" -> FeatureEngSql.psiDrift(),
       "st28_stream_ks" -> FeatureEngSql.ksBinned(),
       "st29_stream_cusum" -> FeatureEngSql.cusum,
+      "st30_stream_intake_gate" -> // the composed quality+readability
+        // twins, grouped into the identical per-source ledger
+        s"""WITH s AS (
+           |  SELECT d.source, q.quality, r.flesch
+           |  FROM documents d
+           |  JOIN (${TextAnalysisSql.qualityScore}) q USING (doc_id)
+           |  JOIN (${TextAnalysisSql.readability}) r USING (doc_id))
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(CASE WHEN quality >= 0.5 AND flesch >= 20.0
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           |       round(CAST(sum(CASE WHEN quality >= 0.5
+           |                           AND flesch >= 20.0
+           |                          THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / count(*), 6) AS pass_rate
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
       "d5_merge_cdc" -> // from-scratch recompute: global latest op, D wins
         """WITH ops AS (
           |  SELECT user_id, event_id, epoch_ns(ts) AS tns,

@@ -352,7 +352,7 @@ object TextAnalysis {
     * in the same operation order on both engines over exact integer
     * counts, rounded 6dp. One narrow projection — no shuffle, linear at
     * any scale. */
-  def readability(docs: DataFrame): DataFrame = {
+  def readability(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val t = tokens(col("text"))
     val words = size(t).cast("bigint")
     val sents = greatest(lit(1L),
@@ -360,8 +360,8 @@ object TextAnalysis {
     val sylls = regexp_count(lower(col("text")), lit("[aeiouy]+"))
       .cast("bigint")
     docs.where(size(t) > 0)
-      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
-        sylls.as("n_syllables"))
+      .select(keep.map(col) ++ Seq(col("doc_id"), words.as("n_words"),
+        sents.as("n_sentences"), sylls.as("n_syllables")): _*)
       .withColumn("flesch",
         round(lit(206.835)
           - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))

@@ -1455,6 +1455,44 @@ object StreamingQueries {
       spark.createDataFrame(drained.rdd, drained.schema))
   }
 
+  /** Streaming corpus-intake gate — the t2/t45 screens as an always-on
+    * admission monitor: every arriving document scores through the SAME
+    * batch faces ([[graft.operators.TextAnalysis.qualityScore]] stacked
+    * with [[graft.operators.TextAnalysis.readability]] in ONE stateless
+    * projection, the keep-columns house pattern — batch and stream
+    * cannot diverge on the screen arithmetic), and the only streaming
+    * STATE is the per-source admission ledger (|source| cells — the
+    * st23–st28 bounded-state class). Thresholds compare the 6dp-ROUNDED
+    * scores (rounded-before-thresholded), so the admission verdict is
+    * engine-exact; the drained ledger hash-matches the composed DuckDB
+    * twin. The deployment shape: reject-rate drift per source surfaces
+    * DURING ingest, not in a nightly batch. */
+  def intakeGate(outer: SparkSession, dir: String,
+      minQuality: Double = 0.5, minFlesch: Double = 20.0): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val spark = childSession(outer)
+    val name = "st30_intake_" + math.abs(dir.hashCode)
+    val scored = graft.operators.TextAnalysis.readability(
+      graft.operators.TextAnalysis.qualityScore(
+        tableStream(spark, dir, "documents"),
+        keep = Seq("text", "source")),
+      keep = Seq("quality", "source"))
+    val ledger = scored.groupBy(col("source"))
+      .agg(cnt(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= minQuality
+          && col("flesch") >= minFlesch, 1L).otherwise(0L)).as("n_pass"))
+    val q = ledger.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .withColumn("pass_rate",
+        round(col("n_pass").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   /** Streaming model serving — the fitted Naive Bayes of `t35`-`t37`
     * scoring an ingest stream: the model trains ONCE batch-side and its
     * bounded artifacts ([[graft.operators.NaiveBayes.servingArtifacts]] —

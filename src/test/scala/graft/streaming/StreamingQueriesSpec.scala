@@ -270,6 +270,29 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("intakeGate: the streamed per-source admission ledger equals the " +
+      "batch faces composed over the same corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.intakeGate(spark, dir).collect()
+    val batch = graft.operators.TextAnalysis.readability(
+        graft.operators.TextAnalysis.qualityScore(
+          Tables(spark, dir, "documents"), keep = Seq("text", "source")),
+        keep = Seq("quality", "source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= 0.5 && col("flesch") >= 20.0, 1L)
+          .otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        round(col("n_pass").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_.getAs[Long]("n_pass") > 0),
+      "fixture must admit at least one document")
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("nbServe: stream-served predictions equal the batch classifier " +
       "row for row (scores included)") {
     val dir = "/root/testdata/sf0.001"
