@@ -2325,6 +2325,9 @@ object SparkEntry {
       // exact average-tie ranks via the distributed global rank,
       // Pearson closed form on the DECIMAL(38,0) rank power sums
       FeatureEng.spearman(Tables(s, dir, "lineitem"))),
+    "fe19_xcorr" -> ((s, dir) => // lead-lag screen: lagged Pearson over
+      // the zero-filled hourly grid per event-type pair (bounded cells)
+      FeatureEng.xcorr(Tables(s, dir, "events"))),
     "t6_shingle_stats" -> ((s, dir) => // the oracle-checked face of shingling
       TextAnalysis.shingleStats(Tables(s, dir, "documents")).orderBy("doc_id")),
     "t7_token_counts" -> ((s, dir) => // whitespace + BPE-style pre-tokens
@@ -4088,6 +4091,7 @@ object SparkEntry {
       "fe16_anova" -> FeatureEngSql.anova,
       "fe17_partial_corr" -> FeatureEngSql.partialCorr,
       "fe18_spearman" -> FeatureEngSql.spearman,
+      "fe19_xcorr" -> FeatureEngSql.xcorr(),
       "fe12_woe_ntile" -> FeatureEngSql.woeIvNtile(),
       "t33_auc" -> TextAnalysisSql.aucOfHashedLr(64,
         s"list_contains(${TextAnalysisSql.toks}, 'spark')"),

@@ -738,6 +738,67 @@ object FeatureEng {
       .orderBy("event_type")
   }
 
+  /** Lagged cross-correlation between event-type hourly volumes — the
+    * lead-lag screen time-series feature work runs before building
+    * lagged features (w9's autocorrelation is the self-pair special
+    * case; this is the cross-pair family): for each ordered type pair
+    * (a < b) and lag L ∈ [0, maxLag], the Pearson correlation of
+    * (x_a(h), x_b(h + L)) — "does a's volume now predict b's volume L
+    * hours later". Hours are the COMPLETE zero-filled grid between the
+    * corpus's min and max hour (missing hours are real zeros — the e3
+    * gap-fill convention; without the fill, sparse types would
+    * correlate over cherry-picked hours only). The a-leads-b direction
+    * is the one computed; the mirror is the same statistic with the
+    * pair order swapped.
+    *
+    * Exactness: grid counts are exact integers, all six power sums
+    * DECIMAL(38,0), ONE closed form on their doubles (the fe13/fe18
+    * discipline), rounded 6dp, zero-variance guarded.
+    *
+    * Scale shape: cells are bounded by |type| × hours (hours grow with
+    * TIME, not rows — the w13/w14 bounded-cells argument); the span is
+    * a one-row broadcast, the hour spine derives from it, and every
+    * join runs on the bounded grid. One corpus scan total. */
+  def xcorr(events: DataFrame, maxLag: Int = 2): DataFrame = {
+    val cells = events
+      .select(col("event_type"), expr("ts div 3600000000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("x"))
+      .persist()
+    val span = cells.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val hours = span.select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val types = cells.select("event_type").distinct()
+    val grid = types.crossJoin(broadcast(hours))
+      .join(cells, Seq("event_type", "hr"), "left_outer")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val a = grid.select(col("event_type").as("type_a"), col("hr"),
+      col("x").as("xa"))
+    val b = grid.select(col("event_type").as("type_b"),
+      col("hr").as("hrb"), col("x").as("xb"))
+    val agg = a
+      .withColumn("lag",
+        explode(array((0 to maxLag).map(i => lit(i.toLong)): _*)))
+      .join(b, col("hrb") === col("hr") + col("lag")
+        && col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa").cast("decimal(38,0)")).as("sa"),
+        sum(col("xb").cast("decimal(38,0)")).as("sb"),
+        sum(col("xa").cast("decimal(38,0)") * col("xa")).as("saa"),
+        sum(col("xb").cast("decimal(38,0)") * col("xb")).as("sbb"),
+        sum(col("xa").cast("decimal(38,0)") * col("xb")).as("sab"))
+    val nD = col("n").cast("double")
+    val (sa, sb) = (col("sa").cast("double"), col("sb").cast("double"))
+    val va = nD * col("saa").cast("double") - sa * sa
+    val vb = nD * col("sbb").cast("double") - sb * sb
+    agg.select(col("type_a"), col("type_b"), col("lag"),
+        col("n").as("n_hours"),
+        round(when(va > 0 && vb > 0,
+          (nD * col("sab").cast("double") - sa * sb) / sqrt(va * vb)), 6)
+          .as("xcorr"))
+      .orderBy("type_a", "type_b", "lag")
+  }
+
   /** The fixed priority domain the ANOVA pivots over — inlined into BOTH
     * engines' plans so the per-group terms sit at fixed operand
     * positions. */
@@ -1490,6 +1551,46 @@ object FeatureEngSql {
       |             / CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE), 6)
       |         AS top_decile_share
       |FROM r""".stripMargin
+
+  /** Twin of [[FeatureEng.xcorr]]: identical zero-filled hour grid,
+    * identical lagged pair join, HUGEINT power sums, the identical
+    * closed form on their doubles. */
+  def xcorr(maxLag: Int = 2): String =
+    s"""WITH cells AS (
+       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+       |         CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM cells),
+       |hours AS (SELECT unnest(range(h0, h1 + 1)) AS hr FROM span),
+       |types AS (SELECT DISTINCT event_type FROM cells),
+       |grid AS (
+       |  SELECT t.event_type, h.hr, coalesce(c.x, CAST(0 AS BIGINT)) AS x
+       |  FROM types t CROSS JOIN hours h
+       |  LEFT JOIN cells c ON c.event_type = t.event_type
+       |                   AND c.hr = h.hr),
+       |lags AS (SELECT unnest(range(0, ${maxLag + 1})) AS lag),
+       |j AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+       |         a.x AS xa, b.x AS xb
+       |  FROM grid a CROSS JOIN lags l
+       |  JOIN grid b ON b.hr = a.hr + l.lag
+       |             AND a.event_type < b.event_type),
+       |s AS (
+       |  SELECT type_a, type_b, lag, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(xa AS HUGEINT)) AS DOUBLE) AS sa,
+       |         CAST(sum(CAST(xb AS HUGEINT)) AS DOUBLE) AS sb,
+       |         CAST(sum(CAST(xa AS HUGEINT) * xa) AS DOUBLE) AS saa,
+       |         CAST(sum(CAST(xb AS HUGEINT) * xb) AS DOUBLE) AS sbb,
+       |         CAST(sum(CAST(xa AS HUGEINT) * xb) AS DOUBLE) AS sab
+       |  FROM j GROUP BY 1, 2, 3)
+       |SELECT type_a, type_b, lag, n AS n_hours,
+       |       round(CASE WHEN CAST(n AS DOUBLE) * saa - sa * sa > 0
+       |                   AND CAST(n AS DOUBLE) * sbb - sb * sb > 0
+       |                  THEN (CAST(n AS DOUBLE) * sab - sa * sb)
+       |                       / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+       |                              * (CAST(n AS DOUBLE) * sbb - sb * sb))
+       |             END, 6) AS xcorr
+       |FROM s ORDER BY type_a, type_b, lag""".stripMargin
 
   /** Twin of [[FeatureEng.spearman]]: DuckDB's own `rank()` IS the tie
     * group's min rank, so `2·rank() + count(*) OVER (PARTITION BY v) − 1`

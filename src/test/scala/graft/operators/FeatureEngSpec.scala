@@ -471,6 +471,33 @@ class FeatureEngSpec extends SparkSuite {
     assert(r === ((3L, Some(0.866025))))
   }
 
+  test("xcorr: hand-computed lagged correlations over the zero-filled " +
+      "hour grid") {
+    val hour = 3600000000000L
+    // a: [1,2,3] per hour; b: [3,2,1]; c present ONLY at h1 (count 2) —
+    // the grid must fill its h0/h2 with real zeros
+    val rows =
+      Seq.fill(1)((0L, "a")) ++ Seq.fill(2)((hour, "a")) ++
+        Seq.fill(3)((2 * hour, "a")) ++
+      Seq.fill(3)((0L, "b")) ++ Seq.fill(2)((hour, "b")) ++
+        Seq.fill(1)((2 * hour, "b")) ++
+      Seq.fill(2)((hour, "c"))
+    val ev = rows.toDF("ts", "event_type")
+    val got = FeatureEng.xcorr(ev)
+      .as[(String, String, Long, Long, Option[Double])].collect().toSet
+    assert(got === Set(
+      ("a", "b", 0L, 3L, Some(-1.0)), // [1,2,3] vs [3,2,1]
+      ("a", "b", 1L, 2L, Some(-1.0)), // [1,2] vs [2,1]
+      ("a", "b", 2L, 1L, None),       // single pair: zero variance
+      ("a", "c", 0L, 3L, Some(0.0)),  // [1,2,3] vs [0,2,0]: num = 0
+      ("a", "c", 1L, 2L, Some(-1.0)), // [1,2] vs [2,0]
+      ("a", "c", 2L, 1L, None),
+      ("b", "c", 0L, 3L, Some(0.0)),  // [3,2,1] vs [0,2,0]
+      ("b", "c", 1L, 2L, Some(1.0)),  // [3,2] vs [2,0]
+      ("b", "c", 2L, 1L, None)))
+    spark.catalog.clearCache()
+  }
+
   test("ksBinnedFace: hand-computed max CDF gap with tie-break") {
     val counts = Seq((0, 0, 3L), (0, 1, 1L), (1, 0, 1L), (1, 1, 3L))
       .toDF("cohort", "bin", "n")
