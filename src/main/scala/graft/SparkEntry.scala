@@ -1267,6 +1267,43 @@ object SparkEntry {
             .as("total_cents"))
         .orderBy("r_score", "f_score", "m_score")
     }),
+    "e15_segment_migration" -> ((s, dir) => {
+      // Customer value-segment MIGRATION matrix — what e13's static RFM
+      // grid cannot show: split the corpus at its day midpoint, score
+      // each customer's spend quintile in each half (the fe12/e13 exact
+      // distributed ntile over UNIQUE (cents, custkey) orders), and
+      // count customers per (first-half segment, second-half segment)
+      // cell for customers active in BOTH halves. The upgrade/downgrade
+      // off-diagonals are the churn-risk signal a lifecycle program
+      // acts on. Exactness: integer day indexes (the e14 convention),
+      // DECIMAL(38,0) cents sums cast back to long, the RanksSpec-pinned
+      // ntile split. Scale: one orders scan into per-(customer, half)
+      // cents, two rank passes over CUSTOMERS, one bounded 5x5 matrix.
+      val di = expr("timestampdiff(DAY, timestamp_ntz'1970-01-01 " +
+        "00:00:00', o_orderdate)")
+      val base = Tables(s, dir, "orders")
+        .select(col("o_custkey"), di.as("d"),
+          round(col("o_totalprice") * 100).cast("decimal(38,0)")
+            .as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val span = base.agg(min("d").as("d0"), max("d").as("d1"))
+      val half = base.crossJoin(broadcast(span))
+        .select(col("o_custkey"),
+          (col("d") <= expr("(d0 + d1) div 2")).as("first_half"),
+          col("cents"))
+        .groupBy("o_custkey", "first_half")
+        .agg(sum("cents").cast("long").as("cents"))
+      val h1 = Ranks.withGlobalNtile(half.where(col("first_half")),
+        Seq(col("cents"), col("o_custkey")), 5, "r_first")
+        .select(col("o_custkey"), col("r_first"))
+      val h2 = Ranks.withGlobalNtile(half.where(!col("first_half")),
+        Seq(col("cents"), col("o_custkey")), 5, "r_second")
+        .select(col("o_custkey"), col("r_second"))
+      h1.join(h2, "o_custkey")
+        .groupBy("r_first", "r_second")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_first", "r_second")
+    }),
     "e14_survival" -> ((s, dir) => {
       // Kaplan-Meier churn survival over customer LIFETIMES (days from
       // first to last order), with right-censoring: a customer whose
@@ -3537,6 +3574,34 @@ object SparkEntry {
           |       CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT)
           |         AS total_cents
           |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "e15_segment_migration" -> // DuckDB's own ntile over the identical
+        // unique (cents, custkey) orders per half, identical day
+        // midpoint, HUGEINT cents sums cast back (RanksSpec parity)
+        """WITH base AS (
+          |  SELECT o_custkey,
+          |         epoch_us(o_orderdate) // 86400000000 AS d,
+          |         CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+          |  FROM orders),
+          |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM base),
+          |half AS (
+          |  SELECT o_custkey,
+          |         d <= (d0 + d1) // 2 AS first_half,
+          |         CAST(sum(cents) AS BIGINT) AS cents
+          |  FROM base CROSS JOIN span
+          |  GROUP BY 1, 2),
+          |h1 AS (
+          |  SELECT o_custkey,
+          |         ntile(5) OVER (ORDER BY cents, o_custkey) AS r_first
+          |  FROM half WHERE first_half),
+          |h2 AS (
+          |  SELECT o_custkey,
+          |         ntile(5) OVER (ORDER BY cents, o_custkey) AS r_second
+          |  FROM half WHERE NOT first_half)
+          |SELECT CAST(r_first AS BIGINT) AS r_first,
+          |       CAST(r_second AS BIGINT) AS r_second,
+          |       count(*) AS n_customers
+          |FROM h1 JOIN h2 USING (o_custkey)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "e14_survival" -> // identical integer day indexes, quantized
         // ln terms (1e12 grid), exact prefix sums, one exp at the end
         """WITH per AS (

@@ -382,6 +382,14 @@ class PlanAuditSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("e15: both half rankings run window-free (the Ranks range-exchange " +
+      "path) and the offset relations broadcast") {
+    val p = plan("e15_segment_migration")
+    assert(!p.contains("Window"),
+      s"segment migration must not fall back to a global window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("a20: the bounded fence relation broadcasts back onto the scan; " +
       "no window, no sort-merge") {
     val p = plan("a20_iqr_outliers")
