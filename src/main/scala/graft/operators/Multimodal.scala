@@ -285,11 +285,28 @@ object Multimodal {
           call_function("shiftleft", lit(1L), i))
           .otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
-    val hashed = framed
-      .select(col("vid"), px.as("px"))
-      .select(col("vid"), col("px"), mean.as("mean"))
+    // the pHash staging discipline, both lessons at once: (1) REPARTITION
+    // before the per-frame transform — the documents scan is one split at
+    // test SF and the hash arithmetic is the cost, so without it the
+    // whole lane runs single-threaded; (2) REBASE each stage onto its own
+    // RDD so the px array stays a physical column — CollapseProject would
+    // otherwise inline the 63-substring decode into the mean fold AND the
+    // 63 bit lambdas, re-running it ~63× per frame (measured: 33.8s
+    // single-task vs ~1s staged at sf0.1). `hashed` persists because the
+    // df-cap and both pair-join sides are three consumers of it; the
+    // eager count pins one materialization (the r12 leaf-cache race).
+    def rebased(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val staged = rebased(framed.repartition(p)
+      .select(col("vid"), px.as("px")))
+    val withMean = rebased(staged
+      .select(col("vid"), col("px"), mean.as("mean")))
+    val hashed = withMean
       .select(col("vid"), hash.as("fhash"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count()
     val dfCounts = hashed.groupBy("fhash").agg(count(lit(1)).as("df"))
     val kept = hashed
       .join(dfCounts.where(col("df") <= maxDf).select("fhash"), "fhash")
