@@ -157,4 +157,13 @@ class MultimodalSpec extends SparkSuite {
     assert(capped.isEmpty,
       s"stop-frame removal must break both pairs: ${capped.toSeq}")
   }
+
+  test("videoNearDup: sub-frame videos and a video-free corpus yield " +
+      "empty results, not failures") {
+    // doc 2 is a video but shorter than one complete frame; doc 3 is an
+    // image — no video ever reaches the frame explode
+    val d = Seq((2L, "too short"), (3L, "z" * 200))
+      .toDF("doc_id", "text")
+    assert(Multimodal.videoNearDup(d).collect().isEmpty)
+  }
 }

@@ -212,6 +212,19 @@ class TextDedupSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("corpusPrep: a fully-contaminated corpus drains to zero rows " +
+      "without failing any stage") {
+    // every doc shares its whole text with the benchmark -> the
+    // decontamination stage must empty the set and the pack window must
+    // tolerate an empty input (an all-rejected intake is a real state)
+    val d = docs(
+      (2L, (1 to 60).map(i => s"k$i").mkString(" ")),
+      (5L, (70 to 130).map(i => s"k$i").mkString(" ")))
+    val r = Dedup.corpusPrep(d, d, budget = 64).collect()
+    assert(r.isEmpty, s"expected an empty cleaned corpus: ${r.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("minhashLshPairs: jaccard values are exact int ratios") {
     val d = docs(
       (1L, baseWords.mkString(" ")),
