@@ -417,6 +417,12 @@ class PlanAuditSpec extends SparkSuite {
       .count(_.contains("text"))
     assert(exchangesWithText === 0,
       s"no exchange may carry the text column:\n$p")
+    // the staged frame-hash transform reads the rebased RDD leaves (the
+    // repartition-before-transform + physical-px discipline): losing the
+    // staging re-inlines the 63-substring decode and runs the whole lane
+    // on the scan's single split (measured 33.8s vs 1.6s at sf0.1)
+    assert(p.contains("Scan ExistingRDD"),
+      s"frame hashing must stay staged on rebased RDDs:\n$p")
   }
 
   test("t16: model scoring is one projection — no explode, no join, no agg") {
