@@ -2569,6 +2569,10 @@ object SparkEntry {
       // video dedup: per-frame aHash, stop-frame df cap, shared-hash
       // pair join — the multimodal dedup composition
       Multimodal.videoNearDup(Tables(s, dir, "documents"))),
+    "dedup_lsh_tune" -> ((s, dir) => // LSH (bands, rows) planning table:
+      // S-curve recall/fp per split, argmax flagged (bloom-geometry
+      // pow class; the grid is 8 constant rows)
+      Dedup.lshTune(s)),
     "dedup_editdist" -> ((s, dir) => // length-banded bounded edit distance
       Dedup.editDistancePairs(Tables(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
@@ -4177,6 +4181,7 @@ object SparkEntry {
       "pipe1_clean_corpus" -> DedupSql.cleanCorpus(0.5),
       "pipe2_pretrain_corpus" -> DedupSql.pretrainCorpus("doc_id % 100 = 0", 0.5),
       "pipe3_export_corpus" -> SamplingSql.exportCorpus(64, 50, 8),
+      "dedup_lsh_tune" -> DedupSql.lshTune(),
       "pipe5_corpus_prep" -> DedupSql.corpusPrep("doc_id % 100 = 0",
         minQuality = 0.5, threshold = 0.8, shingleN = 3, contamN = 5,
         budget = 512),

@@ -912,6 +912,43 @@ object Dedup {
         ((col("cum_after") - col("n_tokens")) % budget).as("seq_offset"))
   }
 
+  /** MinHash-LSH parameter tuner — the planning table a deployment
+    * consults before committing a (bands, rows) split: for every
+    * power-of-two rows factor of `numHashes`, the S-curve pair-collision
+    * probability `1 − (1 − s^rows)^bands` evaluated at the target
+    * near-dup similarity (`sHi`, recall) and at a sub-threshold impostor
+    * similarity (`sLo`, false-positive rate), plus `utility = recall −
+    * fp` and a `chosen` flag on the argmax. The suite's own
+    * [[minhashLshPairs]] default (32×4) optimizes miss probability at
+    * s ≥ 0.8; the tuner makes the recall/candidate-volume tradeoff the
+    * config encodes VISIBLE (16×8 maximizes separation of 0.8 vs 0.4).
+    *
+    * Cross-engine class: closed-form `pow` on identical doubles, rounded
+    * 6dp — the bloom-geometry (F6 ln/ceil/pow) oracle class. The grid is
+    * 8 constant rows; the argmax is a one-row broadcast stitch. */
+  def lshTune(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 128, sHi: Double = 0.8,
+      sLo: Double = 0.4): DataFrame = {
+    val rowsOpts = Iterator.iterate(1)(_ * 2).takeWhile(_ <= numHashes)
+      .filter(numHashes % _ == 0).toSeq
+    import spark.implicits._
+    val base = rowsOpts.toDF("rows")
+      .select(col("rows").cast("bigint").as("rows"),
+        expr(s"$numHashes div rows").cast("bigint").as("bands"))
+    def curve(s: Double) =
+      round(lit(1.0) - pow(
+        lit(1.0) - pow(lit(s), col("rows").cast("double")),
+        col("bands").cast("double")), 6)
+    val t = base
+      .withColumn("recall_hi", curve(sHi))
+      .withColumn("fp_lo", curve(sLo))
+      .withColumn("utility", round(col("recall_hi") - col("fp_lo"), 6))
+    t.crossJoin(broadcast(t.agg(max("utility").as("best"))))
+      .withColumn("chosen", col("utility") === col("best"))
+      .drop("best")
+      .orderBy("rows")
+  }
+
   /** Near-dup pairs via 64-bit SimHash: `(doc_a, doc_b, hamming)` with
     * Hamming distance ≤ `maxHamming`. Blocking: the 64-bit signature is
     * cut into `maxHamming + 1` bands — by pigeonhole any pair within the
@@ -1506,6 +1543,32 @@ object DedupSql {
        |           AS cum_after
        |  FROM clean)
        |ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[Dedup.lshTune]]: identical grid, identical closed-form
+    * pow curve, identical rounding and argmax stitch. */
+  def lshTune(numHashes: Int = 128, sHi: Double = 0.8,
+      sLo: Double = 0.4): String = {
+    val rowsOpts = Iterator.iterate(1)(_ * 2).takeWhile(_ <= numHashes)
+      .filter(numHashes % _ == 0).mkString("[", ", ", "]")
+    s"""WITH g AS (
+       |  SELECT CAST(r.rows AS BIGINT) AS rows,
+       |         CAST($numHashes // r.rows AS BIGINT) AS bands
+       |  FROM (SELECT unnest($rowsOpts) AS rows) r),
+       |c AS (
+       |  SELECT rows, bands,
+       |         round(1.0 - power(1.0 - power($sHi,
+       |                 CAST(rows AS DOUBLE)), CAST(bands AS DOUBLE)), 6)
+       |           AS recall_hi,
+       |         round(1.0 - power(1.0 - power($sLo,
+       |                 CAST(rows AS DOUBLE)), CAST(bands AS DOUBLE)), 6)
+       |           AS fp_lo
+       |  FROM g),
+       |u AS (SELECT *, round(recall_hi - fp_lo, 6) AS utility FROM c),
+       |b AS (SELECT max(utility) AS best FROM u)
+       |SELECT rows, bands, recall_hi, fp_lo, utility,
+       |       (utility = best) AS chosen
+       |FROM u CROSS JOIN b ORDER BY rows""".stripMargin
+  }
 
   /** Twin of [[Dedup.sortedNeighborhoodPairs]]: identical sort key
     * (keyLen-char prefix of the normalized text), identical window

@@ -225,6 +225,27 @@ class TextDedupSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("lshTune: S-curve endpoints, independent-formula parity, and the " +
+      "0.8-vs-0.4 argmax at 16 bands x 8 rows") {
+    val r = Dedup.lshTune(spark)
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r.keySet === Set(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+    assert(r(1L)._3 === 1.0 && r(1L)._4 === 1.0,
+      "rows=1 collides everything at both similarities")
+    assert(r(128L)._3 === 0.0 && r(128L)._4 === 0.0,
+      "rows=128 collides nothing")
+    // independent plain-Scala evaluation of one interior cell
+    def curve(s: Double, rows: Int, bands: Int) =
+      BigDecimal(1.0 - math.pow(1.0 - math.pow(s, rows), bands))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(8L)._3 === curve(0.8, 8, 16))
+    assert(r(8L)._4 === curve(0.4, 8, 16))
+    assert(r(8L)._6 === true, "16x8 maximizes 0.8-vs-0.4 separation")
+    assert(r.values.count(_._6) === 1)
+    spark.catalog.clearCache()
+  }
+
   test("minhashLshPairs: jaccard values are exact int ratios") {
     val d = docs(
       (1L, baseWords.mkString(" ")),
