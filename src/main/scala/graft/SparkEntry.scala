@@ -83,23 +83,41 @@ object SparkEntry {
   /** Scratch dir for queries that demonstrate sink → re-scan round trips
     * (filter artifacts, text output, TSV fixtures). Deterministic per
     * (input dir, name) so repeated runs overwrite rather than accumulate. */
-  private def tmpPath(dir: String, name: String): String =
+  private[graft] def tmpPath(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_${math.abs(dir.hashCode)}"
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** Write-once fixture: materialize `write` at the deterministic tmp path
     * unless a versioned marker says it's already there, and return the
     * path. The fixture is a pure function of (dir, name, version), so
     * reuse across runs is sound; bump `version` when a definition changes.
-    * Single-runner assumption (documented): two JVMs over the same dir
-    * could race on first materialization.
+    *
+    * First-touch is race-hardened (VERDICT r13 ask #7): the fixture is
+    * built in a private temp dir (marker included) and published with a
+    * single ATOMIC_MOVE rename, so no reader ever observes a half-built
+    * fixture at `path`. If two JVMs race, exactly one rename wins; the
+    * loser discards its build and uses the winner's.
     */
-  private def ensureFixture(dir: String, name: String, version: Int = 1)(
-      write: String => Unit): String = {
+  private[graft] def ensureFixture(dir: String, name: String,
+      version: Int = 1)(write: String => Unit): String = {
     val path = tmpPath(dir, name)
     val marker = new java.io.File(path, s"_GRAFT_FIXTURE_v$version")
     if (!marker.isFile) {
-      write(path)
-      marker.createNewFile()
+      val tmp = new java.io.File(s"$path.build_" +
+        s"${java.lang.ProcessHandle.current.pid}_${System.nanoTime}")
+      write(tmp.getPath)
+      new java.io.File(tmp, s"_GRAFT_FIXTURE_v$version").createNewFile()
+      deleteRecursively(new java.io.File(path)) // stale / older version
+      try java.nio.file.Files.move(tmp.toPath, new java.io.File(path).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // another JVM published between our delete and move: keep
+        case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+      }
     }
     path
   }
@@ -1287,9 +1305,14 @@ object SparkEntry {
             .as("cents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val span = base.agg(min("d").as("d0"), max("d").as("d1"))
+      // Midpoint uses FLOOR division to match DuckDB's `//` even for a
+      // negative (pre-1970) day-index sum: subtract pmod first so the
+      // truncating `div` sees an exact multiple (ADVICE r13). The day
+      // index `d` itself keeps the e14 positive-epoch convention.
       val half = base.crossJoin(broadcast(span))
         .select(col("o_custkey"),
-          (col("d") <= expr("(d0 + d1) div 2")).as("first_half"),
+          (col("d") <= expr(
+            "(d0 + d1 - pmod(d0 + d1, 2)) div 2")).as("first_half"),
           col("cents"))
         .groupBy("o_custkey", "first_half")
         .agg(sum("cents").cast("long").as("cents"))

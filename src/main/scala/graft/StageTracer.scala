@@ -82,14 +82,21 @@ final class StageTracer extends SparkListener {
     * accounting of the 100 TB argument (VERDICT r12 ask #3): local
     * wall-clock ratios prove CPU shape, but bytes-on-exchange is the
     * cluster-network half local[32] cannot time. Summed over every stage
-    * of the query's timed region; drain the listener bus before reading. */
+    * of the query's timed region; drain the listener bus before reading.
+    *
+    * Failed stage attempts are EXCLUDED: the byte columns are presented
+    * as plan-determined exchange volume, and a task/stage retry would
+    * otherwise double-count its shuffle/spill/input bytes (ADVICE r13).
+    * The successful re-attempt of a retried stage is still counted —
+    * exactly once. */
   def byteTotals: StageTracer.Bytes = synchronized {
+    val ok = stages.filterNot(_.failed)
     StageTracer.Bytes(
-      shuffleReadMB = stages.map(_.shuffleReadMB).sum,
-      shuffleWriteMB = stages.map(_.shuffleWriteMB).sum,
-      spillMB = stages.map(_.spillMB).sum,
-      inputMB = stages.map(_.inputMB).sum,
-      outputMB = stages.map(_.outputMB).sum)
+      shuffleReadMB = ok.map(_.shuffleReadMB).sum,
+      shuffleWriteMB = ok.map(_.shuffleWriteMB).sum,
+      spillMB = ok.map(_.spillMB).sum,
+      inputMB = ok.map(_.inputMB).sum,
+      outputMB = ok.map(_.outputMB).sum)
   }
 
   private def esc(s: String): String =

@@ -872,6 +872,20 @@ object Dedup {
     * standalone oracle-checked query (`t2`/`dedup_keep_best`/`t11`/
     * `t7_pack`); this checks their composition end to end.
     *
+    * Oracle posture (ADVICE r13): stage 2 inherits [[nearDupClusters]]'
+    * recall posture — banded MinHash-LSH has a non-zero false-negative
+    * rate near `threshold`, while the DuckDB twin enumerates exact
+    * Jaccard pairs. Because stage 4 is a cumulative window, a single
+    * missed candidate pair would shift every later doc's
+    * `seq_id`/`seq_offset`, amplifying one LSH miss into a full-suffix
+    * cross-engine diff. A pipe5 hash mismatch therefore localizes by
+    * re-running the standalone stage gates above in order: the first
+    * red stage is the culprit, and a green `t2`+`t11`+pack with a red
+    * `dedup_keep_best` means an LSH recall miss, not a pack bug. The
+    * default (bands=32, rows=4) keeps miss probability < 1e-6 at
+    * s ≥ 0.8 (see [[lshTune]]), which is why the composed gate has held
+    * green at every SF measured.
+    *
     * Scale shape: one raw-corpus scan; cluster finding is the banded-LSH
     * path (bucket joins, nothing quadratic); contamination's bench side
     * is bounded and broadcasts; the only corpus-wide exchanges carry
@@ -903,13 +917,17 @@ object Dedup {
       .where(!col("contaminated"))
     val wPack = Window.orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clean
-      .select(col("doc_id"), col("quality"),
-        col("n_tokens").cast("bigint").as("n_tokens"))
-      .withColumn("cum_after", sum("n_tokens").over(wPack))
-      .select(col("doc_id"), col("quality"), col("n_tokens"),
-        floor((col("cum_after") - col("n_tokens")) / budget).as("seq_id"),
-        ((col("cum_after") - col("n_tokens")) % budget).as("seq_offset"))
+    // `scored` stays cached until the packed result's first action;
+    // library callers release via graft.CacheScope.release(result)
+    graft.CacheScope.owns(
+      clean
+        .select(col("doc_id"), col("quality"),
+          col("n_tokens").cast("bigint").as("n_tokens"))
+        .withColumn("cum_after", sum("n_tokens").over(wPack))
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          floor((col("cum_after") - col("n_tokens")) / budget).as("seq_id"),
+          ((col("cum_after") - col("n_tokens")) % budget).as("seq_offset")),
+      scored)
   }
 
   /** MinHash-LSH parameter tuner — the planning table a deployment

@@ -205,10 +205,9 @@ object Multimodal {
     * and `CollapseProject` would otherwise inline the `px` transform
     * into all 63×64 `element_at` references — re-running the 64
     * substring decode thousands of times per row (measured: 424s for
-    * 4,876 docs at sf0.1 collapsed vs ~1s staged). */
+    * 4,876 docs at sf0.1 collapsed vs ~1s staged). The recipe lives in
+    * [[graft.functions.Staging]] (VERDICT r13 ask #5). */
   def pHash(docs: DataFrame): DataFrame = {
-    def rebased(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
     val wArr = array(pHashWeights.map(lit): _*)
     val px = transform(sequence(lit(1), lit(64)),
       i => ascii(col("text").substr(i, lit(1))).cast("long"))
@@ -228,17 +227,12 @@ object Multimodal {
           .otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
     val wv = org.apache.spark.sql.expressions.Window.partitionBy("phash")
-    // repartition BEFORE the transform: the documents scan is a handful
-    // of small files (one split at test SF), and the per-row DCT is the
-    // cost — without this the whole lane runs on the scan's few
-    // partitions while 31 threads idle (measured 4.3s → the exchange
-    // carries (doc_id, text) once and the transform parallelizes)
-    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val staged = rebased(docs.where(length(col("text")) >= 64)
-      .repartition(p)
-      .select(col("doc_id"), px.as("px")))
-    rebased(staged.select(col("doc_id"), coefs.as("coefs"))
-      .withColumn("med", med))
+    // the Staging recipe: spread (one split at test SF, per-row DCT is
+    // the cost), then pin px and coefs as physical columns between stages
+    graft.functions.Staging.stagedTransform(
+      docs.where(length(col("text")) >= 64))(
+      _.select(col("doc_id"), px.as("px")),
+      _.select(col("doc_id"), coefs.as("coefs")).withColumn("med", med))
       .select(col("doc_id"), hash.as("phash"))
       .withColumn("n_ones", bit_count(col("phash")))
       .withColumn("n_bucket", count(lit(1)).over(wv))
@@ -285,23 +279,15 @@ object Multimodal {
           call_function("shiftleft", lit(1L), i))
           .otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
-    // the pHash staging discipline, both lessons at once: (1) REPARTITION
-    // before the per-frame transform — the documents scan is one split at
-    // test SF and the hash arithmetic is the cost, so without it the
-    // whole lane runs single-threaded; (2) REBASE each stage onto its own
-    // RDD so the px array stays a physical column — CollapseProject would
-    // otherwise inline the 63-substring decode into the mean fold AND the
-    // 63 bit lambdas, re-running it ~63× per frame (measured: 33.8s
-    // single-task vs ~1s staged at sf0.1). `hashed` persists because the
-    // df-cap and both pair-join sides are three consumers of it; the
-    // eager count pins one materialization (the r12 leaf-cache race).
-    def rebased(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
-    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val staged = rebased(framed.repartition(p)
-      .select(col("vid"), px.as("px")))
-    val withMean = rebased(staged
-      .select(col("vid"), col("px"), mean.as("mean")))
+    // the Staging recipe (see graft.functions.Staging — this lane's 33.8s
+    // single-task maiden plan is one of its three motivating cases):
+    // spread before the per-frame transform, pin px between the mean fold
+    // and the 63 bit lambdas. `hashed` persists because the df-cap and
+    // both pair-join sides are three consumers of it; the eager count
+    // pins one materialization (the r12 leaf-cache race).
+    val withMean = graft.functions.Staging.stagedTransform(framed)(
+      _.select(col("vid"), px.as("px")),
+      _.select(col("vid"), col("px"), mean.as("mean")))
     val hashed = withMean
       .select(col("vid"), hash.as("fhash"))
       .distinct()
@@ -310,13 +296,18 @@ object Multimodal {
     val dfCounts = hashed.groupBy("fhash").agg(count(lit(1)).as("df"))
     val kept = hashed
       .join(dfCounts.where(col("df") <= maxDf).select("fhash"), "fhash")
-    kept.as("a")
-      .join(kept.as("b"),
-        col("a.fhash") === col("b.fhash") && col("a.vid") < col("b.vid"))
-      .groupBy(col("a.vid").as("vid_a"), col("b.vid").as("vid_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
-      .orderBy("vid_a", "vid_b")
+    // cache ownership: `hashed` must stay cached until the returned pair
+    // relation's first action — registered for graft.CacheScope.release
+    // (harness callers are covered by the per-query clearCache backstop)
+    graft.CacheScope.owns(
+      kept.as("a")
+        .join(kept.as("b"),
+          col("a.fhash") === col("b.fhash") && col("a.vid") < col("b.vid"))
+        .groupBy(col("a.vid").as("vid_a"), col("b.vid").as("vid_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared)
+        .orderBy("vid_a", "vid_b"),
+      hashed)
   }
 
   /** Deterministic fake feature vector (`dim` floats in [-1, 1]) from
@@ -449,7 +440,8 @@ object MultimodalSql {
        |fr AS (
        |  SELECT vid, text, CAST(r.f AS INT) AS f
        |  FROM vids, unnest(range(0,
-       |    least(8, CAST(length(text) // 64 AS BIGINT)))) AS r(f)),
+       |    least(${Multimodal.maxFrames},
+       |          CAST(length(text) // 64 AS BIGINT)))) AS r(f)),
        |px AS (
        |  SELECT vid,
        |         list_transform(range(1, 64),

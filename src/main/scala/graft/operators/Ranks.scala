@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   * `orderBy` plan, minus the final merge), one count-only job over the
   * cached exchange, one broadcast hash join against p rows. Nothing is
   * ever single-partition. The ranked relation is persisted because the
-  * offsets job and the consumer both read it; released by the harness's
-  * per-query clearCache (Bench/Verify contract), a library caller
-  * unpersists after the action.
+  * offsets job and the consumer both read it; ownership is registered
+  * with [[graft.CacheScope]] — a library caller runs
+  * `CacheScope.release(result)` after its first action, and harness
+  * callers are covered by the per-query clearCache backstop.
   */
 object Ranks {
 
@@ -82,7 +83,9 @@ object Ranks {
       .withColumn(out,
         col(offCol) + col(mid).bitwiseAND(lit(midMask)) + lit(1L))
       .drop(mid, pidCol, offCol)
-    (ranked, total)
+    // `sorted` stays cached until the ranked result's first action;
+    // library callers release via graft.CacheScope.release(ranked)
+    (graft.CacheScope.owns(ranked, sorted), total)
   }
 
   /** `df` + exact INCLUSIVE prefix sums of `sumCols` (BIGINT) over the
@@ -137,9 +140,11 @@ object Ranks {
     val cum = sorted
       .withColumn(pidCol, shiftrightunsigned(col(mid), 33))
       .join(broadcast(offDf), pidCol)
-    sumCols.foldLeft(cum) { (d, c) =>
-      d.withColumn(s"cum_$c", col(s"__ps_off_$c") + sum(col(c)).over(w))
-    }.drop(mid +: pidCol +: sumCols.map(c => s"__ps_off_$c"): _*)
+    graft.CacheScope.owns(
+      sumCols.foldLeft(cum) { (d, c) =>
+        d.withColumn(s"cum_$c", col(s"__ps_off_$c") + sum(col(c)).over(w))
+      }.drop(mid +: pidCol +: sumCols.map(c => s"__ps_off_$c"): _*),
+      sorted)
   }
 
   /** `df` + exact `ntile(n)` (1-based, BIGINT) over the unique total
@@ -158,13 +163,13 @@ object Ranks {
     // 100 TB scale can exceed double's 53-bit exact-integer range.
     // The else branch divides by q: reachable only when cut < total,
     // which implies q >= 1 (when total < n, cut = total covers all rows).
-    ranked
+    graft.CacheScope.transfer(ranked, ranked
       .withColumn("__nt_r0", col(out) - 1)
       .withColumn(out,
         when(col("__nt_r0") < cut, expr(s"__nt_r0 div ${q + 1} + 1"))
           .otherwise(
             expr(s"$r + ((__nt_r0 - $cut) div ${math.max(q, 1L)}) + 1"))
           .cast("bigint"))
-      .drop("__nt_r0")
+      .drop("__nt_r0"))
   }
 }
