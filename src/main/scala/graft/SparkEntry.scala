@@ -2293,6 +2293,40 @@ object SparkEntry {
         kPerGroup = 5)),
     "p17_consistent_sample" -> ((s, dir) => // md5-ranked stable per-lang draw
       Sampling.consistentSample(Tables(s, dir, "documents"), kPerGroup = 5)),
+    "p19_domain_mix" -> ((s, dir) => {
+      // Mixture-weight planner — the static data-mixing step a pretrain
+      // corpus runs before sampling (the SlimPajama/DoReMi-lite shape):
+      // per source, the repetition factor ("epochs") that moves its
+      // token mass toward the UNIFORM target share, capped at maxEpochs
+      // (up-weighting a tiny source 100× memorizes it, so the cap is
+      // the policy knob), plus the post-cap expected token mass and its
+      // renormalized share. All arithmetic on the k-row per-source
+      // rollup: one corpus scan (persisted — totals and the final
+      // projection are two consumers), then broadcast stitches of the
+      // one-row totals. Identical double ops in the twin, rounded 6dp.
+      val maxEpochs = 4.0
+      val per = Tables(s, dir, "documents")
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("bigint").as("t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("t").cast("bigint").as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = per.agg(sum("n_tokens").cast("double").as("total"),
+        count(lit(1)).cast("double").as("k"))
+      val mixed = per.crossJoin(broadcast(tot))
+        .withColumn("target", col("total") / col("k"))
+        .withColumn("expected",
+          least(col("target"), lit(maxEpochs) * col("n_tokens")))
+      val denom = mixed.agg(sum("expected").as("sum_exp"))
+      mixed.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(least(col("target") / col("n_tokens"), lit(maxEpochs)), 6)
+            .as("weight"),
+          round(col("expected"), 2).as("expected_tokens"),
+          round(col("expected") / col("sum_exp"), 6).as("share_after"))
+        .orderBy("source")
+    }),
     "p18_kfold" -> ((s, dir) =>
       // Deterministic k-fold cross-validation assignment — p8's 2-way
       // split generalized: fold = rowHash(doc_id) mod 5, so folds are
@@ -2592,6 +2626,11 @@ object SparkEntry {
       // video dedup: per-frame aHash, stop-frame df cap, shared-hash
       // pair join — the multimodal dedup composition
       Multimodal.videoNearDup(Tables(s, dir, "documents"))),
+    "mm10_audio_fp" -> ((s, dir) => // constellation audio fingerprinting:
+      // landmark hashes over band-energy peaks, offset-histogram vote,
+      // df-capped pair join — the audio-modality dedup composition,
+      // first lane shipped on the shared Staging recipe
+      Multimodal.audioFingerprint(Tables(s, dir, "documents"))),
     "dedup_lsh_tune" -> ((s, dir) => // LSH (bands, rows) planning table:
       // S-curve recall/fp per split, argmax flagged (bloom-geometry
       // pow class; the grid is 8 constant rows)
@@ -2889,6 +2928,10 @@ object SparkEntry {
     "st30_stream_intake_gate" -> ((s, dir) => // the t2/t45 screens as an
       // always-on per-source admission ledger (shared faces, bounded state)
       graft.streaming.StreamingQueries.intakeGate(s, dir)),
+    "st31_stream_neardup" -> ((s, dir) => // dedup_minhash_lsh at ingest:
+      // static LSH index, stateless stream signature + banded probe,
+      // exact-Jaccard verify, per-doc admission verdict
+      graft.streaming.StreamingQueries.nearDupAdmission(s, dir)),
     "mm7_ahash" -> ((s, dir) => // perceptual average-hash dedup screen
       // over the payload "pixels" (integer-exact, fully oracle-checked)
       Multimodal.aHash(Tables(s, dir, "documents"))),
@@ -3010,6 +3053,10 @@ object SparkEntry {
     "gr14_reciprocity" -> ((s, dir) => // fraction of edges whose reverse
       // exists: one semi-join of the edge set against its reversal
       Graph.reciprocity(Tables(s, dir, "events"))),
+    "gr15_modularity" -> ((s, dir) => // Newman-Girvan quality of the gr9
+      // assignment, decomposed per community so every additive term is
+      // hash-checked (Q = sum(contrib))
+      Graph.modularity(Tables(s, dir, "events"))),
 
     // ---- privacy lane: disclosure-risk audit + DP release ----
     // (thresholds shared with the twins; scale posture on operators.Privacy)
@@ -4441,6 +4488,28 @@ object SparkEntry {
       "mm7_ahash" -> MultimodalSql.aHash(),
       "mm8_phash" -> MultimodalSql.pHash,
       "mm9_video_neardup" -> MultimodalSql.videoNearDup(),
+      "mm10_audio_fp" -> MultimodalSql.audioFingerprint(),
+      "st31_stream_neardup" -> DedupSql.nearDupAdmission(0.8, 3),
+      "gr15_modularity" -> GraphSql.modularity(),
+      "p19_domain_mix" -> // identical k-row rollup, identical capped
+        // double arithmetic, rounded 6dp (2dp on the token mass)
+        """WITH per AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |         CAST(sum(len(regexp_extract_all(text, '\S+')))
+          |              AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY source),
+          |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+          |               CAST(count(*) AS DOUBLE) AS k FROM per),
+          |mixed AS (
+          |  SELECT source, n_docs, n_tokens, total / k AS target,
+          |         least(total / k, 4.0 * n_tokens) AS expected
+          |  FROM per CROSS JOIN tot)
+          |SELECT source, n_docs, n_tokens,
+          |       round(least(target / n_tokens, 4.0), 6) AS weight,
+          |       round(expected, 2) AS expected_tokens,
+          |       round(expected / (SELECT sum(expected) FROM mixed), 6)
+          |         AS share_after
+          |FROM mixed ORDER BY source""".stripMargin,
       "gr1_degrees" -> GraphSql.degrees,
       "gr2_triangles" -> GraphSql.triangles,
       "gr3_pagerank" -> GraphSql.pagerank(),

@@ -273,9 +273,7 @@ object Dedup {
     // band count is a plan-time constant, so the band keys are a literal
     // array of codegen'd expressions — no interpreted lambda in the path
     val buckets = sigs
-      .select(col("doc_id"), posexplode(array(
-        (0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, rows)))
       .toDF("doc_id", "band", "key")
 
     val candidates = buckets
@@ -303,6 +301,16 @@ object Dedup {
 
     verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** The banded bucket keys of a MinHash signature — one xxhash64 per
+    * band over that band's signature slice, as a literal array of
+    * codegen'd expressions (band count is a plan-time constant; no
+    * interpreted lambda). Shared by [[minhashLshPairs]] and the streaming
+    * near-dup admission gate so both sides of a stream-static LSH join
+    * bucket identically. */
+  private[graft] def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(sig, b * rows + 1, rows))): _*)
 
   /** All ordered pairs from a sorted id array: [a,b,c] → [(a,b),(a,c),(b,c)].
     * Bucket cardinality is capped upstream, so the quadratic expansion is
@@ -1269,6 +1277,33 @@ object DedupSql {
        |  THEN list_distinct(list_transform(range(1, len($toks) - ${n - 2}),
        |         i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))
        |  ELSE [array_to_string($toks, ' ')] END""".stripMargin
+
+  /** Twin of [[graft.streaming.StreamingQueries.nearDupAdmission]]
+    * (`st31_stream_neardup`): exact stream-slice × index-slice Jaccard
+    * enumeration — the Spark side's banded-LSH candidates inherit
+    * [[Dedup.minhashLshPairs]]' sanctioned recall posture against this
+    * exhaustive twin. */
+  def nearDupAdmission(threshold: Double, shingleN: Int): String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, ${shinglesSql(shingleN)} AS sh
+       |  FROM documents WHERE len($toks) > 0),
+       |s AS (SELECT * FROM sets WHERE doc_id % 5 = 4),
+       |i AS (SELECT * FROM sets WHERE doc_id % 5 <> 4),
+       |m AS (
+       |  SELECT s.doc_id,
+       |         max(CASE WHEN CAST(len(list_intersect(s.sh, i.sh)) AS DOUBLE)
+       |                    / (len(s.sh) + len(i.sh)
+       |                       - len(list_intersect(s.sh, i.sh)))
+       |                  >= $threshold
+       |             THEN CAST(len(list_intersect(s.sh, i.sh)) AS DOUBLE)
+       |                    / (len(s.sh) + len(i.sh)
+       |                       - len(list_intersect(s.sh, i.sh)))
+       |             END) AS dup_j
+       |  FROM s LEFT JOIN i ON true
+       |  GROUP BY s.doc_id)
+       |SELECT doc_id, round(dup_j, 6) AS dup_jaccard,
+       |       dup_j IS NULL AS admitted
+       |FROM m ORDER BY doc_id""".stripMargin
 
   /** Twin of [[Dedup.dupSpanRate]]: identical distinct-gram relation
     * (shinglesSql already dedups per doc), identical integer-count

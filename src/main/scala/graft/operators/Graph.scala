@@ -575,7 +575,14 @@ object Graph {
     * persist+count keeps lineage one step deep (the [[pagerank]]
     * discipline), and labels are integers so the cross-engine match is
     * exact, not rounded. */
-  def labelPropagation(events: DataFrame, iters: Int = 4): DataFrame = {
+  def labelPropagation(events: DataFrame, iters: Int = 4): DataFrame =
+    lpLabels(events, iters).orderBy("node")
+
+  /** The [[labelPropagation]] loop without the presentation sort —
+    * shared with [[modularity]], whose joins would re-shuffle an ordered
+    * relation anyway. Returns `(node, community)`, materialized (the
+    * final round's persist), lineage one round deep. */
+  private def lpLabels(events: DataFrame, iters: Int): DataFrame = {
     val und = undirected(events).persist()
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v"))).persist()
@@ -596,7 +603,80 @@ object Graph {
       lab = next
     }
     Seq(und, sym).foreach(_.unpersist())
-    lab.select(col("node"), col("label").as("community")).orderBy("node")
+    lab.select(col("node"), col("label").as("community"))
+  }
+
+  /** Modularity TRAJECTORY of [[labelPropagation]] — Newman–Girvan `Q`
+    * of the assignment after each min-label round, the "when to stop"
+    * diagnostic a bounded-budget community pass consults: on the dense
+    * hour-chained interaction graph the min label floods everything
+    * within a few rounds (at every tested SF the assignment collapses to
+    * ONE community by round 2), and the Q curve shows exactly where the
+    * propagation over-merges (Q of the one-community partition is 0 by
+    * definition). A production LP stops at the argmax round; this lane
+    * makes that decision a measured table instead of folklore — the
+    * [[graft.operators.Dedup.lshTune]] posture applied to graph rounds.
+    *
+    * Exactness: `Q = IT/m − S2/(4m²)` where `IT` (total intra-community
+    * edges) and `S2` (Σ_c deg_sum_c²) are exact BIGINT aggregates and
+    * `m` is the exact edge count — so the one rounded double (9dp) is
+    * computed from identical integers in both engines, never from a
+    * cross-engine float sum. (S2 fits a BIGINT through sf1 with 10⁶
+    * headroom; a 100 TB run lifts it to DECIMAL(38,0) — the e13
+    * convention.) Output `(round, n_communities, intra_edges,
+    * deg_sq_sum, modularity)`, one row per round.
+    *
+    * Scale posture: the LP loop's own posture, plus per round one
+    * node-keyed join of the degree relation to the labels and one
+    * edge-keyed double label join — all narrow; the only driver values
+    * are the one summary row per round (bounded by `iters`). */
+  def modularity(events: DataFrame, iters: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    val und = undirected(events)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mEdges = und.count().toDouble
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = rebased(sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))).persist()
+    lab.count()
+    val rows = (1 to iters).map { r =>
+      val neighborMin = sym
+        .join(lab.select(col("node").as("v"), col("label")), "v")
+        .groupBy(col("u").as("node")).agg(min("label").as("nmin"))
+      val next = rebased(lab.select(col("node"), col("label"))
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label")))
+        .persist()
+      next.count()
+      lab.unpersist()
+      lab = next
+      val byComm = deg.join(lab, "node")
+        .groupBy("label")
+        .agg(sum("deg").cast("long").as("ds"))
+      val s2 = byComm.agg(count(lit(1)).as("nc"),
+        sum(col("ds") * col("ds")).cast("long").as("s2")).head()
+      val it = und
+        .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+        .where(col("la") === col("lb")).count()
+      val q = it / mEdges -
+        s2.getLong(1).toDouble / (4.0 * mEdges * mEdges)
+      (r, s2.getLong(0), it, s2.getLong(1), q)
+    }
+    Seq(und, deg, lab).foreach(_.unpersist(false))
+    import spark.implicits._
+    // rounding through Spark's own round() — the engine-matched
+    // convention every rounded double in this library goes through
+    rows.toDF("round", "n_communities", "intra_edges", "deg_sq_sum", "q")
+      .select(col("round").cast("bigint").as("round"),
+        col("n_communities"), col("intra_edges"), col("deg_sq_sum"),
+        round(col("q"), 9).as("modularity"))
+      .orderBy("round")
   }
 
   /** Weakly connected components, run TO CONVERGENCE — the full-closure
@@ -1036,8 +1116,10 @@ object GraphSql {
 
   /** Twin of [[Graph.labelPropagation]]: the identical min-label rounds
     * unrolled as CTEs — integer labels, exact match. */
-  def labelPropagation(iters: Int = 4): String = {
-    val steps = (1 to iters).map { i =>
+  /** The unrolled min-label rounds, shared by [[labelPropagation]] and
+    * [[modularity]]. */
+  private def lpSteps(iters: Int): String =
+    (1 to iters).map { i =>
       val prev = s"lp${i - 1}"
       s"""lp$i AS (
          |  SELECT l.node,
@@ -1047,12 +1129,52 @@ object GraphSql {
          |             FROM sym s JOIN $prev p ON p.node = s.v
          |             GROUP BY s.u) m ON m.node = l.node)""".stripMargin
     }.mkString(",\n")
+
+  def labelPropagation(iters: Int = 4): String =
     s"""WITH $edgeCtes,
        |sym AS (SELECT a AS u, b AS v FROM und
        |        UNION ALL SELECT b AS u, a AS v FROM und),
        |lp0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
-       |$steps
+       |${lpSteps(iters)}
        |SELECT node, label AS community FROM lp$iters ORDER BY node""".stripMargin
+
+  /** Twin of [[Graph.modularity]]: the identical LP rounds, one summary
+    * row per round from the identical exact-integer aggregates `IT`
+    * (intra edges) and `S2` (Σ deg_sum²), the one double computed as
+    * `IT/m − S2/(4·m·m)` on both engines. */
+  def modularity(iters: Int = 4): String = {
+    val perRound = (1 to iters).map { r =>
+      s"""q$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round,
+         |         (SELECT CAST(count(DISTINCT label) AS BIGINT)
+         |          FROM lp$r) AS n_communities,
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM und e JOIN lp$r la ON la.node = e.a
+         |                     JOIN lp$r lb ON lb.node = e.b
+         |          WHERE la.label = lb.label) AS intra_edges,
+         |         (SELECT CAST(sum(ds * ds) AS BIGINT) FROM (
+         |            SELECT CAST(sum(d.deg) AS BIGINT) AS ds
+         |            FROM lp$r l JOIN deg d ON d.node = l.node
+         |            GROUP BY l.label)) AS deg_sq_sum)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to iters).map(r => s"SELECT * FROM q$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $edgeCtes,
+       |sym AS (SELECT a AS u, b AS v FROM und
+       |        UNION ALL SELECT b AS u, a AS v FROM und),
+       |lp0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+       |${lpSteps(iters)},
+       |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+       |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM sym GROUP BY u),
+       |$perRound,
+       |allr AS ($unioned)
+       |SELECT a.round, a.n_communities, a.intra_edges, a.deg_sq_sum,
+       |       round(CAST(a.intra_edges AS DOUBLE) / mm.m
+       |             - CAST(a.deg_sq_sum AS DOUBLE)
+       |               / (4.0 * mm.m * mm.m), 9) AS modularity
+       |FROM allr a CROSS JOIN mm
+       |ORDER BY a.round""".stripMargin
   }
 
   /** Twin of [[Graph.reciprocity]]: identical distinct edges, EXISTS

@@ -24,6 +24,11 @@ object Multimodal {
   val frameSize = 64
   val maxFrames = 8
 
+  /** Audio lane constants ([[audioFingerprint]]): 32-char stub frames,
+    * up to 12 per track, 4 sub-bands of 8 chars. */
+  val audioFrameSize = 32
+  val maxAudioFrames = 12
+
   /** A media record: opaque payload + modality tag. */
   final case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte])
 
@@ -310,6 +315,96 @@ object Multimodal {
       hashed)
   }
 
+  /** Audio fingerprint matching — Shazam-family constellation hashing
+    * over the decode-stub byte stream, the audio-modality sibling of
+    * [[videoNearDup]] (`doc_id % 3 = 1` is the "audio" slice the way
+    * `% 3 = 2` is the video slice): per track, up to [[maxAudioFrames]]
+    * COMPLETE [[audioFrameSize]]-char frames; per frame, 4 sub-band
+    * "energies" (exact codepoint sums over 8-char bands — a real decoder
+    * replaces this with FFT band magnitudes, same plan); each consecutive
+    * frame pair emits one 12-bit LANDMARK fingerprint packing both peak
+    * band indexes and both peak energies quantized to 16 levels (the
+    * energy bits widen the key space so buckets stay thin — a 4-bit
+    * peak-pair alone would put every landmark in one of 16 buckets,
+    * quadratic at scale; a real FFT fingerprint has ~2^30 keys and the
+    * same plan); tracks
+    * sharing a fingerprint VOTE on their time offset `f_a − f_b`, and the
+    * best-aligned offset's vote count is the match score — the offset
+    * histogram is what makes constellation matching robust to where the
+    * overlap starts.
+    *
+    * Stop-fingerprint document-frequency cap (`maxDf`, the [[videoNearDup]]
+    * rule): fingerprints in more than `maxDf` tracks are dropped before
+    * the pair join, bounding per-bucket pair expansion at a maxDf² SPEC
+    * constant. Everything is exact integer arithmetic, so the full
+    * composition is DuckDB-checkable. The tie on the best offset breaks
+    * to the SMALLEST offset via one packed-integer max (`n·64 + 15 − off`
+    * — |off| < [[maxAudioFrames]] keeps the low bits disjoint).
+    *
+    * Output `(track_a, track_b, n_aligned, best_offset)`, pairs with
+    * `n_aligned ≥ minAligned`.
+    *
+    * Scale posture: landmarks explode ≤ [[maxAudioFrames]]−1 per track
+    * (linear); the candidate join is fingerprint-keyed with the df cap
+    * bounding bucket width; exchanges carry `(track, f, fp)` only. The
+    * per-frame band fold runs through [[graft.functions.Staging]] — the
+    * fourth wide-per-row-transform lane, first to ship on the shared
+    * recipe rather than re-deriving it by measurement. */
+  def audioFingerprint(docs: DataFrame, minAligned: Int = 3,
+      maxDf: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fs = audioFrameSize
+    val tracks = docs
+      .where(pmod(col("doc_id"), lit(3)) === 1 && length(col("text")) >= fs)
+      .select(col("doc_id").as("track"), col("text"))
+    val framed = tracks.select(col("track"), col("text"),
+      explode(sequence(lit(0),
+        least(lit(maxAudioFrames - 1),
+          (length(col("text")) / fs).cast("int") - 1))).as("f"))
+    val energies = array((0 until 4).map { b =>
+      aggregate(sequence(lit(1), lit(8)), lit(0L),
+        (acc, i) => acc + ascii(col("text")
+          .substr(col("f") * fs + lit(b * 8) + i, lit(1))).cast("long"))
+    }: _*)
+    // Staging: spread the split-bound scan, pin the energy array between
+    // the band fold and its two consumers (argmax + max)
+    val staged = graft.functions.Staging.stagedTransform(framed)(
+      _.select(col("track"), col("f"), energies.as("e")),
+      _.select(col("track"), col("f"),
+        (array_position(col("e"), array_max(col("e"))) - 1).as("peak"),
+        array_max(col("e")).as("emax")))
+    val wt = Window.partitionBy("track").orderBy("f")
+    val landmarks = staged
+      .withColumn("peak2", lead(col("peak"), 1).over(wt))
+      .withColumn("emax2", lead(col("emax"), 1).over(wt))
+      .where(col("peak2").isNotNull)
+      .select(col("track"), col("f"),
+        (((col("peak") * 4 + col("peak2")) * 16
+          + pmod(expr("emax div 16"), lit(16))) * 16
+          + pmod(expr("emax2 div 16"), lit(16))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    landmarks.count() // pin one materialization (df cap + both join sides)
+    val dfCounts = landmarks.select("track", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+    val kept = landmarks
+      .join(dfCounts.where(col("df") <= maxDf).select("fp"), "fp")
+    graft.CacheScope.owns(
+      kept.as("a")
+        .join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.track") < col("b.track"))
+        .groupBy(col("a.track").as("track_a"), col("b.track").as("track_b"),
+          (col("a.f") - col("b.f")).as("off"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("track_a", "track_b")
+        .agg(max(col("n") * 64 + lit(15) - col("off")).as("score"))
+        .select(col("track_a"), col("track_b"),
+          expr("score div 64").as("n_aligned"),
+          (lit(15) - pmod(col("score"), lit(64))).as("best_offset"))
+        .where(col("n_aligned") >= minAligned)
+        .orderBy("track_a", "track_b"),
+      landmarks)
+  }
+
   /** Deterministic fake feature vector (`dim` floats in [-1, 1]) from
     * frame-level murmur hashes — rows-only checked; connects the binary
     * pipeline to the [[Similarity]] operators. A real extractor replaces
@@ -466,6 +561,63 @@ object MultimodalSql {
        |FROM k a JOIN k b ON a.fhash = b.fhash AND a.vid < b.vid
        |GROUP BY 1, 2 HAVING count(*) >= $minShared
        |ORDER BY vid_a, vid_b""".stripMargin
+
+  /** Twin of [[Multimodal.audioFingerprint]]: identical complete-frame
+    * rule, identical integer band energies (`unicode()` ⇔ `ascii()`),
+    * identical landmark packing, df cap, offset votes, and
+    * packed-integer best-offset tie-break. Frame constants interpolate
+    * from [[Multimodal]] (the videoNearDup ADVICE r13 lesson). */
+  def audioFingerprint(minAligned: Int = 3, maxDf: Int = 50): String = {
+    val fs = Multimodal.audioFrameSize
+    s"""WITH tr AS (
+       |  SELECT doc_id AS track, text FROM documents
+       |  WHERE doc_id % 3 = 1 AND length(text) >= $fs),
+       |fr AS (
+       |  SELECT track, text, CAST(r.f AS INT) AS f
+       |  FROM tr, unnest(range(0,
+       |    least(${Multimodal.maxAudioFrames},
+       |          CAST(length(text) // $fs AS BIGINT)))) AS r(f)),
+       |e AS (
+       |  SELECT track, f,
+       |         list_transform(range(0, 4), b ->
+       |           CAST(list_sum(list_transform(range(1, 9),
+       |             i -> unicode(substr(text, f * $fs + b * 8 + i, 1))))
+       |             AS BIGINT)) AS e
+       |  FROM fr),
+       |pk AS (
+       |  SELECT track, f,
+       |         CAST(list_position(e, list_max(e)) - 1 AS BIGINT) AS peak,
+       |         CAST(list_max(e) AS BIGINT) AS emax
+       |  FROM e),
+       |lm0 AS (
+       |  SELECT track, f, peak, emax,
+       |         lead(peak) OVER (PARTITION BY track ORDER BY f) AS peak2,
+       |         lead(emax) OVER (PARTITION BY track ORDER BY f) AS emax2
+       |  FROM pk),
+       |lm AS (
+       |  SELECT track, f,
+       |         ((peak * 4 + peak2) * 16 + (emax // 16) % 16) * 16
+       |           + (emax2 // 16) % 16 AS fp
+       |  FROM lm0 WHERE peak2 IS NOT NULL),
+       |dfc AS (
+       |  SELECT fp FROM (SELECT DISTINCT track, fp FROM lm)
+       |  GROUP BY fp HAVING count(*) <= $maxDf),
+       |kept AS (SELECT lm.track, lm.f, lm.fp FROM lm JOIN dfc USING (fp)),
+       |votes AS (
+       |  SELECT a.track AS track_a, b.track AS track_b, a.f - b.f AS off,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.track < b.track
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT track_a, track_b,
+       |         CAST(max(n * 64 + 15 - off) AS BIGINT) AS score
+       |  FROM votes GROUP BY 1, 2)
+       |SELECT track_a, track_b,
+       |       CAST(score // 64 AS BIGINT) AS n_aligned,
+       |       CAST(15 - (score % 64) AS BIGINT) AS best_offset
+       |FROM best WHERE score // 64 >= $minAligned
+       |ORDER BY track_a, track_b""".stripMargin
+  }
 
   /** Typed mapPartitions decode twin (same stub arithmetic; BIGINT casts
     * for the same HUGEINT reason as [[frameStats]]). */

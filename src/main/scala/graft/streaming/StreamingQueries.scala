@@ -1553,6 +1553,76 @@ object StreamingQueries {
     q.awaitTermination()
     spark.table(name).orderBy("doc_id")
   }
+
+  /** Streaming near-duplicate ADMISSION gate — the `dedup_minhash_lsh`
+    * machinery deployed at ingest time, the shape a production corpus
+    * intake runs: a static LSH index (banded bucket keys + shingle sets)
+    * is built ONCE from the existing corpus (`doc_id % 5 ≠ 4`, the index
+    * slice), and every ARRIVING document (`doc_id % 5 = 4`, the stream
+    * slice) computes its MinHash signature and band keys in a STATELESS
+    * projection (the same [[graft.operators.Dedup.bandKeys]] expressions
+    * as the batch face — stream and batch cannot bucket differently),
+    * probes the index via a stream-static left-outer equi-join on
+    * `(band, key)`, verifies every surviving candidate with the EXACT
+    * shingle Jaccard, and folds to one verdict per doc: `dup_jaccard` =
+    * strongest verified near-dup (null → none), `admitted` = no verified
+    * dup at `threshold`. The only streaming state is the per-doc verdict
+    * aggregate.
+    *
+    * Oracle posture: the twin enumerates stream × index pairs EXACTLY,
+    * so this inherits [[graft.operators.Dedup.minhashLshPairs]]'
+    * sanctioned recall posture (banded-LSH miss probability < 1e-6 at
+    * s ≥ 0.8 with 32×4 — see `dedup_lsh_tune`).
+    *
+    * Scale posture: the stream side carries `(doc_id, shingles, 32 band
+    * keys)` per arriving doc — linear in the batch; the index probe is an
+    * equi-join against bucket rows (broadcast at test SF; at corpus scale
+    * the bucket relation is pre-partitioned on its key and the arriving
+    * micro-batch shuffles to it — never an all-pairs comparison); the
+    * verify join touches only co-bucketed candidates. */
+  def nearDupAdmission(outer: SparkSession, dir: String,
+      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
+      shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{max => fmax}
+    val spark = childSession(outer)
+    val name = "st31_neardup_" + math.abs(dir.hashCode)
+    val rows = numHashes / bands
+    val index = graft.operators.Dedup.shingleSets(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .where(pmod(col("doc_id"), lit(5)) =!= 4), shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxBuckets = index
+      .select(col("doc_id").as("doc_b"),
+        posexplode(graft.operators.Dedup.bandKeys(
+          graft.functions.minhash_sig(col("sh"), numHashes), bands, rows)))
+      .toDF("doc_b", "band", "key")
+    val probes = graft.operators.Dedup.shingleSets(
+        tableStream(spark, dir, "documents")
+          .where(pmod(col("doc_id"), lit(5)) === 4), shingleN)
+      .select(col("doc_id"), col("sh"),
+        posexplode(graft.operators.Dedup.bandKeys(
+          graft.functions.minhash_sig(col("sh"), numHashes), bands, rows)))
+      .toDF("doc_id", "sh", "band", "key")
+    val verified = probes
+      .join(idxBuckets, Seq("band", "key"), "left_outer")
+      .join(index.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"), "left_outer")
+      .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
+      .withColumn("j", col("inter").cast("double")
+        / (size(col("sh")) + size(col("sh_b")) - col("inter")))
+    val ledger = verified.groupBy("doc_id")
+      .agg(fmax(when(col("j") >= threshold, col("j"))).as("dup_j"))
+    val q = ledger.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("doc_id"), round(col("dup_j"), 6).as("dup_jaccard"),
+        col("dup_j").isNull.as("admitted"))
+      .orderBy("doc_id")
+  }
 }
 
 /** `StatefulProcessor` for [[StreamingQueries.transformWithStateCounts]]:

@@ -124,6 +124,26 @@ class PipelineSpec extends SparkSuite {
     assert(groups === Set(1, 2), "ratings 3 and 9 have no filter and are skipped")
   }
 
+  test("p19_domain_mix: capped uniform-target weights, shares sum to 1") {
+    val rows = SparkEntry.queries("p19_domain_mix")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val target = total / rows.length
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      val nt = r.getAs[Long]("n_tokens")
+      assert(w > 0.0 && w <= 4.0, s"weight out of cap: $w")
+      // uncapped sources sit exactly at target/n_tokens (6dp)
+      if (target / nt < 4.0)
+        assert(math.abs(w - target / nt) < 1e-5)
+      assert(r.getAs[Double]("expected_tokens") <= 4.0 * nt + 0.01)
+    }
+    val shares = rows.map(_.getAs[Double]("share_after")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+  }
+
   test("d3_scd2: per-key intervals are contiguous, exactly one current row") {
     val rows = SparkEntry.queries("d3_scd2")(spark, "/root/testdata/sf0.001")
       .select("user_id", "valid_from_us", "valid_to_us", "is_current")

@@ -1410,4 +1410,64 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("fe14_pca2")
     assert(!p.contains("Join"), s"a one-row closed form joins nothing:\n$p")
   }
+
+  test("mm10: the band-energy fold is staged (pinned arrays, spread " +
+      "exchange); landmark windows partition by track; the pair join " +
+      "is fp-keyed, never cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val exec = SparkEntry.queries("mm10_audio_fp")(spark, dir)
+      .queryExecution.executedPlan
+    // the landmark relation (and its track-partitioned lead() window)
+    // lives behind the persist — the final plan must consume it through
+    // the cache, and any window that DOES survive outside the cache must
+    // be track-partitioned, never global
+    assert(exec.toString.contains("InMemoryTableScan"),
+      s"both pair-join sides must read the persisted landmarks:\n$exec")
+    val wins = deepCollect(exec) { case w: WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"no global window may surface in the pair phase:\n$exec")
+    assert(deepCollect(exec) { case c: CartesianProductExec => c }.isEmpty,
+      s"the candidate join must stay fp-keyed:\n$exec")
+    val p = plan("mm10_audio_fp")
+    // Staging.pin: the energy array must be physically pinned, or
+    // CollapseProject re-runs the 4×8 substring fold per reference
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"the staged energy column must be physically pinned:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("gr15: each round's stats are node/edge-keyed aggregates; no " +
+      "global window, no cartesian anywhere in the trajectory") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    // modularity runs its jobs eagerly (one summary row per round); the
+    // audit inspects the RESULT's plan shape and the absence of funnel
+    // operators in the constituent round queries via the public face
+    val df = SparkEntry.queries("gr15_modularity")(spark, dir)
+    val exec = df.queryExecution.executedPlan
+    assert(deepCollect(exec) { case w: WindowExec => w }.isEmpty,
+      s"the trajectory is a bounded local relation:\n$exec")
+    assert(deepCollect(exec) { case c: CartesianProductExec => c }.isEmpty)
+    val rows = df.collect()
+    assert(rows.length === 4)
+    spark.catalog.clearCache()
+  }
+
+  test("p19: the mixture planner is ONE corpus scan (persisted rollup) " +
+      "with broadcast stitches of the one-row totals") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("p19_domain_mix")(spark, dir)
+      .queryExecution.executedPlan
+    // the per-source rollup persists; totals and the final projection
+    // both read the cache — no second documents scan survives
+    assert(deepCollect(exec) { case s: FileSourceScanExec => s }.size <= 1,
+      s"the k-row rollup must be computed from ONE corpus scan:\n$exec")
+    assert(deepCollect(exec) { case w: WindowExec => w }.isEmpty, s"$exec")
+    val p = plan("p19_domain_mix")
+    assert(!p.contains("SortMergeJoin"),
+      s"one-row totals must broadcast:\n$p")
+    spark.catalog.clearCache()
+  }
 }

@@ -265,6 +265,34 @@ class GraphSpec extends SparkSuite {
       6L -> 4L))
   }
 
+  test("modularity: hand-computed per-round trajectory on the 6-chain") {
+    // chain 1-2-3-4-5-6: m = 5, degrees (1,2,2,2,2,1); round-r labels are
+    // min-id-within-r-hops = max(1, v - r). Per round, hand-derived:
+    //   r1 labels [1,1,2,3,4,5]: IT=1 (edge 1-2), S2=3²+2²+2²+2²+1²=22,
+    //      Q = 1/5 - 22/100 = -0.02
+    //   r2 [1,1,1,2,3,4]: IT=2, S2=25+4+4+1=34, Q = 0.4-0.34 = 0.06
+    //   r3 [1,1,1,1,2,3]: IT=3, S2=49+4+1=54, Q = 0.6-0.54 = 0.06
+    //   r4 [1,1,1,1,1,2]: IT=4, S2=81+1=82, Q = 0.8-0.82 = -0.02
+    // — the Q curve peaks mid-run and degrades as the flood over-merges,
+    // which is exactly the decision the lane exists to surface.
+    val r = Graph.modularity(eventsOf(Seq(1L, 2L, 3L, 4L, 5L, 6L)))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(
+      (1L, 5L, 1L, 22L, -0.02),
+      (2L, 4L, 2L, 34L, 0.06),
+      (3L, 3L, 3L, 54L, 0.06),
+      (4L, 2L, 4L, 82L, -0.02)))
+  }
+
+  test("modularity: the one-community fixed point scores exactly 0") {
+    // triangle 1-2-3 floods to one label by round 1; IT = m and
+    // S2 = (2m)² make Q identically 0 from then on
+    val r = Graph.modularity(eventsOf(Seq(1L, 2L, 3L, 1L)), iters = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r.map(x => (x._1, x._2, x._5)) ===
+      Seq((1L, 1L, 0.0), (2L, 1L, 0.0)))
+  }
+
   test("reciprocity: hand-counted mutual edges over the chain fixtures") {
     // seq 1,2,3,1,2,4,1 → edges {1→2,2→3,3→1,2→4,4→1}: no reversals → 0
     val r0 = Graph.reciprocity(eventsOf(seq1))

@@ -166,4 +166,33 @@ class MultimodalSpec extends SparkSuite {
       .toDF("doc_id", "text")
     assert(Multimodal.videoNearDup(d).collect().isEmpty)
   }
+
+  // audio frame with peak band b: 'z's in band b, 'a's elsewhere —
+  // peak energy 8·122 = 976 (quant 61 % 16 = 13), others 8·97 = 776
+  private def F(b: Int): String =
+    (0 until 4).map(j => if (j == b) "z" * 8 else "a" * 8).mkString
+
+  test("audioFingerprint: aligned landmark runs vote on their offset; " +
+      "disjoint runs and non-audio docs never pair") {
+    val d = Seq(
+      (1L, F(0) + F(1) + F(2) + F(3)),        // track A: landmarks (0,1)(1,2)(2,3)
+      (4L, F(2) + F(0) + F(1) + F(2) + F(3)), // track B: A's run shifted +1
+      (7L, F(3) + F(2) + F(1) + F(0)),        // track C: reversed -> disjoint
+      (2L, F(0) + F(1) + F(2) + F(3)))        // doc 2 % 3 = 2 -> video: excluded
+      .toDF("doc_id", "text")
+    val got = Multimodal.audioFingerprint(d, minAligned = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // A's three landmarks all land in B one frame later: offset -1, 3 votes
+    assert(got === Set((1L, 4L, 3L, -1L)))
+    // stop-fingerprint cap: at maxDf = 1 every shared fp is dropped
+    assert(Multimodal.audioFingerprint(d, minAligned = 3, maxDf = 1)
+      .collect().isEmpty)
+  }
+
+  test("audioFingerprint: sub-frame tracks and an audio-free corpus " +
+      "yield empty results, not failures") {
+    val d = Seq((1L, "too short"), (3L, "z" * 200))
+      .toDF("doc_id", "text")
+    assert(Multimodal.audioFingerprint(d).collect().isEmpty)
+  }
 }

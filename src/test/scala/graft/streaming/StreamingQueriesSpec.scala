@@ -293,6 +293,32 @@ class StreamingQueriesSpec extends SparkSuite {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("nearDupAdmission: the streamed admission ledger equals the " +
+      "exact batch stream-slice x index-slice verdict") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.nearDupAdmission(spark, dir).collect()
+    // batch truth: EXACT all-pairs max Jaccard between the slices (the
+    // oracle's own formulation) — passing also witnesses the LSH path's
+    // recall at this SF, not just its plumbing
+    val sets = graft.operators.Dedup.shingleSets(
+      Tables(spark, dir, "documents"), 3)
+    val batch = sets.where(pmod(col("doc_id"), lit(5)) === 4)
+      .crossJoin(sets.where(pmod(col("doc_id"), lit(5)) =!= 4)
+        .select(col("sh").as("sh_b")))
+      .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
+      .withColumn("j", col("inter").cast("double")
+        / (size(col("sh")) + size(col("sh_b")) - col("inter")))
+      .groupBy("doc_id")
+      .agg(max(when(col("j") >= 0.8, col("j"))).as("dup_j"))
+      .select(col("doc_id"), round(col("dup_j"), 6).as("dup_jaccard"),
+        col("dup_j").isNull.as("admitted"))
+      .orderBy("doc_id")
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("nbServe: stream-served predictions equal the batch classifier " +
       "row for row (scores included)") {
     val dir = "/root/testdata/sf0.001"
