@@ -1585,23 +1585,43 @@ object StreamingQueries {
       shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.{max => fmax}
     val spark = childSession(outer)
+    // this lane's cost is the in-stream LSH probe + exact-verify JOINS,
+    // not state commits (state = one per-doc verdict aggregate): the
+    // child default of 4 state partitions would run the bucket and
+    // verify exchanges 8× under-parallel (measured 19.9s → 8.3s at sf1
+    // when widened back to the session width)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      outer.sessionState.conf.numShufflePartitions)
     val name = "st31_neardup_" + math.abs(dir.hashCode)
     val rows = numHashes / bands
     val index = graft.operators.Dedup.shingleSets(
         spark.read.parquet(s"$dir/documents.parquet")
           .where(pmod(col("doc_id"), lit(5)) =!= 4), shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the signature gets its OWN projection before the 32 band slices
+    // reference it: a multi-referenced alias is a CollapseProject
+    // barrier (the minhashLshPairs shape), while inlining minhash_sig
+    // into bandKeys would re-run the 128-hash kernel once per band
+    // (measured: 160s CPU -> 5s on the index side at sf1)
     val idxBuckets = index
       .select(col("doc_id").as("doc_b"),
-        posexplode(graft.operators.Dedup.bandKeys(
-          graft.functions.minhash_sig(col("sh"), numHashes), bands, rows)))
+        graft.functions.minhash_sig(col("sh"), numHashes).as("sig"))
+      .select(col("doc_b"),
+        posexplode(graft.operators.Dedup.bandKeys(col("sig"), bands, rows)))
       .toDF("doc_b", "band", "key")
+    // the Staging.spread discipline applies inside a micro-batch too:
+    // the arriving batch's split count is file-bound (10 splits at sf1)
+    // while the signature+verify work is the cost — one narrow exchange
+    // of the filtered slice buys full-width CPU on the probe (measured
+    // 22.2s -> 8s class at sf1)
     val probes = graft.operators.Dedup.shingleSets(
-        tableStream(spark, dir, "documents")
-          .where(pmod(col("doc_id"), lit(5)) === 4), shingleN)
+        graft.functions.Staging.spread(
+          tableStream(spark, dir, "documents")
+            .where(pmod(col("doc_id"), lit(5)) === 4)), shingleN)
       .select(col("doc_id"), col("sh"),
-        posexplode(graft.operators.Dedup.bandKeys(
-          graft.functions.minhash_sig(col("sh"), numHashes), bands, rows)))
+        graft.functions.minhash_sig(col("sh"), numHashes).as("sig"))
+      .select(col("doc_id"), col("sh"),
+        posexplode(graft.operators.Dedup.bandKeys(col("sig"), bands, rows)))
       .toDF("doc_id", "sh", "band", "key")
     val verified = probes
       .join(idxBuckets, Seq("band", "key"), "left_outer")
