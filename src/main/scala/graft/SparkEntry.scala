@@ -1895,17 +1895,20 @@ object SparkEntry {
       // their own filters. Zero-false-negatives guarantees hits == total,
       // so DuckDB can predict both columns from plain group counts — while
       // the Spark plan still executes the full build + bloom_might_contain
-      // probe path (the `hits` column forces it; nothing prunes away).
+      // probe path (the `hit` column forces it; nothing prunes away).
+      //
+      // COGROUP formulation (r14): every join-shaped probe pays a hidden
+      // per-row memcpy — codegen's getBinary copies the joined bitset
+      // for EACH probe row (measured at sf5: 403s unsharded join, 1072s
+      // slab join, 3.1s collected broadcast). probeTotalsSharded extracts
+      // each slab's bits once per cogroup and probes the iterator through
+      // the same core kernel — distributed, no driver artifact, per-probe
+      // cost back to k hashes. The join form stays registered where the
+      // bits are bounded (bloom_sharded_fpstats) and documented at
+      // BloomPipeline.fpStats.
       val train = Ratings.trainFromLineitem(s, dir)
-      val filters = BloomPipeline.buildFilters(train, defaultP)
-      train
-        .join(broadcast(filters.select("rating", "m", "k", "bits")), "rating")
-        .select(col("rating"),
-          bloom_might_contain(col("bits"), col("m"), col("k"), col("movieId")).as("hit"))
-        .groupBy("rating").agg(
-          count("*").as("total"),
-          sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
-        .orderBy("rating")
+      val filters = BloomPipeline.buildShardedFilters(train, defaultP)
+      BloomPipeline.probeTotalsSharded(train, filters).orderBy("rating")
     }),
     "bloom_zero_fn" -> ((s, dir) => {
       // The hard invariant, as a cross-engine oracle: probing every train

@@ -227,6 +227,67 @@ object BloomPipeline {
     * (rating, shard). The slab side is hinted broadcast only when small —
     * at scale Catalyst/AQE picks a shuffle join whose key space
     * (#groups × S) is skew-free by construction. */
+  /** Sharded probe TOTALS via COGROUP — the fully distributed probe
+    * without the join form's hidden memcpy: any join-shaped probe makes
+    * codegen extract the joined BINARY per output row
+    * (`UnsafeRow.getBinary` allocates and copies ~slabBytes for EVERY
+    * probe — the r14 sf5 cohort measured 403s for the unsharded join and
+    * 1072s for the slab join, vs 3.1s for the collected-broadcast probe).
+    * Cogrouping probes with slabs on `(rating, shard)` extracts each
+    * slab's bits ONCE per group and probes the group's iterator through
+    * the same [[graft.core.BloomFilter]] kernel the codegen expression
+    * uses — per-probe cost returns to k hashes, and the plan stays fully
+    * distributed (no driver artifact): this is the probe shape for
+    * filter sets too large to collect or broadcast, where
+    * [[fpStatsCollected]] stops applying. It is also the REFERENCE'S OWN
+    * reducer shape — `tester/ReducerTester.java:49-118` takes the
+    * group's filter as the first value, then probes the remaining
+    * iterator (SURVEY §2 A5) — recovered here because it is the
+    * formulation whose per-probe cost stays k hashes at any filter
+    * size. Exchanges carry
+    * `(rating, shard, key)` probe rows and one slab row per
+    * (group, shard) — both narrow, both skew-free by the shard design.
+    * Missing groups are skipped (the §2.6 inner-join policy). */
+  def probeTotalsSharded(test: DataFrame, filters: DataFrame): DataFrame = {
+    val spark = test.sparkSession
+    import spark.implicits._
+    val geometry = filters.select(col("rating"), col("s")).distinct()
+    val routed = test
+      .join(broadcast(geometry), "rating")
+      .withColumn("shard",
+        pmod(graft.functions.mmh3(col("movieId"), routeSeed), col("s")))
+      .select(col("rating").cast("int"), col("shard").cast("int"),
+        col("movieId"))
+      .as[(Int, Int, String)]
+    val slabs = filters
+      .select(col("rating").cast("int"), col("shard").cast("int"),
+        col("m").cast("int"), col("k").cast("int"), col("bits"))
+      .as[(Int, Int, Int, Int, Array[Byte])]
+    routed.groupByKey(r => (r._1, r._2))
+      .cogroup(slabs.groupByKey(s => (s._1, s._2))) {
+        case ((rating, _), probes, slabIt) =>
+          val slab = slabIt.toSeq
+          // no filter -> skip the probes (§2.6); no probes -> the slab
+          // contributes nothing (a group appears only when probed)
+          if (slab.isEmpty || probes.isEmpty) Iterator.empty
+          else {
+            val (_, _, m, k, bits) = slab.head
+            var total = 0L
+            var hits = 0L
+            probes.foreach { p =>
+              total += 1
+              if (graft.core.BloomFilter.mightContainBytes(bits, m, k,
+                p._3.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                hits += 1
+            }
+            Iterator((rating, total, hits))
+          }
+      }
+      .toDF("rating", "total", "hits")
+      .groupBy("rating")
+      .agg(sum("total").as("total"), sum("hits").as("hits"))
+  }
+
   def fpStatsSharded(test: DataFrame, filters: DataFrame): DataFrame = {
     val geometry = filters.select("rating", "s", "m", "k").distinct()
     test

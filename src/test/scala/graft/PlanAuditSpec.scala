@@ -70,10 +70,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("bloom_probe_totals: probe runs the native predicate after a broadcast join") {
+  test("bloom_probe_totals: cogroup probe — slabs cogrouped with routed " +
+      "probes, no join row ever carries the bitset") {
+    // the r14 sf5 lesson: a join-shaped probe copies the joined BINARY
+    // per probe row (getBinary memcpy, measured 403s at sf5); the lane
+    // now probes via CoGroup (one bits extraction per slab per group)
     val p = plan("bloom_probe_totals")
-    assert(p.contains("bloom_might_contain"), "probe expression must survive planning")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("CoGroup"), s"probe must stay cogroup-shaped:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded geometry relation must broadcast into routing:\n$p")
+    assert(!p.contains("bloom_might_contain"),
+      s"no join-row probe expression may reappear (the memcpy term):\n$p")
   }
 
   test("j5: as-of join contains no join operator at all") {
@@ -153,8 +160,10 @@ class PlanAuditSpec extends SparkSuite {
   test("bloom probe executes inside whole-stage codegen") {
     // the native-expression claim, checked on the EXECUTED plan (AQE only
     // finalizes codegen spans at runtime): star-prefixed nodes are
-    // whole-stage-compiled, and the probe projection must be one of them
-    val df = SparkEntry.queries("bloom_probe_totals")(spark, dir)
+    // whole-stage-compiled, and the probe projection must be one of them.
+    // Checked on the sharded JOIN-form lane (2KB slabs keep its carried
+    // bytes bounded) — bloom_probe_totals moved to the cogroup form
+    val df = SparkEntry.queries("bloom_sharded_fpstats")(spark, dir)
     df.collect()
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val executed = df.queryExecution.executedPlan match {

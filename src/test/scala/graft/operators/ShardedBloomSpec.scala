@@ -84,4 +84,36 @@ class ShardedBloomSpec extends SparkSuite {
       .where($"n" > 1).count()
     assert(perKey === 0L)
   }
+
+  test("probeTotalsSharded (cogroup form): zero FN on members, equals " +
+      "the join form's verdicts, skips filterless groups") {
+    val train = ratings(4000, 2)
+    val filters = BloomPipeline.buildShardedFilters(train, p, maxSlabBits = 2048)
+    // members: every probe hits (the hard invariant through the cogroup path)
+    val own = BloomPipeline.probeTotalsSharded(train, filters)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getAs[Long]("total"), r.getAs[Long]("hits")))).toMap
+    assert(own.keySet === Set(0, 1))
+    own.values.foreach { case (t, h) => assert(t === 2000L && h === t) }
+    // non-members: cogroup verdicts equal the join-expression verdicts
+    // key for key (same kernel, different extraction path)
+    val others = (5000 until 6000).map(i => (s"other-$i", i % 2))
+      .toDF("movieId", "rating")
+    val viaCogroup = BloomPipeline.probeTotalsSharded(others, filters)
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("hits")).toMap
+    val geometry = filters.select("rating", "s", "m", "k").distinct()
+    val viaJoin = others.join(broadcast(geometry), "rating")
+      .withColumn("shard",
+        pmod(graft.functions.mmh3($"movieId", BloomPipeline.routeSeed), $"s"))
+      .join(filters.select("rating", "shard", "bits"), Seq("rating", "shard"))
+      .select($"rating",
+        bloom_might_contain($"bits", $"m", $"k", $"movieId").as("hit"))
+      .groupBy("rating")
+      .agg(sum(when($"hit", 1L).otherwise(0L)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("hits")).toMap
+    assert(viaCogroup === viaJoin)
+    // a probe group with no filter is skipped, not crashed (§2.6)
+    val alien = Seq(("x", 9)).toDF("movieId", "rating")
+    assert(BloomPipeline.probeTotalsSharded(alien, filters).collect().isEmpty)
+  }
 }
