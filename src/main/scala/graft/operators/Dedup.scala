@@ -284,7 +284,7 @@ object Dedup {
       .select(col("pair._1").as("doc_a"), col("pair._2").as("doc_b"))
       .distinct()
 
-    val verified = candidates
+    val scored = candidates
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       // |A∪B| = |A|+|B|−|A∩B| on distinct-shingle sets — one array
@@ -297,9 +297,14 @@ object Dedup {
         / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .where(col("jaccard") >= threshold)
 
-    verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // `base` and `scored` stay cached until the pair relation's first
+    // action; library callers release via graft.CacheScope.release
+    // (harness callers keep the per-query clearCache backstop)
+    graft.CacheScope.owns(
+      scored.where(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")),
+      base, scored)
   }
 
   /** The banded bucket keys of a MinHash signature — one xxhash64 per
