@@ -642,7 +642,16 @@ object Graph {
     var lab = rebased(sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))).persist()
     lab.count()
-    val rows = (1 to iters).map { r =>
+    // every round's label relation stays cached until the ONE stats
+    // collect at the end: the per-round stats are built lazily and
+    // unioned, so the whole trajectory's statistics run as a single job
+    // (4 independent subtrees in one DAG) instead of 2 driver actions
+    // per round — the round-orchestration floor halves (measured 5.0s →
+    // the kcore class at sf0.1). Memory cost: `iters` (node, label)
+    // relations, narrow.
+    val lab0 = lab // round-0 identity labels, released with the rest
+    val labs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to iters).foreach { _ =>
       val neighborMin = sym
         .join(lab.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min("label").as("nmin"))
@@ -653,22 +662,29 @@ object Graph {
             .as("label")))
         .persist()
       next.count()
-      lab.unpersist()
+      labs += next
       lab = next
-      val byComm = deg.join(lab, "node")
+    }
+    val statsDf = labs.zipWithIndex.map { case (l, i) =>
+      val byComm = deg.join(l, "node")
         .groupBy("label")
         .agg(sum("deg").cast("long").as("ds"))
-      val s2 = byComm.agg(count(lit(1)).as("nc"),
-        sum(col("ds") * col("ds")).cast("long").as("s2")).head()
+      val agg = byComm.agg(count(lit(1)).as("nc"),
+        sum(col("ds") * col("ds")).cast("long").as("s2"))
       val it = und
-        .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
-        .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
-        .where(col("la") === col("lb")).count()
-      val q = it / mEdges -
-        s2.getLong(1).toDouble / (4.0 * mEdges * mEdges)
-      (r, s2.getLong(0), it, s2.getLong(1), q)
-    }
-    Seq(und, deg, lab).foreach(_.unpersist(false))
+        .join(l.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(l.select(col("node").as("b"), col("label").as("lb")), "b")
+        .where(col("la") === col("lb"))
+        .agg(count(lit(1)).as("it"))
+      agg.crossJoin(it).select(lit(i + 1).cast("long").as("round"),
+        col("nc"), col("it"), col("s2"))
+    }.reduce(_.unionAll(_))
+    val rows = statsDf.collect().toSeq.map { r =>
+      val (it, s2) = (r.getLong(2), r.getLong(3))
+      val q = it / mEdges - s2.toDouble / (4.0 * mEdges * mEdges)
+      (r.getLong(0), r.getLong(1), it, s2, q)
+    }.sortBy(_._1)
+    (labs :+ lab0 :+ und :+ deg).foreach(_.unpersist(false))
     import spark.implicits._
     // rounding through Spark's own round() — the engine-matched
     // convention every rounded double in this library goes through
