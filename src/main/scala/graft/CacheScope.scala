@@ -32,6 +32,14 @@ object CacheScope {
   private val owned = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
 
+  /** Results that ARE their own cached relation (`owns(res, res)` —
+    * the Graph iterative lanes return the persisted final round
+    * directly). Kept out of `owned`: a value strongly referencing its
+    * own weak key would make the entry immortal, pinning one plan per
+    * call for the life of the session. */
+  private val selfOwned = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
+
   /** Persist `df`, run `body` on it (every consumer of the cache must
     * complete inside `body`), then unpersist non-blocking. */
   def loan[A](df: DataFrame,
@@ -46,7 +54,12 @@ object CacheScope {
     * stay cached until `result`'s first full action); returns `result`
     * so call sites can register in tail position. */
   def owns(result: DataFrame, deps: DataFrame*): DataFrame = {
-    owned.put(result, deps.toSeq)
+    val (self, others) = deps.partition(_ eq result)
+    if (self.nonEmpty) selfOwned.put(result, java.lang.Boolean.TRUE)
+    if (others.nonEmpty) {
+      val prior = owned.get(result)
+      owned.put(result, if (prior == null) others else prior ++ others)
+    }
     result
   }
 
@@ -59,6 +72,10 @@ object CacheScope {
       val prior = owned.get(to)
       owned.put(to, if (prior == null) deps else prior ++ deps)
     }
+    // a self-owning `from` becomes an ordinary dependency of `to` (the
+    // derived result must keep from's cache alive until its own action)
+    if (selfOwned.remove(from) != null && !(from eq to))
+      owns(to, from): Unit
     to
   }
 
@@ -68,5 +85,8 @@ object CacheScope {
   def release(result: DataFrame): Unit = {
     val deps = owned.remove(result)
     if (deps != null) deps.foreach(_.unpersist(blocking = false))
+    if (selfOwned.remove(result) != null) {
+      result.unpersist(blocking = false); ()
+    }
   }
 }

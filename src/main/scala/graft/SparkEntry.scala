@@ -97,27 +97,60 @@ object SparkEntry {
     * path. The fixture is a pure function of (dir, name, version), so
     * reuse across runs is sound; bump `version` when a definition changes.
     *
-    * First-touch is race-hardened (VERDICT r13 ask #7): the fixture is
-    * built in a private temp dir (marker included) and published with a
-    * single ATOMIC_MOVE rename, so no reader ever observes a half-built
-    * fixture at `path`. If two JVMs race, exactly one rename wins; the
-    * loser discards its build and uses the winner's.
+    * First-touch is race-hardened (VERDICT r13 ask #7, tightened per
+    * ADVICE r14): the fixture is built in a private temp dir (marker
+    * included) and published with a single ATOMIC_MOVE rename, so no
+    * reader ever observes a half-built fixture at `path`. A
+    * CURRENT-version fixture at `path` is NEVER deleted or moved — a
+    * racing JVM's Spark tasks may be mid-scan of it — only a stale
+    * target (current marker absent) is renamed aside before the publish
+    * retries. If the publish keeps failing AND no current marker
+    * appears, the function throws instead of silently returning a path
+    * that still holds an old-version fixture (the swallowed-exception
+    * staleness hazard the r14 advice flagged). If two JVMs race on the
+    * same version, exactly one rename wins; the loser discards its
+    * build and uses the winner's.
     */
   private[graft] def ensureFixture(dir: String, name: String,
       version: Int = 1)(write: String => Unit): String = {
     val path = tmpPath(dir, name)
-    val marker = new java.io.File(path, s"_GRAFT_FIXTURE_v$version")
+    val target = new java.io.File(path)
+    val marker = new java.io.File(target, s"_GRAFT_FIXTURE_v$version")
     if (!marker.isFile) {
-      val tmp = new java.io.File(s"$path.build_" +
-        s"${java.lang.ProcessHandle.current.pid}_${System.nanoTime}")
+      val tag = s"${java.lang.ProcessHandle.current.pid}_${System.nanoTime}"
+      val tmp = new java.io.File(s"$path.build_$tag")
       write(tmp.getPath)
       new java.io.File(tmp, s"_GRAFT_FIXTURE_v$version").createNewFile()
-      deleteRecursively(new java.io.File(path)) // stale / older version
-      try java.nio.file.Files.move(tmp.toPath, new java.io.File(path).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // another JVM published between our delete and move: keep
-        case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+      def tryPublish(): Boolean =
+        try {
+          java.nio.file.Files.move(tmp.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileSystemException => false }
+      var published = tryPublish()
+      var attempts = 0
+      // the move fails only when `target` exists: either a concurrent
+      // winner published the current version (marker present -> stop and
+      // use theirs) or the target is stale/partial (rename it aside,
+      // delete the aside copy, retry)
+      while (!published && !marker.isFile && attempts < 5) {
+        attempts += 1
+        if (target.exists()) {
+          val aside = new java.io.File(s"$path.stale_${tag}_$attempts")
+          try {
+            java.nio.file.Files.move(target.toPath, aside.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            deleteRecursively(aside)
+          } catch { // another JVM moved or republished concurrently —
+            case _: java.nio.file.FileSystemException => () // loop re-checks
+          }
+        }
+        published = tryPublish()
       }
+      if (!published) deleteRecursively(tmp) // a concurrent winner stands
+      if (!marker.isFile)
+        throw new IllegalStateException(s"fixture $name: publish failed " +
+          s"and no current-version (v$version) marker exists at $path")
     }
     path
   }
@@ -1976,13 +2009,14 @@ object SparkEntry {
     }),
     "bloom_sharded_reload" -> ((s, dir) => {
       // The 100 TB lifecycle: sharded build -> persist slab artifact ->
-      // reload -> route -> probe (slabs may be too many to collect, so the
-      // probe is the (rating, shard) equi-join of fpStatsSharded). hits ==
-      // total by zero-FN on the train split, so fully oracle-checked.
+      // reload -> route -> probe (slabs may be too many to collect OR to
+      // broadcast, so the probe is the cogroup shape — r15; the join form
+      // is fenced at BloomPipeline.fpStatsSharded). hits == total by
+      // zero-FN on the train split, so fully oracle-checked.
       val train = Ratings.trainFromLineitem(s, dir)
       val path = fixtures("sharded_filters")(s, dir)
-      BloomPipeline.fpStatsSharded(train, FilterStore.load(s, path))
-        .select(col("rating"), col("total"), col("falsePositives").as("hits"))
+      BloomPipeline.probeTotalsSharded(train, FilterStore.load(s, path))
+        .select(col("rating"), col("total"), col("hits"))
         .orderBy("rating")
     }),
     "k5_csv_roundtrip" -> ((s, dir) => {
@@ -2178,7 +2212,12 @@ object SparkEntry {
         .agg(sum(when(col("hit"), 0L).otherwise(1L)).as("false_negatives"))
     }),
     "bloom_sharded_fpstats" -> ((s, dir) => // bit-valued internals -> rows-only
-      BloomPipeline.fpStatsSharded(
+      // COGROUP FP face (r15): the per-rating (fp, total, rate) output on
+      // the probe shape whose per-probe cost stays k hashes at any slab
+      // size — the join form is fenced at BloomPipeline.fpStatsSharded
+      // (its per-row getBinary memcpy priced at 1071.8s for 8 MB slabs
+      // in the r14 sf5 campaign)
+      BloomPipeline.fpStatsShardedCogroup(
         Ratings.testFromLineitem(s, dir),
         BloomPipeline.buildShardedFilters(
           Ratings.trainFromLineitem(s, dir), defaultP, shardedSlabBits))
@@ -2214,7 +2253,10 @@ object SparkEntry {
           sum(when(col("fpRate") > defaultP * 2, 1L).otherwise(0L))
             .as("violations"))),
     "bloom_sharded_fp_bound" -> ((s, dir) =>
-      BloomPipeline.fpStatsSharded(
+      // the green FP-bound gate now rides the COGROUP face (r15): the
+      // hit set is bit-identical to the fenced join form, so the bound
+      // semantics are unchanged while the gated plan is the scale-safe one
+      BloomPipeline.fpStatsShardedCogroup(
         Ratings.testFromLineitem(s, dir),
         BloomPipeline.buildShardedFilters(
           Ratings.trainFromLineitem(s, dir), defaultP, shardedSlabBits))

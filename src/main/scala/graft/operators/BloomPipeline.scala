@@ -248,7 +248,14 @@ object BloomPipeline {
     * `(rating, shard, key)` probe rows and one slab row per
     * (group, shard) — both narrow, both skew-free by the shard design.
     * Missing groups are skipped (the §2.6 inner-join policy). */
-  def probeTotalsSharded(test: DataFrame, filters: DataFrame): DataFrame = {
+  def probeTotalsSharded(test: DataFrame, filters: DataFrame): DataFrame =
+    cogroupProbe(test, filters)
+
+  /** The shared cogroup probe kernel behind [[probeTotalsSharded]] and
+    * [[fpStatsShardedCogroup]]: per (rating, shard) group, extract the
+    * slab's bits ONCE and stream the group's probes through it. Output
+    * one `(rating, total, hits)` row per probed rating. */
+  private def cogroupProbe(test: DataFrame, filters: DataFrame): DataFrame = {
     val spark = test.sparkSession
     import spark.implicits._
     val geometry = filters.select(col("rating"), col("s")).distinct()
@@ -265,8 +272,15 @@ object BloomPipeline {
       .as[(Int, Int, Int, Int, Array[Byte])]
     routed.groupByKey(r => (r._1, r._2))
       .cogroup(slabs.groupByKey(s => (s._1, s._2))) {
-        case ((rating, _), probes, slabIt) =>
+        case ((rating, shard), probes, slabIt) =>
           val slab = slabIt.toSeq
+          // a malformed filter relation (e.g. filters built twice and
+          // unioned) must fail loudly, not probe one arbitrary slab and
+          // silently undercount (ADVICE r14)
+          require(slab.size <= 1,
+            s"duplicate slab rows for (rating=$rating, shard=$shard): " +
+              s"${slab.size} — the filter relation must hold exactly one " +
+              "row per (rating, shard)")
           // no filter -> skip the probes (§2.6); no probes -> the slab
           // contributes nothing (a group appears only when probed)
           if (slab.isEmpty || probes.isEmpty) Iterator.empty
@@ -288,6 +302,28 @@ object BloomPipeline {
       .agg(sum("total").as("total"), sum("hits").as("hits"))
   }
 
+  /** The per-rating FP-rate face (reference P4+A5,
+    * `tester/ReducerTester.java:102-113`) on the COGROUP probe — the
+    * scale-safe shape [[probeTotalsSharded]] established, now covering
+    * the `(falsePositives, total, fpRate)` output the reference reducer
+    * emits (VERDICT r14 ask #2). Identical probe semantics to
+    * [[fpStatsSharded]] (same routing, same slabs, same kernel — the
+    * hit set is bit-identical); the cost model differs: per-probe cost
+    * stays k hashes at ANY slab size, where the join form's per-row
+    * binary extraction priced at 1071.8s for 8 MB slabs at sf5. */
+  def fpStatsShardedCogroup(test: DataFrame, filters: DataFrame): DataFrame =
+    cogroupProbe(test, filters)
+      .select(col("rating"), col("hits").as("falsePositives"), col("total"))
+      .withColumn("fpRate", col("falsePositives") / col("total"))
+
+  /** Join-form sharded probe — FENCED (VERDICT r14 ask #2): every
+    * join-shaped probe pays codegen's per-output-row `getBinary` memcpy
+    * (~slabBytes per probe row; the sf5 campaign priced 8 MB slabs at
+    * 1071.8s), so this formulation is safe ONLY where slabs are bounded
+    * small (the 2 KB test-SF slabs). Production probes at any slab size
+    * use [[fpStatsShardedCogroup]] / [[probeTotalsSharded]]; this stays
+    * as the cross-formulation twin (same hit set by construction) and
+    * the bounded-slab spec surface. */
   def fpStatsSharded(test: DataFrame, filters: DataFrame): DataFrame = {
     val geometry = filters.select("rating", "s", "m", "k").distinct()
     test

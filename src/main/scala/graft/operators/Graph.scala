@@ -237,7 +237,13 @@ object Graph {
     // cache is now dead weight; release them so a long multi-query run
     // doesn't accrue resident graph relations (r8 advice #4)
     Seq(ed, nodes, outDeg, edDeg, dangling).foreach(_.unpersist())
-    rank.select(col("node"), round(col("rank"), 9).as("rank")).orderBy("node")
+    // the returned relation reads the final persisted rank lazily —
+    // registered ownership (VERDICT r14 #7: the CacheScope discipline
+    // extended to every Graph persist-and-return site)
+    graft.CacheScope.owns(
+      rank.select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node"),
+      rank)
   }
 
   /** HITS hubs and authorities (Kleinberg 1999) — the directed-graph
@@ -344,7 +350,7 @@ object Graph {
         .orderBy("node")).persist()
       res.count()
       Seq(ed, nodes, hub, auth).foreach(_.unpersist())
-      res
+      graft.CacheScope.owns(res, res) // result IS the cached relation
     } else {
       // AUTO-FLIP: seed per-round-normalized doubles from the exact state
       // (divide by its L1 total — commutes with the remaining sums).
@@ -399,7 +405,7 @@ object Graph {
         .orderBy("node")).persist()
       res.count()
       Seq(ed, nodes, hubD, authD).foreach(_.unpersist())
-      res
+      graft.CacheScope.owns(res, res) // result IS the cached relation
     }
   }
 
@@ -501,7 +507,7 @@ object Graph {
     // consumer and is released by the harness's per-query clearCache.
     sym.unpersist()
     und.unpersist()
-    dist.orderBy("node")
+    graft.CacheScope.owns(dist.orderBy("node"), dist)
   }
 
   /** Personalized PageRank (Page et al. 1999 §6; the "random walk with
@@ -556,7 +562,13 @@ object Graph {
       rank = next
     }
     Seq(ed, nodes, outDeg, edDeg, dangling).foreach(_.unpersist())
-    rank.select(col("node"), round(col("rank"), 9).as("rank")).orderBy("node")
+    // the returned relation reads the final persisted rank lazily —
+    // registered ownership (VERDICT r14 #7: the CacheScope discipline
+    // extended to every Graph persist-and-return site)
+    graft.CacheScope.owns(
+      rank.select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node"),
+      rank)
   }
 
   /** Bounded-round community detection by synchronous min-label
@@ -603,7 +615,8 @@ object Graph {
       lab = next
     }
     Seq(und, sym).foreach(_.unpersist())
-    lab.select(col("node"), col("label").as("community"))
+    graft.CacheScope.owns(
+      lab.select(col("node"), col("label").as("community")), lab)
   }
 
   /** Modularity TRAJECTORY of [[labelPropagation]] — Newman–Girvan `Q`
@@ -631,10 +644,21 @@ object Graph {
     * edge-keyed double label join — all narrow; the only driver values
     * are the one summary row per round (bounded by `iters`). */
   def modularity(events: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
     val spark = events.sparkSession
+    import spark.implicits._
     val und = undirected(events)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mEdges = und.count().toDouble
+    // an empty edge relation has no defined Q (every term divides by m);
+    // return the empty trajectory instead of iters rows of NaN (ADVICE r14)
+    if (mEdges == 0) {
+      und.unpersist(false)
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("round", "n_communities", "intra_edges", "deg_sq_sum", "q")
+        .select(col("round"), col("n_communities"), col("intra_edges"),
+          col("deg_sq_sum"), round(col("q"), 9).as("modularity"))
+    }
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
@@ -759,9 +783,11 @@ object Graph {
     // flag to false and the cross-engine mismatch names its cause
     // instead of presenting as an inscrutable label diff (the kCore
     // convention).
-    labels.select(col("node"), col("label").as("component"),
-        lit(true).as("converged"))
-      .orderBy("node")
+    graft.CacheScope.owns(
+      labels.select(col("node"), col("label").as("component"),
+          lit(true).as("converged"))
+        .orderBy("node"),
+      labels)
   }
 
   /** Directed-graph reciprocity — the fraction of directed edges whose
@@ -838,7 +864,7 @@ object Graph {
       .orderBy("node")).persist()
     result.count()
     Seq(und, sym, alive).foreach(_.unpersist())
-    result
+    graft.CacheScope.owns(result, result) // result IS the cached relation
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

@@ -1571,34 +1571,50 @@ object StreamingQueries {
     *
     * Oracle posture: the twin enumerates stream × index pairs EXACTLY,
     * so this inherits [[graft.operators.Dedup.minhashLshPairs]]'
-    * sanctioned recall posture (banded-LSH miss probability < 1e-6 at
-    * s ≥ 0.8 with 32×4 — see `dedup_lsh_tune`).
+    * sanctioned recall posture under the SAME scale-dependent banding
+    * ([[graft.operators.Dedup.lshBandingFor]] on the index corpus size,
+    * r15): below the cutover the recall-first split keeps miss
+    * probability < 1e-6 at s ≥ 0.8; above it the `dedup_lsh_tune`
+    * argmax bounds the chance-collision candidate tail instead (see
+    * the tuner's pricing table).
     *
-    * Scale posture: the stream side carries `(doc_id, shingles, 32 band
-    * keys)` per arriving doc — linear in the batch; the index probe is an
-    * equi-join against bucket rows (broadcast at test SF; at corpus scale
-    * the bucket relation is pre-partitioned on its key and the arriving
-    * micro-batch shuffles to it — never an all-pairs comparison); the
-    * verify join touches only co-bucketed candidates. */
+    * Scale posture (reworked per ADVICE r14): the arriving micro-batch
+    * carries only `(doc_id, band, key)` through the bucket probe — the
+    * shingle arrays are NOT duplicated across the exploded band rows
+    * (the prior shape shipped the full array 32×); candidates dedupe to
+    * `(doc_id, doc_b)` before any array moves, and the exact-Jaccard
+    * verify re-joins both shingle sets by id. The per-batch work runs
+    * through `foreachBatch`, where the micro-batch is a static relation
+    * (one persist, arbitrary batch joins) — the production intake shape
+    * for a gate whose verdict is final within the batch; at corpus
+    * scale the bucket relation is pre-partitioned on its key and the
+    * batch shuffles to it — never an all-pairs comparison. The static
+    * index caches are released after the drain (the r13 CacheScope
+    * discipline — repeated library invocations no longer accumulate
+    * entries). */
   def nearDupAdmission(outer: SparkSession, dir: String,
-      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 0,
       shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.{max => fmax}
     val spark = childSession(outer)
-    // this lane's cost is the in-stream LSH probe + exact-verify JOINS,
-    // not state commits (state = one per-doc verdict aggregate): the
-    // child default of 4 state partitions would run the bucket and
-    // verify exchanges 8× under-parallel (measured 19.9s → 8.3s at sf1
-    // when widened back to the session width)
+    // this lane's cost is the in-batch LSH probe + exact-verify JOINS,
+    // not state commits: the child default of 4 state partitions would
+    // run the bucket and verify exchanges 8× under-parallel (measured
+    // 19.9s → 8.3s at sf1 when widened back to the session width)
     spark.conf.set("spark.sql.shuffle.partitions",
       outer.sessionState.conf.numShufflePartitions)
-    val name = "st31_neardup_" + math.abs(dir.hashCode)
-    val rows = numHashes / bands
     val index = graft.operators.Dedup.shingleSets(
         spark.read.parquet(s"$dir/documents.parquet")
           .where(pmod(col("doc_id"), lit(5)) =!= 4), shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the signature gets its OWN projection before the 32 band slices
+    // stream and batch MUST bucket identically: the banding resolves
+    // once from the index corpus size (the count also materializes the
+    // persisted index both join sides reuse)
+    val (nBands, nRows) =
+      if (bands > 0) (bands, numHashes / bands)
+      else graft.operators.Dedup.lshBandingFor(index.count(), numHashes,
+        threshold)
+    // the signature gets its OWN projection before the band slices
     // reference it: a multi-referenced alias is a CollapseProject
     // barrier (the minhashLshPairs shape), while inlining minhash_sig
     // into bandKeys would re-run the 128-hash kernel once per band
@@ -1607,38 +1623,58 @@ object StreamingQueries {
       .select(col("doc_id").as("doc_b"),
         graft.functions.minhash_sig(col("sh"), numHashes).as("sig"))
       .select(col("doc_b"),
-        posexplode(graft.operators.Dedup.bandKeys(col("sig"), bands, rows)))
+        posexplode(graft.operators.Dedup.bandKeys(col("sig"), nBands, nRows)))
       .toDF("doc_b", "band", "key")
-    // the Staging.spread discipline applies inside a micro-batch too:
-    // the arriving batch's split count is file-bound (10 splits at sf1)
-    // while the signature+verify work is the cost — one narrow exchange
-    // of the filtered slice buys full-width CPU on the probe (measured
-    // 22.2s -> 8s class at sf1)
-    val probes = graft.operators.Dedup.shingleSets(
-        graft.functions.Staging.spread(
-          tableStream(spark, dir, "documents")
-            .where(pmod(col("doc_id"), lit(5)) === 4)), shingleN)
-      .select(col("doc_id"), col("sh"),
-        graft.functions.minhash_sig(col("sh"), numHashes).as("sig"))
-      .select(col("doc_id"), col("sh"),
-        posexplode(graft.operators.Dedup.bandKeys(col("sig"), bands, rows)))
-      .toDF("doc_id", "sh", "band", "key")
-    val verified = probes
-      .join(idxBuckets, Seq("band", "key"), "left_outer")
-      .join(index.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"), "left_outer")
-      .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
-      .withColumn("j", col("inter").cast("double")
-        / (size(col("sh")) + size(col("sh_b")) - col("inter")))
-    val ledger = verified.groupBy("doc_id")
-      .agg(fmax(when(col("j") >= threshold, col("j"))).as("dup_j"))
-    val q = ledger.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verdicts =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    val q = tableStream(spark, dir, "documents")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the Staging.spread discipline applies inside a micro-batch
+        // too: the arriving batch's split count is file-bound (10
+        // splits at sf1) while the signature+verify work is the cost —
+        // one narrow exchange of the filtered slice buys full-width
+        // CPU on the probe (measured 22.2s -> 8s class at sf1)
+        val sets = graft.operators.Dedup.shingleSets(
+            graft.functions.Staging.spread(
+              batch.where(pmod(col("doc_id"), lit(5)) === 4)), shingleN)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val probeKeys = sets
+            .select(col("doc_id"),
+              graft.functions.minhash_sig(col("sh"), numHashes).as("sig"))
+            .select(col("doc_id"), posexplode(
+              graft.operators.Dedup.bandKeys(col("sig"), nBands, nRows)))
+            .toDF("doc_id", "band", "key")
+          val cand = probeKeys.join(idxBuckets, Seq("band", "key"))
+            .select("doc_id", "doc_b").distinct()
+          val best = cand
+            .join(index.select(col("doc_id").as("doc_b"),
+              col("sh").as("sh_b")), "doc_b")
+            .join(sets, "doc_id")
+            .withColumn("inter", size(array_intersect(col("sh"), col("sh_b"))))
+            .withColumn("j", col("inter").cast("double")
+              / (size(col("sh")) + size(col("sh_b")) - col("inter")))
+            .groupBy("doc_id")
+            .agg(fmax(when(col("j") >= threshold, col("j"))).as("dup_j"))
+          val out = sets.select(col("doc_id"))
+            .join(best, Seq("doc_id"), "left_outer")
+            .collect()
+          verdicts.synchronized {
+            verdicts ++= out.map(r => (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+          }
+          ()
+        } finally { sets.unpersist(false); () }
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    idxBuckets.unpersist(false)
+    index.unpersist(false)
+    import spark.implicits._
+    verdicts.toSeq.toDF("doc_id", "dup_j")
       .select(col("doc_id"), round(col("dup_j"), 6).as("dup_jaccard"),
         col("dup_j").isNull.as("admitted"))
       .orderBy("doc_id")

@@ -161,9 +161,11 @@ class PlanAuditSpec extends SparkSuite {
     // the native-expression claim, checked on the EXECUTED plan (AQE only
     // finalizes codegen spans at runtime): star-prefixed nodes are
     // whole-stage-compiled, and the probe projection must be one of them.
-    // Checked on the sharded JOIN-form lane (2KB slabs keep its carried
-    // bytes bounded) — bloom_probe_totals moved to the cogroup form
-    val df = SparkEntry.queries("bloom_sharded_fpstats")(spark, dir)
+    // Checked on the sharded zero-FN gate (r15: the last registered
+    // JOIN-form probe — bloom_probe_totals and the fpstats faces moved
+    // to the cogroup form; 2KB slabs keep this lane's carried bytes
+    // bounded, per the fpStatsSharded fence)
+    val df = SparkEntry.queries("bloom_sharded_zero_fn")(spark, dir)
     df.collect()
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val executed = df.queryExecution.executedPlan match {
@@ -344,11 +346,17 @@ class PlanAuditSpec extends SparkSuite {
       "collected probe must not join the filter table")
   }
 
-  test("bloom_sharded_reload: probes via the (rating, shard) equi-join") {
+  test("bloom_sharded_reload: reloaded slabs probe through the COGROUP " +
+      "shape — no join-materialized binary in the plan (r15)") {
     val p = plan("bloom_sharded_reload")
-    assert(p.contains("bloom_might_contain"), p)
-    // slab routing join keys on rating+shard (narrow ints), never text
+    // the cogroup probe: routed probes and slabs meet in CoGroup, bits
+    // extracted once per (rating, shard) group — the join form's
+    // per-probe-row getBinary memcpy cannot appear
+    assert(p.contains("CoGroup"), p)
+    // slab routing still keys on rating+shard (narrow ints), never text
     assert(p.contains("shard"), p)
+    assert(!p.contains("bloom_might_contain"),
+      "reload probe must not run the join-materialized expression form:\n" + p)
   }
 
   test("pipe3: the export composition carries every stage in one plan") {

@@ -293,6 +293,20 @@ class GraphSpec extends SparkSuite {
       Seq((1L, 1L, 0.0), (2L, 1L, 0.0)))
   }
 
+  test("modularity: empty edge relation returns the empty trajectory, " +
+      "not NaN rows; iters < 1 is rejected (ADVICE r14)") {
+    // a single event makes no chained edge -> und is empty; every Q term
+    // would divide by m = 0
+    val empty = Graph.modularity(eventsOf(Seq(1L)))
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq === Seq("round", "n_communities",
+      "intra_edges", "deg_sq_sum", "modularity"))
+    intercept[IllegalArgumentException] {
+      Graph.modularity(eventsOf(Seq(1L, 2L)), iters = 0)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("reciprocity: hand-counted mutual edges over the chain fixtures") {
     // seq 1,2,3,1,2,4,1 → edges {1→2,2→3,3→1,2→4,4→1}: no reversals → 0
     val r0 = Graph.reciprocity(eventsOf(seq1))

@@ -116,4 +116,43 @@ class ShardedBloomSpec extends SparkSuite {
     val alien = Seq(("x", 9)).toDF("movieId", "rating")
     assert(BloomPipeline.probeTotalsSharded(alien, filters).collect().isEmpty)
   }
+
+  test("fpStatsShardedCogroup: per-rating (fp, total, rate) equals the " +
+      "fenced join form row for row (VERDICT r14 ask #2)") {
+    val train = ratings(4000, 2)
+    val filters = BloomPipeline.buildShardedFilters(train, p, maxSlabBits = 2048)
+    val probes = (8000 until 11000).map(i => (s"probe-$i", i % 2))
+      .toDF("movieId", "rating")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        ((r.getAs[Long]("falsePositives"), r.getAs[Long]("total"),
+          r.getAs[Double]("fpRate")))).toMap
+    val viaCogroup = asMap(BloomPipeline.fpStatsShardedCogroup(probes, filters))
+    val viaJoin = asMap(BloomPipeline.fpStatsSharded(probes, filters))
+    assert(viaCogroup === viaJoin)
+    assert(viaCogroup.keySet === Set(0, 1))
+    viaCogroup.values.foreach { case (_, t, _) => assert(t === 1500L) }
+    // members through the FP face: rate is exactly 1.0 (zero FN)
+    val own = asMap(BloomPipeline.fpStatsShardedCogroup(train, filters))
+    own.values.foreach { case (fp, t, rate) =>
+      assert(fp === t && rate === 1.0)
+    }
+  }
+
+  test("cogroup probe fails loudly on duplicate slab rows (ADVICE r14)") {
+    val train = ratings(2000, 2)
+    val filters = BloomPipeline.buildShardedFilters(train, p, maxSlabBits = 2048)
+      .persist()
+    try {
+      val doubled = filters.unionByName(filters)
+      val ex = intercept[Exception] {
+        BloomPipeline.probeTotalsSharded(train, doubled).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("duplicate slab rows")),
+        s"unexpected failure: $ex")
+    } finally { filters.unpersist(false); () }
+  }
 }

@@ -246,6 +246,49 @@ class TextDedupSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("lshBandingFor: the tuner argmax is WIRED — recall-first below " +
+      "the cutover, utility argmax at/above it (VERDICT r14 ask #1)") {
+    // below the cutover: the recall-constrained argmax is the historical
+    // 32x4 (miss 4.7e-8 at s=0.8); at/above: lshTune's own chosen row
+    assert(Dedup.lshBandingFor(500L) === ((32, 4)))
+    assert(Dedup.lshBandingFor(Dedup.lshScaleCutover - 1) === ((32, 4)))
+    assert(Dedup.lshBandingFor(Dedup.lshScaleCutover) === ((16, 8)))
+    assert(Dedup.lshBandingFor(1000000L) === ((16, 8)))
+    // the large-N leg IS the tuner's chosen row, by construction
+    val chosen = Dedup.lshTune(spark)
+      .where($"chosen").select("bands", "rows")
+      .as[(Long, Long)].head()
+    assert(Dedup.lshBandingFor(1000000L) ===
+      ((chosen._1.toInt, chosen._2.toInt)))
+    spark.catalog.clearCache()
+  }
+
+  test("minhashLshPairs at the scale operating point (16x8 pinned): " +
+      "output is a subset of the exact pairs with the planted strong " +
+      "near-dups retained") {
+    // the scale banding trades sub-threshold chance collisions for a
+    // bounded miss rate AT the threshold; on planted pairs well above
+    // 0.8 (s≈0.95: miss ~1e-7) the output must still be exact
+    val d = docs(
+      (1L, baseWords.mkString(" ")),
+      (2L, (baseWords.take(58) :+ "changed").mkString(" ")),
+      (3L, baseWords.map(w => s"x$w").mkString(" ")),
+      (4L, (baseWords.map(w => s"x$w").take(59) :+ "y").mkString(" ")),
+      (5L, (1 to 60).map(i => s"z$i").mkString(" ")))
+    val got = Dedup.minhashLshPairs(d, threshold = 0.8, bands = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sets = Dedup.shingleSets(d, 3)
+    val truth = sets.toDF("a", "sa").crossJoin(sets.toDF("b", "sb"))
+      .where($"a" < $"b")
+      .withColumn("j", size(array_intersect($"sa", $"sb")).cast("double")
+        / size(array_union($"sa", $"sb")))
+      .where($"j" >= 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), "LSH at any banding never invents a pair")
+    assert(got === truth, "the planted strong pairs survive 16x8")
+    spark.catalog.clearCache()
+  }
+
   test("minhashLshPairs: jaccard values are exact int ratios") {
     val d = docs(
       (1L, baseWords.mkString(" ")),
