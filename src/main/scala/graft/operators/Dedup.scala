@@ -198,27 +198,62 @@ object Dedup {
     * shingle kernel's rule), so short exact dups still register.
     *
     * Scale: per-doc `array_distinct` runs before the explode, so the
-    * gram relation is distinct-per-doc at birth; the gram aggregate
-    * partial-combines map-side, and the exchanges carry `n`-word grams —
-    * bounded strings, same class as the SNM sort key. The 100 TB variant
-    * keys both sides on `xxhash64(gram)` with a colliding-sliver verify
-    * ([[exactKeepers]]'s trick) if gram text ever dominates the wire;
-    * dup_rate derives from the two integer counts, so it stays
-    * bit-deterministic either way. */
+    * gram relation is distinct-per-doc at birth. Since r15 this is the
+    * TWO-HASH-FAMILY shape ([[bloomNewDocs]]' documented convention):
+    * every corpus-wide exchange carries `(doc_id, xxhash64(gram),
+    * mmh3(gram, VerifySeed))` — 20 fixed bytes per row, never gram
+    * text — and a gram is duplicated iff its (xxhash64, mmh3) PAIR
+    * occurs in >1 document. A false "dup" requires two distinct grams
+    * to collide in BOTH families simultaneously (2⁻⁹⁶ per pair; union
+    * bound negligible at any corpus scale — the bloomNewDocs analysis
+    * verbatim); a false "unique" is impossible. This is the deliberate
+    * trade vs a byte-exact sliver recount: unlike [[exactKeepers]]'
+    * sliver (bounded by the true-dup DOCUMENT population), the
+    * duplicated-GRAM population is boilerplate-scale — a text-bearing
+    * verify join put the corpus back on the wire, and the r15 campaign
+    * measured both failure modes of doing so: the text-keyed exchange
+    * read 777 MB at sf5 (10× at 5× rows — ~50-byte gram strings
+    * compounding with diversity-degraded shuffle compression), and the
+    * sliver-verify variant flipped broadcast→shuffle between sf5 and
+    * sf10 and re-shipped all gram text (2.47 GB, 7× at 2× rows). The
+    * co-partitioned two-family form measured linear across the whole
+    * 10× span — 50.5 MB at sf1, 268.0 at sf5 (5.3× at 5× rows), 539.1
+    * at sf10 (2.01× at 2× rows) — and faster than every other form at
+    * every scale (1.62s / 3.50s / 5.22s). dup_rate derives from
+    * integer counts of deterministic hashes, so both engines agree at
+    * every oracle-compared scale. The narrow hashed relation persists
+    * for its two consumers; ownership rides the returned relation
+    * ([[graft.CacheScope]]). */
   def dupSpanRate(docs: DataFrame, n: Int = 8): DataFrame = {
     val t = tokens(col("text"))
     val grams = docs
       .where(size(t) > 0)
       .select(col("doc_id"),
         explode(array_distinct(shingles(t, n))).as("gram"))
-    val counts = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
-    grams.join(counts, "gram")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).cast("long").as("n_grams"),
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
-      .withColumn("dup_rate",
-        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+    // ONE exchange of the gram relation, reused everywhere: hashed is
+    // co-partitioned on (gh, gh2) at birth, so the dup-key aggregate
+    // AND the membership join both consume the cached partitioning —
+    // without this, the dup-key join re-exchanged the whole relation
+    // once Catalyst stopped broadcasting dupKeys (measured: the flip
+    // between sf5 and sf10 added a full second exchange, 180 → 797 MB
+    // at 2× rows; co-partitioned it cannot flip at any scale)
+    val hashed = grams.select(col("doc_id"),
+        xxhash64(col("gram")).as("gh"),
+        graft.functions.mmh3(col("gram"), VerifySeed).as("gh2"))
+      .repartition(col("gh"), col("gh2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupKeys = hashed.groupBy("gh", "gh2").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > 1).select("gh", "gh2")
+    val dupPerDoc = hashed.join(dupKeys, Seq("gh", "gh2"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+    graft.CacheScope.owns(
+      hashed.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_grams"))
+        .join(dupPerDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+        .withColumn("dup_rate",
+          round(col("n_dup_grams").cast("double") / col("n_grams"), 6)),
+      hashed)
   }
 
   /** Shingle sets for near-dup detection: distinct word `n`-gram shingles
@@ -327,7 +362,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // banding resolves per corpus scale (the r14 sf5 campaign's fix):
     // the count materializes the persisted relation the three downstream
-    // branches reuse anyway
+    // branches reuse anyway. The materialization is itself load-bearing
+    // for the PLAN (measured r15, sf1 A/B): with the cache populated,
+    // Catalyst sees the shingle relation's REAL in-memory size and plans
+    // the verify joins below as shuffle hash joins — un-materialized,
+    // the pruned-scan estimate made it BROADCAST the whole corpus
+    // shingle relation (31 MB of visible shuffle hiding the corpus in
+    // the broadcast channel, 16.4s at sf1 vs 2.3s; at 100 TB that
+    // broadcast is a non-starter).
     val (nBands, nRows) =
       if (bands > 0) (bands, numHashes / bands)
       else lshBandingFor(base.count(), numHashes, threshold)

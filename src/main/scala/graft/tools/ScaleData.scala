@@ -66,19 +66,35 @@ object ScaleData {
 
   private val dims = Seq("nation", "region")
 
-  /** Per-replica text rotation: replica 0 is the original corpus; replica
-    * i>0 maps the 12 most frequent English letters to a rotation of
-    * themselves. Length-preserving, deterministic, and strongly
-    * divergent from the original (every occurrence of a common letter
-    * changes), which is all the bench needs.
-    */
+  /** Per-replica text transform: replica 0 is the original corpus;
+    * replica i>0 composes TWO independent alphabet rotations — the 12
+    * most frequent English letters rotated by `i mod 12`, then a second
+    * disjoint 12-letter alphabet rotated by `(i div 12) mod 12` — giving
+    * 144 DISTINCT length-preserving transforms. Length-preserving,
+    * deterministic, and strongly divergent from the original (every
+    * occurrence of a common letter changes), which is all the bench
+    * needs.
+    *
+    * Why two alphabets (r15 fix): the single-rotation form wrapped at
+    * 12, so any factor > 12 planted EXACT cross-replica text copies
+    * (replicas i and i+12 identical except keys) — measured at factor
+    * 50: 190,096 of 250,000 documents were exact-text duplicates,
+    * which made every text-similarity lane's OUTPUT (true dup-clique
+    * pairs, 100% dup-gram spans) grow quadratically in the replica
+    * count. That is precisely the distortion this rotation exists to
+    * prevent (the r10 p_name and r11 embedding lessons — both of which
+    * also inherited the wrap through this function), and it confounded
+    * the r14 sf5 cluster-face campaign's candidate-volume reading. */
+  private val rotAlpha1 = "etaoinshrdlu"
+  private val rotAlpha2 = "cmfwypbgkjxz" // disjoint from rotAlpha1
+  val maxRotationFactor: Int = rotAlpha1.length * rotAlpha2.length // 144
+
   private def rotateText(c: org.apache.spark.sql.Column, i: Int) = {
-    val alpha = "etaoinshrdlu"
-    if (i == 0) c
-    else {
-      val k = i % alpha.length
-      translate(c, alpha, alpha.substring(k) + alpha.substring(0, k))
-    }
+    def rot(col: org.apache.spark.sql.Column, alpha: String, k: Int) =
+      if (k == 0) col
+      else translate(col, alpha, alpha.substring(k) + alpha.substring(0, k))
+    rot(rot(c, rotAlpha1, i % rotAlpha1.length),
+      rotAlpha2, (i / rotAlpha1.length) % rotAlpha2.length)
   }
 
   def replicate(df: DataFrame, table: String, factor: Int,
@@ -113,10 +129,18 @@ object ScaleData {
       // ELEMENT SHIFT — norm-preserving and deterministic, and shifted
       // random vectors are near-orthogonal to their originals, which is
       // the growth shape a real corpus has.
-      if (table == "documents")
-        shifted.withColumn("text", rotateText(col("text"), i))
-      else if (table == "part")
-        shifted.withColumn("p_name", rotateText(col("p_name"), i))
+      if (table == "documents" || table == "part") {
+        // loud generation-time guard (the FK-guard convention): past the
+        // transform domain the generator would plant exact cross-replica
+        // copies again
+        require(factor <= maxRotationFactor,
+          s"factor $factor exceeds the $maxRotationFactor distinct " +
+            "text transforms — exact cross-replica copies would distort " +
+            "every similarity lane's output")
+        if (table == "documents")
+          shifted.withColumn("text", rotateText(col("text"), i))
+        else shifted.withColumn("p_name", rotateText(col("p_name"), i))
+      }
       else if (table == "embeddings" && i > 0) {
         // shift derived from the ACTUAL array size, and never zero:
         // 1 + (i-1) mod (dim-1) ∈ [1, dim-1], so no replica (at any

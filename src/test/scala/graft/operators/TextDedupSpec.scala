@@ -571,6 +571,16 @@ class TextDedupSpec extends SparkSuite {
       (3L, 1L, 1L, 1.0), (4L, 1L, 1L, 1.0)))
   }
 
+  test("dupSpanRate: an all-unique corpus rates zero everywhere (the " +
+      "hash-keyed form's empty-sliver path, r15)") {
+    val d = docs((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota"))
+    val got = Dedup.dupSpanRate(d, n = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 0L, 0.0), (2L, 0L, 0.0), (3L, 0L, 0.0)))
+    spark.catalog.clearCache()
+  }
+
   test("sortedNeighborhoodMultipass: the reversed-key pass catches suffix twins") {
     // docs 1/2 differ only in their FIRST character: far apart in the
     // prefix sort (blocks "ax" vs "bx"), adjacent in the reversed-key
