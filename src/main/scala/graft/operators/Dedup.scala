@@ -1166,7 +1166,22 @@ object Dedup {
     * inside the length window shares a bucket (lossless), and the shuffle
     * key is (lang × bucket), not lang alone, so one dominant language
     * can't pile onto one reducer. The O(len²) Levenshtein kernel runs on
-    * the fixed-size prefix only, and only for co-bucketed candidates. */
+    * the fixed-size prefix only, and only for co-bucketed candidates.
+    *
+    * MEASURED DENSITY CLIFF (r15 family sweep): the blocking is
+    * recall-lossless but DENSITY-quadratic — corpus growth preserves
+    * the length distribution, so per-(lang, bucket) density grows with
+    * the corpus and candidate pairs grow with its SQUARE (3.99s →
+    * 39.6s at 5× rows at sf5; ~zero shuffle, all candidate-kernel
+    * CPU). This is inherent to recall-lossless length-only blocking
+    * for edit distance — fixed-position chunk blocking is NOT lossless
+    * under insertions — so the knobs are `band`/`lenWindow` (narrower
+    * band ⇒ thinner buckets at recall cost only beyond lenWindow) and
+    * scope fencing. The 100 TB fuzzy-pair face is
+    * [[sortedNeighborhoodPairs]]/[[sortedNeighborhoodMultipass]]
+    * (O(w·n), measured FLAT at the same sweep: 1.13× time at 5× rows);
+    * this lane is the exact bounded face a deployment runs on fenced
+    * slices. */
   def editDistancePairs(
       docs: DataFrame,
       lenWindow: Int = 8,
