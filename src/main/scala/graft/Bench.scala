@@ -203,6 +203,9 @@ object Bench {
       try java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Exception => -1.0 }
+    // locale-proof (the f1-helper lesson: %.2f renders "0,42" under
+    // comma-decimal default locales, breaking the JSON artifact)
+    val loadavgJson = f"$loadavg0%.2f".replace(",", ".")
     val draws = sys.env.getOrElse("SPARK_GRAFT_DRAWS", "3").toInt.max(1)
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
@@ -469,13 +472,13 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(target)
       try w.println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"ndraws":$plannedDraws,"light_passes":$lightPasses,"loadavg":$loadavg0%.2f,"draws":$drawsJson,"draws_median":$drawsMedian%.2f,"sf":"$sfDir","queries":$detail}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"ndraws":$plannedDraws,"light_passes":$lightPasses,"loadavg":$loadavgJson,"draws":$drawsJson,"draws_median":$drawsMedian%.2f,"sf":"$sfDir","queries":$detail}""")
       finally w.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
     val full =
-      f"""{"metric":"total","value":$total,"unit":"sec","ndraws":$plannedDraws,"light_passes":$lightPasses,"loadavg":$loadavg0%.2f,"draws":$drawsJson,"queries":$qs,"ok":$oks,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","ndraws":$plannedDraws,"light_passes":$lightPasses,"loadavg":$loadavgJson,"draws":$drawsJson,"queries":$qs,"ok":$oks,"sf":"$sfDir"}"""
 
     // The driver keeps only the LAST ~2000 bytes of stdout and json-parses
     // line by line; the full-detail line above is ~5 KB and its head gets
@@ -486,7 +489,7 @@ object Bench {
     val sorted = results.toSeq.sortBy { case (_, (t, _)) => -t }
       .map { case (k, (t, _)) => f""""$k":$t%.2f""" }
     val tailLen = s""","omitted":0,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""".length + 8
-    val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"ndraws":$plannedDraws,"light_passes":$lightPasses,"loadavg":$loadavg0%.2f,"draws":$drawsJson,"draws_median":$drawsMedian%.2f,"queries":{"""
+    val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"ndraws":$plannedDraws,"light_passes":$lightPasses,"loadavg":$loadavgJson,"draws":$drawsJson,"draws_median":$drawsMedian%.2f,"queries":{"""
     val budget = 1900 - head.length - tailLen
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0

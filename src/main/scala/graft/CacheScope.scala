@@ -73,9 +73,13 @@ object CacheScope {
       owned.put(to, if (prior == null) deps else prior ++ deps)
     }
     // a self-owning `from` becomes an ordinary dependency of `to` (the
-    // derived result must keep from's cache alive until its own action)
-    if (selfOwned.remove(from) != null && !(from eq to))
-      owns(to, from): Unit
+    // derived result must keep from's cache alive until its own action);
+    // an identity transfer (from eq to) must KEEP the self-registration,
+    // not drop it (r15 review)
+    if (selfOwned.remove(from) != null) {
+      if (from eq to) selfOwned.put(to, java.lang.Boolean.TRUE)
+      else owns(to, from): Unit
+    }
     to
   }
 

@@ -98,18 +98,26 @@ object SparkEntry {
     * reuse across runs is sound; bump `version` when a definition changes.
     *
     * First-touch is race-hardened (VERDICT r13 ask #7, tightened per
-    * ADVICE r14): the fixture is built in a private temp dir (marker
-    * included) and published with a single ATOMIC_MOVE rename, so no
-    * reader ever observes a half-built fixture at `path`. A
-    * CURRENT-version fixture at `path` is NEVER deleted or moved — a
-    * racing JVM's Spark tasks may be mid-scan of it — only a stale
-    * target (current marker absent) is renamed aside before the publish
-    * retries. If the publish keeps failing AND no current marker
-    * appears, the function throws instead of silently returning a path
-    * that still holds an old-version fixture (the swallowed-exception
-    * staleness hazard the r14 advice flagged). If two JVMs race on the
-    * same version, exactly one rename wins; the loser discards its
-    * build and uses the winner's.
+    * ADVICE r14 and the r15 review): the fixture is built in a private
+    * temp dir (marker included) and published with a single ATOMIC_MOVE
+    * rename, so no reader ever observes a half-built fixture at `path`.
+    * All destructive steps run under a cross-JVM FILE LOCK
+    * (`<path>.lock`), because a check-then-move of the target can never
+    * be atomic on its own: without the lock, JVM A could re-check the
+    * marker, JVM B publish the current version and start scanning it,
+    * and A then rename B's fresh fixture aside — exactly the
+    * mid-scan-deletion the protocol must exclude. Under the lock the
+    * invariant holds: a CURRENT-version fixture at `path` is never
+    * deleted or moved (publishers re-check the marker inside the
+    * critical section and stand down); only a STALE target (current
+    * marker absent) is renamed aside before the publish. Readers take
+    * no lock — an old-version reader can still lose its files to a
+    * version-bump publish, which is the version contract, not a race.
+    * If the lock cannot be acquired or the publish fails with no
+    * current marker appearing, the function THROWS instead of silently
+    * returning a path holding an old version (the swallowed-exception
+    * staleness hazard the r14 advice flagged). Builds happen outside
+    * the lock; only the target swap is serialized.
     */
   private[graft] def ensureFixture(dir: String, name: String,
       version: Int = 1)(write: String => Unit): String = {
@@ -119,41 +127,42 @@ object SparkEntry {
     if (!marker.isFile) {
       val tag = s"${java.lang.ProcessHandle.current.pid}_${System.nanoTime}"
       val tmp = new java.io.File(s"$path.build_$tag")
-      write(tmp.getPath)
+      write(tmp.getPath) // build outside the lock — only the swap serializes
       new java.io.File(tmp, s"_GRAFT_FIXTURE_v$version").createNewFile()
-      def tryPublish(): Boolean =
+      val lockFile = new java.io.File(s"$path.lock")
+      // in-process serialization first (FileLock is per-JVM and throws on
+      // overlap), then the cross-JVM lock
+      fixtureLockMonitor.synchronized {
+        val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
         try {
-          java.nio.file.Files.move(tmp.toPath, target.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          true
-        } catch { case _: java.nio.file.FileSystemException => false }
-      var published = tryPublish()
-      var attempts = 0
-      // the move fails only when `target` exists: either a concurrent
-      // winner published the current version (marker present -> stop and
-      // use theirs) or the target is stale/partial (rename it aside,
-      // delete the aside copy, retry)
-      while (!published && !marker.isFile && attempts < 5) {
-        attempts += 1
-        if (target.exists()) {
-          val aside = new java.io.File(s"$path.stale_${tag}_$attempts")
+          val lock = ch.lock() // blocks until the competing publisher exits
           try {
-            java.nio.file.Files.move(target.toPath, aside.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            deleteRecursively(aside)
-          } catch { // another JVM moved or republished concurrently —
-            case _: java.nio.file.FileSystemException => () // loop re-checks
-          }
-        }
-        published = tryPublish()
+            if (marker.isFile) deleteRecursively(tmp) // winner stands
+            else {
+              if (target.exists()) { // stale version: rename aside, drop
+                val aside = new java.io.File(s"$path.stale_$tag")
+                java.nio.file.Files.move(target.toPath, aside.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                deleteRecursively(aside)
+              }
+              java.nio.file.Files.move(tmp.toPath, target.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            }
+          } finally { lock.release(); () }
+        } finally ch.close()
       }
-      if (!published) deleteRecursively(tmp) // a concurrent winner stands
       if (!marker.isFile)
         throw new IllegalStateException(s"fixture $name: publish failed " +
           s"and no current-version (v$version) marker exists at $path")
     }
     path
   }
+
+  /** JVM-wide monitor for [[ensureFixture]]'s publish critical section
+    * (`FileLock` guards across JVMs but throws on overlap WITHIN one). */
+  private val fixtureLockMonitor = new Object
 
   /** Fixture builders for the round-trip queries: each returns the on-disk
     * artifact path, writing it only on first touch. The QUERIES call these

@@ -223,10 +223,6 @@ object BloomPipeline {
       .agg(bloom_build_native(col("movieId"), col("m"), col("k")).as("bits"))
   }
 
-  /** Sharded probe: route each test key to its slab, then join on
-    * (rating, shard). The slab side is hinted broadcast only when small —
-    * at scale Catalyst/AQE picks a shuffle join whose key space
-    * (#groups × S) is skew-free by construction. */
   /** Sharded probe TOTALS via COGROUP — the fully distributed probe
     * without the join form's hidden memcpy: any join-shaped probe makes
     * codegen extract the joined BINARY per output row

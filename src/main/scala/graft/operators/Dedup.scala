@@ -345,8 +345,9 @@ object Dedup {
       bands: Int = 0,
       shingleN: Int = 3,
       maxBucket: Int = 1024): DataFrame = {
-    require(bands == 0 || numHashes % bands == 0,
-      s"bands ($bands) must be 0 (auto) or divide numHashes ($numHashes)")
+    require(bands == 0 || (bands > 0 && numHashes % bands == 0),
+      s"bands ($bands) must be 0 (auto) or a positive divisor of " +
+        s"numHashes ($numHashes)")
 
     // The shingle sets feed three plan branches (signatures + both sides
     // of the verify join); without persistence Spark re-tokenizes and

@@ -1628,6 +1628,7 @@ object StreamingQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verdicts =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    try {
     val q = tableStream(spark, dir, "documents")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1671,8 +1672,13 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    idxBuckets.unpersist(false)
-    index.unpersist(false)
+    } finally {
+      // released on failure paths too (r15 review): a library caller
+      // embedding this gate must not accrue two corpus-scale caches per
+      // failed invocation
+      idxBuckets.unpersist(false)
+      index.unpersist(false); ()
+    }
     import spark.implicits._
     verdicts.toSeq.toDF("doc_id", "dup_j")
       .select(col("doc_id"), round(col("dup_j"), 6).as("dup_jaccard"),
