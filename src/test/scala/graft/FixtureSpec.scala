@@ -67,6 +67,37 @@ class FixtureSpec extends SparkSuite {
       .mkString === "rebuilt")
   }
 
+  test("concurrent first-touch: racing publishers never tear the " +
+      "fixture; the survivor is one complete build (r15 lock protocol)") {
+    val dir = freshKey("race")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try {
+          gate.await()
+          paths.add(SparkEntry.ensureFixture(dir, "fx")(build(_, s"b$i")))
+        } catch { case t: Throwable => errors.add(t); () }
+      })
+    }
+    threads.foreach(_.start())
+    gate.countDown()
+    threads.foreach(_.join(60000))
+    assert(errors.isEmpty, s"racing publishers threw: ${errors}")
+    assert(paths.size === 4)
+    val p = paths.peek()
+    assert(new File(p, "_GRAFT_FIXTURE_v1").isFile,
+      "the survivor carries the current-version marker")
+    val payload = scala.io.Source.fromFile(new File(p, "data.txt")).mkString
+    assert((1 to 4).map(i => s"b$i").contains(payload),
+      s"the surviving fixture must be ONE complete build, got '$payload'")
+    // no build/stale residue left behind
+    val residue = new File(p).getParentFile.listFiles()
+      .filter(f => f.getName.contains(".build_") || f.getName.contains(".stale_"))
+    assert(residue.isEmpty, s"leftover residue: ${residue.map(_.getName).toSeq}")
+  }
+
   test("publish is atomic: marker and data appear together") {
     // the marker is created INSIDE the private build dir before the
     // rename, so an observer of `path` either sees nothing or sees a
