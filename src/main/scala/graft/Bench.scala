@@ -190,6 +190,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // locale-proof EVERY f-interpolated number in the JSON artifacts at
+    // the source (ADVICE r15 #1): under a comma-decimal default locale,
+    // %.3f renders "0,42" and the artifact stops being JSON. One global
+    // default beats spot-fixing each field (the f1-helper lesson).
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val force = args.contains("--force")
     // optional local-iteration filter: bench only the named queries
@@ -203,8 +208,8 @@ object Bench {
       try java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Exception => -1.0 }
-    // locale-proof (the f1-helper lesson: %.2f renders "0,42" under
-    // comma-decimal default locales, breaking the JSON artifact)
+    // belt-and-braces on top of the Locale.ROOT default above (a future
+    // caller invoking the suite without main() keeps a valid artifact)
     val loadavgJson = f"$loadavg0%.2f".replace(",", ".")
     val draws = sys.env.getOrElse("SPARK_GRAFT_DRAWS", "3").toInt.max(1)
     val budgetSec =

@@ -269,14 +269,19 @@ object BloomPipeline {
     routed.groupByKey(r => (r._1, r._2))
       .cogroup(slabs.groupByKey(s => (s._1, s._2))) {
         case ((rating, shard), probes, slabIt) =>
-          val slab = slabIt.toSeq
+          // size the guard from AT MOST TWO elements (ADVICE r15 #3): a
+          // full toSeq would buffer every duplicate slab — each up to MBs
+          // at production slab sizes — in executor memory just to count
+          // them, so a badly malformed filter relation could OOM the task
+          // before the loud require below ever fires
+          val slab = slabIt.take(2).toSeq
           // a malformed filter relation (e.g. filters built twice and
           // unioned) must fail loudly, not probe one arbitrary slab and
           // silently undercount (ADVICE r14)
           require(slab.size <= 1,
-            s"duplicate slab rows for (rating=$rating, shard=$shard): " +
-              s"${slab.size} — the filter relation must hold exactly one " +
-              "row per (rating, shard)")
+            s"duplicate slab rows for (rating=$rating, shard=$shard) — " +
+              "the filter relation must hold exactly one row per " +
+              "(rating, shard)")
           // no filter -> skip the probes (§2.6); no probes -> the slab
           // contributes nothing (a group appears only when probed)
           if (slab.isEmpty || probes.isEmpty) Iterator.empty

@@ -1591,7 +1591,13 @@ object StreamingQueries {
     * batch shuffles to it — never an all-pairs comparison. The static
     * index caches are released after the drain (the r13 CacheScope
     * discipline — repeated library invocations no longer accumulate
-    * entries). */
+    * entries). One deliberate test-SF convenience (ADVICE r15 #2): the
+    * per-batch VERDICTS collect into a driver-side ledger so the method
+    * can return a deterministic DataFrame — the in-batch probe/verify
+    * plan is the production shape, but a deployment appends each
+    * batch's verdict rows to a durable sink (parquet/Delta) inside the
+    * same foreachBatch instead of holding the stream's lifetime of
+    * verdicts in driver memory. */
   def nearDupAdmission(outer: SparkSession, dir: String,
       threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 0,
       shingleN: Int = 3): DataFrame = {

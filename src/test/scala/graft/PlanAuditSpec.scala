@@ -118,6 +118,11 @@ class PlanAuditSpec extends SparkSuite {
   test("t13: global rank plans as a top-k, not a full sort of scored docs") {
     val p = plan("t13_bm25")
     assert(p.contains("TakeOrderedAndProject"), p)
+    // r16 (VERDICT r15 ask #2): the rank window must sit ABOVE the top-k
+    // (the gr7/p14 pattern) — every scored doc funneled through one task
+    // when the rank-filter form ran row_number() over the full relation
+    assert(p.indexOf("TakeOrderedAndProject") > p.indexOf("Window"),
+      s"rank window must run over the bounded topK rows:\n$p")
   }
 
   // formatted explain renders each node in the tree AND a detail header
@@ -381,7 +386,16 @@ class PlanAuditSpec extends SparkSuite {
 
   test("pipe5: corpus-prep composition — scored pass cached and shared, " +
       "bench side broadcast, never a per-pair corpus plan") {
-    val p = plan("pipe5_corpus_prep")
+    // r16: the pack stage's range-exchange rebase (Ranks.withPrefixSums
+    // materializes onto its own RDD) hides the upstream stages from the
+    // composed query's queryExecution, so the stage shapes pin on the
+    // pre-pack hook (the gr7/linkPredictionOver pattern)
+    import org.apache.spark.sql.functions.col
+    val docs = graft.operators.Tables(spark, dir, "documents")
+    val bench = docs.where(col("doc_id") % 100 === 0)
+    val (clean, scored, cl) = graft.operators.Dedup.corpusPrepStages(
+      docs, bench, 0.5, 0.8, 3, 5)
+    val p = clean.queryExecution.explainString(ExplainMode.fromString("formatted"))
     // stage 1's tokenize+score relation is persisted: keep-best,
     // decontamination and packing all read the cache, not the parquet
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
@@ -391,12 +405,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"),
       s"no per-pair corpus plan in the composition:\n$p")
-    // the final plan re-reads raw documents parquet only for the bounded
-    // benchmark branch — the corpus side comes from the cache
+    // the pre-pack plan re-reads raw documents parquet only for the
+    // bounded benchmark branch — the corpus side comes from the cache
     val rawScans = p.linesIterator
       .count(l => l.contains("Scan parquet") && l.contains("documents"))
     assert(rawScans <= 2, s"corpus must not be re-scanned per stage ($rawScans):\n$p")
+    graft.CacheScope.release(graft.CacheScope.transfer(cl, clean))
+    scored.unpersist(false)
     spark.catalog.clearCache()
+  }
+
+  test("pipe5/t8: the pack stage's running total is the distributed " +
+      "prefix scan — broadcast offset joins, no unpartitioned window " +
+      "(r16, VERDICT r15 ask #1)") {
+    for (name <- Seq("pipe5_corpus_prep", "t8_pack_sequences")) {
+      val p = plan(name)
+      // the per-partition running-sum window partitions by pid; the
+      // p-row offset relation broadcasts — a single-partition funnel
+      // would surface as Exchange SinglePartition feeding the Window
+      assert(!p.linesIterator.exists(l =>
+          l.contains("Exchange") && l.contains("SinglePartition")),
+        s"$name pack stage funnels through one partition:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name must join the p-row offsets via broadcast:\n$p")
+      spark.catalog.clearCache()
+    }
   }
 
   test("e15: both half rankings run window-free (the Ranks range-exchange " +
@@ -753,6 +786,42 @@ class PlanAuditSpec extends SparkSuite {
       }
       assert(global.isEmpty,
         s"$name still carries a full-table global window:\n${global.mkString("\n")}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("no unpartitioned window over an unbounded relation anywhere in " +
+      "the corpus-scale lanes (r16 rule — VERDICT r15 ask #1)") {
+    // The codified form of the r15 audit finding: an unpartitioned
+    // WindowExec is sanctioned ONLY when its input is bounded by a limit
+    // (TakeOrderedAndProject / GlobalLimit / CollectLimit — the gr7/p14
+    // top-k-then-rank pattern) or is a local relation. Anything else is
+    // a single-reducer funnel at 100 TB, whatever sf0.1 timing says.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
+      LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
+    def bounded(p: SparkPlan): Boolean =
+      deepCollect(p) {
+        case _: TakeOrderedAndProjectExec => ()
+        case _: GlobalLimitExec => ()
+        case _: CollectLimitExec => ()
+        case _: LocalTableScanExec => ()
+      }.nonEmpty
+    for (name <- Seq("pipe1_clean_corpus", "pipe2_pretrain_corpus",
+        "pipe5_corpus_prep", "t8_pack_sequences", "t8_pack_sharded",
+        "t13_bm25", "sim_rrf_fusion", "dedup_keep_best",
+        "dedup_span_rate")) {
+      val exec = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      val offenders = deepCollect(exec) {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        case w: WindowGroupLimitExec
+            if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+      assert(offenders.isEmpty,
+        s"$name runs an unpartitioned window over an unbounded relation:\n" +
+          offenders.mkString("\n"))
       spark.catalog.clearCache()
     }
   }
