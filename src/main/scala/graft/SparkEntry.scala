@@ -2692,6 +2692,10 @@ object SparkEntry {
     "dedup_editdist" -> ((s, dir) => // length-banded bounded edit distance
       Dedup.editDistancePairs(Tables(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
+    "dedup_editdist_fence" -> ((s, dir) => // the density fence's drop
+      // metric: blocks over the cap, membership removed, and the pair
+      // bound the fence declined to score (r16, VERDICT r15 ask #3)
+      Dedup.editDistanceFenceReport(Tables(s, dir, "documents"))),
     "dedup_fuzzy_names" -> ((s, dir) => // brand-blocked Jaro-Winkler ER
       Dedup.fuzzyNamePairs(Tables(s, dir, "part"))),
     "dedup_snm" -> ((s, dir) => // sorted-neighborhood (sort + sliding window)
@@ -4401,7 +4405,8 @@ object SparkEntry {
            |       CAST(0 AS BIGINT) AS n_dup_mismatch""".stripMargin,
       "dedup_simhash_verify" -> DedupSql.simhashExactDupCheck,
       "dedup_jaccard_exact" -> DedupSql.jaccardAllPairs(0.5, 3),
-      "dedup_editdist" -> DedupSql.editDistancePairs(8, 10, 40),
+      "dedup_editdist" -> DedupSql.editDistancePairs(8, 10, 40, 8, 1024),
+      "dedup_editdist_fence" -> DedupSql.editDistanceFenceReport(8, 1024),
       "dedup_fuzzy_names" -> DedupSql.fuzzyNamePairs(0.94),
       "dedup_snm" -> DedupSql.sortedNeighborhoodPairs(4, 40, 2, 10),
       "dedup_span_rate" -> DedupSql.dupSpanRate(8),

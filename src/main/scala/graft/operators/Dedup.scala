@@ -946,11 +946,20 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dedup via exactKeepers: full-corpus exchanges stay (doc_id, hash)-
     // narrow, text moves only for the repeated-fingerprint sliver.
+    // The keeper-id join is PINNED to the shuffle plan (r16, VERDICT r15
+    // ask #5): the keeper relation GROWS WITH THE CORPUS, so leaving it
+    // to the broadcast threshold made the plan flip between scale
+    // points (the r15 sweep read a 41.5× byte step at sf5 that was the
+    // broadcast→shuffle flip, not growth — the span_rate doctrine: no
+    // corpus-grown side sits at the threshold). Both join sides are
+    // 8–16-byte rows keyed on doc_id; the merge join's exchanges are
+    // the honest, linear cost at every scale.
     // `kept` is read lazily by the returned relation — register the
     // ownership so library callers can release it (ADVICE r14 class)
     graft.CacheScope.owns(
       kept.select(col("doc_id"), col("quality"))
-        .join(exactKeepers(kept).where(col("is_keeper")).select("doc_id"),
+        .join(exactKeepers(kept).where(col("is_keeper")).select("doc_id")
+          .hint("merge"),
           "doc_id"),
       kept)
   }
@@ -1211,20 +1220,47 @@ object Dedup {
     * [[sortedNeighborhoodPairs]]/[[sortedNeighborhoodMultipass]]
     * (O(w·n), measured FLAT at the same sweep: 1.13× time at 5× rows);
     * this lane is the exact bounded face a deployment runs on fenced
-    * slices. */
+    * slices.
+    *
+    * THE FENCE IS NOW IN CODE (r16, VERDICT r15 ask #3 — the
+    * [[minhashLshPairs]] `maxBucket` pattern): a `(lang, bucket)` block
+    * whose membership exceeds `maxBucket` is dropped from candidate
+    * generation BEFORE pair expansion, which caps per-bucket kernel
+    * work at `maxBucket²/2` and makes total work linear in the number
+    * of blocks instead of quadratic in block density. Dropping the
+    * block pre-join is EXACTLY the meeting-bucket post-filter: a
+    * qualifying pair survives only at its one meeting bucket
+    * (`greatest` rule below), so fencing that bucket's rows removes
+    * precisely the pairs whose meeting bucket is fenced, and no
+    * others. The oracle twin applies the identical fence, so the lane
+    * stays cross-engine exact EVEN WHEN THE CAP BINDS (it does not
+    * bind below ~1024-member blocks — every oracle-compared SF
+    * measures ≤ 81). What was dropped is not silent:
+    * [[editDistanceFenceReport]] is the registered, oracle-checked
+    * drop metric. */
   def editDistancePairs(
       docs: DataFrame,
       lenWindow: Int = 8,
       maxDist: Int = 10,
       prefixLen: Int = 40,
-      band: Int = 8): DataFrame = {
+      band: Int = 8,
+      maxBucket: Int = 1024): DataFrame = {
     require(band >= lenWindow, s"band ($band) must be >= lenWindow ($lenWindow)")
+    require(maxBucket > 1, s"maxBucket must exceed 1, got $maxBucket")
     val base = docs.select(col("doc_id"), col("lang"),
       col("n_chars"), substring(col("text"), 1, prefixLen).as("prefix"))
-    val buckets = base.select(col("doc_id"), col("lang"), col("n_chars"),
+    val bucketed = base.select(col("doc_id"), col("lang"), col("n_chars"),
       col("prefix"),
       explode(array(floor(col("n_chars") / band),
         floor(col("n_chars") / band) + 1)).as("bucket"))
+    // the density fence: membership counted over the SAME bucketed
+    // relation the join reads; fenced blocks never reach pair expansion
+    val fencedBlocks = bucketed.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
+      .select("lang", "bucket")
+    val buckets = bucketed
+      .join(fencedBlocks, Seq("lang", "bucket"), "left_anti")
 
     val a = buckets.select(col("lang"), col("bucket"),
       col("doc_id").as("doc_a"), col("n_chars").as("len_a"),
@@ -1251,6 +1287,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("pre_a"), col("pre_b")).as("dist"))
       .where(col("dist") <= maxDist)
+  }
+
+  /** The drop metric for [[editDistancePairs]]' density fence (r16,
+    * VERDICT r15 ask #3): one summary row —
+    * `(n_blocks, n_fenced, max_members, fenced_members,
+    * dropped_pair_bound)` — where `n_blocks` counts the corpus's
+    * `(lang, bucket)` length blocks, `n_fenced` those over `maxBucket`
+    * members, `max_members` the densest block, `fenced_members` the
+    * bucket-membership rows the fence removes, and
+    * `dropped_pair_bound = Σ n·(n−1)/2` over fenced blocks — the upper
+    * bound on candidate pairs the fence declines to score. All exact
+    * integer arithmetic on the same bucketed relation the pair lane
+    * reads, so the DuckDB twin reproduces it bit for bit; a non-zero
+    * `n_fenced` is the loud signal that the lane ran fenced and the
+    * SNM face owns the dropped mass.
+    *
+    * Scale shape: one narrow projection + explode + two stacked
+    * aggregates — no join, no window, nothing quadratic. */
+  def editDistanceFenceReport(
+      docs: DataFrame,
+      band: Int = 8,
+      maxBucket: Int = 1024): DataFrame = {
+    val bucketed = docs.select(col("lang"),
+      explode(array(floor(col("n_chars") / band),
+        floor(col("n_chars") / band) + 1)).as("bucket"))
+    bucketed.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("n_fenced"),
+        max(col("n")).as("max_members"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(0L))
+          .as("fenced_members"),
+        // integral DIV: n·(n−1) is even, and the quotient must stay an
+        // exact BIGINT (double division would lose ulps past 2^53 at
+        // corpus-scale block sizes)
+        sum(when(col("n") > maxBucket, expr("n * (n - 1) div 2"))
+          .otherwise(0L)).as("dropped_pair_bound"))
   }
 
   /** Fuzzy entity-resolution pairs over the `part` catalog: parts in the
@@ -1562,18 +1636,53 @@ object DedupSql {
 
   /** Twin of [[Dedup.editDistancePairs]]: the brute-force same-lang
     * length-window join with the identical prefix-Levenshtein predicate —
-    * the blocking on the Spark side is recall-lossless by construction, so
-    * the outputs must match row for row. */
-  def editDistancePairs(lenWindow: Int, maxDist: Int, prefixLen: Int): String =
-    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    * the blocking on the Spark side is recall-lossless by construction —
+    * PLUS the identical density fence (r16): a pair is excluded iff its
+    * meeting `(lang, bucket)` block (`greatest` of the two floor-band
+    * buckets) has more than `maxBucket` members, membership counted over
+    * the same two-bucket explode the Spark side uses. The twin fences
+    * the SAME pairs, so the lane stays exact even when the cap binds. */
+  def editDistancePairs(lenWindow: Int, maxDist: Int, prefixLen: Int,
+      band: Int, maxBucket: Int): String =
+    s"""WITH memb AS (
+       |  SELECT lang, unnest([n_chars // $band, n_chars // $band + 1]) AS bucket
+       |  FROM documents),
+       |fenced AS (
+       |  SELECT lang, bucket FROM memb GROUP BY 1, 2
+       |  HAVING count(*) > $maxBucket)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(levenshtein(substr(a.text, 1, $prefixLen),
        |                        substr(b.text, 1, $prefixLen)) AS INTEGER) AS dist
        |FROM documents a JOIN documents b
        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
        | AND abs(a.n_chars - b.n_chars) <= $lenWindow
+       | AND NOT EXISTS (SELECT 1 FROM fenced f
+       |                 WHERE f.lang = a.lang
+       |                   AND f.bucket = greatest(a.n_chars // $band,
+       |                                           b.n_chars // $band))
        |WHERE levenshtein(substr(a.text, 1, $prefixLen),
        |                  substr(b.text, 1, $prefixLen)) <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Twin of [[Dedup.editDistanceFenceReport]]: identical two-bucket
+    * explode, identical integer arithmetic, counts CAST to BIGINT (the
+    * HUGEINT lesson). */
+  def editDistanceFenceReport(band: Int, maxBucket: Int): String =
+    s"""WITH memb AS (
+       |  SELECT lang, unnest([n_chars // $band, n_chars // $band + 1]) AS bucket
+       |  FROM documents),
+       |blocks AS (
+       |  SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM memb GROUP BY 1, 2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+       |       CAST(sum(CASE WHEN n > $maxBucket THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_fenced,
+       |       max(n) AS max_members,
+       |       CAST(sum(CASE WHEN n > $maxBucket THEN n ELSE 0 END) AS BIGINT)
+       |         AS fenced_members,
+       |       CAST(sum(CASE WHEN n > $maxBucket THEN (n * (n - 1)) // 2
+       |                     ELSE 0 END) AS BIGINT) AS dropped_pair_bound
+       |FROM blocks""".stripMargin
 
   /** Twin of [[Dedup.fuzzyNamePairs]]: identical `(brand, type)` block,
     * identical three name bands (first char OR second char OR

@@ -1600,7 +1600,7 @@ object StreamingQueries {
     * verdicts in driver memory. */
   def nearDupAdmission(outer: SparkSession, dir: String,
       threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 0,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxBucket: Int = 1024): DataFrame = {
     import org.apache.spark.sql.functions.{max => fmax}
     val spark = childSession(outer)
     // this lane's cost is the in-batch LSH probe + exact-verify JOINS,
@@ -1625,16 +1625,40 @@ object StreamingQueries {
     // barrier (the minhashLshPairs shape), while inlining minhash_sig
     // into bandKeys would re-run the 128-hash kernel once per band
     // (measured: 160s CPU -> 5s on the index side at sf1)
-    val idxBuckets = index
+    val idxRaw = index
       .select(col("doc_id").as("doc_b"),
         graft.functions.minhash_sig(col("sh"), numHashes).as("sig"))
       .select(col("doc_b"),
         posexplode(graft.operators.Dedup.bandKeys(col("sig"), nBands, nRows)))
       .toDF("doc_b", "band", "key")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager leaf-cache materialization: the cap's aggregate and anti-join
+    // sides schedule concurrently under AQE (the jaccardPairsExact
+    // cold-cache race), and the bucket-size pass must read the CACHE,
+    // never re-run the 128-hash signature kernel — the exact cost that
+    // sank the r15 in-batch cap experiment (+2.7s/drain, SCALING.md)
+    idxRaw.count()
+    // ONE-TIME hot-bucket cap on the persisted index (r16, VERDICT r15
+    // ask #5, the batch face's maxBucket policy): a (band, key) bucket
+    // with > maxBucket members is exact-dup-like mass that belongs to
+    // the exact-dedup lane, and at LSH's intrinsic fp constant it is
+    // also where probe×index co-bucket pairs densify quadratically. The
+    // cap is INERT at every measured scale (no bucket exceeds 1024) and
+    // amortizes across the stream's lifetime of micro-batches — the
+    // deployment posture SCALING.md's r15 investigation prescribed.
+    val hotKeys = idxRaw.groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
+      .select("band", "key")
+    val idxBuckets = idxRaw.join(hotKeys, Seq("band", "key"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verdicts =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
     try {
+    // materialize the CAPPED index once, then drop the raw scaffolding —
+    // exactly one bucket cache lives for the stream's lifetime
+    idxBuckets.count()
+    idxRaw.unpersist(false)
     val q = tableStream(spark, dir, "documents")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1680,8 +1704,11 @@ object StreamingQueries {
     q.awaitTermination()
     } finally {
       // released on failure paths too (r15 review): a library caller
-      // embedding this gate must not accrue two corpus-scale caches per
-      // failed invocation
+      // embedding this gate must not accrue corpus-scale caches per
+      // failed invocation (idxRaw unpersist is idempotent — it already
+      // dropped on the success path right after the capped index
+      // materialized)
+      idxRaw.unpersist(false)
       idxBuckets.unpersist(false)
       index.unpersist(false); ()
     }

@@ -121,5 +121,30 @@ class CacheScopeSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("corpusPrep (pipe5): the full composed chain — scored pass, " +
+      "cluster labels, prefix-scan base — frees on ONE release(result) " +
+      "(VERDICT r15 ask #7)") {
+    spark.catalog.clearCache()
+    val base = (1 to 40).map(i => s"w$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.take(38) :+ "changed").mkString(" ")),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "orthogonal benchmark text nothing shares"))
+      .toDF("doc_id", "text")
+    val packed = graft.operators.Dedup.corpusPrep(docs, bench,
+      minQuality = 0.0)
+    assert(packed.count() > 0)
+    CacheScope.release(packed)
+    // corpusPrep -> (qualityScore persist) + nearDupClusters'
+    // inner persists + Ranks.withPrefixSums' sorted base: the transfer
+    // chain must route every one of them through the single release
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"corpusPrep release left ${leaked.size} persisted RDD(s) behind")
+    spark.catalog.clearCache()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

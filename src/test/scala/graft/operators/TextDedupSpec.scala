@@ -559,6 +559,47 @@ class TextDedupSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, 2L, 2)))
   }
 
+  test("editDistancePairs: the density fence drops exactly the pairs " +
+      "whose MEETING block is over the cap, and the report prices the " +
+      "dropped mass (r16, VERDICT r15 ask #3)") {
+    // band=8. Five len-15 docs (buckets {1,2}) plus a len-16/len-17 near
+    // pair (buckets {2,3}): membership (en,1)=5, (en,2)=7, (en,3)=2.
+    // maxBucket=5 fences block (en,2) ONLY — every pair MEETING there
+    // (the ten 15x{16,17} cross pairs and (10,11)) drops, while the ten
+    // len-15 pairs meet at the open block (en,1) and survive, proving
+    // the fence cuts by meeting bucket, not by mere co-membership.
+    val five = (1 to 5).map(i =>
+      (i.toLong, "aaaaaaaaaaaaaa" + ("bcdef" (i - 1)), "en")) // len 15
+    val pairDocs = Seq(
+      (10L, "aaaaaaaaaaaaaaax", "en"),   // len 16
+      (11L, "aaaaaaaaaaaaaaaxy", "en"))  // len 17: dist 1 to #10
+    val d = (five ++ pairDocs)
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // unfenced baseline: 10 len-15 pairs (meet at bucket 1) + 10 cross
+    // pairs len-15 x {16,17} + the (10,11) pair (all meet at bucket 2)
+    val open = Dedup.editDistancePairs(d, lenWindow = 8, maxDist = 10,
+      prefixLen = 40, band = 8, maxBucket = 1024).collect()
+    assert(open.length === 21)
+    // membership: bucket 1 = 5 (len-15s), bucket 2 = 5 + 2 = 7, bucket 3
+    // = 2 -> maxBucket=5 fences bucket 2 ONLY: the (10,11) pair (meeting
+    // bucket 2) drops; the len-15 pairs meet at bucket 1 and survive
+    val fenced = Dedup.editDistancePairs(d, lenWindow = 8, maxDist = 10,
+      prefixLen = 40, band = 8, maxBucket = 5)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fenced.length === 10 && !fenced.contains((10L, 11L)))
+    val rep = Dedup.editDistanceFenceReport(d, band = 8, maxBucket = 5)
+      .collect().head
+    // blocks: (en,1)=5, (en,2)=7, (en,3)=2 -> one fenced block with 7
+    // members pricing 7*6/2 = 21 dropped candidate pairs
+    assert(rep.getLong(rep.fieldIndex("n_blocks")) === 3)
+    assert(rep.getLong(rep.fieldIndex("n_fenced")) === 1)
+    assert(rep.getLong(rep.fieldIndex("max_members")) === 7)
+    assert(rep.getLong(rep.fieldIndex("fenced_members")) === 7)
+    assert(rep.getLong(rep.fieldIndex("dropped_pair_bound")) === 21)
+  }
+
   test("dupSpanRate: cross-doc gram duplication, short-doc whole-text rule") {
     // n=2 grams. doc 1 "a b c": grams {a b, b c}; doc 2 "a b x": {a b, b x};
     // doc 3 "q": whole-text gram {q}; doc 4 "q": {q}. Shared: "a b" (1,2)
