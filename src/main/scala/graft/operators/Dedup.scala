@@ -443,7 +443,9 @@ object Dedup {
     *      index is lossless while shrinking toward nothing as θ → 1;
     *   3. candidates come from the equality join on indexed shingles with
     *      the length filter `θ·|a| ≤ |b| ∧ θ·|b| ≤ |a|`;
-    *   4. exact Jaccard verifies each candidate on the full shingle sets.
+    *   4. exact Jaccard verifies each candidate on the full shingle sets
+    *      (as 8-byte hash arrays on the wire — the r16 width reduction;
+    *      collision scope is within one pair, see the in-body note).
     *
     * Complements [[minhashLshPairs]]: LSH recall degrades below its banding
     * sweet spot (at θ=0.5 with 32×4 bands it misses ~13% of pairs); this
@@ -531,19 +533,36 @@ object Dedup {
       // the standalone wall (10.6s → 29s) — the distinct's own exchange
       // already gives AQE an exact size for the verify join's strategy.
 
+    // WIDTH-REDUCED VERIFY WIRES (r16, VERDICT r15 ask #4 — the
+    // span_rate treatment): the verify joins carry 8-byte shingle
+    // HASHES, not shingle strings. The second join re-exchanges one
+    // side's array PER CANDIDATE (the r15 sweep read 956 MB → 4.87 GB
+    // at sf1→sf5 on this exchange), so element width is the whole
+    // cost: xxhash64 longs are ~3.5× narrower than ~25-char shingle
+    // strings, and the intersect kernel compares longs instead of
+    // strings. Exactness: collisions are scoped WITHIN one candidate
+    // pair — a false intersect member needs two DISTINCT shingles of
+    // the same pair to share an xxhash64, ≤ |A|·|B|/2⁶⁴ ≈ 5e-16 per
+    // pair, and the union bound stays ≪ 1e-6 even at 10⁹ verified
+    // pairs — unlike the corpus-wide equality decisions (bloomNewDocs/
+    // dupSpanRate) whose birthday population forces the two-family
+    // convention. The hash projections evaluate map-side below the
+    // exchange; sizes ride along as ints (|A∪B| = |A|+|B|−|A∩B| on the
+    // identical integers, so the double — and the oracle twin — is
+    // bit-identical).
+    val hA = base.select(col("doc_id").as("doc_a"),
+      size(col("sh")).as("sz_a"),
+      transform(col("sh"), s => xxhash64(s)).as("h_a"))
+    val hB = base.select(col("doc_id").as("doc_b"),
+      size(col("sh")).as("sz_b"),
+      transform(col("sh"), s => xxhash64(s)).as("h_b"))
     candidates
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      // |A∪B| = |A| + |B| − |A∩B| for the distinct-shingle SETS, so the
-      // union kernel never runs: one array kernel per pair instead of
-      // two (the union also allocated the LARGEST array of the three).
-      // The division operands are the identical integers either way, so
-      // the double result — and the oracle twin, rewritten to the same
-      // identity — is bit-identical to the old form.
+      .join(hA, "doc_a")
+      .join(hB, "doc_b")
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))))
+        size(array_intersect(col("h_a"), col("h_b"))))
       .withColumn("jaccard", col("inter").cast("double")
-        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        / (col("sz_a") + col("sz_b") - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       // The SCORED pair relation persists (lazily) BELOW the threshold
       // filter: bounded (one narrow row per candidate pair) while its
@@ -575,8 +594,11 @@ object Dedup {
     * the honest scale cost of asymmetric containment (the exchange
     * carries 8-byte shingle hashes, and hot-shingle buckets are the skew
     * lane AQE splits; a df cap would trade recall, so none is applied).
-    * The exact verify join then computes `|A∩B|/|A|` on the real shingle
-    * arrays — hash collisions in candidate generation only ADD candidates.
+    * The verify join then computes `|A∩B|/|A|` on the hashed shingle
+    * arrays (8-byte elements on the wire — the r16 width reduction;
+    * collisions are scoped within one pair and negligible, see
+    * [[jaccardPairsExact]]'s in-body note) — hash collisions in
+    * candidate generation only ADD candidates.
     * Float boundaries use [[jaccardPairsExact]]'s keep-biased epsilon. */
   def containmentPairs(
       docs: DataFrame,
@@ -632,12 +654,21 @@ object Dedup {
       // rationale as [[jaccardPairsExact]] (the cached form tripled the
       // sf1 standalone wall by losing AQE's runtime join selection).
 
+    // width-reduced verify wires — the [[jaccardPairsExact]] r16
+    // treatment verbatim (8-byte hash elements, within-pair collision
+    // scope, map-side projections below the exchanges); containment's
+    // denominator is the contained side's size, carried as an int
+    val hA = base.select(col("doc_id").as("doc_a"),
+      size(col("sh")).as("sz_a"),
+      transform(col("sh"), s => xxhash64(s)).as("h_a"))
+    val hB = base.select(col("doc_id").as("doc_b"),
+      transform(col("sh"), s => xxhash64(s)).as("h_b"))
     candidates
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(hA, "doc_a")
+      .join(hB, "doc_b")
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(col("sh_a")))
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double")
+          / col("sz_a"))
       .where(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))
       // SURVIVORS-ONLY persist (filter below): containment's one-sided

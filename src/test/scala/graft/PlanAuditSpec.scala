@@ -513,6 +513,38 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("dedup_jaccard_exact / dedup_containment: no exchange carries a " +
+      "string ARRAY — verify wires are 8-byte hash arrays (r16)") {
+    // the r15 sweep read the per-candidate verify re-exchange at 956 MB
+    // → 4.87 GB (sf1→sf5) carrying full shingle-string arrays; the
+    // width-reduced form ships xxhash64 longs. Scalar strings remain
+    // legitimate on the inverted-index build (one bounded row per
+    // (doc, shingle), linear in the corpus) — only ARRAY-of-string,
+    // the per-candidate payload, is banned from every shuffle.
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    for (name <- Seq("dedup_jaccard_exact", "dedup_containment")) {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      val exchanges = try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      assert(exchanges.nonEmpty, name)
+      exchanges.foreach { e =>
+        val wide = e.child.schema.fields.filter(f => f.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        })
+        assert(wide.isEmpty,
+          s"$name ships string array(s) ${wide.map(_.name).mkString(",")}:\n" +
+            e.child.schema.treeString)
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("dedup_snm: exchanges carry the bounded sort key, never document text") {
     // SNM's one shuffle is the window partitioning; it may carry the
     // 40-char sort key (bounded by construction) and lang/block, but the
