@@ -117,10 +117,16 @@ object Tokenizer {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, n))
         val prev = words
-        // re-base on the materialized rows (localCheckpoint truncates the
-        // lineage) so the per-round fold doesn't stack into one giant plan
-        words = prev.withColumn("syms", mergeOnce("syms", l, r))
-          .localCheckpoint(eager = true)
+        // re-base on the round's own RDD (the [[Dedup.nearDupClusters]]
+        // discipline) so the per-round fold doesn't stack into one giant
+        // plan. NOT localCheckpoint: Dataset.unpersist cannot free a
+        // localCheckpoint's blocks (they never enter the CacheManager),
+        // so every round — and the method's final unpersist — leaked one
+        // persisted RDD per call for the life of the session (caught by
+        // CacheScopeSpec's leak gate once suite ordering surfaced it).
+        val stepped = prev.withColumn("syms", mergeOnce("syms", l, r))
+        words = spark.createDataFrame(stepped.rdd, stepped.schema).persist()
+        words.count() // materialize before releasing the superseded round
         prev.unpersist()
       }
     }
