@@ -46,7 +46,7 @@ object Staging {
     * plan rewrite) cannot cross. Deterministic: same rows, same schema,
     * same partitioning; only the lineage is cut. */
   def pin(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    org.apache.spark.sql.graft.Bridge.pinInternal(df)
 
   /** Repartition to the session's shuffle-partition width so a
     * split-bound scan (few small files) doesn't serialize an expensive

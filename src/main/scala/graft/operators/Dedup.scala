@@ -847,9 +847,15 @@ object Dedup {
       val fromNbrs = edges
         .join(labels.select(col("v").as("src"), col("label").as("nl")), "src")
         .groupBy(col("dst").as("v")).agg(min("nl").as("nbr"))
-      val prop = labels.join(fromNbrs, Seq("v"), "left_outer")
+      // the round-start label rides the round's relations as `__old`, so
+      // the materializing count below doubles as the changed count — the
+      // former labels⋈next join per round is gone (r16; same verdicts,
+      // one fewer doc-keyed exchange pair per round)
+      val prop = labels.select(col("v"), col("label"))
+        .join(fromNbrs, Seq("v"), "left_outer")
         .select(col("v"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          col("label").as("__old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jumping: label <- label(label). One neighbor hop alone
       // converges in DIAMETER rounds — a 1M-doc near-dup chain would take
@@ -872,12 +878,13 @@ object Dedup {
       val jumped = prop.as("l1")
         .join(prop.select(col("v").as("jv"), col("label").as("jl")).as("l2"),
           col("l1.label") === col("jv"))
-        .select(col("l1.v").as("v"), least(col("l1.label"), col("jl")).as("label"))
-      val next = jumped.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
+        .select(col("l1.v").as("v"),
+          least(col("l1.label"), col("jl")).as("label"),
+          col("l1.__old").as("__old"))
+      val next = org.apache.spark.sql.graft.Bridge.pinInternal(jumped)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = labels.select(col("v"), col("label").as("old"))
-        .join(next, "v")
-        .where(col("old") =!= col("label")).count() // also materializes next
+      val changed = next.where(col("label") =!= col("__old"))
+        .count() // also materializes next
       prop.unpersist(false) // consumed by the jump, never read again
       persisted.foreach(_.unpersist(false)) // superseded round
       persisted = Some(next)

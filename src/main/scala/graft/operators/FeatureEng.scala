@@ -916,20 +916,31 @@ object FeatureEng {
     * value-keyed group+join for the near-unique price, one aggregate
     * row out. */
   def spearman(lineitem: DataFrame): DataFrame = {
-    val base = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+    // TIE-AVERAGED RANKS FROM VALUE HISTOGRAMS, NOT ROW RANKS (r16,
+    // guide §2.3/§1.2 "the distributed algorithm"): Spearman's doubled
+    // average rank for a row with value v is
+    //   d(v) = 2·min_rank(v) + count(v) − 1 = 2·cum_count(≤v) − count(v) + 1
+    // — a function of the VALUE HISTOGRAM alone, so ranking every ROW
+    // (two chained full-table range sorts + persists, the old shape) is
+    // wasted motion: one partial/final count aggregate per axis plus an
+    // exact prefix sum over the DISTINCT values yields the identical
+    // integers. The x histogram is domain-bounded (rounded quantities),
+    // so its doubled ranks broadcast; the y histogram joins on y. Same
+    // dx/dy integers row for row → the DECIMAL power sums and rho are
+    // bit-identical to the old form and the SQL twin.
+    val base = lineitem.select(
       round(col("l_quantity")).cast("long").as("x"),
       round(col("l_extendedprice") * 100).cast("long").as("y"))
-    val (r1, _) = Ranks.withGlobalRank(base,
-      Seq(col("x"), col("l_orderkey"), col("l_linenumber")), "rx")
-    val (r2, _) = Ranks.withGlobalRank(r1,
-      Seq(col("y"), col("l_orderkey"), col("l_linenumber")), "ry")
-    val gx = r2.groupBy("x")
-      .agg(min("rx").as("mx"), count(lit(1)).as("cx"))
-    val gy = r2.groupBy("y")
-      .agg(min("ry").as("my"), count(lit(1)).as("cy"))
-    val d = r2.join(broadcast(gx), "x").join(gy, "y")
-      .select((lit(2L) * col("mx") + col("cx") - 1L).as("dx"),
-        (lit(2L) * col("my") + col("cy") - 1L).as("dy"))
+    val cgx = Ranks.withPrefixSums(
+      base.groupBy("x").agg(count(lit(1)).as("cx")), Seq(col("x")), Seq("cx"))
+    val gx = cgx.select(col("x"),
+      (lit(2L) * col("cum_cx") - col("cx") + 1L).as("dx"))
+    val cgy = Ranks.withPrefixSums(
+      base.groupBy("y").agg(count(lit(1)).as("cy")), Seq(col("y")), Seq("cy"))
+    val gy = cgy.select(col("y"),
+      (lit(2L) * col("cum_cy") - col("cy") + 1L).as("dy"))
+    val d = base.join(broadcast(gx), "x").join(gy, "y")
+      .select(col("dx"), col("dy"))
     val agg = d.agg(
       count(lit(1)).as("n"),
       sum(col("dx").cast("decimal(38,0)")).as("sx"),
@@ -944,9 +955,10 @@ object FeatureEng {
         col("sxy").cast("double"))
     val vx = nD * sxx - sx * sx
     val vy = nD * syy - sy * sy
-    agg.select(col("n").as("n_rows"),
-      round(when(vx > 0 && vy > 0,
-        (nD * sxy - sx * sy) / sqrt(vx * vy)), 6).as("rho"))
+    graft.CacheScope.transfer(cgx, graft.CacheScope.transfer(cgy,
+      agg.select(col("n").as("n_rows"),
+        round(when(vx > 0 && vy > 0,
+          (nD * sxy - sx * sy) / sqrt(vx * vy)), 6).as("rho"))))
   }
 }
 

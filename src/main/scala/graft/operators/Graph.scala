@@ -47,7 +47,7 @@ object Graph {
     * 90+s per consume). With the re-base each round's plan is
     * leaf + one join layer, flat forever. */
   private def rebased(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    org.apache.spark.sql.graft.Bridge.pinInternal(df)
 
   /** Directed distinct edges `(src, dst)` per the hour-bucket contract. */
   def edges(events: DataFrame): DataFrame = {
@@ -446,6 +446,17 @@ object Graph {
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    // SHAPE KEPT AS-IS after an r16 measured-and-rejected rework (guide
+    // §1.1's "the ideal plan is usually slower at first" case): pushing
+    // deg(z) onto the wedge-center arm pre-expansion and aggregating
+    // (x, y) BEFORE the edge anti-join — one wedge exchange on paper —
+    // measured 3.5 → 9.6s at sf0.1. The hour-chained graph is dense, so
+    // MOST candidate pairs are existing edges: anti-joining first (a
+    // broadcast hash anti at this scale, SMJ at cluster scale) prunes
+    // the aggregate's input and its distinct-key space by the edge
+    // fraction, which outweighs the nominal extra joins (both deg and
+    // und attach broadcast — the wedge relation is exchanged once, into
+    // the aggregate, in the executed plan).
     val cand = sym.as("s1")
       .join(sym.as("s2"), col("s1.v") === col("s2.u"))
       .where(col("s1.u") < col("s2.v"))
@@ -492,13 +503,25 @@ object Graph {
     val nodes = sym.select(col("u").as("node")).distinct()
     var dist = nodes.where(seedPred)
       .select(col("node"), lit(0).as("dist")).persist()
-    (1 to hops).foreach { h =>
+    // EMPTY-FRONTIER EARLY EXIT (r16): `dist` only ever GROWS (union +
+    // min keeps every existing node at its first-seen hop), so an
+    // unchanged count after level h means level h reached no new node —
+    // the level-(h+1) frontier is empty and every remaining level is a
+    // no-op join. Exiting then skips those rounds with a bit-identical
+    // result; a frontier still expanding at `hops` runs every level.
+    var reached = -1L
+    var h = 0
+    var frontierDone = false
+    while (h < hops && !frontierDone) {
+      h += 1
       val next = dist.where(col("dist") === h - 1)
         .join(sym, col("node") === col("u"))
         .select(col("v").as("node"), lit(h).as("dist"))
       val merged = rebased(dist.union(next)
         .groupBy("node").agg(min(col("dist")).as("dist"))).persist()
-      merged.count() // materialize; rebased -> lineage stays one hop deep
+      val n = merged.count() // materialize; rebased -> lineage one hop deep
+      frontierDone = n == reached
+      reached = n
       dist.unpersist()
       dist = merged
     }
@@ -600,17 +623,30 @@ object Graph {
       .union(und.select(col("b").as("u"), col("a").as("v"))).persist()
     val nodes = sym.select(col("u").as("node")).distinct()
     var lab = nodes.select(col("node"), col("node").as("label")).persist()
-    (1 to iters).foreach { _ =>
+    // FIXED-POINT EARLY EXIT (r16): synchronous min-label propagation is
+    // monotone — a round that changes zero labels is the fixed point and
+    // every remaining round recomputes the identical relation, so exiting
+    // early is bit-identical to the full `iters` unroll. Detection is
+    // FREE: the round-start label rides the round's own cached relation
+    // as `__old`, so the materializing count doubles as the changed
+    // count — no extra join, no extra job (the wcc convention, minus its
+    // per-round labels⋈next join).
+    var r = 0
+    var fixed = false
+    while (r < iters && !fixed) {
+      r += 1
       val neighborMin = sym
-        .join(lab, sym("v") === lab("node"))
+        .join(lab.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min("label").as("nmin"))
       val next = rebased(lab.select(col("node"), col("label"))
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label")))
+            .as("label"),
+          col("label").as("__old")))
         .persist()
-      next.count() // materialize; rebased -> lineage stays one round deep
+      // materializes the round's cache AND detects the fixed point
+      fixed = next.where(col("label") =!= col("__old")).count() == 0L
       lab.unpersist()
       lab = next
     }
@@ -675,7 +711,18 @@ object Graph {
     // relations, narrow.
     val lab0 = lab // round-0 identity labels, released with the rest
     val labs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    (1 to iters).foreach { _ =>
+    // FIXED-POINT EARLY EXIT (r16, the [[labelPropagation]] treatment):
+    // min-label propagation is monotone, so a round that changes zero
+    // labels fixes every later round's assignment — their Q rows are
+    // IDENTICAL to the fixed round's and are synthesized driver-side
+    // below (same integers, same division) instead of re-running the
+    // three stats joins per no-op round. Detection rides the round's own
+    // cached relation (`__old`), so the materializing count doubles as
+    // the changed count.
+    var fixed = false
+    var executed = 0
+    while (executed < iters && !fixed) {
+      executed += 1
       val neighborMin = sym
         .join(lab.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min("label").as("nmin"))
@@ -683,14 +730,15 @@ object Graph {
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label")))
+            .as("label"),
+          col("label").as("__old")))
         .persist()
-      next.count()
+      fixed = next.where(col("label") =!= col("__old")).count() == 0L
       labs += next
       lab = next
     }
     val statsDf = labs.zipWithIndex.map { case (l, i) =>
-      val byComm = deg.join(l, "node")
+      val byComm = deg.join(l.select(col("node"), col("label")), "node")
         .groupBy("label")
         .agg(sum("deg").cast("long").as("ds"))
       val agg = byComm.agg(count(lit(1)).as("nc"),
@@ -703,11 +751,18 @@ object Graph {
       agg.crossJoin(it).select(lit(i + 1).cast("long").as("round"),
         col("nc"), col("it"), col("s2"))
     }.reduce(_.unionAll(_))
-    val rows = statsDf.collect().toSeq.map { r =>
+    val measured = statsDf.collect().toSeq.map { r =>
       val (it, s2) = (r.getLong(2), r.getLong(3))
       val q = it / mEdges - s2.toDouble / (4.0 * mEdges * mEdges)
       (r.getLong(0), r.getLong(1), it, s2, q)
     }.sortBy(_._1)
+    // post-fixed-point rounds: the assignment is frozen, so each row is
+    // the fixed round's stats under its own round number — exact, not
+    // an approximation (the labels ARE identical)
+    val rows = measured ++ ((executed + 1) to iters).map { rn =>
+      val last = measured.last
+      (rn.toLong, last._2, last._3, last._4, last._5)
+    }
     (labs :+ lab0 :+ und :+ deg).foreach(_.unpersist(false))
     import spark.implicits._
     // rounding through Spark's own round() — the engine-matched
@@ -755,21 +810,26 @@ object Graph {
       val nbrMin = sym
         .join(labels.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min("label").as("nmin"))
-      val prop = labels
+      // the round-start label rides the round's relations as `__old`, so
+      // the materializing count below doubles as the changed count — the
+      // former labels⋈next join per round is gone (r16; same verdicts,
+      // one fewer node-keyed exchange pair per round)
+      val prop = labels.select(col("node"), col("label"))
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
+            .as("label"),
+          col("label").as("__old"))
         .persist()
       val jumped = prop.as("l1")
         .join(prop.select(col("node").as("jn"), col("label").as("jl")),
           col("l1.label") === col("jn"))
         .select(col("l1.node").as("node"),
-          least(col("l1.label"), col("jl")).as("label"))
+          least(col("l1.label"), col("jl")).as("label"),
+          col("l1.__old").as("__old"))
       val next = rebased(jumped).persist()
-      val changed = labels.select(col("node"), col("label").as("old"))
-        .join(next, "node")
-        .where(col("old") =!= col("label")).count() // materializes next
+      val changed = next.where(col("label") =!= col("__old"))
+        .count() // materializes next
       prop.unpersist(false)
       labels.unpersist(false)
       labels = next
@@ -843,7 +903,16 @@ object Graph {
     var alive = sym.select(col("u").as("node")).distinct().persist()
     var prevCount = alive.count()
     var lastCount = prevCount
-    (1 to rounds).foreach { _ =>
+    // FIXED-POINT EARLY EXIT (r16): `next ⊆ alive` (peeling only removes
+    // nodes), so an unchanged count means an unchanged SET — every
+    // remaining round would recompute the identical relation. Exiting at
+    // the fixed point skips those no-op rounds (each one a full
+    // sym⋈alive⋈alive + aggregate + persist job) with a bit-identical
+    // result and the same `converged` flag the full unroll reports; a
+    // graph still peeling at round `rounds` runs every round, unchanged.
+    var r = 0
+    while (r < rounds && (r == 0 || lastCount != prevCount)) {
+      r += 1
       val next = rebased(coreDeg(alive).where(col("deg") >= k)
         .select("node")).persist()
       prevCount = lastCount

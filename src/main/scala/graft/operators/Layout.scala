@@ -130,13 +130,29 @@ object Layout {
       .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
         col("l_partkey").cast("bigint").as("l_partkey"),
         col("l_linenumber").cast("bigint").as("l_linenumber"))
-    var df = Ranks.withGlobalNtile(
+    val bucketed = Ranks.withGlobalNtile(
         Ranks.withGlobalNtile(base, tie, buckets, "hx1"),
         col("l_partkey") +: tie, buckets, "hy1")
       .withColumn("hx", col("hx1") - 1)
       .withColumn("hy", col("hy1") - 1)
       .drop("hx1", "hy1")
-      .withColumn("hd", lit(0L))
+    val df = hilbertWalk(bucketed, order)
+    Ranks.withGlobalNtile(df, col("hd") +: tie, nFiles, "file_id")
+      .groupBy("file_id")
+      .agg(count("*").as("n_rows"),
+        min("l_orderkey").as("min_orderkey"),
+        max("l_orderkey").as("max_orderkey"),
+        min("l_partkey").as("min_partkey"),
+        max("l_partkey").as("max_partkey"))
+  }
+
+  /** The unrolled xy2d bit walk (see [[hilbertManifest]]'s scaladoc):
+    * consumes 0-based grid columns `hx`/`hy`, appends the Hilbert
+    * position `hd`, drops the intermediates. Factored so the composed
+    * skip-stats lane ([[skipStats]]) can drive it from its SHARED
+    * bucketing instead of re-ranking the table. */
+  private def hilbertWalk(bucketed: DataFrame, order: Int): DataFrame = {
+    var df = bucketed.withColumn("hd", lit(0L))
     for (i <- (order - 1) to 0 by -1) {
       val s = 1L << i
       val rx = when(col("hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
@@ -156,13 +172,7 @@ object Layout {
         .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
         .drop("rx", "ry", "nx", "ny")
     }
-    Ranks.withGlobalNtile(df, col("hd") +: tie, nFiles, "file_id")
-      .groupBy("file_id")
-      .agg(count("*").as("n_rows"),
-        min("l_orderkey").as("min_orderkey"),
-        max("l_orderkey").as("max_orderkey"),
-        min("l_partkey").as("min_partkey"),
-        max("l_partkey").as("max_partkey"))
+    df.drop("hx", "hy")
   }
 
   /** The payoff measurement the manifests exist for: how many files a
@@ -180,17 +190,70 @@ object Layout {
         max(col("l_partkey").cast("bigint")).as("pmax"))
       .select(expr("pmin + (pmax - pmin) * 45 div 100").as("lo"),
         expr("pmin + (pmax - pmin) * 55 div 100").as("hi"))
-    val m = linearManifest(lineitem, nFiles).withColumn("layout", lit("linear"))
-      .unionByName(zorderManifest(lineitem, nFiles, bits)
-        .withColumn("layout", lit("zorder")))
-      .unionByName(hilbertManifest(lineitem, nFiles, bits)
-        .withColumn("layout", lit("hilbert")))
-    m.crossJoin(bounds) // one-row scalar broadcast
-      .groupBy("layout")
-      .agg(count(lit(1)).as("n_files"),
-        sum(when(col("min_partkey") <= col("hi") &&
-          col("max_partkey") >= col("lo"), 1L).otherwise(0L)).as("files_hit"))
-      .orderBy("layout")
+    // SHARED RANKS (r16, guide §2.4): the three manifests agree on two
+    // total orders — linear's file cut and z/hilbert's x-bucket both
+    // rank by (l_orderkey, l_linenumber), and z/hilbert share the
+    // y-bucket order (l_partkey, ...) — so the composed lane pays TWO
+    // global ranks instead of the standalone operators' seven (linear 1
+    // + zorder 3 + hilbert 3) and scans lineitem once instead of three
+    // times. Each ntile is [[Ranks.ntileFromRank]] over the shared rank
+    // — the IDENTICAL arithmetic [[Ranks.withGlobalNtile]] applies, so
+    // every file cut (and the DuckDB twin) is bit-for-bit unchanged.
+    // Only the two curve cuts (zval / hd orders differ) still rank
+    // separately. The doubly-ranked base persists for its three
+    // consumers; ownership transfers to the returned aggregate.
+    val tie = Seq(col("l_orderkey"), col("l_linenumber"))
+    val buckets = 1 << bits
+    val base = lineitem
+      .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
+        col("l_partkey").cast("bigint").as("l_partkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"))
+    val (rankedX, totalX) = Ranks.withGlobalRank(base, tie, "__rkx")
+    val (rankedXY, _) = Ranks.withGlobalRank(rankedX,
+      col("l_partkey") +: tie, "__rky")
+    // no extra persist: rankedXY is a broadcast offset join + rank
+    // arithmetic over withGlobalRank's OWN cached sorted base, so each
+    // of the three manifest consumers re-reads that cache, never the
+    // exchanges
+    val shared = rankedXY
+    def manifest(df: DataFrame, fileId: Column): DataFrame = df
+      .withColumn("file_id", fileId)
+      .groupBy("file_id")
+      .agg(count("*").as("n_rows"),
+        min("l_orderkey").as("min_orderkey"),
+        max("l_orderkey").as("max_orderkey"),
+        min("l_partkey").as("min_partkey"),
+        max("l_partkey").as("max_partkey"))
+    val linear = manifest(shared,
+      Ranks.ntileFromRank(col("__rkx"), totalX, nFiles))
+    val zBase = shared
+      .withColumn("bx", Ranks.ntileFromRank(col("__rkx"), totalX, buckets) - 1)
+      .withColumn("by", Ranks.ntileFromRank(col("__rky"), totalX, buckets) - 1)
+      .drop("__rkx", "__rky") // the curve cuts re-rank; keep their wires narrow
+    val zorder = manifest(
+      Ranks.withGlobalNtile(
+        zBase.withColumn("zval", zValue(col("bx"), col("by"), bits))
+          .drop("bx", "by"),
+        col("zval") +: tie, nFiles, "zfile")
+        .withColumnRenamed("zfile", "__zfile"),
+      col("__zfile"))
+    val hilbert = manifest(
+      Ranks.withGlobalNtile(
+        hilbertWalk(zBase.withColumnRenamed("bx", "hx")
+          .withColumnRenamed("by", "hy"), bits),
+        col("hd") +: tie, nFiles, "hfile")
+        .withColumnRenamed("hfile", "__hfile"),
+      col("__hfile"))
+    val m = linear.withColumn("layout", lit("linear"))
+      .unionByName(zorder.withColumn("layout", lit("zorder")))
+      .unionByName(hilbert.withColumn("layout", lit("hilbert")))
+    graft.CacheScope.transfer(rankedX, graft.CacheScope.transfer(rankedXY,
+      m.crossJoin(bounds) // one-row scalar broadcast
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("min_partkey") <= col("hi") &&
+            col("max_partkey") >= col("lo"), 1L).otherwise(0L)).as("files_hit"))
+        .orderBy("layout")))
   }
 }
 

@@ -38,16 +38,22 @@ object NaiveBayes {
   /** Tie order is the CASE order: join > scan > merge on equal counts. */
   val labelKeywords: Seq[String] = Seq("join", "scan", "merge")
 
-  private def kwCount(kw: String): Column =
-    size(filter(TextAnalysis.tokens(col("text")), t => t === kw))
+  private def kwCountIn(toks: Column, kw: String): Column =
+    size(filter(toks, t => t === kw))
 
-  /** Token-derived 3-class label (argmax keyword count, fixed tie order). */
-  def ruleLabel: Column = {
-    val Seq(cj, cs, cm) = labelKeywords.map(kwCount)
+  /** [[ruleLabel]] over an ALREADY-TOKENIZED array column — the form the
+    * training pass uses so the tokenizer kernel runs ONCE per document
+    * (r16: `ruleLabel` + the training explode evaluated `word_tokens`
+    * four times per row; guide §1.2 "per-task work"). */
+  def ruleLabelFrom(toks: Column): Column = {
+    val Seq(cj, cs, cm) = labelKeywords.map(kwCountIn(toks, _))
     when(cj >= cs && cj >= cm, lit("join"))
       .when(cs >= cm, lit("scan"))
       .otherwise(lit("merge"))
   }
+
+  /** Token-derived 3-class label (argmax keyword count, fixed tie order). */
+  def ruleLabel: Column = ruleLabelFrom(TextAnalysis.tokens(col("text")))
 
   /** Deterministic 70/30 split: integer arithmetic both engines share. */
   def isTrain: Column = pmod(col("doc_id"), lit(10)) < 7
@@ -57,8 +63,14 @@ object NaiveBayes {
   /** Labeled per-(doc, token) counts for one split. */
   private def docTokens(docs: DataFrame, train: Boolean): DataFrame =
     docs.where(if (train) isTrain else !isTrain)
-      .select(col("doc_id"), ruleLabel.as("label"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      // tokenize ONCE, then label + explode read the array: the fused
+      // form ran the word_tokens kernel four times per document (three
+      // keyword counts + the explode). CollapseProject keeps the
+      // multi-referenced non-trivial alias in place (the hilbert-walk
+      // precedent), so the plan carries exactly one kernel call.
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), ruleLabelFrom(col("__toks")).as("label"),
+        explode(col("__toks")).as("token"))
       .groupBy("doc_id", "label", "token").agg(count(lit(1)).as("n"))
 
   /** Train-split corpus constants: vocab size V and train doc count, as
@@ -206,8 +218,8 @@ object NaiveBayes {
     // narrow per-doc verdict, output-sized; released by the harness's
     // per-query clearCache.
     val preds0 = apply(docs, memoKey).select("doc_id", "true_label", "pred")
-    val preds = preds0.sparkSession
-      .createDataFrame(preds0.rdd, preds0.schema).persist()
+    val preds = org.apache.spark.sql.graft.Bridge.pinInternal(preds0)
+      .persist()
     val classes = preds.select(col("true_label").as("class")).union(
       preds.select(col("pred").as("class"))).distinct()
     val tp = preds.where(col("pred") === col("true_label"))

@@ -62,7 +62,7 @@ object Ranks {
     val sortedPlan = df.repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(mid, monotonically_increasing_id())
-    val sorted = spark.createDataFrame(sortedPlan.rdd, sortedPlan.schema)
+    val sorted = org.apache.spark.sql.graft.Bridge.pinInternal(sortedPlan)
       .persist()
     val counts = sorted
       .groupBy(shiftrightunsigned(col(mid), 33).as(pidCol))
@@ -111,7 +111,7 @@ object Ranks {
     val sortedPlan = df.repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(mid, monotonically_increasing_id())
-    val sorted = spark.createDataFrame(sortedPlan.rdd, sortedPlan.schema)
+    val sorted = org.apache.spark.sql.graft.Bridge.pinInternal(sortedPlan)
       .persist()
     val totals = sorted
       .groupBy(shiftrightunsigned(col(mid), 33).as(pidCol))
@@ -156,20 +156,36 @@ object Ranks {
       out: String): DataFrame = {
     require(n > 0, s"ntile buckets must be positive: $n")
     val (ranked, total) = withGlobalRank(df, order, out)
+    graft.CacheScope.transfer(ranked, ranked
+      .withColumn(out, ntileFromRank(col(out), total, n)))
+  }
+
+  /** The exact `ntile(n)` tile (1-based BIGINT) of a 1-based global rank
+    * over `total` rows — the arithmetic half of [[withGlobalNtile]],
+    * exposed so one paid [[withGlobalRank]] can feed SEVERAL tile
+    * widths (the k11 lane derives its nFiles file cut AND its 2^bits
+    * curve bucket from the same rank instead of ranking twice — guide
+    * §2.4, "two operations keyed the same way share one exchange").
+    * With N rows the first `N mod n` tiles hold `⌊N/n⌋+1` rows and the
+    * rest `⌊N/n⌋` — the standard (Spark = DuckDB) ntile split. */
+  def ntileFromRank(rank: Column, total: Long, n: Int): Column = {
+    require(n > 0, s"ntile buckets must be positive: $n")
     val q = total / n // base tile size (0 when total < n)
     val r = total % n // tiles carrying one extra row
     val cut = r * (q + 1) // 0-based ranks below cut land in the big tiles
     // integer `div`, not `/`: Column./ is DOUBLE division, and ranks at
-    // 100 TB scale can exceed double's 53-bit exact-integer range.
+    // 100 TB scale can exceed double's 53-bit exact-integer range
+    // (IntegralDivide via the Bridge — the expr("a div b") form needs a
+    // NAMED column, and this helper takes any rank Column).
+    def idiv(a: Column, b: Long): Column = org.apache.spark.sql.graft.Bridge
+      .column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(lit(b))))
     // The else branch divides by q: reachable only when cut < total,
     // which implies q >= 1 (when total < n, cut = total covers all rows).
-    graft.CacheScope.transfer(ranked, ranked
-      .withColumn("__nt_r0", col(out) - 1)
-      .withColumn(out,
-        when(col("__nt_r0") < cut, expr(s"__nt_r0 div ${q + 1} + 1"))
-          .otherwise(
-            expr(s"$r + ((__nt_r0 - $cut) div ${math.max(q, 1L)}) + 1"))
-          .cast("bigint"))
-      .drop("__nt_r0"))
+    val r0 = rank - 1
+    when(r0 < cut, idiv(r0, q + 1) + 1)
+      .otherwise(lit(r) + idiv(r0 - cut, math.max(q, 1L)) + 1)
+      .cast("bigint")
   }
 }

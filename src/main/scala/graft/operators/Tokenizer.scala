@@ -125,7 +125,7 @@ object Tokenizer {
         // persisted RDD per call for the life of the session (caught by
         // CacheScopeSpec's leak gate once suite ordering surfaced it).
         val stepped = prev.withColumn("syms", mergeOnce("syms", l, r))
-        words = spark.createDataFrame(stepped.rdd, stepped.schema).persist()
+        words = org.apache.spark.sql.graft.Bridge.pinInternal(stepped).persist()
         words.count() // materialize before releasing the superseded round
         prev.unpersist()
       }

@@ -1452,7 +1452,7 @@ object StreamingQueries {
     // RDD (a LogicalRDD leaf analyzes like any batch relation)
     val drained = spark.table(name)
     graft.operators.FeatureEng.cusumFace(
-      spark.createDataFrame(drained.rdd, drained.schema))
+      org.apache.spark.sql.graft.Bridge.pinInternal(drained))
   }
 
   /** Streaming corpus-intake gate — the t2/t45 screens as an always-on
