@@ -54,6 +54,25 @@ object Staging {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
+  /** [[spread]] only when the plan's own parallelism is BELOW the session
+    * width (r16): a one-row-group local file serializes the tokenizer /
+    * shingle / signature kernels onto a single task (measured: the dedup
+    * family's first stage ran 1.3s on ONE task at sf0.1 while 31 cores
+    * idled), while a 100 TB scan already carries thousands of splits and
+    * must NOT pay a raw-text exchange just to spread. Scale-adaptive by
+    * construction — the guard reads the planned partition count, never a
+    * constant, so the same code takes the exchange exactly when the scan
+    * cannot feed the cores (guide §2.5 "input skew: one huge unsplittable
+    * file ... repartition immediately after the read"). */
+  def spreadIfNarrow(df: DataFrame): DataFrame =
+    // a streaming frame cannot be planned as a batch RDD (and a
+    // micro-batch's spread decision belongs to its foreachBatch body —
+    // the nearDupAdmission precedent), so the guard passes it through
+    if (df.isStreaming) df
+    else if (df.rdd.getNumPartitions
+        < df.sparkSession.sessionState.conf.numShufflePartitions) spread(df)
+    else df
+
   /** [[spread]] `df`, then apply each stage and [[pin]] its output:
     * {{{
     * val hashed = Staging.stagedTransform(docs)(

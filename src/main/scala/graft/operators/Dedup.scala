@@ -261,7 +261,14 @@ object Dedup {
     * are all trivially identical and belong to [[exactKeepers]]). */
   def shingleSets(docs: DataFrame, shingleN: Int): DataFrame = {
     val t = tokens(col("text"))
-    docs
+    // spreadIfNarrow: a one-row-group local corpus file otherwise runs
+    // the tokenize+shingle kernels of the WHOLE dedup family on a single
+    // task (r16 trace: 1.3s single-task front while 31 cores idled); a
+    // many-split production scan skips the exchange — the guard reads
+    // the planned partition count. Projected to (doc_id, text) FIRST so
+    // the conditional exchange carries nothing else (guide §2.3).
+    graft.functions.Staging.spreadIfNarrow(
+        docs.select(col("doc_id"), col("text")))
       .where(size(t) > 0)
       .select(col("doc_id"), array_distinct(shingles(t, shingleN)).as("sh"))
   }
@@ -1144,7 +1151,14 @@ object Dedup {
       shingleN: Int,
       contamN: Int): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val scored = TextAnalysis.qualityScore(docs, keep = Seq("text"))
+    // spreadIfNarrow on the projected (doc_id, text) pair: a one-split
+    // local corpus otherwise runs the whole tokenize+score pass on a
+    // single task (r16 trace: the composition's largest stage); a
+    // many-split production scan skips the exchange
+    val scored = TextAnalysis.qualityScore(
+        graft.functions.Staging.spreadIfNarrow(
+          docs.select(col("doc_id"), col("text"))),
+        keep = Seq("text"))
       .where(col("quality") >= minQuality)
       .select(col("doc_id"), col("text"), col("quality"), col("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

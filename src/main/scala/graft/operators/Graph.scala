@@ -160,21 +160,28 @@ object Graph {
 
   /** Per-edge neighborhood Jaccard `|N(a)∩N(b)| / |N(a)∪N(b)|` over the
     * undirected graph — the standard link-prediction / edge-strength
-    * feature. Common neighbors come from a wedge join of the
-    * symmetrized adjacency against both endpoints; the union size is
+    * feature. A common neighbor `z` of the adjacent pair `(a, b)` is
+    * exactly a triangle `{a, b, z}`, so the counts come from the
+    * DEGREE-ORIENTED triangle relation ([[orientedTriangles]] — each
+    * triangle credits its three edges once): the per-node wedge fan-out
+    * is capped at O(√m) like gr2/gr5, where the former unoriented wedge
+    * join paid Σ deg² — measured 42s of task CPU and a 3 GB broadcast
+    * probe at sf0.1, and quadratic in hub degree at 100 TB (r16, guide
+    * §1.2 "the distributed algorithm"). The union size is
     * `deg(a) + deg(b) - common` (a ∈ N(b) and b ∈ N(a), so both sides
-    * already count the edge's own endpoints). Cost is the same
-    * Σ deg(a)+deg(b) wedge expansion as triangle counting; hot-node
-    * skew in the expansion is delegated to AQE skew-join like every
-    * other candidate join in the repo (Dedup contract). */
+    * already count the edge's own endpoints). */
   def neighborJaccard(events: DataFrame): DataFrame = {
     val und = undirected(events).persist()
-    val deg = undDegrees(und)
-    val sym = und.select(col("a").as("x"), col("b").as("y"))
-      .union(und.select(col("b").as("x"), col("a").as("y"))).persist()
-    val common = und
-      .join(sym.select(col("x").as("a"), col("y").as("z")), "a")
-      .join(sym.select(col("x").as("b"), col("y").as("z")), Seq("b", "z"))
+    val deg = undDegrees(und).persist()
+    val tri = orientedTriangles(und, deg)
+    val common = tri.select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b")),
+        struct(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
     und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")

@@ -62,7 +62,14 @@ object NaiveBayes {
 
   /** Labeled per-(doc, token) counts for one split. */
   private def docTokens(docs: DataFrame, train: Boolean): DataFrame =
-    docs.where(if (train) isTrain else !isTrain)
+    // spreadIfNarrow: a one-row-group corpus file otherwise runs the
+    // tokenize front on a single task (r16, the shingleSets note); a
+    // many-split production scan skips the exchange. Projected to
+    // (doc_id, text) first so the conditional exchange carries nothing
+    // else (guide §2.3).
+    graft.functions.Staging.spreadIfNarrow(
+        docs.select(col("doc_id"), col("text")))
+      .where(if (train) isTrain else !isTrain)
       // tokenize ONCE, then label + explode read the array: the fused
       // form ran the word_tokens kernel four times per document (three
       // keyword counts + the explode). CollapseProject keeps the

@@ -72,6 +72,11 @@ object TextAnalysis {
     * double divisions of exact ints, so the oracle matches bit-for-bit. */
   def qualityScore(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val t = tokens(col("text"))
+    // NO spread here: qualityScore is a pure projection whose consumers
+    // include the narrow-wire calibration lane (t18's audit bans text on
+    // any exchange there) and streaming intake; a composition that wants
+    // the scoring pass parallel on a one-split local file spreads its
+    // OWN input (corpusPrep does)
     docs
       .withColumn("n_tokens", size(t))
       .withColumn("n_distinct", size(array_distinct(t)))

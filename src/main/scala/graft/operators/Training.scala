@@ -106,7 +106,13 @@ object Training {
       iters: Int, step: Double): Fit = {
     fitCount.incrementAndGet()
     val spark = docs.sparkSession
-    val base = docs
+    // spreadIfNarrow: a one-row-group corpus file otherwise runs the
+    // tokenize+hash front on a single task (r16, the shingleSets note);
+    // a many-split production scan skips the exchange. Projected to
+    // (doc_id, text) first so the conditional exchange carries nothing
+    // else (guide §2.3; every registered labelPred reads only text).
+    val base = graft.functions.Staging.spreadIfNarrow(
+        docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), labelPred.cast("double").as("y"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .where(size(col("toks")) > 0)
