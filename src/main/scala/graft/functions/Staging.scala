@@ -73,6 +73,48 @@ object Staging {
         < df.sparkSession.sessionState.conf.numShufflePartitions) spread(df)
     else df
 
+  /** Shuffle-partition width for an ITERATIVE loop's per-round exchanges,
+    * derived from the loop's own measured state size (r17, guide §2.2
+    * "fewer, larger reduce partitions" + §2 "make partitioning
+    * scale-adaptive"): the graph/cluster loops exchange a node- or
+    * doc-keyed relation every round, and at small state a session-width
+    * exchange is pure scheduling overhead — the r16 driver measured the
+    * iterative lanes ~2× FASTER at local[8] than local[32] because every
+    * round ran 32 tasks over KBs. Width = ceil(stateRows / perPart) rows
+    * per partition (default 1M ≈ 16–32 MB of narrow rows, the guide's
+    * shuffle-partition sweet spot), clamped to the session width — a
+    * 100 TB run's node relation takes the session's own parallelism,
+    * exactly as today, so the knob only BOUNDS width from below at small
+    * state, never shrinks a big run. Env-tunable
+    * (`SPARK_GRAFT_ROUND_ROWS_PER_PART`), never a hard-coded core count. */
+  def roundWidth(spark: org.apache.spark.sql.SparkSession,
+      stateRows: Long): Int = {
+    val perPart = sys.env.getOrElse("SPARK_GRAFT_ROUND_ROWS_PER_PART",
+      "1000000").toLong
+    val sessW = spark.sessionState.conf.numShufflePartitions
+    math.min(sessW.toLong,
+      math.max(1L, (stateRows + perPart - 1) / perPart)).toInt
+  }
+
+  /** A child session whose `spark.sql.shuffle.partitions` is
+    * [[roundWidth]] — the loops re-base their round relations into it via
+    * `Bridge.pinInternal(df, child)` so ONLY the per-round exchanges run
+    * at the right-sized width (the CPU-heavy fronts stay on the outer
+    * session at full width). Returns the outer session unchanged when the
+    * state already fills the session width, so big runs plan exactly as
+    * before. The shared CacheManager makes persist/unpersist and
+    * clearCache work identically across parent and child. */
+  def roundSession(spark: org.apache.spark.sql.SparkSession,
+      stateRows: Long): org.apache.spark.sql.SparkSession = {
+    val w = roundWidth(spark, stateRows)
+    if (w == spark.sessionState.conf.numShufflePartitions) spark
+    else {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", w.toString)
+      child
+    }
+  }
+
   /** [[spread]] `df`, then apply each stage and [[pin]] its output:
     * {{{
     * val hashed = Staging.stagedTransform(docs)(

@@ -846,23 +846,39 @@ object Dedup {
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var labels = edges.select(col("src").as("v")).distinct()
+    // right-sized round width (r17, VERDICT r16 #3 / guide §2.2 — the
+    // [[graft.operators.Graph.connectedComponents]] treatment): the
+    // label-propagation rounds exchange a doc-keyed pair relation whose
+    // size is now measured (the count also materializes the pair/edge
+    // caches the loop reads); small candidate sets run their rounds at a
+    // narrow width instead of the session default, big runs keep the
+    // session width (rs eq spark)
+    val spark = docs.sparkSession
+    val nEdgeRows = edges.count()
+    val rs = graft.functions.Staging.roundSession(spark, nEdgeRows)
+    val edgesR =
+      if (rs eq spark) edges
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        edges.coalesce(graft.functions.Staging.roundWidth(spark, nEdgeRows)),
+        rs)
+    var labels = edgesR.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
     var persisted: Option[DataFrame] = None
     var converged = false
+    // label-sum fixed-point detection (r17, the [[Graph.connectedComponents]]
+    // convention): labels only ever decrease, so "round changed nothing" ⟺
+    // "exact decimal Σ label unchanged" — observed on the materializing
+    // count, no extra job, and no `__old` column riding the per-round
+    // persists and the pointer-jump self-join exchange (8 B/row narrower)
+    var prevSum: java.math.BigDecimal = null
     while (!converged) {
-      val fromNbrs = edges
+      val fromNbrs = edgesR
         .join(labels.select(col("v").as("src"), col("label").as("nl")), "src")
         .groupBy(col("dst").as("v")).agg(min("nl").as("nbr"))
-      // the round-start label rides the round's relations as `__old`, so
-      // the materializing count below doubles as the changed count — the
-      // former labels⋈next join per round is gone (r16; same verdicts,
-      // one fewer doc-keyed exchange pair per round)
       val prop = labels.select(col("v"), col("label"))
         .join(fromNbrs, Seq("v"), "left_outer")
         .select(col("v"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          col("label").as("__old"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jumping: label <- label(label). One neighbor hop alone
       // converges in DIAMETER rounds — a 1M-doc near-dup chain would take
@@ -886,17 +902,20 @@ object Dedup {
         .join(prop.select(col("v").as("jv"), col("label").as("jl")).as("l2"),
           col("l1.label") === col("jv"))
         .select(col("l1.v").as("v"),
-          least(col("l1.label"), col("jl")).as("label"),
-          col("l1.__old").as("__old"))
-      val next = org.apache.spark.sql.graft.Bridge.pinInternal(jumped)
+          least(col("l1.label"), col("jl")).as("label"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = org.apache.spark.sql.graft.Bridge.pinInternal(jumped, rs)
+        .observe(obs, coalesce(sum(col("label").cast("decimal(28,0)")),
+          lit(0).cast("decimal(28,0)")).as("lsum"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.where(col("label") =!= col("__old"))
-        .count() // also materializes next
+      next.count() // materializes next; the observation fires with it
+      val lsum = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
       prop.unpersist(false) // consumed by the jump, never read again
       persisted.foreach(_.unpersist(false)) // superseded round
       persisted = Some(next)
       labels = next
-      converged = changed == 0L
+      converged = prevSum != null && lsum.compareTo(prevSum) == 0
+      prevSum = lsum
     }
     // the final labels are materialized; drop the scaffolding caches (the
     // result only recomputes through them if its own cache is evicted),

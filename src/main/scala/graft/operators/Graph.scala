@@ -218,23 +218,39 @@ object Graph {
       .join(outDeg.withColumnRenamed("node", "src"), "src")
       .select("src", "dst", "deg").persist()
     val dangling = nodes.join(outDeg, Seq("node"), "left_anti").persist()
+    // right-sized round width (r17, VERDICT r16 #3 / guide §2.2): the
+    // per-iteration exchanges carry node-keyed rank rows and the
+    // deg-folded edge relation — both sized by the measured node count;
+    // a big run keeps the session width (rs eq spark) and plans exactly
+    // as before
+    val rs = graft.functions.Staging.roundSession(spark, n)
+    val (nodesR, edDegR, danglingR) =
+      if (rs eq spark) (nodes, edDeg, dangling)
+      else {
+        val w = graft.functions.Staging.roundWidth(spark, n)
+        val pin = org.apache.spark.sql.graft.Bridge.pinInternal(
+          _: DataFrame, rs)
+        (pin(nodes.coalesce(w)), pin(edDeg.coalesce(w)),
+          pin(dangling.coalesce(w)))
+      }
     // initial uniform rank: persisted but NOT pre-materialized — it is a
     // literal projection over the cached node set, cheaper to let the
     // first iteration's job populate than to pay a dedicated action
-    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank")).persist()
+    var rank = nodesR.select(col("node"), lit(1.0 / n).as("rank")).persist()
     (1 to iters).foreach { _ =>
       // dangling mass: one row, cross-joined (scalar broadcast)
-      val dang = rank.join(dangling, Seq("node"), "left_semi")
+      val dang = rank.join(danglingR, Seq("node"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
-      val contrib = edDeg.join(rank, edDeg("src") === rank("node"))
+      val contrib = edDegR.join(rank, edDegR("src") === rank("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
-      val next = rebased(nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(dang)
-        .select(col("node"),
-          (lit((1.0 - d) / n) + lit(d) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dang") / lit(n.toDouble)))
-            .as("rank")))
+      val next = org.apache.spark.sql.graft.Bridge.pinInternal(
+        nodesR.join(contrib, Seq("node"), "left")
+          .crossJoin(dang)
+          .select(col("node"),
+            (lit((1.0 - d) / n) + lit(d) *
+              (coalesce(col("contrib"), lit(0.0)) + col("dang") / lit(n.toDouble)))
+              .as("rank")), rs)
         .persist()
       next.count() // materialize; rebased -> lineage stays one step deep
       rank.unpersist()
@@ -317,23 +333,39 @@ object Graph {
     // max magnitude by ≤ degMax per half-step (BigInt: the check itself
     // cannot overflow)
     val headroom = BigInt(Long.MaxValue) / (BigInt(degMax) * BigInt(degMax))
-    var hub = nodes.select(col("node"), lit(1L).as("h")).persist()
+    // right-sized round width (r17) — the [[pagerank]] treatment: the
+    // half-step exchanges carry node-keyed score rows and the edge
+    // relation; width derives from the measured node count (the degMax
+    // job above already materialized the edge cache)
+    val spark = edgeRel.sparkSession
+    val nNodes = nodes.count()
+    val rs = graft.functions.Staging.roundSession(spark, nNodes)
+    val (nodesR, edR) =
+      if (rs eq spark) (nodes, ed)
+      else {
+        val w = graft.functions.Staging.roundWidth(spark, nNodes)
+        (org.apache.spark.sql.graft.Bridge.pinInternal(nodes.coalesce(w), rs),
+          org.apache.spark.sql.graft.Bridge.pinInternal(ed.coalesce(w), rs))
+      }
+    var hub = nodesR.select(col("node"), lit(1L).as("h")).persist()
     var auth: DataFrame = null
     var hMax = 1L
     var done = 0
     while (done < iters && BigInt(hMax) <= headroom) {
-      val aRaw = ed.join(hub, ed("src") === hub("node"))
+      val aRaw = edR.join(hub, edR("src") === hub("node"))
         .groupBy(col("dst").as("node")).agg(sum("h").as("a"))
-      val nextA = rebased(nodes.join(aRaw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("a"), lit(0L)).as("a")))
+      val nextA = org.apache.spark.sql.graft.Bridge.pinInternal(
+        nodesR.join(aRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), rs)
         .persist() // populated when the h-step below first reads it
-      val hRaw = ed.join(nextA, ed("dst") === nextA("node"))
+      val hRaw = edR.join(nextA, edR("dst") === nextA("node"))
         .groupBy(col("src").as("node")).agg(sum("a").as("h"))
       // the guard's max(h) rides the materializing count() as an observed
       // metric — zero extra jobs (h sums non-negative terms: max == |max|)
       val obs = org.apache.spark.sql.Observation()
-      val nextH = rebased(nodes.join(hRaw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0L)).as("h")))
+      val nextH = org.apache.spark.sql.graft.Bridge.pinInternal(
+        nodesR.join(hRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), rs)
         .observe(obs, coalesce(max(col("h")), lit(0L)).as("h_max"))
         .persist()
       nextH.count() // materializes nextA and nextH in one job
@@ -504,10 +536,21 @@ object Graph {
     * enumeration is the oracle's cost, not the operator's: the relational
     * loop never materializes paths. */
   def bfsHops(events: DataFrame, seedPred: Column, hops: Int = 3): DataFrame = {
+    val spark = events.sparkSession
     val und = undirected(events).persist()
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v"))).persist()
-    val nodes = sym.select(col("u").as("node")).distinct()
+    // right-sized round width (r17) — the [[connectedComponents]]
+    // treatment, sized by the SYMMETRIZED EDGE count (the per-level join's
+    // true volume: the frontier is small but its edge expansion is not);
+    // the count also materializes the und cache sym reads all loop long
+    val nEdges = 2L * und.count()
+    val rs = graft.functions.Staging.roundSession(spark, nEdges)
+    val symR =
+      if (rs eq spark) sym
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        sym.coalesce(graft.functions.Staging.roundWidth(spark, nEdges)), rs)
+    val nodes = symR.select(col("u").as("node")).distinct()
     var dist = nodes.where(seedPred)
       .select(col("node"), lit(0).as("dist")).persist()
     // EMPTY-FRONTIER EARLY EXIT (r16): `dist` only ever GROWS (union +
@@ -522,10 +565,11 @@ object Graph {
     while (h < hops && !frontierDone) {
       h += 1
       val next = dist.where(col("dist") === h - 1)
-        .join(sym, col("node") === col("u"))
+        .join(symR, col("node") === col("u"))
         .select(col("v").as("node"), lit(h).as("dist"))
-      val merged = rebased(dist.union(next)
-        .groupBy("node").agg(min(col("dist")).as("dist"))).persist()
+      val merged = org.apache.spark.sql.graft.Bridge.pinInternal(
+        dist.union(next)
+          .groupBy("node").agg(min(col("dist")).as("dist")), rs).persist()
       val n = merged.count() // materialize; rebased -> lineage one hop deep
       frontierDone = n == reached
       reached = n
@@ -569,23 +613,38 @@ object Graph {
     val dangling = nodes.join(outDeg, Seq("node"), "left_anti").persist()
     val nSeeds = nodes.where(seedPred).count() // one bounded driver scalar
     require(nSeeds > 0, "personalized pagerank needs a non-empty seed set")
-    var rank = nodes.select(col("node"),
+    // right-sized round width (r17) — the [[pagerank]] treatment; the
+    // node cache is warm from the seed count, so this count is bounded
+    val spark = events.sparkSession
+    val nNodes = nodes.count()
+    val rs = graft.functions.Staging.roundSession(spark, nNodes)
+    val (nodesR, edDegR, danglingR) =
+      if (rs eq spark) (nodes, edDeg, dangling)
+      else {
+        val w = graft.functions.Staging.roundWidth(spark, nNodes)
+        val pin = org.apache.spark.sql.graft.Bridge.pinInternal(
+          _: DataFrame, rs)
+        (pin(nodes.coalesce(w)), pin(edDeg.coalesce(w)),
+          pin(dangling.coalesce(w)))
+      }
+    var rank = nodesR.select(col("node"),
       when(seedPred, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("rank"))
       .persist()
     (1 to iters).foreach { _ =>
-      val dang = rank.join(dangling, Seq("node"), "left_semi")
+      val dang = rank.join(danglingR, Seq("node"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
-      val contrib = edDeg.join(rank, edDeg("src") === rank("node"))
+      val contrib = edDegR.join(rank, edDegR("src") === rank("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
-      val next = rebased(nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(dang)
-        .select(col("node"),
-          (when(seedPred, lit((1.0 - d) / nSeeds)).otherwise(lit(0.0)) +
-            lit(d) * (coalesce(col("contrib"), lit(0.0)) +
-              when(seedPred, col("dang") / lit(nSeeds.toDouble))
-                .otherwise(lit(0.0))))
-            .as("rank")))
+      val next = org.apache.spark.sql.graft.Bridge.pinInternal(
+        nodesR.join(contrib, Seq("node"), "left")
+          .crossJoin(dang)
+          .select(col("node"),
+            (when(seedPred, lit((1.0 - d) / nSeeds)).otherwise(lit(0.0)) +
+              lit(d) * (coalesce(col("contrib"), lit(0.0)) +
+                when(seedPred, col("dang") / lit(nSeeds.toDouble))
+                  .otherwise(lit(0.0))))
+              .as("rank")), rs)
         .persist()
       next.count() // materialize; rebased -> lineage stays one step deep
       rank.unpersist()
@@ -630,32 +689,59 @@ object Graph {
       .union(und.select(col("b").as("u"), col("a").as("v"))).persist()
     val nodes = sym.select(col("u").as("node")).distinct()
     var lab = nodes.select(col("node"), col("node").as("label")).persist()
+    // materialize for the round-width decision below; round 1 reads the
+    // warm cache instead of paying this scan itself, so the extra job is
+    // the bounded count alone
+    val nNodes = lab.count()
+    // right-sized round width (r17, VERDICT r16 #3 / guide §2.2) — the
+    // [[connectedComponents]] treatment: per-round exchanges of the
+    // node-keyed label relation run at a width derived from the measured
+    // node count; a big run keeps the session width (rs eq spark)
+    val spark = events.sparkSession
+    val rs = graft.functions.Staging.roundSession(spark, nNodes)
+    val symR =
+      if (rs eq spark) sym
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        sym.coalesce(graft.functions.Staging.roundWidth(spark, nNodes)), rs)
+    var cur: DataFrame =
+      if (rs eq spark) lab
+      else org.apache.spark.sql.graft.Bridge.pinInternal(lab, rs)
     // FIXED-POINT EARLY EXIT (r16): synchronous min-label propagation is
     // monotone — a round that changes zero labels is the fixed point and
     // every remaining round recomputes the identical relation, so exiting
-    // early is bit-identical to the full `iters` unroll. Detection is
-    // FREE: the round-start label rides the round's own cached relation
-    // as `__old`, so the materializing count doubles as the changed
-    // count — no extra join, no extra job (the wcc convention, minus its
-    // per-round labels⋈next join).
+    // early is bit-identical to the full `iters` unroll. Detection (r17):
+    // labels only ever DECREASE, so "changed zero labels" ⟺ "Σ label
+    // unchanged" — an exact decimal sum OBSERVED on the materializing
+    // count (zero extra jobs, and the round relation drops the r16
+    // `__old` column: 8 B/row narrower per-round cache + rebase copy).
+    // Round 1 never exits (prevSum unknown) — on a non-empty edge set it
+    // always changes a label anyway.
     var r = 0
     var fixed = false
+    var prevSum: java.math.BigDecimal = null
     while (r < iters && !fixed) {
       r += 1
-      val neighborMin = sym
-        .join(lab.select(col("node").as("v"), col("label")), "v")
+      val neighborMin = symR
+        .join(cur.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min("label").as("nmin"))
-      val next = rebased(lab.select(col("node"), col("label"))
-        .join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"),
-          col("label").as("__old")))
+      val obs = org.apache.spark.sql.Observation()
+      val next = org.apache.spark.sql.graft.Bridge.pinInternal(
+        cur.select(col("node"), col("label"))
+          .join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label")), rs)
+        .observe(obs, coalesce(sum(col("label").cast("decimal(28,0)")),
+          lit(0).cast("decimal(28,0)")).as("lsum"))
         .persist()
-      // materializes the round's cache AND detects the fixed point
-      fixed = next.where(col("label") =!= col("__old")).count() == 0L
+      // materializes the round's cache AND fires the fixed-point metric
+      next.count()
+      val lsum = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
+      fixed = prevSum != null && lsum.compareTo(prevSum) == 0
+      prevSum = lsum
       lab.unpersist()
       lab = next
+      cur = next
     }
     Seq(und, sym).foreach(_.unpersist())
     graft.CacheScope.owns(
@@ -708,7 +794,16 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lab = rebased(sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))).persist()
-    lab.count()
+    val nNodes = lab.count()
+    // right-sized round width (r17) — the [[lpLabels]] treatment
+    val rs = graft.functions.Staging.roundSession(spark, nNodes)
+    val symR =
+      if (rs eq spark) sym
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        sym.coalesce(graft.functions.Staging.roundWidth(spark, nNodes)), rs)
+    var cur: DataFrame =
+      if (rs eq spark) lab
+      else org.apache.spark.sql.graft.Bridge.pinInternal(lab, rs)
     // every round's label relation stays cached until the ONE stats
     // collect at the end: the per-round stats are built lazily and
     // unioned, so the whole trajectory's statistics run as a single job
@@ -728,21 +823,32 @@ object Graph {
     // the changed count.
     var fixed = false
     var executed = 0
+    // label-sum fixed-point detection (r17) — see [[lpLabels]]: monotone
+    // min-label rounds change nothing iff the exact decimal Σ label is
+    // unchanged, observed on the materializing count, no `__old` column
+    var prevSum: java.math.BigDecimal = null
     while (executed < iters && !fixed) {
       executed += 1
-      val neighborMin = sym
-        .join(lab.select(col("node").as("v"), col("label")), "v")
+      val neighborMin = symR
+        .join(cur.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min("label").as("nmin"))
-      val next = rebased(lab.select(col("node"), col("label"))
-        .join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"),
-          col("label").as("__old")))
+      val obs = org.apache.spark.sql.Observation()
+      val next = org.apache.spark.sql.graft.Bridge.pinInternal(
+        cur.select(col("node"), col("label"))
+          .join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label")), rs)
+        .observe(obs, coalesce(sum(col("label").cast("decimal(28,0)")),
+          lit(0).cast("decimal(28,0)")).as("lsum"))
         .persist()
-      fixed = next.where(col("label") =!= col("__old")).count() == 0L
+      next.count()
+      val lsum = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
+      fixed = prevSum != null && lsum.compareTo(prevSum) == 0
+      prevSum = lsum
       labs += next
       lab = next
+      cur = next
     }
     val statsDf = labs.zipWithIndex.map { case (l, i) =>
       val byComm = deg.join(l.select(col("node"), col("label")), "node")
@@ -806,41 +912,71 @@ object Graph {
     * single-partition, nothing driver-side but the one convergence
     * count per round. */
   def connectedComponents(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     val und = undirected(events).persist()
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v"))).persist()
     var labels = rebased(sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))).persist()
-    labels.count()
+    val nNodes = labels.count()
+    // RIGHT-SIZED ROUND WIDTH (r17, VERDICT r16 #3 / guide §2.2): the
+    // per-round exchanges carry a node-keyed relation whose size is now
+    // KNOWN (nNodes), so they run in a child session whose shuffle width
+    // is derived from it instead of the session default — at small state
+    // a full-width exchange is pure task-scheduling overhead (the r16
+    // scaling block measured these lanes ~2× faster at local[8]), while
+    // big state keeps the session width unchanged (roundSession returns
+    // the outer session itself). sym is coalesced once to the same width
+    // so each round's map side stops re-scanning the cache at full width.
+    val rs = graft.functions.Staging.roundSession(spark, nNodes)
+    val symR =
+      if (rs eq spark) sym
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        sym.coalesce(graft.functions.Staging.roundWidth(spark, nNodes)), rs)
+    var cur: DataFrame =
+      if (rs eq spark) labels
+      else org.apache.spark.sql.graft.Bridge.pinInternal(labels, rs)
+    // FIXED-POINT DETECTION BY LABEL-SUM (r17, VERDICT r16 #2 on gr13):
+    // labels move ONLY downward (every update is a `least`), so the round
+    // changed zero labels iff Σ label is unchanged — an exact DECIMAL sum
+    // (order-independent integer arithmetic; decimal(28,0) summed gives
+    // 38 digits of headroom, enough for 10^12 nodes of int64 ids). The
+    // sum rides the materializing count as an OBSERVED metric, so change
+    // detection costs zero extra jobs AND the round relations drop the
+    // r16 `__old` column — 8 B/row less through both per-round persists
+    // and the pointer-jump self-join exchange (the r16 regression).
+    // First round: prevSum is unknown (null) and the round runs — on any
+    // non-empty edge set round 1 always changes a label anyway.
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     while (!converged) {
-      val nbrMin = sym
-        .join(labels.select(col("node").as("v"), col("label")), "v")
+      val nbrMin = symR
+        .join(cur.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min("label").as("nmin"))
-      // the round-start label rides the round's relations as `__old`, so
-      // the materializing count below doubles as the changed count — the
-      // former labels⋈next join per round is gone (r16; same verdicts,
-      // one fewer node-keyed exchange pair per round)
-      val prop = labels.select(col("node"), col("label"))
+      val prop = cur.select(col("node"), col("label"))
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"),
-          col("label").as("__old"))
+            .as("label"))
         .persist()
       val jumped = prop.as("l1")
         .join(prop.select(col("node").as("jn"), col("label").as("jl")),
           col("l1.label") === col("jn"))
         .select(col("l1.node").as("node"),
-          least(col("l1.label"), col("jl")).as("label"),
-          col("l1.__old").as("__old"))
-      val next = rebased(jumped).persist()
-      val changed = next.where(col("label") =!= col("__old"))
-        .count() // materializes next
+          least(col("l1.label"), col("jl")).as("label"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = org.apache.spark.sql.graft.Bridge.pinInternal(jumped, rs)
+        .observe(obs, coalesce(sum(col("label").cast("decimal(28,0)")),
+          lit(0).cast("decimal(28,0)")).as("lsum"))
+        .persist()
+      next.count() // materializes next; the observation fires with it
+      val lsum = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
       prop.unpersist(false)
       labels.unpersist(false)
       labels = next
-      converged = changed == 0L
+      cur = next
+      converged = prevSum != null && lsum.compareTo(prevSum) == 0
+      prevSum = lsum
     }
     Seq(und, sym).foreach(_.unpersist(false))
     // converged is structurally true here — the loop above exits only
@@ -900,16 +1036,29 @@ object Graph {
     * persist+count per round ([[pagerank]] discipline), never a driver
     * structure beyond the two survivor COUNTS the flag needs. */
   def kCore(events: DataFrame, k: Int = 3, rounds: Int = 6): DataFrame = {
+    val spark = events.sparkSession
     val und = undirected(events).persist()
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v"))).persist()
-    def coreDeg(alive: DataFrame): DataFrame = sym
-      .join(alive.withColumnRenamed("node", "u"), "u")
-      .join(alive.withColumnRenamed("node", "v"), "v")
-      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     var alive = sym.select(col("u").as("node")).distinct().persist()
     var prevCount = alive.count()
     var lastCount = prevCount
+    // right-sized round width (r17) — the [[connectedComponents]]
+    // treatment: the peeling rounds' alive-set joins run at a width
+    // derived from the measured node count
+    val rs = graft.functions.Staging.roundSession(spark, lastCount)
+    val symR =
+      if (rs eq spark) sym
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        sym.coalesce(graft.functions.Staging.roundWidth(spark, lastCount)),
+        rs)
+    var cur: DataFrame =
+      if (rs eq spark) alive
+      else org.apache.spark.sql.graft.Bridge.pinInternal(alive, rs)
+    def coreDeg(a: DataFrame): DataFrame = symR
+      .join(a.withColumnRenamed("node", "u"), "u")
+      .join(a.withColumnRenamed("node", "v"), "v")
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     // FIXED-POINT EARLY EXIT (r16): `next ⊆ alive` (peeling only removes
     // nodes), so an unchanged count means an unchanged SET — every
     // remaining round would recompute the identical relation. Exiting at
@@ -920,12 +1069,13 @@ object Graph {
     var r = 0
     while (r < rounds && (r == 0 || lastCount != prevCount)) {
       r += 1
-      val next = rebased(coreDeg(alive).where(col("deg") >= k)
-        .select("node")).persist()
+      val next = org.apache.spark.sql.graft.Bridge.pinInternal(
+        coreDeg(cur).where(col("deg") >= k).select("node"), rs).persist()
       prevCount = lastCount
       lastCount = next.count() // materialize; rebased -> flat lineage
       alive.unpersist()
       alive = next
+      cur = next
     }
     val converged = lastCount == prevCount
     // Eager-materialize-then-release (r9 verdict ask #6): the result is
@@ -935,9 +1085,9 @@ object Graph {
     // resident cache left is the result itself (released by the caller
     // or the harness clearCache); recompute after eviction re-derives
     // through the rebased RDD without needing the dropped preps' caches.
-    val result = rebased(coreDeg(alive)
+    val result = org.apache.spark.sql.graft.Bridge.pinInternal(coreDeg(cur)
       .select(col("node"), col("deg"), lit(converged).as("converged"))
-      .orderBy("node")).persist()
+      .orderBy("node"), rs).persist()
     result.count()
     Seq(und, sym, alive).foreach(_.unpersist())
     graft.CacheScope.owns(result, result) // result IS the cached relation

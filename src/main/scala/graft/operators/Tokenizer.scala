@@ -98,6 +98,16 @@ object Tokenizer {
       .persist()
     words.count() // materialize before the loop so rounds start from data
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    // The superseded round's cache is released one round LATE (r17,
+    // VERDICT r16 #2 ask on t23): round k+1's argmax below is the first
+    // action over round k's persisted relation and materializes it as a
+    // side effect, so round k−1's blocks can only be freed AFTER that
+    // argmax has run (freeing them earlier would force the pinned RDD to
+    // recompute its whole lineage). Deferring the unpersist removes the
+    // r16 form's dedicated count() job per merge round — the leak fix
+    // stays (everything is unpersisted by loop end; CacheScopeSpec's
+    // gate), one job per round instead of two.
+    var lagged: Option[DataFrame] = None
     var done = false
     for (rank <- 1 to nMerges if !done) {
       val top: Array[Row] = words.where(size(col("syms")) >= 2)
@@ -111,6 +121,10 @@ object Tokenizer {
         .agg(sum("c").as("n"))
         .orderBy(desc("n"), col("l"), col("r"))
         .limit(1).collect()
+      // the argmax above materialized `words`; its predecessor's blocks
+      // are now dead weight on every path (merge, no-merge, loop end)
+      lagged.foreach(_.unpersist())
+      lagged = None
       if (top.isEmpty) done = true
       else {
         val (l, r, n) =
@@ -126,10 +140,10 @@ object Tokenizer {
         // CacheScopeSpec's leak gate once suite ordering surfaced it).
         val stepped = prev.withColumn("syms", mergeOnce("syms", l, r))
         words = org.apache.spark.sql.graft.Bridge.pinInternal(stepped).persist()
-        words.count() // materialize before releasing the superseded round
-        prev.unpersist()
+        lagged = Some(prev) // released after the NEXT argmax materializes
       }
     }
+    lagged.foreach(_.unpersist())
     words.unpersist()
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "n")
   }

@@ -186,44 +186,49 @@ object Training {
     }
 
     val hist = (1 to iters).map { it =>
-      // ONE action per iteration: the per-bucket gradient rows, the
-      // loss/accuracy totals (idx = -1), and the error sum (idx = -2)
-      // union into a single tagged relation and collect together — the
-      // job-per-branch variant benched 4× slower on pure scheduling
-      // overhead (36 sub-second jobs for 8 iterations)
-      // persisted: the loss, error-sum, and gradient branches of the
-      // union below all read err — uncached, each branch would re-run
-      // the scores projection (cache scan + dot-product fold)
-      val err = scores(train).select(col("doc_id"), col("y"), col("idxs"),
-        col("s"), (col("s") - col("y")).as("e")).persist()
-      // gradient straight off err's own index array — the r8 shape
-      // re-joined the corpus-sized sparse relation against err on doc_id
-      // here (a second corpus pass + shuffle per iteration); exploding
-      // the array the error row already carries makes the idx-keyed
-      // aggregate (dim groups, map-side partial) the iteration's ONLY
-      // exchange
-      val gradRows = err.select(explode(col("idxs")).as("idx"), col("e"))
-        .groupBy("idx").agg(sum(col("e")).as("a"), lit(0.0).as("b"))
-      val lossRow = err.agg(
-        sum(-(col("y") * log(greatest(col("s"), lit(1e-12)))
+      // ONE action per iteration (r17, VERDICT r16 #4 — fuse the loss/
+      // accuracy/error-sum branches INTO the gradient pass): each doc's
+      // exploded index list gets a synthetic `-1` marker appended, so a
+      // single idx-keyed hash aggregate (dim+1 groups, map-side partial,
+      // the iteration's only exchange) yields the per-bucket gradient
+      // rows (idx ≥ 0: Σe), the loss/accuracy totals (idx = -1, one
+      // marker row per doc), and the error sum (the -1 rows' Σe) in ONE
+      // scan of the scored relation. The r16 shape persisted an `err`
+      // relation and ran three union branches over it — two extra cache
+      // scans, a persist/unpersist churn, and a cold-cache race per
+      // iteration, all gone. Per-doc terms (e, lossterm, accterm) are
+      // computed BELOW the explode — the multi-referenced sigmoid alias
+      // is a CollapseProject barrier, so the dot-product fold still runs
+      // once per doc, never per exploded row.
+      val perDoc = scores(train).select(
+        (col("s") - col("y")).as("e"),
+        (-(col("y") * log(greatest(col("s"), lit(1e-12)))
           + (lit(1.0) - col("y"))
-            * log(greatest(lit(1.0) - col("s"), lit(1e-12))))).as("a"),
-        sum(when((col("s") >= 0.5) === (col("y") === 1.0), 1.0)
-          .otherwise(0.0)).as("b"))
-        .select(lit(-1).as("idx"), col("a"), col("b"))
-      val sumERow = err.agg(sum("e").as("a"))
-        .select(lit(-2).as("idx"), col("a"), lit(0.0).as("b"))
-      val rows = gradRows.select(col("idx"), col("a"), col("b"))
-        .unionByName(lossRow).unionByName(sumERow).collect()
-      err.unpersist()
+            * log(greatest(lit(1.0) - col("s"), lit(1e-12))))).as("lossterm"),
+        when((col("s") >= 0.5) === (col("y") === 1.0), 1.0)
+          .otherwise(0.0).as("accterm"),
+        col("idxs"))
+      val rows = perDoc
+        .select(col("e"), col("lossterm"), col("accterm"),
+          explode(concat(col("idxs"), array(lit(-1)))).as("idx"))
+        .groupBy("idx")
+        .agg(
+          sum(when(col("idx") >= 0, col("e")).otherwise(col("lossterm")))
+            .as("a"),
+          sum(when(col("idx") >= 0, lit(0.0)).otherwise(col("accterm")))
+            .as("b"),
+          sum(when(col("idx") === -1, col("e")).otherwise(lit(0.0)))
+            .as("c"))
+        .collect()
 
-      val loss = rows.find(_.getInt(0) == -1).get.getDouble(1) / nTrain
-      val acc = rows.find(_.getInt(0) == -1).get.getDouble(2) / nTrain
-      val sumE = rows.find(_.getInt(0) == -2).get.getDouble(1)
+      val marker = rows.find(_.getInt(0) == -1).get
+      val loss = marker.getDouble(1) / nTrain
+      val acc = marker.getDouble(2) / nTrain
+      val sumE = marker.getDouble(3)
       // centered gradient: live-bucket error sum minus μ_j · Σe; buckets
       // never live in train have μ_j = 0 and stay untouched
       val g = Array.tabulate(dim)(j => -mu(j) * sumE / nTrain)
-      rows.filter(_.getInt(0) >= 0).foreach { r =>
+      rows.iterator.filter(_.getInt(0) >= 0).foreach { r =>
         g(r.getInt(0)) += r.getDouble(1) / nTrain
       }
       // heavy-ball momentum (γ = 0.8): converges in ~6 iterations where

@@ -74,6 +74,24 @@ object StreamingQueries {
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
           "true")
     }
+    // Diagnostic tap (r17, measurement only — guide §1): with
+    // SPARK_GRAFT_STREAM_PROGRESS set, every micro-batch's progress JSON
+    // (the engine's own durationMs breakdown: triggerExecution,
+    // queryPlanning, walCommit, commitOffsets, addBatch, stateOperators)
+    // goes to stderr, so the per-drain fixed cost can be attributed to
+    // planning vs log I/O vs state commits instead of guessed at.
+    // Off (the default) this adds nothing to the drain path.
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryProgressEvent): Unit =
+            System.err.println(s"[stream-progress] ${e.progress.json}")
+          override def onQueryTerminated(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        })
     spark
   }
 
@@ -1632,12 +1650,6 @@ object StreamingQueries {
         posexplode(graft.operators.Dedup.bandKeys(col("sig"), nBands, nRows)))
       .toDF("doc_b", "band", "key")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager leaf-cache materialization: the cap's aggregate and anti-join
-    // sides schedule concurrently under AQE (the jaccardPairsExact
-    // cold-cache race), and the bucket-size pass must read the CACHE,
-    // never re-run the 128-hash signature kernel — the exact cost that
-    // sank the r15 in-batch cap experiment (+2.7s/drain, SCALING.md)
-    idxRaw.count()
     // ONE-TIME hot-bucket cap on the persisted index (r16, VERDICT r15
     // ask #5, the batch face's maxBucket policy): a (band, key) bucket
     // with > maxBucket members is exact-dup-like mass that belongs to
@@ -1646,19 +1658,40 @@ object StreamingQueries {
     // cap is INERT at every measured scale (no bucket exceeds 1024) and
     // amortizes across the stream's lifetime of micro-batches — the
     // deployment posture SCALING.md's r15 investigation prescribed.
-    val hotKeys = idxRaw.groupBy("band", "key")
+    //
+    // FUSED (r17, VERDICT r16 #2 on st31): the r16 form paid two full
+    // index materializations (idxRaw.count + capped count) plus an
+    // unconditional anti-join pass per invocation for a cap that never
+    // binds at measured scale. The bucket-size aggregate IS now the
+    // eager-materializing action (it reads every cached partition, so the
+    // leaf cache is populated before AQE can race the probe sides — the
+    // jaccardPairsExact lesson holds), and the anti-join + second cache
+    // exist ONLY when a hot bucket is actually present: an anti-join
+    // against zero hot keys is the identity, so the capped result is
+    // byte-identical on both paths.
+    val nHot = idxRaw.groupBy("band", "key")
       .agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucket)
-      .select("band", "key")
-    val idxBuckets = idxRaw.join(hotKeys, Seq("band", "key"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    val idxBuckets =
+      if (nHot == 0L) idxRaw
+      else {
+        val hotKeys = idxRaw.groupBy("band", "key")
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBucket)
+          .select("band", "key")
+        idxRaw.join(hotKeys, Seq("band", "key"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     val verdicts =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
     try {
-    // materialize the CAPPED index once, then drop the raw scaffolding —
-    // exactly one bucket cache lives for the stream's lifetime
-    idxBuckets.count()
-    idxRaw.unpersist(false)
+    if (nHot > 0L) {
+      // materialize the CAPPED index once, then drop the raw scaffolding —
+      // exactly one bucket cache lives for the stream's lifetime
+      idxBuckets.count()
+      idxRaw.unpersist(false)
+    }
     val q = tableStream(spark, dir, "documents")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

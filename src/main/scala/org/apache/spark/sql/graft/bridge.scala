@@ -31,4 +31,19 @@ object Bridge {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd.map(_.copy()), cdf.schema)
   }
+
+  /** [[pinInternal]] re-based onto `target` — the session-migration face:
+    * the returned leaf plans (and therefore widths its exchanges) under
+    * `target`'s conf while its rows still compute through `df`'s own
+    * execution (caches included). Used by the iterative loops to run
+    * their per-round exchanges in a right-sized child session
+    * ([[graft.functions.Staging.roundSession]]) without re-keying the
+    * outer session's conf. */
+  def pinInternal(df: DataFrame,
+      target: org.apache.spark.sql.SparkSession): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        cdf.queryExecution.toRdd.map(_.copy()), cdf.schema)
+  }
 }
