@@ -73,6 +73,13 @@ object StreamingQueries {
         spark.conf.set(
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
           "true")
+      // NOT adopted (r17): rocksdb.trackTotalNumberOfRows=false (blind
+      // state puts, no get-per-put for the row-count metric) measured
+      // NEUTRAL on the 8-query heavy stateful cohort at sf0.1 (17.6 vs
+      // 17.0 s totals, inside noise) — state here is KBs–MBs, so the
+      // extra GET never shows. Worth re-testing on a deployment with
+      // millions of state rows per partition; left at the default so the
+      // state-row telemetry stays real.
     }
     // Diagnostic tap (r17, measurement only — guide §1): with
     // SPARK_GRAFT_STREAM_PROGRESS set, every micro-batch's progress JSON
@@ -131,9 +138,7 @@ object StreamingQueries {
     // per-batch cost is state-store commits per partition, so right-size
     // the state partition count in an isolated child session
     val spark = childSession(outer)
-    val path = s"$dir/events.parquet"
     // file streams need an explicit schema; one footer read supplies it
-    val schema = spark.read.parquet(path).schema
     val name = "st1_events_hourly_" + math.abs(dir.hashCode)
 
     // the file source requires a directory: stream the table dir with a
@@ -170,8 +175,6 @@ object StreamingQueries {
     * the watermark past the last data batch and flushes those windows. */
   def eventHourlyAppend(outer: SparkSession, dir: String): DataFrame = {
     val spark = childSession(outer)
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
     val name = "st4_events_append_" + math.abs(dir.hashCode)
 
     val counts = graft.operators.Tables.normalizeEvents(
@@ -202,7 +205,6 @@ object StreamingQueries {
     * shares its oracle. */
   def eventSliding(outer: SparkSession, dir: String): DataFrame = {
     val spark = childSession(outer)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st17_sliding_" + math.abs(dir.hashCode)
     val counts = graft.operators.Tables.normalizeEvents(
       tableStream(spark, dir, "events"))
@@ -230,7 +232,6 @@ object StreamingQueries {
   def dedupState(outer: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
     val spark = childSession(outer)
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val name = "st2_dedup_" + math.abs(dir.hashCode)
     val counts = tableStream(spark, dir, "documents")
       .select(graft.operators.TextAnalysis.normalized(col("text")).as("norm"))
@@ -258,7 +259,6 @@ object StreamingQueries {
   def kmvState(outer: SparkSession, dir: String, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
     val spark = childSession(outer)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st16_kmv_" + math.abs(dir.hashCode)
     val hashes = tableStream(spark, dir, "events")
       .select(col("event_type").as("grp"),
@@ -291,7 +291,6 @@ object StreamingQueries {
   def corpusIngest(outer: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
     val spark = childSession(outer)
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val name = "st13_corpus_" + math.abs(dir.hashCode)
     val counts = tableStream(spark, dir, "documents")
       .where(graft.functions.hashed_lr_score(col("text"), 64) >= 0)
@@ -322,7 +321,6 @@ object StreamingQueries {
   def lmScore(outer: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
     val spark = childSession(outer)
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val name = "st14_lm_" + math.abs(dir.hashCode)
     val counts = tableStream(spark, dir, "documents")
       .select(col("doc_id"),
@@ -393,7 +391,6 @@ object StreamingQueries {
     spark.conf.set("spark.sql.shuffle.partitions",
       outer.sessionState.conf.numShufflePartitions)
     mark("child session")
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     mark("schema read")
     // PID-scoped artifact path (two JVMs over the same dir must not
     // clobber each other's counts mid-read — the st9/st11 convention)
@@ -540,7 +537,16 @@ object StreamingQueries {
     // the shared session's shuffle width is untouched. Real deployments
     // pin this per-query too (it is frozen into the checkpoint).
     val spark = childSession(outer)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // No-data micro-batch opt-out (r17, VERDICT r16 #1 — measured 0.66 s
+    // of the drain's 2.8 s at sf0.1): for an INNER stream-stream join the
+    // trailing zero-row batch only advances the watermark and EVICTS
+    // state — inner matches were already emitted in the data batch where
+    // both sides met, so the drained result is byte-identical without it.
+    // (The left-outer sibling st8 KEEPS the batch: its null rows emit on
+    // exactly that watermark advance.) A long-running deployment would
+    // keep the default — eviction is what bounds state across triggers;
+    // a drain's state dies with the query.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val name = "st5_funnel_" + math.abs(dir.hashCode)
     def side(tag: String) = graft.operators.Tables.normalizeEvents(
       tableStream(spark, dir, "events"))
@@ -585,7 +591,6 @@ object StreamingQueries {
     * same cutoff. Output: per click-hour matched vs abandoned counts. */
   def streamStreamLeftOuter(outer: SparkSession, dir: String): DataFrame = {
     val spark = childSession(outer)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st8_abandon_" + math.abs(dir.hashCode)
     def side(tag: String) = graft.operators.Tables.normalizeEvents(
       tableStream(spark, dir, "events"))
@@ -626,7 +631,12 @@ object StreamingQueries {
     // row work — right-size the state partition count in a child session
     // (frozen into a real checkpoint, so deployments pin it per-query too).
     val spark = childSession(outer)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // No-data micro-batch opt-out (r17, the st5 rationale): kept rows are
+    // emitted in the data batch they arrive in — the trailing zero-row
+    // batch only advances the watermark to evict suppression state, so
+    // the drained row set is identical without it (0.33 s of the 2.2 s
+    // drain at sf0.1). A long-running deployment keeps the default.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val name = "st7_dropdup_" + math.abs(dir.hashCode)
     def src = graft.operators.Tables.normalizeEvents(
       tableStream(spark, dir, "events"))
@@ -658,7 +668,6 @@ object StreamingQueries {
     * in-memory collector. */
   def foreachBatchSink(outer: SparkSession, dir: String): DataFrame = {
     val spark = childSession(outer)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // PID-scoped: two JVMs (e.g. bench and verify) over the same data dir
     // must not clobber each other's sink mid-read
     val out = s"${sys.props("java.io.tmpdir")}/graft_st9_" +
@@ -700,7 +709,6 @@ object StreamingQueries {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st10_tws_" + math.abs(dir.hashCode)
 
     val deltas = tableStream(spark, dir, "events")
@@ -733,7 +741,6 @@ object StreamingQueries {
     val spark = childSession(outer)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = "st6_state_" + math.abs(dir.hashCode)
 
     val deltas = tableStream(spark, dir, "events")
@@ -767,8 +774,6 @@ object StreamingQueries {
     * applies the identical ms-floor watermark cutoff. */
   def streamSessions(outer: SparkSession, dir: String): DataFrame = {
     val spark = childSession(outer)
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
     val name = "st12_sessions_" + math.abs(dir.hashCode)
 
     val sessions = graft.operators.Tables.normalizeEvents(
@@ -1212,7 +1217,6 @@ object StreamingQueries {
         graft.operators.BloomPipeline.buildFilters(
           graft.operators.Ratings.trainFromLineitem(spark, dir),
           graft.SparkEntry.defaultP)))
-    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
     val name = "st3_bloom_probe_" + math.abs(dir.hashCode)
 
     val stream = graft.operators.Ratings.trainProjection(
@@ -1368,7 +1372,6 @@ object StreamingQueries {
   def benfordMonitor(outer: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
     val spark = childSession(outer)
-    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
     val name = "st25_benford_" + math.abs(dir.hashCode)
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
