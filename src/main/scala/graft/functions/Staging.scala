@@ -87,10 +87,17 @@ object Staging {
     * exactly as today, so the knob only BOUNDS width from below at small
     * state, never shrinks a big run. Env-tunable
     * (`SPARK_GRAFT_ROUND_ROWS_PER_PART`), never a hard-coded core count. */
+  /** `perPartRows` overrides the 1M-row default for operator families
+    * whose per-row WORK is much larger than a narrow node row — e.g. the
+    * degree-oriented wedge joins budget ~16k edges/partition because each
+    * edge fans out to O(√m) wedge rows. A density budget per family, data-
+    * derived width per run; never a core count. */
   def roundWidth(spark: org.apache.spark.sql.SparkSession,
-      stateRows: Long): Int = {
-    val perPart = sys.env.getOrElse("SPARK_GRAFT_ROUND_ROWS_PER_PART",
-      "1000000").toLong
+      stateRows: Long, perPartRows: Long = 0L): Int = {
+    val perPart =
+      if (perPartRows > 0) perPartRows
+      else sys.env.getOrElse("SPARK_GRAFT_ROUND_ROWS_PER_PART",
+        "1000000").toLong
     val sessW = spark.sessionState.conf.numShufflePartitions
     math.min(sessW.toLong,
       math.max(1L, (stateRows + perPart - 1) / perPart)).toInt
@@ -105,8 +112,8 @@ object Staging {
     * before. The shared CacheManager makes persist/unpersist and
     * clearCache work identically across parent and child. */
   def roundSession(spark: org.apache.spark.sql.SparkSession,
-      stateRows: Long): org.apache.spark.sql.SparkSession = {
-    val w = roundWidth(spark, stateRows)
+      stateRows: Long, perPartRows: Long = 0L): org.apache.spark.sql.SparkSession = {
+    val w = roundWidth(spark, stateRows, perPartRows)
     if (w == spark.sessionState.conf.numShufflePartitions) spark
     else {
       val child = spark.newSession()

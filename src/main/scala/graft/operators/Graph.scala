@@ -70,7 +70,17 @@ object Graph {
   /** Per-node degree profile: out/in over the directed edges, und over
     * the undirected ones. Nodes = every endpoint. */
   def degrees(events: DataFrame): DataFrame = {
-    val ed = edges(events).persist()
+    val spark = events.sparkSession
+    val ed0 = edges(events).persist()
+    // width from the measured edge count (r17 — these aggregates and
+    // joins carry node/edge-keyed rows only; the count doubles as the
+    // edge-cache materializer)
+    val nE = ed0.count()
+    val rs = graft.functions.Staging.roundSession(spark, nE)
+    val ed =
+      if (rs eq spark) ed0
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        ed0.coalesce(graft.functions.Staging.roundWidth(spark, nE)), rs)
     val nodes = ed.select(col("src").as("node"))
       .union(ed.select(col("dst").as("node"))).distinct()
     val outDeg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
@@ -117,17 +127,38 @@ object Graph {
     e1.join(e2, "y").join(e3, Seq("x", "z")).select("x", "y", "z")
   }
 
+  /** Per-edge rows-per-partition budget for the WEDGE-join family
+    * (gr2/gr4/gr5): each oriented edge fans out to O(√m) wedge rows, so
+    * these lanes budget ~16k edges per partition (≈ 1M wedge rows of
+    * work at the registered graph's density) instead of the node-row
+    * default — a per-family density constant scaled by the MEASURED edge
+    * count, never a core count (guide §2.2). Env-tunable. */
+  private val wedgePerPart =
+    sys.env.getOrElse("SPARK_GRAFT_WEDGE_ROWS_PER_PART", "16384").toLong
+
   /** One-row graph census: nodes, undirected edges, triangles. Wedge join
     * over the degree-oriented edges (see [[orientedTriangles]]); the
     * count is identical to the oracle's node-id orientation. */
   def triangles(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     val und = undirected(events).persist()
-    val deg = undDegrees(und)
-    val tri = orientedTriangles(und, deg).agg(count(lit(1)).as("n_triangles"))
-    val census = und.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    // the census needs the edge count anyway — counting it here also
+    // sizes the wedge join's width from the measured volume (r17, the
+    // iterative lanes' roundSession treatment applied to the one-shot
+    // wedge family: at sf0.1 these exchanges carried KBs across the full
+    // session width, and the whole family ran ~1.4× faster at local[8])
+    val m = und.count()
+    val rs = graft.functions.Staging.roundSession(spark, m, wedgePerPart)
+    val undR =
+      if (rs eq spark) und
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        und.coalesce(graft.functions.Staging.roundWidth(spark, m,
+          wedgePerPart)), rs)
+    val deg = undDegrees(undR)
+    val tri = orientedTriangles(undR, deg).agg(count(lit(1)).as("n_triangles"))
+    val census = deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"),
+      .select(col("n_nodes"), lit(m).as("n_edges"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
     census
   }
@@ -141,9 +172,19 @@ object Graph {
     * degree-oriented wedge join (bounded fan-out) feeds the same
     * numbers the oracle gets from node-id orientation. */
   def clusteringCoefficient(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     val und = undirected(events).persist()
-    val deg = undDegrees(und).persist()
-    val tri = orientedTriangles(und, deg)
+    // wedge-family width from the measured edge count (the [[triangles]]
+    // treatment; the count doubles as the und-cache materializer)
+    val m = und.count()
+    val rs = graft.functions.Staging.roundSession(spark, m, wedgePerPart)
+    val undR =
+      if (rs eq spark) und
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        und.coalesce(graft.functions.Staging.roundWidth(spark, m,
+          wedgePerPart)), rs)
+    val deg = undDegrees(undR).persist()
+    val tri = orientedTriangles(undR, deg)
     val perNode = tri.select(col("x").as("node"))
       .union(tri.select(col("y").as("node")))
       .union(tri.select(col("z").as("node")))
@@ -171,7 +212,17 @@ object Graph {
     * `deg(a) + deg(b) - common` (a ∈ N(b) and b ∈ N(a), so both sides
     * already count the edge's own endpoints). */
   def neighborJaccard(events: DataFrame): DataFrame = {
-    val und = undirected(events).persist()
+    val spark = events.sparkSession
+    val und0 = undirected(events).persist()
+    // wedge-family width from the measured edge count (the [[triangles]]
+    // treatment)
+    val m = und0.count()
+    val rs = graft.functions.Staging.roundSession(spark, m, wedgePerPart)
+    val und =
+      if (rs eq spark) und0
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        und0.coalesce(graft.functions.Staging.roundWidth(spark, m,
+          wedgePerPart)), rs)
     val deg = undDegrees(und).persist()
     val tri = orientedTriangles(und, deg)
     val common = tri.select(explode(array(
@@ -1007,16 +1058,25 @@ object Graph {
     * end. The edge relation persists once for its two consumers (the
     * [[degrees]] lifecycle: at most the prep relation stays resident). */
   def reciprocity(events: DataFrame): DataFrame = {
-    val ed = edges(events).persist()
+    val spark = events.sparkSession
+    val ed0 = edges(events).persist()
+    // the total the verdict needs IS the measured edge count — one job
+    // materializes the cache, sizes the self-join width, and supplies
+    // n_edges (r17)
+    val nE = ed0.count()
+    val rs = graft.functions.Staging.roundSession(spark, nE)
+    val ed =
+      if (rs eq spark) ed0
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        ed0.coalesce(graft.functions.Staging.roundWidth(spark, nE)), rs)
     val rev = ed.select(col("dst").as("src"), col("src").as("dst"))
     val recip = ed.join(rev, Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_reciprocal"))
-    val tot = ed.agg(count(lit(1)).as("n_edges"))
-    tot.crossJoin(recip)
-      .select(col("n_edges"), col("n_reciprocal"),
-        round(when(col("n_edges") > 0,
+    recip
+      .select(lit(nE).as("n_edges"), col("n_reciprocal"),
+        round(when(lit(nE) > 0,
           col("n_reciprocal").cast("double")
-            / col("n_edges").cast("double")), 6).as("reciprocity"))
+            / lit(nE).cast("double")), 6).as("reciprocity"))
   }
 
   /** Bounded-round k-core peeling (Seidman 1983's cores via the standard
@@ -1107,9 +1167,20 @@ object Graph {
     * the last ulps (the w9_autocorr precedent); rounding to 6 decimals
     * absorbs it on both engines. */
   def assortativity(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     val und = undirected(events).persist()
-    val sym = und.select(col("a").as("u"), col("b").as("v"))
-      .union(und.select(col("b").as("u"), col("a").as("v")))
+    // width from the measured edge count (r17, the [[degrees]] treatment;
+    // every sum here is an integer-valued double < 2^53, so the result is
+    // summation-order-exact at ANY width). The count doubles as the
+    // und-cache materializer.
+    val m = und.count()
+    val rs = graft.functions.Staging.roundSession(spark, m)
+    val undR =
+      if (rs eq spark) und
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        und.coalesce(graft.functions.Staging.roundWidth(spark, m)), rs)
+    val sym = undR.select(col("a").as("u"), col("b").as("v"))
+      .union(undR.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     // Pearson from explicit co-moment sums rather than corr(): a REGULAR
     // graph has zero degree variance, where ANSI-mode corr() throws
