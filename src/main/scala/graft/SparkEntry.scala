@@ -1315,17 +1315,27 @@ object SparkEntry {
           count(lit(1)).as("freq"),
           sum(round(col("o_totalprice") * 100).cast("decimal(38,0)"))
             .cast("long").as("cents"))
+        .persist()
+      // three rank passes over CUSTOMERS: size their range exchanges by
+      // the measured customer count (r17, guide §2.2 — at sf0.1 each
+      // pass otherwise paid session-width exchange+sort+collect stages
+      // over ~15k rows; a 100 TB customer relation keeps the session
+      // width). The count doubles as the perCust-cache materializer all
+      // three passes read.
+      val w = graft.functions.Staging.roundWidth(s, perCust.count())
       val r = Ranks.withGlobalNtile(perCust,
-        Seq(col("last_dt"), col("o_custkey")), 5, "r_score")
+        Seq(col("last_dt"), col("o_custkey")), 5, "r_score", w)
       val rf = Ranks.withGlobalNtile(r,
-        Seq(col("freq"), col("o_custkey")), 5, "f_score")
+        Seq(col("freq"), col("o_custkey")), 5, "f_score", w)
       val rfm = Ranks.withGlobalNtile(rf,
-        Seq(col("cents"), col("o_custkey")), 5, "m_score")
-      rfm.groupBy("r_score", "f_score", "m_score")
-        .agg(count(lit(1)).as("n_customers"),
-          sum(col("cents").cast("decimal(38,0)")).cast("long")
-            .as("total_cents"))
-        .orderBy("r_score", "f_score", "m_score")
+        Seq(col("cents"), col("o_custkey")), 5, "m_score", w)
+      graft.CacheScope.owns(
+        rfm.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents").cast("decimal(38,0)")).cast("long")
+              .as("total_cents"))
+          .orderBy("r_score", "f_score", "m_score"),
+        perCust)
     }),
     "e15_segment_migration" -> ((s, dir) => {
       // Customer value-segment MIGRATION matrix — what e13's static RFM
@@ -1358,16 +1368,22 @@ object SparkEntry {
           col("cents"))
         .groupBy("o_custkey", "first_half")
         .agg(sum("cents").cast("long").as("cents"))
+        .persist()
+      // both rank passes read the counted (customer, half) cache; the
+      // count sizes their range exchanges (r17, the e13 treatment)
+      val w = graft.functions.Staging.roundWidth(s, half.count())
       val h1 = Ranks.withGlobalNtile(half.where(col("first_half")),
-        Seq(col("cents"), col("o_custkey")), 5, "r_first")
+        Seq(col("cents"), col("o_custkey")), 5, "r_first", w)
         .select(col("o_custkey"), col("r_first"))
       val h2 = Ranks.withGlobalNtile(half.where(!col("first_half")),
-        Seq(col("cents"), col("o_custkey")), 5, "r_second")
+        Seq(col("cents"), col("o_custkey")), 5, "r_second", w)
         .select(col("o_custkey"), col("r_second"))
-      h1.join(h2, "o_custkey")
-        .groupBy("r_first", "r_second")
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy("r_first", "r_second")
+      graft.CacheScope.owns(
+        h1.join(h2, "o_custkey")
+          .groupBy("r_first", "r_second")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("r_first", "r_second"),
+        half)
     }),
     "e14_survival" -> ((s, dir) => {
       // Kaplan-Meier churn survival over customer LIFETIMES (days from

@@ -43,11 +43,21 @@ object Ranks {
   private val midMask = (1L << 33) - 1
 
   /** `(df + 1-based exact global rank column `out`, total row count)`
-    * over the unique total order `order`. */
+    * over the unique total order `order`.
+    *
+    * `width` (r17): optional range-partition count for callers that KNOW
+    * the input's size (e.g. a counted per-customer relation) — small
+    * ranked relations otherwise pay session-width exchange+sort+collect
+    * stages per rank pass (guide §2.2; the e13 lane ran three such
+    * passes over ~15k rows at full width). 0 = session default, which a
+    * 100 TB input keeps; the rank arithmetic is width-independent (exact
+    * integers from per-partition counts, any partitioning of the same
+    * total order). */
   def withGlobalRank(df: DataFrame, order: Seq[Column],
-      out: String): (DataFrame, Long) = {
+      out: String, width: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val p = spark.sessionState.conf.numShufflePartitions
+    val p =
+      if (width > 0) width else spark.sessionState.conf.numShufflePartitions
     val mid = s"__${out}_mid"
     val pidCol = s"__${out}_pid"
     val offCol = s"__${out}_off"
@@ -153,9 +163,9 @@ object Ranks {
     * standard (Spark = DuckDB) ntile split, derived from the rank with
     * integer arithmetic. */
   def withGlobalNtile(df: DataFrame, order: Seq[Column], n: Int,
-      out: String): DataFrame = {
+      out: String, width: Int = 0): DataFrame = {
     require(n > 0, s"ntile buckets must be positive: $n")
-    val (ranked, total) = withGlobalRank(df, order, out)
+    val (ranked, total) = withGlobalRank(df, order, out, width)
     graft.CacheScope.transfer(ranked, ranked
       .withColumn(out, ntileFromRank(col(out), total, n)))
   }
