@@ -132,20 +132,41 @@ object Training {
       .groupBy("doc_id", "y", "is_holdout")
       .agg(sort_array(collect_list(col("idx"))).as("idxs"))
       .persist()
-    val train = docFeats.where(!col("is_holdout"))
-    // one materializing job yields both split counts
-    val splitCounts = docFeats.groupBy("is_holdout")
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val nTrain = splitCounts.getOrElse(false, 0L)
-    val nHoldout = splitCounts.getOrElse(true, 0L)
+    // ONE materializing job yields the split counts AND the centering
+    // histogram (r17 — the two setup collects fused through a tagged
+    // union over the same cached relation; `idx = -1` rows carry the
+    // split counts keyed by is_holdout, `idx >= 0` rows the train-split
+    // bucket frequencies the centering vector μ is built from)
+    val trainSlice = docFeats.where(!col("is_holdout"))
+    val setupRows = docFeats.groupBy(col("is_holdout"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(-1).as("idx"), col("is_holdout"), col("n"))
+      .unionByName(trainSlice.select(explode(col("idxs")).as("idx"))
+        .groupBy("idx").agg(count(lit(1)).as("n"))
+        .select(col("idx"), lit(false).as("is_holdout"), col("n")))
+      .collect()
+    val nTrain = setupRows.find(r => r.getInt(0) == -1 && !r.getBoolean(1))
+      .map(_.getLong(2)).getOrElse(0L)
+    val nHoldout = setupRows.find(r => r.getInt(0) == -1 && r.getBoolean(1))
+      .map(_.getLong(2)).getOrElse(0L)
 
     // train-split bucket frequencies — the centering vector μ, a
     // dim-sized driver artifact like the weights themselves
     val mu = Array.fill(dim)(0.0)
-    train.select(explode(col("idxs")).as("idx"))
-      .groupBy("idx").agg(count(lit(1)).as("n")).collect()
-      .foreach(r => mu(r.getAs[Int]("idx")) = r.getAs[Long]("n").toDouble / nTrain)
+    setupRows.iterator.filter(_.getInt(0) >= 0).foreach(r =>
+      mu(r.getInt(0)) = r.getLong(2).toDouble / nTrain)
+
+    // right-sized iteration width (r17, the roundSession treatment): each
+    // iteration is one scan+aggregate over the counted doc-feature cache;
+    // at small corpora a session-width pass is task-scheduling overhead,
+    // at 100 TB rs eq spark and nothing changes
+    val rs = graft.functions.Staging.roundSession(spark, nTrain + nHoldout)
+    val docFeatsR =
+      if (rs eq spark) docFeats
+      else org.apache.spark.sql.graft.Bridge.pinInternal(
+        docFeats.coalesce(graft.functions.Staging.roundWidth(spark,
+          nTrain + nHoldout)), rs)
+    val train = docFeatsR.where(!col("is_holdout"))
 
     var w = Array.fill(dim)(0.0)
     var b = 0.0
@@ -243,7 +264,7 @@ object Training {
       b -= step * vb
       (it, loss, acc)
     }
-    val (_, holdoutAcc) = lossAcc(scores(docFeats.where(col("is_holdout"))))
+    val (_, holdoutAcc) = lossAcc(scores(docFeatsR.where(col("is_holdout"))))
     docFeats.unpersist()
     Fit(hist, nTrain, nHoldout, holdoutAcc)
   }
